@@ -1,0 +1,47 @@
+"""circuitmap_tpu — TPU-native synaptic connectivity mapping.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capabilities of
+``marcustriplett/circuitmap`` (CAVIaR): neural-waveform demixing and
+Bayesian inference of synaptic connectivity from two-photon holographic
+ensemble stimulation experiments.
+
+Public API mirrors the reference package root (reference
+circuitmap/__init__.py:1-3): ``Model``, ``NeuralDemixer``, ``simulate``.
+
+Design stance (TPU-first):
+  * One runtime. The demixer is JAX (not PyTorch), so demixing and
+    inference share a single XLA-compiled pipeline and one device
+    memory pool — the reference forces the demixer onto CPU to avoid
+    Torch/JAX GPU memory clashes (reference README.md:31).
+  * Whole-solver compilation. The full CAVI iteration loop runs inside
+    a single ``lax.scan`` under ``jit`` — no per-iteration Python
+    dispatch, no host↔device round trips.
+  * Scale-out via ``jax.sharding``: the trial axis (K) shards across a
+    device mesh; all cross-trial reductions ride ``psum`` over ICI.
+
+Imports are lazy so that ``circuitmap_tpu.ops`` / ``.solvers`` can be
+used without pulling in visualization or checkpoint-conversion deps.
+"""
+
+__version__ = "0.1.0"
+
+_LAZY = {
+    "Model": ("circuitmap_tpu.model", "Model"),
+    "NeuralDemixer": ("circuitmap_tpu.demix", "NeuralDemixer"),
+    "simulate": ("circuitmap_tpu.simulation", "simulate"),
+    "simulate_continuous_experiment": (
+        "circuitmap_tpu.simulation",
+        "simulate_continuous_experiment",
+    ),
+}
+
+__all__ = list(_LAZY)
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'circuitmap_tpu' has no attribute {name!r}")

@@ -1,0 +1,159 @@
+"""Model facade: priors, solver dispatch, posterior state.
+
+API contract mirrors the reference (model.py:15-211): construct with a
+neuron count and optional prior overrides, call ``fit(obs, stimuli,
+method, fit_options)``, read posteriors from ``model.state`` (numpy
+arrays), per-iteration snapshots from ``model.history``, wall-clock from
+``model.time``. Default priors match reference model.py:24-31.
+"""
+
+from __future__ import annotations
+
+import time
+from copy import deepcopy
+
+import numpy as np
+
+from . import solvers
+
+
+def default_priors(N):
+    """The reference's default prior set (model.py:24-31)."""
+    return {
+        "alpha": 0.25 * np.ones(N),
+        "phi": np.column_stack([1e-1 * np.ones(N), 5e0 * np.ones(N)]),
+        "phi_cov": np.tile(np.array([[1e-1, 0.0], [0.0, 1e0]]), (N, 1, 1)),
+        "mu": np.zeros(N),
+        "beta": 1e1 * np.ones(N),
+        "shape": 1.0,
+        "rate": 1e-1,
+    }
+
+
+class Model:
+    """Connectivity-mapping model: priors in, posterior ``state`` out."""
+
+    def __init__(self, N, priors=None):
+        self.N = N
+        self.priors = dict(priors) if priors is not None else {}
+        for key, val in default_priors(N).items():
+            self.priors.setdefault(key, val)
+        self.state = deepcopy(self.priors)
+        self.history = {}
+        self.time = None
+        self.trial_count = None
+
+    # -- dispatch ----------------------------------------------------------
+
+    def fit(self, obs, stimuli, method="caviar", fit_options=None):
+        fit_options = dict(fit_options or {})
+        runner = {
+            "caviar": self._fit_caviar,
+            "cavi_sns": self._fit_cavi_sns,
+            "mbcs": self._fit_mbcs,
+        }.get(method)
+        if runner is None:
+            raise ValueError(
+                f"unknown method {method!r}; expected caviar | cavi_sns | mbcs"
+            )
+        t0 = time.time()
+        runner(obs, stimuli, fit_options)
+        self.time = time.time() - t0
+        return self
+
+    # -- per-solver adapters ----------------------------------------------
+
+    def _fit_caviar(self, obs, stimuli, fit_options):
+        result = solvers.caviar(
+            obs,
+            stimuli,
+            self.state["mu"],
+            self.state["beta"],
+            self.state["shape"],
+            self.state["rate"],
+            self.state["phi"],
+            self.state["phi_cov"],
+            **fit_options,
+        )
+        (mu, beta, lam, shape, rate, phi, phi_cov, z, receptive_fields,
+         *hists) = result
+
+        self.state.update(
+            mu=np.asarray(mu),
+            beta=np.asarray(beta),
+            lam=np.asarray(lam),
+            shape=np.asarray(shape),
+            rate=np.asarray(rate),
+            phi=np.asarray(phi),
+            phi_cov=np.asarray(phi_cov),
+            z=np.asarray(z),
+            receptive_fields=receptive_fields,
+        )
+        self.trial_count = self.state["lam"].shape[1]
+        names = ["mu", "beta", "lam", "shape", "rate", "phi", "phi_cov", "z"]
+        self.history = {
+            n: (np.asarray(h) if h is not None else None)
+            for n, h in zip(names, hists)
+        }
+
+    def _fit_cavi_sns(self, obs, stimuli, fit_options):
+        result = solvers.cavi_sns(
+            obs,
+            stimuli,
+            self.state["mu"],
+            self.state["beta"],
+            self.state["alpha"],
+            self.state["shape"],
+            self.state["rate"],
+            self.state["phi"],
+            self.state["phi_cov"],
+            **fit_options,
+        )
+        mu, beta, alpha, lam, shape, rate, phi, phi_cov, *hists = result
+
+        self.state.update(
+            mu=np.asarray(mu),
+            beta=np.asarray(beta),
+            alpha=np.asarray(alpha),
+            lam=np.asarray(lam),
+            shape=np.asarray(shape),
+            rate=np.asarray(rate),
+            phi=np.asarray(phi),
+            phi_cov=np.asarray(phi_cov),
+        )
+        self.trial_count = self.state["lam"].shape[1]
+        names = ["mu", "beta", "alpha", "lam", "shape", "rate", "phi", "phi_cov"]
+        self.history = {
+            n: (np.asarray(h) if h is not None else None)
+            for n, h in zip(names, hists)
+        }
+
+    def _fit_mbcs(self, obs, stimuli, fit_options):
+        result = solvers.mbcs(
+            obs,
+            stimuli,
+            self.state["mu"],
+            self.state["beta"],
+            self.state["shape"],
+            self.state["rate"],
+            **fit_options,
+        )
+        mu, beta, lam, shape, rate, z, receptive_fields, *hists = result
+
+        self.state.update(
+            mu=np.asarray(mu),
+            beta=np.asarray(beta),
+            lam=np.asarray(lam),
+            shape=np.asarray(shape),
+            rate=np.asarray(rate),
+            z=np.asarray(z),
+            receptive_fields=(
+                np.asarray(receptive_fields) if receptive_fields is not None else None
+            ),
+        )
+        self.trial_count = self.state["lam"].shape[1]
+        names = ["mu", "beta", "lam", "shape", "rate", "z"]
+        self.history = {
+            n: (np.asarray(h) if h is not None else None)
+            for n, h in zip(names, hists)
+        }

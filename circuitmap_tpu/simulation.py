@@ -1,0 +1,571 @@
+"""Synthetic holographic-mapping experiments, TPU-first.
+
+Two generators, mirroring the reference surface (simulation.py:25-195
+and simulation.py:329-485):
+
+  * ``simulate`` — trial-based: K independent [T]-sample PSC traces for
+    a blockwise or random hologram design.
+  * ``simulate_continuous_experiment`` — a full 20 kHz experiment
+    timeline, later sliced into K x 900 response windows.
+
+Host/device split: experiment *design* (hologram composition, spike
+draws, latencies) stays in host numpy — it is tiny, inherently
+sequential bookkeeping, and keeps ``np.random.seed`` reproducibility
+for users of the reference. All *trace synthesis* runs on device:
+
+  * per-trial PSCs via shifted-kernel gathers (the reference convolves a
+    one-hot spike train per (neuron, trial) — simulation.py:17-23; a
+    single spike means the convolution is just the kernel shifted, so a
+    batched gather replaces K*N convolutions),
+  * the continuous timeline via batched FFT convolution of per-neuron
+    impulse trains (the reference loops jnp.convolve per connected
+    neuron over the full timeline — simulation.py:431-433),
+  * AR(1) noise as an associative scan (first-order linear recurrence;
+    the reference uses a Python loop over every 20 kHz sample —
+    simulation.py:466-471),
+  * GP noise by spectral factorisation of the squared-exponential
+    kernel (eigh once, then one matmul).
+
+Only connected neurons are synthesised — disconnected rows multiply to
+exactly zero in the reference too (weights[n] = 0), so skipping them is
+a pure speedup at identical output.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Kernel primitives
+# ---------------------------------------------------------------------------
+
+
+def psc_kernel_bank(tau_r, tau_d, window):
+    """Bi-exponential PSC kernels evaluated on [0, window). [N, window].
+
+    Unnormalised: exp(-t/tau_d) - exp(-t/tau_r) (reference
+    simulation.py:285-295). Normalisation happens at use sites, which
+    differ (sum vs trapz of a truncation) between callers.
+    """
+    t = np.arange(window)[None, :]
+    tau_r = np.asarray(tau_r)[:, None]
+    tau_d = np.asarray(tau_d)[:, None]
+    return np.exp(-t / tau_d) - np.exp(-t / tau_r)
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _shifted_psc_batch(kernels, spk_times, amps, T):
+    """Sum over neurons of amplitude-scaled, spike-time-shifted kernels.
+
+    kernels: [n, T] (unnormalised); spk_times: [n, k] int; amps: [n, k]
+    (weight * mult_noise * spike). Returns [k, T].
+
+    Matches reference kernel_conv_trialwise (simulation.py:17-23): the
+    shifted kernel is renormalised by the sum over the visible window,
+    so late spikes keep unit area.
+    """
+    tgrid = jnp.arange(T)
+
+    def one(kernel, st, amp):
+        # [k, T] gather: kernel[t - st] where valid
+        idx = tgrid[None, :] - st[:, None]
+        ke = jnp.where(idx >= 0, kernel[jnp.clip(idx, 0, T - 1)], 0.0)
+        ke = ke / (jnp.sum(ke, axis=1, keepdims=True) + 1e-5)
+        return ke * amp[:, None]
+
+    return jnp.sum(jax.vmap(one)(kernels, spk_times, amps), axis=0)
+
+
+def _latency_shape(power, scale=1e4):
+    """Gamma shape parameter of the spike latency (simulation.py:197-198)."""
+    return scale / (power**2)
+
+
+def sample_spike_time(power, gamma_beta=1.5e1, min_latency=160):
+    """Gamma-distributed spike latency after stim onset (simulation.py:208-209)."""
+    return min_latency + np.random.gamma(_latency_shape(power), gamma_beta)
+
+
+def sample_gp(trial_dur=900, gp_lengthscale=25, gp_scale=0.01, n_samples=1):
+    """Squared-exponential GP noise via spectral factorisation.
+
+    Same distribution as the reference's full-covariance
+    multivariate_normal (simulation.py:211-215) at a fraction of the
+    cost: eigh once, one [n_samples, T] matmul.
+    """
+    t = np.arange(trial_dur)
+    cov = np.exp(-((t[:, None] - t[None, :]) ** 2) / (2.0 * gp_lengthscale**2))
+    w, Q = np.linalg.eigh(cov)
+    half = Q * np.sqrt(np.clip(w, 0.0, None))[None, :]
+    eps = np.random.randn(n_samples, trial_dur)
+    return gp_scale * (eps @ half.T)
+
+
+# ---------------------------------------------------------------------------
+# Hologram designs
+# ---------------------------------------------------------------------------
+
+
+def blockwise_design(N, H, trials, powers, nreps=1, shuffle=True):
+    """Blockwise ensemble design: random neuron partitions into H-spot
+    holograms, swept over powers (reference simulation.py:45-63)."""
+    powers = np.sort(np.asarray(powers))[::-1]
+    rows = []
+    while len(rows) < trials:
+        order = np.random.choice(N, N, replace=False)
+        holos = [order[i * H:(i + 1) * H] for i in range(int(np.ceil(N / H)))]
+        for power, holo, _ in itertools.product(powers, holos, range(nreps)):
+            if len(rows) >= trials:
+                break
+            row = np.zeros(N)
+            row[holo] = power
+            rows.append(row)
+    stim = np.stack(rows, axis=1)
+    if shuffle:
+        stim = stim[:, np.random.choice(trials, trials, replace=False)]
+    return stim
+
+
+def random_design(N, H, trials, powers):
+    """Random ensemble design with balanced power representation
+    (reference simulation.py:65-77)."""
+    powers = np.asarray(powers, dtype=float)
+    per = int(np.ceil(trials / len(powers)))
+    pool = np.repeat(powers, per)[:trials]
+    power_order = np.random.permutation(pool)
+    stim = np.zeros((N, trials))
+    for k in range(trials):
+        stim[np.random.choice(N, H), k] = power_order[k]
+    return stim
+
+
+def _pad_spikes_to_min_rate(spks, stim, max_power, min_rate):
+    """Force each neuron's spike rate at max power up to ``min_rate`` by
+    flipping zero trials (reference simulation.py:98-108)."""
+    N = spks.shape[0]
+    for n in range(N):
+        locs = np.flatnonzero(stim[n] == max_power)
+        if locs.size == 0:
+            continue
+        deficit = min_rate - spks[n, locs].mean()
+        if deficit > 0:
+            zeros = np.flatnonzero(spks[n, locs] == 0)
+            need = min(int(np.ceil(deficit * locs.size)), zeros.size)
+            if need:
+                spks[n, locs[np.random.choice(zeros, need, replace=False)]] = 1.0
+    return spks
+
+
+def _sample_weights(
+    N, connection_prob, frac_strong, strong_lower, strong_upper, weak_mean, min_weight
+):
+    """Sparse weights: a strong uniform tier and a weak shifted-exponential
+    tier (reference simulation.py:116-126)."""
+    n_conn = int(connection_prob * N)
+    connected = np.random.choice(N, n_conn, replace=False)
+    n_strong = int(np.ceil(frac_strong * n_conn))
+    strong = np.random.choice(connected, n_strong, replace=False)
+    weak = np.setdiff1d(connected, strong)
+    weights = np.zeros(N)
+    weights[strong] = np.random.uniform(strong_lower, strong_upper, n_strong)
+    weights[weak] = np.random.exponential(weak_mean, weak.size) + min_weight
+    return weights
+
+
+# ---------------------------------------------------------------------------
+# Trial-based simulator
+# ---------------------------------------------------------------------------
+
+
+def simulate(
+    N=300,
+    T=900,
+    H=10,
+    trials=1000,
+    nreps=1,
+    connection_prob=0.05,
+    powers=[45, 55, 65],
+    min_latency=160,
+    gamma_beta=1.5e1,
+    sigma=6e-4,
+    frac_strongly_connected=0.2,
+    strong_weight_lower=20,
+    strong_weight_upper=40,
+    weak_exp_mean=4,
+    min_weight=9,
+    phi_0_lower=0.2,
+    phi_0_upper=0.25,
+    phi_1_lower=10,
+    phi_1_upper=15,
+    mult_noise_log_var=0.01,
+    tau_r_min=25,
+    tau_r_max=60,
+    tau_delta_min=75,
+    tau_delta_max=250,
+    weights=None,
+    kernel=None,
+    phi_0=None,
+    phi_1=None,
+    gp_scale=4e-3,
+    gp_lengthscale=50,
+    spont_prob=0.05,
+    design="blockwise",
+    max_power_min_spike_rate=0.4,
+    batch_size=500,
+    neuron_batch_size=500,
+    verbose=True,
+):
+    """Simulate a trial-based ensemble-stimulation experiment.
+
+    Signature and returned dict keys mirror reference simulate
+    (simulation.py:25-195): weights, phi_0, phi_1, mult_noise, sigma,
+    stim_matrix, psc, gp_noise, kernel, spks, spk_times, spont_pscs, I.
+    """
+    assert design in ("random", "blockwise")
+    if verbose:
+        print(
+            f"Simulating N={N} T={T} H={H} trials={trials} "
+            f"density={connection_prob} powers={powers} design={design}"
+        )
+
+    if design == "blockwise":
+        stim_matrix = blockwise_design(N, H, trials, powers, nreps)
+    else:
+        stim_matrix = random_design(N, H, trials, powers)
+    K = stim_matrix.shape[1]
+    I = np.array([np.max(stim_matrix[:, k]) for k in range(K)])
+
+    # biophysics
+    tau_r = np.random.uniform(tau_r_min, tau_r_max, N)
+    tau_delta = np.random.uniform(tau_delta_min, tau_delta_max, N)
+    tau_d = tau_r + tau_delta
+    if phi_0 is None or phi_1 is None:
+        phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
+        phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
+
+    # spikes: sigmoid power curve, then min-rate padding at max power
+    drive = phi_0[:, None] * stim_matrix - phi_1[:, None]
+    frates = 1.0 / (1.0 + np.exp(-drive)) * (stim_matrix > 0)
+    spks = (np.random.rand(N, K) <= frates).astype(float)
+    spks = _pad_spikes_to_min_rate(spks, stim_matrix, np.max(powers),
+                                   max_power_min_spike_rate)
+
+    spk_times = np.zeros((N, K))
+    spiking = stim_matrix * spks
+    nz = spiking > 0
+    spk_times[nz] = sample_spike_time(spiking[nz], gamma_beta=gamma_beta)
+
+    if weights is None:
+        weights = _sample_weights(
+            N, connection_prob, frac_strongly_connected, strong_weight_lower,
+            strong_weight_upper, weak_exp_mean, min_weight,
+        )
+    connected = np.flatnonzero(weights != 0)
+
+    mult_noise = np.random.lognormal(0, mult_noise_log_var, [N, K])
+
+    # device synthesis over connected neurons only, trial-batched
+    if verbose:
+        print("Synthesising PSC traces on device...")
+    kernels_c = jnp.asarray(
+        psc_kernel_bank(tau_r[connected], tau_d[connected], T), dtype=jnp.float32
+    )
+    amps = (weights[:, None] * mult_noise * spks)[connected]
+    st_c = spk_times[connected].astype(np.int32)
+
+    chunks = []
+    for k0 in range(0, K, batch_size):
+        k1 = min(k0 + batch_size, K)
+        chunks.append(
+            _shifted_psc_batch(
+                kernels_c,
+                jnp.asarray(st_c[:, k0:k1]),
+                jnp.asarray(amps[:, k0:k1], dtype=jnp.float32),
+                T,
+            )
+        )
+    psc = np.concatenate([np.asarray(c) for c in chunks], axis=0)
+
+    # spontaneous events: one random-kernel PSC on a random subset of trials
+    spont_pscs = np.zeros((K, T))
+    spont_trials = np.flatnonzero(np.random.rand(K) <= spont_prob)
+    tgrid = np.arange(T)
+    for k in spont_trials:
+        tr = np.random.uniform(tau_r_min, tau_r_max)
+        td = tr + np.random.uniform(tau_delta_min, tau_delta_max)
+        delta = np.random.randint(1, T)
+        ke = (np.exp(-(tgrid - delta) / td) - np.exp(-(tgrid - delta) / tr)) * (
+            tgrid > delta
+        )
+        w = np.random.uniform(weights[connected].min(), weights[connected].max())
+        spont_pscs[k] = w * ke / (np.trapezoid(ke) + 1e-5)
+
+    gp_noise = sample_gp(trial_dur=T, n_samples=K, gp_scale=gp_scale,
+                         gp_lengthscale=gp_lengthscale)
+    noise = np.random.normal(0, sigma, [K, T])
+    psc = psc + spont_pscs + gp_noise + noise
+
+    return {
+        "weights": weights,
+        "phi_0": phi_0,
+        "phi_1": phi_1,
+        "mult_noise": mult_noise,
+        "sigma": sigma,
+        "stim_matrix": stim_matrix,
+        "psc": psc,
+        "gp_noise": gp_noise,
+        "kernel": kernel,
+        "spks": spks,
+        "spk_times": spk_times,
+        "spont_pscs": spont_pscs,
+        "I": I,
+        "tau_r": tau_r,
+        "tau_d": tau_d,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Continuous-experiment simulator
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _ar1_noise(eps, coef):
+    """x[t] = coef * x[t-1] + eps[t] as a parallel associative scan.
+
+    First-order linear recurrence: elements (a, b) compose as
+    (a1*a2, a2*b1 + b2). Replaces the reference's per-sample Python loop
+    over the full 20 kHz timeline (simulation.py:466-471).
+    """
+    a = jnp.full_like(eps, coef).at[0].set(1.0)
+
+    def combine(x, y):
+        return (x[0] * y[0], x[1] * y[0] + y[1])
+
+    _, x = jax.lax.associative_scan(combine, (a, eps))
+    return x
+
+
+@partial(jax.jit, static_argnames=("expt_len",))
+def _timeline_fft_conv(impulses, kernels, expt_len):
+    """Sum over neurons of (impulse train * kernel) via batched rFFT.
+
+    impulses: [n, expt_len]; kernels: [n, W]. Linear convolution realised
+    by zero-padding to expt_len + W; result truncated to expt_len.
+    """
+    W = kernels.shape[1]
+    L = expt_len + W
+    F = jnp.fft.rfft(impulses, n=L) * jnp.fft.rfft(kernels, n=L)
+    out = jnp.fft.irfft(jnp.sum(F, axis=0), n=L)
+    return out[:expt_len]
+
+
+@partial(jax.jit, static_argnames=("response_length",))
+def _evoked_window_batch(kernels, spk_times, amps, response_length):
+    """Ground-truth evoked responses for a batch of stims.
+
+    kernels: [n, W]; spk_times/amps: [n, k]. Returns [k, response_length]:
+    each neuron's kernel placed at its (context-offset) spike time.
+    Mirrors get_true_evoked_resp (simulation.py:322-327) as a gather.
+    """
+    tgrid = jnp.arange(response_length)
+
+    def one(kernel, st, amp):
+        idx = tgrid[None, :] - st[:, None]
+        ke = jnp.where(idx >= 0, kernel[jnp.clip(idx, 0, kernel.shape[0] - 1)], 0.0)
+        return ke * amp[:, None]
+
+    return jnp.sum(jax.vmap(one)(kernels, spk_times, amps), axis=0)
+
+
+def simulate_continuous_experiment(
+    N=100,
+    expt_len=int(2e4),
+    gamma_beta=1.5e1,
+    min_latency=60,
+    powers=[45, 55, 65],
+    mult_noise_log_var=0.05,
+    response_length=900,
+    noise_std=1e-2,
+    tau_r_min=10,
+    tau_r_max=40,
+    tau_delta_min=250,
+    tau_delta_max=300,
+    sampling_freq=20000,
+    stim_freq=10,
+    weight_lower=2,
+    weight_upper=10,
+    seed=0,
+    ar_coef=0.95,
+    ar_std=3e-4,
+    weights=None,
+    frac_strongly_connected=0.2,
+    strong_weight_lower=20,
+    strong_weight_upper=40,
+    weak_exp_mean=4,
+    min_weight=7,
+    phi_0_lower=0.2,
+    phi_0_upper=0.25,
+    phi_1_lower=10,
+    phi_1_upper=15,
+    kernel=None,
+    phi_0=None,
+    phi_1=None,
+    H=10,
+    nreps=1,
+    connection_prob=0.1,
+    spont_rate=3,
+    kernel_window=3000,
+    prior_context=100,
+    ground_truth_eval_batch_size=1000,
+    max_power_min_spike_rate=0.3,
+    verbose=True,
+):
+    """Simulate a continuous 20 kHz mapping experiment.
+
+    Returned dict keys mirror the reference (simulation.py:476-483):
+    pscs, obs_responses, true_responses, stim_matrix, weights,
+    spike_matrix.
+    """
+    if verbose:
+        print(
+            f"Simulating continuous experiment: N={N} H={H} "
+            f"duration={expt_len / sampling_freq:.1f}s stim_freq={stim_freq}Hz "
+            f"spont_rate={spont_rate}Hz powers={powers}"
+        )
+
+    tau_r = np.random.uniform(tau_r_min, tau_r_max, N)
+    tau_d = tau_r + np.random.uniform(tau_delta_min, tau_delta_max, N)
+
+    if weights is None:
+        weights = _sample_weights(
+            N, connection_prob, frac_strongly_connected, strong_weight_lower,
+            strong_weight_upper, weak_exp_mean, min_weight,
+        )
+    connected = np.flatnonzero(weights != 0)
+
+    # stim timing + blockwise design
+    isi = int(sampling_freq / stim_freq)
+    stim_times = np.arange(isi, expt_len - response_length - isi, isi, dtype=int)
+    nstim = len(stim_times)
+    stim_matrix = blockwise_design(N, H, nstim, powers, nreps, shuffle=False)
+
+    if phi_0 is None or phi_1 is None:
+        phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
+        phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
+
+    drive = phi_0[:, None] * stim_matrix - phi_1[:, None]
+    frates = 1.0 / (1.0 + np.exp(-drive)) * (stim_matrix > 0)
+    spks = (np.random.rand(N, nstim) <= frates).astype(float)
+    spks = _pad_spikes_to_min_rate(spks, stim_matrix, np.max(powers),
+                                   max_power_min_spike_rate)
+
+    spike_times = np.zeros((N, nstim))
+    targeted = stim_matrix > 0
+    spike_times[targeted] = sample_spike_time(
+        stim_matrix[targeted], gamma_beta=gamma_beta, min_latency=min_latency
+    )
+
+    # shuffle trial order (reference simulation.py:420-423)
+    reorder = np.random.choice(nstim, nstim, replace=False)
+    stim_matrix = stim_matrix[:, reorder]
+    spike_times = spike_times[:, reorder]
+    spks = spks[:, reorder]
+
+    mult_noise = np.random.lognormal(0, mult_noise_log_var, [N, nstim])
+
+    # --- evoked timeline: impulse trains conv kernels (connected only) ---
+    if verbose:
+        print("Synthesising evoked timeline (FFT conv)...")
+    kernels_c = psc_kernel_bank(tau_r[connected], tau_d[connected], kernel_window)
+    # normalise by trapz over the response window (reference simulation.py:285-289)
+    divisors = np.trapezoid(kernels_c[:, :response_length], axis=1) + 1e-5
+    kernels_c = kernels_c / divisors[:, None]
+
+    impulses = np.zeros((len(connected), expt_len))
+    frames = (spike_times + stim_times[None, :]).astype(int)
+    for i, c in enumerate(connected):
+        hit = spks[c] > 0
+        np.add.at(
+            impulses[i], frames[c, hit], weights[c] * mult_noise[c, hit]
+        )
+    impulses[:, 0] = 0.0  # reference guards the first bin (simulation.py:299-304)
+
+    pscs = np.zeros(expt_len)
+    nb = 8
+    for i0 in range(0, len(connected), nb):
+        pscs += np.asarray(
+            _timeline_fft_conv(
+                jnp.asarray(impulses[i0:i0 + nb], dtype=jnp.float32),
+                jnp.asarray(kernels_c[i0:i0 + nb], dtype=jnp.float32),
+                expt_len,
+            )
+        )
+
+    # --- ground-truth per-stim responses ---
+    if verbose:
+        print("Extracting ground-truth evoked responses...")
+    kc = jnp.asarray(kernels_c, dtype=jnp.float32)
+    true_resps = []
+    amps_c = (weights[:, None] * mult_noise * spks)[connected]
+    st_c = (prior_context + spike_times[connected]).astype(np.int32)
+    for k0 in range(0, nstim, ground_truth_eval_batch_size):
+        k1 = min(k0 + ground_truth_eval_batch_size, nstim)
+        true_resps.append(
+            np.asarray(
+                _evoked_window_batch(
+                    kc,
+                    jnp.asarray(st_c[:, k0:k1]),
+                    jnp.asarray(amps_c[:, k0:k1], dtype=jnp.float32),
+                    response_length,
+                )
+            )
+        )
+    true_resps = np.concatenate(true_resps, axis=0)
+
+    # --- spontaneous events: windowed scatter-add ---
+    nspont = int(spont_rate / sampling_freq * expt_len)
+    if nspont:
+        spont_times = np.random.choice(expt_len, nspont, replace=False)
+        sp_tr = np.random.uniform(tau_r_min, tau_r_max, nspont)
+        sp_td = sp_tr + np.random.uniform(tau_delta_min, tau_delta_max, nspont)
+        sp_kerns = psc_kernel_bank(sp_tr, sp_td, kernel_window)
+        sp_div = np.trapezoid(sp_kerns[:, :response_length], axis=1) + 1e-8
+        sp_w = np.random.uniform(0.0, np.max(weights), nspont)
+        sponts = np.zeros(expt_len + kernel_window)
+        for s in range(nspont):
+            # (t > delta) gating: kernel offset o lands at frame delta + o,
+            # with offset 0 suppressed (kernel value there is 0 anyway)
+            seg = sp_kerns[s][1: expt_len + kernel_window - spont_times[s]]
+            sponts[spont_times[s] + 1: spont_times[s] + 1 + seg.size] += (
+                sp_w[s] * seg / sp_div[s]
+            )
+        sponts = sponts[:expt_len]
+    else:
+        sponts = np.zeros(expt_len)
+
+    # --- AR(1) noise (device associative scan) ---
+    eps = np.random.normal(0, ar_std, expt_len)
+    ar1 = np.asarray(_ar1_noise(jnp.asarray(eps, dtype=jnp.float32), ar_coef))
+
+    pscs = pscs + sponts + ar1
+
+    # --- slice into K x response_length windows ---
+    window = np.arange(-prior_context, response_length - prior_context)
+    obs_resps = pscs[stim_times[:, None] + window[None, :]]
+
+    return {
+        "pscs": pscs,
+        "obs_responses": obs_resps,
+        "true_responses": true_resps,
+        "stim_matrix": stim_matrix,
+        "weights": weights,
+        "spike_matrix": spks,
+        "stim_times": stim_times,
+    }

@@ -1,0 +1,12 @@
+"""Inference solvers: CAVIaR (flagship), CAVI-SnS, MBCS, CoSaMP.
+
+Mirrors the reference ``circuitmap.optimise`` surface
+(reference optimise/__init__.py:1-4).
+"""
+
+from .caviar import caviar
+from .cavi_sns import cavi_sns
+from .cosamp import cosamp
+from .mbcs import mbcs
+
+__all__ = ["caviar", "cavi_sns", "cosamp", "mbcs"]

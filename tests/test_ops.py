@@ -1,0 +1,172 @@
+"""Unit tests for the device kernels in circuitmap_tpu.ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from circuitmap_tpu.ops import (
+    isotonic_regression,
+    isotonic_regression_batched,
+    isotonic_fit_at_max,
+    isotonic_fit_at_max_batched,
+    integrated_charge,
+    trial_activity_mask,
+    sample_truncated_normal,
+    truncated_normal_mean,
+    spike_rates_by_power,
+    spike_rates_by_power_batched,
+    monotone_decay_filter,
+)
+
+
+def pava_oracle(y):
+    """Independent O(n^2) pool-adjacent-violators oracle (non-decreasing)."""
+    y = list(map(float, y))
+    vals, wgts = [], []
+    for v in y:
+        vals.append(v)
+        wgts.append(1.0)
+        while len(vals) > 1 and vals[-2] / wgts[-2] > vals[-1] / wgts[-1]:
+            v1, w1 = vals.pop(), wgts.pop()
+            vals[-1] += v1
+            wgts[-1] += w1
+    out = []
+    for v, w in zip(vals, wgts):
+        out.extend([v / w] * int(w))
+    return np.array(out)
+
+
+class TestPava:
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 8, 20])
+    def test_matches_oracle(self, rng, n):
+        for _ in range(20):
+            y = rng.normal(size=n)
+            got = np.asarray(isotonic_regression(jnp.array(y)))
+            np.testing.assert_allclose(got, pava_oracle(y), rtol=1e-5, atol=1e-6)
+
+    def test_monotone_and_mean_preserving(self, rng):
+        y = rng.normal(size=12)
+        fit = np.asarray(isotonic_regression(jnp.array(y)))
+        assert np.all(np.diff(fit) >= -1e-6)
+        np.testing.assert_allclose(fit.mean(), y.mean(), rtol=1e-6)
+
+    def test_idempotent(self, rng):
+        y = rng.normal(size=9)
+        once = isotonic_regression(jnp.array(y))
+        twice = isotonic_regression(once)
+        np.testing.assert_allclose(np.asarray(once), np.asarray(twice), atol=1e-6)
+
+    def test_fit_at_max_equals_full_fit_last(self, rng):
+        for n in [1, 3, 4, 7]:
+            y = rng.normal(size=n)
+            full = np.asarray(isotonic_regression(jnp.array(y)))[-1]
+            fast = float(isotonic_fit_at_max(jnp.array(y)))
+            assert abs(full - fast) < 1e-5
+
+    def test_batched(self, rng):
+        Y = rng.normal(size=(6, 5))
+        full = np.asarray(isotonic_regression_batched(jnp.array(Y), 1.0))
+        for i in range(6):
+            np.testing.assert_allclose(full[i], pava_oracle(Y[i]), rtol=1e-5, atol=1e-6)
+        last = np.asarray(isotonic_fit_at_max_batched(jnp.array(Y)))
+        np.testing.assert_allclose(last, full[:, -1], rtol=1e-5, atol=1e-6)
+
+    def test_gamma_decay(self):
+        # hand-computed two-point merge under gamma=0.5:
+        # pools: v = 1 + 0.2*0.5 = 1.1, w = 1 + 0.25 = 1.25 -> level 0.88,
+        # second position decays by gamma -> 0.44
+        y = np.array([1.0, 0.2])
+        fit = np.asarray(isotonic_regression(jnp.array(y), 0.5))
+        np.testing.assert_allclose(fit, [0.88, 0.44], rtol=1e-5)
+
+    def test_gamma_no_merge_on_constant(self):
+        # under decay, a constant sequence is NOT a violation (the decayed
+        # end of the previous pool sits below the next value), so the fit
+        # is the identity
+        y = np.ones(4)
+        fit = np.asarray(isotonic_regression(jnp.array(y), 0.5))
+        np.testing.assert_allclose(fit, y, rtol=1e-6)
+
+
+class TestCharge:
+    def test_integrated_charge_matches_trapz(self, rng):
+        psc = rng.normal(size=(7, 30))
+        got = np.asarray(integrated_charge(jnp.array(psc)))
+        np.testing.assert_allclose(got, np.trapezoid(psc, axis=-1), rtol=1e-5)
+
+    def test_activity_mask(self, rng):
+        psc = np.zeros((4, 10))
+        psc[1] = 0.2
+        psc[3] = 1.0
+        mask = np.asarray(trial_activity_mask(jnp.array(psc), 1e-2))
+        # sum of squares: row1 = 0.4 > 0.01, row3 = 10 > 0.01
+        np.testing.assert_array_equal(mask, [False, True, False, True])
+
+
+class TestTruncNorm:
+    def test_sample_stats(self):
+        key = jax.random.PRNGKey(0)
+        mean = jnp.array([0.15, 5.0])
+        sd = jnp.array([0.1, 1.0])
+        samps = sample_truncated_normal(key, mean, sd, 20000)
+        assert samps.shape == (20000, 2)
+        assert float(jnp.min(samps)) > 0.0
+        analytic = truncated_normal_mean(mean, sd)
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(samps, 0)), np.asarray(analytic), rtol=2e-2
+        )
+
+    def test_analytic_mean_limits(self):
+        # far from the truncation boundary the truncated mean -> raw mean
+        m = truncated_normal_mean(jnp.array([10.0]), jnp.array([1.0]))
+        np.testing.assert_allclose(float(m[0]), 10.0, atol=1e-4)
+
+
+class TestSpikeRates:
+    def test_matches_oracle(self, rng):
+        K, P = 50, 3
+        powers = np.array([45.0, 55.0, 65.0])
+        stim = powers[rng.integers(0, P, size=K)] * (rng.random(K) > 0.3)
+        lam = rng.random(K)
+        got = np.asarray(
+            spike_rates_by_power(jnp.array(stim), jnp.array(lam), jnp.array(powers))
+        )
+        want = np.zeros(P)
+        for p in range(P):
+            locs = stim == powers[p]
+            if locs.sum():
+                want[p] = lam[locs].mean()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_empty_bucket_is_zero(self):
+        powers = jnp.array([45.0, 55.0])
+        stim = jnp.array([45.0, 45.0, 0.0])
+        lam = jnp.array([1.0, 0.5, 0.9])
+        got = np.asarray(spike_rates_by_power(stim, lam, powers))
+        np.testing.assert_allclose(got, [0.75, 0.0], rtol=1e-5)
+
+    def test_batched_shape(self, rng):
+        stim = jnp.array(rng.random((4, 20)))
+        lam = jnp.array(rng.random((4, 20)))
+        powers = jnp.array([0.25, 0.5, 0.75, 1.0])
+        assert spike_rates_by_power_batched(stim, lam, powers).shape == (4, 4)
+
+
+class TestMonotoneFilter:
+    def _oracle(self, arr, start):
+        out = arr.copy()
+        for t in range(start, arr.shape[1]):
+            out[:, t] = np.minimum(out[:, t], out[:, t - 1])
+        return out
+
+    def test_matches_host_loop(self, rng):
+        arr = rng.normal(size=(5, 40)).astype(np.float32)
+        got = np.asarray(monotone_decay_filter(jnp.array(arr), start=13))
+        np.testing.assert_allclose(got, self._oracle(arr, 13), rtol=1e-6)
+
+    def test_start_zero(self, rng):
+        arr = rng.normal(size=(2, 10)).astype(np.float32)
+        got = np.asarray(monotone_decay_filter(jnp.array(arr), start=0))
+        want = np.minimum.accumulate(arr, axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -1,0 +1,137 @@
+"""Tests for the simulators: shapes, physical invariants, designs."""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.simulation import (
+    simulate,
+    simulate_continuous_experiment,
+    blockwise_design,
+    random_design,
+    psc_kernel_bank,
+    sample_gp,
+)
+
+
+class TestDesigns:
+    def test_blockwise_shapes_and_powers(self):
+        np.random.seed(0)
+        stim = blockwise_design(30, 5, 100, [45, 55, 65])
+        assert stim.shape == (30, 100)
+        assert set(np.unique(stim)) <= {0.0, 45.0, 55.0, 65.0}
+        # every trial stimulates exactly H targets (N divisible by H here)
+        assert np.all((stim > 0).sum(0) == 5)
+
+    def test_random_design(self):
+        np.random.seed(0)
+        stim = random_design(30, 5, 90, [45, 55, 65])
+        assert stim.shape == (30, 90)
+        # roughly balanced power representation
+        trial_powers = stim.max(0)
+        counts = [np.sum(trial_powers == p) for p in (45, 55, 65)]
+        assert max(counts) - min(counts) <= 2
+
+
+class TestKernels:
+    def test_kernel_bank_positive_and_peaked(self):
+        ke = psc_kernel_bank([20.0], [200.0], 900)[0]
+        assert ke[0] == 0.0
+        assert np.all(ke >= 0)
+        peak = np.argmax(ke)
+        assert 0 < peak < 400
+        # decays after the peak
+        assert np.all(np.diff(ke[peak:]) <= 1e-12)
+
+    def test_gp_noise_stats(self):
+        np.random.seed(0)
+        g = sample_gp(trial_dur=200, gp_lengthscale=25, gp_scale=0.5, n_samples=400)
+        assert g.shape == (400, 200)
+        # marginal std approx gp_scale
+        assert abs(g.std() - 0.5) < 0.05
+        # neighbouring samples strongly correlated (smooth)
+        c = np.corrcoef(g[:, 100], g[:, 105])[0, 1]
+        assert c > 0.9
+
+
+class TestSimulate:
+    @pytest.fixture(scope="class")
+    def sim(self):
+        np.random.seed(1)
+        return simulate(N=40, trials=200, H=5, connection_prob=0.1, verbose=False)
+
+    def test_shapes(self, sim):
+        assert sim["psc"].shape == (200, 900)
+        assert sim["stim_matrix"].shape == (40, 200)
+        assert sim["weights"].shape == (40,)
+        assert sim["spks"].shape == (40, 200)
+        assert sim["I"].shape == (200,)
+
+    def test_spike_rate_monotone_in_power(self, sim):
+        # aggregated over all neurons, spike rate should not decrease
+        # with power (sigmoid power curves)
+        stim, spks = sim["stim_matrix"], sim["spks"]
+        rates = []
+        for p in (45.0, 55.0, 65.0):
+            mask = stim == p
+            rates.append(spks[mask].mean())
+        assert rates[0] <= rates[1] + 0.05 and rates[1] <= rates[2] + 0.05
+
+    def test_connected_neurons_drive_traces(self, sim):
+        # trials where a strongly connected neuron spiked should carry
+        # more charge than trials with no connected spikes
+        w = sim["weights"]
+        conn = np.flatnonzero(w)
+        charge = np.trapezoid(sim["psc"], axis=-1)
+        conn_spikes = sim["spks"][conn].sum(0) > 0
+        assert charge[conn_spikes].mean() > charge[~conn_spikes].mean() + 1.0
+
+    def test_weights_respected_when_given(self):
+        np.random.seed(2)
+        w = np.zeros(20)
+        w[[3, 7]] = [15.0, 25.0]
+        sim = simulate(N=20, trials=100, H=4, weights=w, verbose=False)
+        np.testing.assert_array_equal(sim["weights"], w)
+
+
+class TestContinuous:
+    @pytest.fixture(scope="class")
+    def expt(self):
+        np.random.seed(3)
+        return simulate_continuous_experiment(
+            N=30, expt_len=int(1e5), H=5, stim_freq=30, spont_rate=3,
+            verbose=False,
+        )
+
+    def test_shapes(self, expt):
+        nstim = len(expt["stim_times"])
+        assert expt["obs_responses"].shape == (nstim, 900)
+        assert expt["true_responses"].shape == (nstim, 900)
+        assert expt["stim_matrix"].shape == (30, nstim)
+        assert expt["pscs"].shape == (int(1e5),)
+
+    def test_observed_tracks_truth(self, expt):
+        # observed responses = truth + overlap + noise; correlation over
+        # the strongest trials should be high
+        t, o = expt["true_responses"], expt["obs_responses"]
+        strongest = np.argsort(t.max(1))[-20:]
+        cors = [
+            np.corrcoef(t[i], o[i])[0, 1]
+            for i in strongest
+            if t[i].std() > 0
+        ]
+        assert np.median(cors) > 0.6
+
+    def test_ar1_noise_autocorrelated(self):
+        from circuitmap_tpu.simulation import _ar1_noise
+        import jax.numpy as jnp
+        np.random.seed(4)
+        eps = np.random.randn(50_000).astype(np.float32)
+        x = np.asarray(_ar1_noise(jnp.asarray(eps), 0.95))
+        # oracle loop on a prefix
+        want = np.zeros(1000)
+        want[0] = eps[0]
+        for t in range(1, 1000):
+            want[t] = 0.95 * want[t - 1] + eps[t]
+        np.testing.assert_allclose(x[:1000], want, rtol=2e-3, atol=2e-3)
+        # stationary variance approx 1/(1-a^2)
+        assert abs(x.var() * (1 - 0.95**2) - 1.0) < 0.1

@@ -1,0 +1,131 @@
+"""Simulation-based recovery tests for the solvers.
+
+Mirrors the reference's validation strategy (SURVEY.md §4): simulate
+with known weights, fit, check recovery R² — plus contract checks on
+the posterior state (shapes, gating invariants).
+"""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.simulation import simulate
+from circuitmap_tpu.model import Model
+from circuitmap_tpu.solvers import cosamp
+from circuitmap_tpu.utils.metrics import r2_score
+
+
+@pytest.fixture(scope="module")
+def sim():
+    np.random.seed(42)
+    return simulate(
+        N=60, trials=600, H=6, connection_prob=0.1, spont_prob=0.02, verbose=False
+    )
+
+
+class TestCaviar:
+    @pytest.fixture(scope="class")
+    def fitted(self, sim):
+        model = Model(60)
+        model.fit(
+            sim["psc"],
+            sim["stim_matrix"],
+            method="caviar",
+            fit_options={"iters": 25, "verbose": False, "seed": 0},
+        )
+        return model
+
+    def test_weight_recovery(self, sim, fitted):
+        assert r2_score(sim["weights"], fitted.state["mu"]) > 0.8
+
+    def test_connection_detection(self, sim, fitted):
+        true_conn = set(np.flatnonzero(sim["weights"]))
+        est_conn = set(np.flatnonzero(fitted.state["mu"]))
+        # all true connections found; at most a few spurious ones
+        assert true_conn <= est_conn
+        assert len(est_conn - true_conn) <= 5
+
+    def test_state_contract(self, fitted):
+        s = fitted.state
+        N, K = 60, 600
+        assert s["mu"].shape == (N,)
+        assert s["beta"].shape == (N,)
+        assert s["lam"].shape == (N, K)
+        assert s["phi"].shape == (N, 2)
+        assert s["phi_cov"].shape == (N, 2, 2)
+        assert s["z"].shape == (K,)
+        assert np.isscalar(s["shape"]) or s["shape"].shape == ()
+        assert fitted.trial_count == K
+        assert fitted.time > 0
+
+    def test_lam_in_unit_interval(self, fitted):
+        lam = fitted.state["lam"]
+        assert lam.min() >= 0.0 and lam.max() <= 1.0
+
+    def test_disconnected_rows_zeroed(self, fitted):
+        mu, lam = fitted.state["mu"], fitted.state["lam"]
+        dead = mu == 0
+        assert np.all(lam[dead] == 0.0)
+
+    def test_untargeted_trials_have_no_spikes(self, sim, fitted):
+        lam = fitted.state["lam"]
+        assert np.all(lam[np.asarray(sim["stim_matrix"]) == 0] == 0.0)
+
+    def test_histories(self, sim):
+        model = Model(60)
+        model.fit(
+            sim["psc"],
+            sim["stim_matrix"],
+            method="caviar",
+            fit_options={
+                "iters": 3, "save_histories": True, "fn_scan": False,
+                "verbose": False,
+            },
+        )
+        assert model.history["mu"].shape == (3, 60)
+        assert model.history["lam"].shape == (3, 60, 600)
+        assert model.history["phi_cov"].shape == (3, 60, 2, 2)
+
+
+class TestCaviSns:
+    @pytest.fixture(scope="class")
+    def fitted(self, sim):
+        model = Model(60)
+        model.fit(
+            sim["psc"],
+            sim["stim_matrix"],
+            method="cavi_sns",
+            fit_options={
+                "iters": 25, "verbose": False, "save_histories": False, "seed": 1,
+            },
+        )
+        return model
+
+    def test_weight_recovery(self, sim, fitted):
+        # alpha-weighted posterior weight estimate
+        est = fitted.state["mu"] * fitted.state["alpha"]
+        assert r2_score(sim["weights"], est) > 0.5
+
+    def test_state_contract(self, fitted):
+        s = fitted.state
+        assert s["alpha"].shape == (60,)
+        assert s["alpha"].min() >= 0.0 and s["alpha"].max() <= 1.0
+        assert s["lam"].shape == (60, 600)
+
+
+class TestCosamp:
+    def test_sparse_recovery(self, rng):
+        # well-conditioned compressed sensing instance
+        M, N, k = 120, 60, 5
+        A = rng.normal(size=(M, N)) / np.sqrt(M)
+        x = np.zeros(N)
+        supp = rng.choice(N, k, replace=False)
+        x[supp] = rng.uniform(1, 3, k)
+        y = A @ x
+        x_hat, elapsed = cosamp(A, y, k)
+        np.testing.assert_allclose(x_hat, x, atol=1e-6)
+        assert elapsed >= 0
+
+    def test_zero_measurements(self):
+        A = np.eye(4)
+        x_hat, _ = cosamp(A, np.zeros(4), 2)
+        np.testing.assert_array_equal(x_hat, np.zeros(4))
