@@ -1,0 +1,187 @@
+"""NeuralDemixer facade: load/train/apply the waveform demixer.
+
+API parity with the reference class (neural_waveform_demixing.py:17-94):
+``NeuralDemixer(path)(traces)`` demixes a [K, T] trace block;
+``generate_training_data`` + ``train`` fit a fresh network. Differences
+by design:
+
+  * the forward pass is a jitted JAX function on the accelerator the
+    solvers already use (no torch, no device tug-of-war — reference
+    README.md:31);
+  * the monotone-decay post-filter runs on device as a cummin scan
+    (ops/monotone) instead of a host time loop
+    (neural_waveform_demixing.py:337-348);
+  * batches are padded to bucket sizes so arbitrary K reuses a handful
+    of compiled programs;
+  * training is optax SGD + MSE (the reference's optimiser/loss,
+    neural_waveform_demixing.py:289-293) with explicit batch-norm
+    running-stat updates.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.monotone import monotone_decay_filter
+from .unet import (
+    init_nwd_params,
+    nwd_unet_forward,
+    update_running_stats,
+)
+from . import convert
+from .datagen import generate_psc_dataset
+
+
+@jax.jit
+def _demix_batch(params, traces):
+    """Peak-normalise -> forward -> rescale. traces: [B, T]."""
+    tmax = jnp.max(traces, axis=1, keepdims=True)
+    safe = jnp.where(tmax != 0, tmax, 1.0)
+    out = nwd_unet_forward(params, (traces / safe)[:, None, :])
+    return out[:, 0, :] * tmax
+
+
+@partial(jax.jit, static_argnames=("start",))
+def _demix_and_filter(params, traces, start):
+    return monotone_decay_filter(_demix_batch(params, traces), start=start)
+
+
+def _bucket(n, minimum=64):
+    """Round up to the next power of two (bounded recompiles across K)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _train_step(params, opt_state, x, y, lr):
+    """One SGD step on MSE; returns loss, params with fresh BN stats."""
+
+    def loss_fn(p):
+        pred, stats = nwd_unet_forward(p, x[:, None, :], train=True)
+        return jnp.mean(jnp.square(pred[:, 0, :] - y)), stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    params = update_running_stats(params, stats)
+    return params, opt_state, loss
+
+
+@jax.jit
+def _eval_loss(params, x, y):
+    pred = nwd_unet_forward(params, x[:, None, :])
+    return jnp.mean(jnp.square(pred[:, 0, :] - y))
+
+
+class NeuralDemixer:
+    """Load (or train) a demixer and apply it to PSC trace blocks."""
+
+    def __init__(self, path=None, params=None, eval_mode=True, device=None,
+                 seed=0, dtype=jnp.float32):
+        # ``device`` accepted for reference-API compatibility; JAX placement
+        # is managed by the runtime (one memory pool for demixer + solver).
+        del eval_mode, device
+        if params is not None:
+            self.params = params
+        elif path is not None:
+            self.params = convert.load_params(path, dtype=dtype)
+        else:
+            self.params = init_nwd_params(jax.random.PRNGKey(seed), dtype=dtype)
+        self.training_data = None
+        self.test_data = None
+
+    # -- inference ---------------------------------------------------------
+
+    def __call__(self, traces, monotone_filter_start=500,
+                 monotone_filter_inplace=True, verbose=True):
+        del monotone_filter_inplace  # functional; kept for API parity
+        traces = np.asarray(traces, dtype=np.float32)
+        squeeze = traces.ndim == 1
+        if squeeze:
+            traces = traces[None]
+        K, T = traces.shape
+
+        t0 = time.time()
+        bucket = _bucket(K)
+        padded = np.zeros((bucket, T), dtype=np.float32)
+        padded[:K] = traces
+        out = np.asarray(
+            _demix_and_filter(self.params, jnp.asarray(padded),
+                              int(monotone_filter_start))
+        )[:K]
+        if verbose:
+            print(f"Demixed {K} traces in {time.time() - t0:.3f}s.")
+        return out[0] if squeeze else out
+
+    # -- training ----------------------------------------------------------
+
+    def generate_training_data(self, save_path=None, **kwargs):
+        """Simulate (inputs, targets) pairs; see datagen.generate_psc_dataset."""
+        self.training_data, self.test_data = generate_psc_dataset(**kwargs)
+        if save_path is not None:
+            np.savez(
+                save_path,
+                training_inputs=self.training_data[0],
+                training_targets=self.training_data[1],
+                test_inputs=self.test_data[0],
+                test_targets=self.test_data[1],
+            )
+        return self.training_data, self.test_data
+
+    def train(self, epochs=1000, batch_size=64, learning_rate=1e-2,
+              data_path=None, save_every=50, save_path=None, seed=0,
+              verbose=True, **_compat):
+        """SGD/MSE training loop (reference trainer config,
+        neural_waveform_demixing.py:56-94, 289-306)."""
+        if data_path is not None:
+            data = np.load(data_path)
+            train = (data["training_inputs"], data["training_targets"])
+            test = (data["test_inputs"], data["test_targets"])
+        else:
+            if self.training_data is None:
+                raise RuntimeError(
+                    "no training data: call generate_training_data() or pass data_path"
+                )
+            train, test = self.training_data, self.test_data
+
+        x_tr = jnp.asarray(train[0], dtype=jnp.float32)
+        y_tr = jnp.asarray(train[1], dtype=jnp.float32)
+        x_te = jnp.asarray(test[0], dtype=jnp.float32)
+        y_te = jnp.asarray(test[1], dtype=jnp.float32)
+        n = x_tr.shape[0]
+        steps = max(n // batch_size, 1)
+        lr = jnp.asarray(learning_rate, jnp.float32)
+
+        rng = np.random.default_rng(seed)
+        t0 = time.time()
+        history = []
+        for epoch in range(epochs):
+            perm = rng.permutation(n)[: steps * batch_size].reshape(steps, batch_size)
+            epoch_loss = 0.0
+            for idx in perm:
+                self.params, _, loss = _train_step(
+                    self.params, None, x_tr[idx], y_tr[idx], lr
+                )
+                epoch_loss += float(loss)
+            val = float(_eval_loss(self.params, x_te, y_te)) if x_te.shape[0] else 0.0
+            history.append({"epoch": epoch, "train_loss": epoch_loss / steps,
+                            "val_loss": val})
+            if verbose and (epoch % max(epochs // 10, 1) == 0 or epoch == epochs - 1):
+                print(f"epoch {epoch}: train={epoch_loss / steps:.5f} val={val:.5f}")
+            if save_path is not None and (epoch + 1) % save_every == 0:
+                convert.save_params(save_path, self.params)
+
+        if save_path is not None:
+            convert.save_params(save_path, self.params)
+        if verbose:
+            print(f"Training complete in {(time.time() - t0) / 60:.2f} min.")
+        return history
+
+    def save(self, path):
+        convert.save_params(path, self.params)

@@ -1,0 +1,230 @@
+"""NWD U-Net: the 1-D waveform-demixing network, as a pure function.
+
+Architecture parity with the reference NWDUNet
+(neural_waveform_demixing.py:254-287): four downsampling blocks
+(avg-pool → dilated conv → batch-norm → relu), four upsampling blocks
+(transposed conv → bn → relu → linear resize → skip concat), and a
+wide dilated output conv block. Implemented as a parameter-pytree +
+pure forward function rather than a module class: trivially jittable,
+vmappable, shardable, and the pytree keys line up 1:1 with the torch
+state_dict for checkpoint conversion (demix/convert.py).
+
+Semantics deliberately match torch so the shipped pretrained
+checkpoints reproduce: cross-correlation convs, VALID avg-pool with
+floor division, ConvTranspose via ``lax.conv_transpose`` with
+``transpose_kernel=True``, and ``align_corners=False`` half-pixel
+linear interpolation. Data layout is NCH throughout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-5  # torch BatchNorm1d default
+BN_MOMENTUM = 0.1
+
+# (in_ch, out_ch, kernel, dilation) per downsampling block;
+# (in_ch, out_ch, kernel, stride) per upsampling block — reference
+# neural_waveform_demixing.py:259-269.
+DOWN_SPECS = [(1, 16, 32, 2), (16, 16, 32, 1), (16, 32, 16, 1), (32, 32, 16, 1)]
+UP_SPECS = [(32, 16, 16, 1), (48, 16, 16, 1), (32, 16, 32, 1), (32, 4, 32, 2)]
+OUT_SPEC = dict(in_ch=4, out_ch=1, kernel=256, padding=255, dilation=2)
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (torch-semantics)
+# ---------------------------------------------------------------------------
+
+
+def conv1d(x, w, b, stride=1, padding=0, dilation=1):
+    """torch.nn.Conv1d: x [B,C,L], w [O,I,K] (cross-correlation)."""
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + b[None, :, None]
+
+
+def conv_transpose1d(x, w, b, stride=1):
+    """torch.nn.ConvTranspose1d: x [B,C,L], w [I,O,K].
+
+    ConvTranspose is the gradient of a forward conv mapping O->I; with
+    ``transpose_kernel=True`` lax expects that forward conv's kernel,
+    so the torch [in, out, K] weight is described as 'OIH'.
+    """
+    out = lax.conv_transpose(
+        x,
+        w,
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        transpose_kernel=True,
+    )
+    return out + b[None, :, None]
+
+
+def avg_pool1d(x, kernel=3, stride=2):
+    """torch.nn.AvgPool1d (VALID, count_include_pad irrelevant: no pad)."""
+    summed = lax.reduce_window(
+        x, 0.0, lax.add, (1, 1, kernel), (1, 1, stride), "VALID"
+    )
+    return summed / kernel
+
+
+def batch_norm(x, bn, train=False):
+    """BatchNorm1d over [B,C,L]. Returns (y, batch_stats or None).
+
+    Eval mode normalises with running statistics; train mode with batch
+    statistics (biased variance), reporting (mean, unbiased var) for the
+    running-average update, as torch does.
+    """
+    if train:
+        mean = jnp.mean(x, axis=(0, 2))
+        var = jnp.var(x, axis=(0, 2))
+        n = x.shape[0] * x.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        stats = (mean, unbiased)
+    else:
+        mean, var = bn["running_mean"], bn["running_var"]
+        stats = None
+    inv = lax.rsqrt(var + BN_EPS)
+    y = (x - mean[None, :, None]) * inv[None, :, None]
+    return y * bn["scale"][None, :, None] + bn["bias"][None, :, None], stats
+
+
+def resize_linear(x, out_len):
+    """torch F.interpolate(mode='linear', align_corners=False) on [B,C,L]."""
+    in_len = x.shape[-1]
+    scale = in_len / out_len
+    pos = (jnp.arange(out_len, dtype=x.dtype) + 0.5) * scale - 0.5
+    pos = jnp.clip(pos, 0.0, in_len - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_len - 1)
+    frac = pos - lo
+    return x[..., lo] * (1.0 - frac) + x[..., hi] * frac
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / structure
+# ---------------------------------------------------------------------------
+
+
+def _bn_init(ch, dtype):
+    return {
+        "scale": jnp.ones(ch, dtype),
+        "bias": jnp.zeros(ch, dtype),
+        "running_mean": jnp.zeros(ch, dtype),
+        "running_var": jnp.ones(ch, dtype),
+    }
+
+
+def init_nwd_params(key, dtype=jnp.float32):
+    """Fresh parameters, torch-default initialisation (kaiming-uniform
+    fan-in for conv weights, uniform bias)."""
+    params = {}
+
+    def conv_init(key, shape, fan_in):
+        k1, k2 = jax.random.split(key)
+        bound = 1.0 / np.sqrt(fan_in)
+        w = jax.random.uniform(k1, shape, dtype, -bound, bound)
+        b = jax.random.uniform(k2, (shape[0],), dtype, -bound, bound)
+        return w, b
+
+    keys = jax.random.split(key, 9)
+    for i, (ci, co, k, _d) in enumerate(DOWN_SPECS):
+        w, b = conv_init(keys[i], (co, ci, k), ci * k)
+        params[f"dblock{i + 1}"] = {"conv": {"w": w, "b": b}, "bn": _bn_init(co, dtype)}
+    for i, (ci, co, k, _s) in enumerate(UP_SPECS):
+        # ConvTranspose1d weight layout [I, O, K]; torch fan_in = O * K
+        k1, k2 = jax.random.split(keys[4 + i])
+        bound = 1.0 / np.sqrt(co * k)
+        w = jax.random.uniform(k1, (ci, co, k), dtype, -bound, bound)
+        b = jax.random.uniform(k2, (co,), dtype, -bound, bound)
+        params[f"ublock{i + 1}"] = {
+            "deconv": {"w": w, "b": b},
+            "bn": _bn_init(co, dtype),
+        }
+    s = OUT_SPEC
+    w, b = conv_init(keys[8], (s["out_ch"], s["in_ch"], s["kernel"]),
+                     s["in_ch"] * s["kernel"])
+    params["conv"] = {"conv": {"w": w, "b": b}, "bn": _bn_init(s["out_ch"], dtype)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _down_block(p, x, dilation, train):
+    y = avg_pool1d(x)
+    y = conv1d(y, p["conv"]["w"], p["conv"]["b"], dilation=dilation)
+    y, stats = batch_norm(y, p["bn"], train)
+    return jax.nn.relu(y), stats
+
+
+def _up_block(p, x, stride, out_len, train, skip=None):
+    y = conv_transpose1d(x, p["deconv"]["w"], p["deconv"]["b"], stride=stride)
+    y, stats = batch_norm(y, p["bn"], train)
+    y = resize_linear(jax.nn.relu(y), out_len)
+    if skip is not None:
+        y = jnp.concatenate([y, skip], axis=1)
+    return y, stats
+
+
+def nwd_unet_forward(params, x, train=False):
+    """Demixer forward. x: [B, 1, L] -> [B, 1, L].
+
+    With ``train=True`` also returns the list of per-BN batch statistics
+    (in block order) for running-average updates.
+    """
+    enc, stats = [], []
+    h = x
+    for i, (_, _, _, dil) in enumerate(DOWN_SPECS):
+        h, s = _down_block(params[f"dblock{i + 1}"], h, dil, train)
+        enc.append(h)
+        stats.append(s)
+
+    skips = [enc[2], enc[1], enc[0], None]
+    lens = [enc[2].shape[-1], enc[1].shape[-1], enc[0].shape[-1], x.shape[-1]]
+    for i, (_, _, _, stride) in enumerate(UP_SPECS):
+        h, s = _up_block(
+            params[f"ublock{i + 1}"], h, stride, lens[i], train, skip=skips[i]
+        )
+        stats.append(s)
+
+    p = params["conv"]
+    h = conv1d(h, p["conv"]["w"], p["conv"]["b"],
+               padding=OUT_SPEC["padding"], dilation=OUT_SPEC["dilation"])
+    h, s = batch_norm(h, p["bn"], train)
+    stats.append(s)
+    out = jax.nn.relu(h)
+    return (out, stats) if train else out
+
+
+BN_BLOCK_ORDER = [f"dblock{i}" for i in range(1, 5)] + [
+    f"ublock{i}" for i in range(1, 5)
+] + ["conv"]
+
+
+def update_running_stats(params, stats, momentum=BN_MOMENTUM):
+    """Fold train-mode batch statistics into the running BN estimates."""
+    new = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for name, st in zip(BN_BLOCK_ORDER, stats):
+        mean, var = st
+        bn = dict(new[name]["bn"])
+        bn["running_mean"] = (1 - momentum) * bn["running_mean"] + momentum * mean
+        bn["running_var"] = (1 - momentum) * bn["running_var"] + momentum * var
+        blk = dict(new[name])
+        blk["bn"] = bn
+        new[name] = blk
+    return new

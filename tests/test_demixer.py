@@ -1,0 +1,198 @@
+"""Demixer tests: numerical parity vs the reference torch network on the
+shipped pretrained checkpoints, plus training/data-generation checks."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from circuitmap_tpu.demix import NeuralDemixer, nwd_unet_forward, init_nwd_params
+from circuitmap_tpu.demix import convert
+from circuitmap_tpu.demix.datagen import generate_psc_dataset
+
+CKPT = "/root/reference/demixers/nwd_ie_ChroME2f.ckpt"
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_reference_net(sd):
+    """Reference-architecture torch net, built independently for parity
+    checks (shapes from neural_waveform_demixing.py:259-269)."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Down(nn.Module):
+        def __init__(self, ci, co, k, d):
+            super().__init__()
+            self.conv = nn.Conv1d(ci, co, k, dilation=d)
+            self.pool = nn.AvgPool1d(3, stride=2)
+            self.bn = nn.BatchNorm1d(co)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(self.pool(x))))
+
+    class Up(nn.Module):
+        def __init__(self, ci, co, k, s):
+            super().__init__()
+            self.deconv = nn.ConvTranspose1d(ci, co, k, stride=s)
+            self.bn = nn.BatchNorm1d(co)
+
+        def forward(self, x, size, skip=None):
+            up = F.interpolate(
+                F.relu(self.bn(self.deconv(x))), size=size, mode="linear",
+                align_corners=False,
+            )
+            return torch.cat([up, skip], dim=1) if skip is not None else up
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dblock1 = Down(1, 16, 32, 2)
+            self.dblock2 = Down(16, 16, 32, 1)
+            self.dblock3 = Down(16, 32, 16, 1)
+            self.dblock4 = Down(32, 32, 16, 1)
+            self.ublock1 = Up(32, 16, 16, 1)
+            self.ublock2 = Up(48, 16, 16, 1)
+            self.ublock3 = Up(32, 16, 32, 1)
+            self.ublock4 = Up(32, 4, 32, 2)
+            self.conv = nn.Sequential()
+            self.conv.conv = nn.Conv1d(4, 1, 256, padding=255, dilation=2)
+            self.conv.bn = nn.BatchNorm1d(1)
+
+        def forward(self, x):
+            e1 = self.dblock1(x)
+            e2 = self.dblock2(e1)
+            e3 = self.dblock3(e2)
+            e4 = self.dblock4(e3)
+            d1 = self.ublock1(e4, e3.shape[-1], skip=e3)
+            d2 = self.ublock2(d1, e2.shape[-1], skip=e2)
+            d3 = self.ublock3(d2, e1.shape[-1], skip=e1)
+            d4 = self.ublock4(d3, x.shape[-1])
+            return F.relu(self.conv.bn(self.conv.conv(d4)))
+
+    net = Net()
+    # strip lightning "demixer." prefixes if present; drop counters
+    clean = {
+        k: v for k, v in sd.items() if "num_batches_tracked" not in k
+    }
+    net.load_state_dict(clean, strict=False)
+    net.eval()
+    return net
+
+
+@pytest.fixture(scope="module")
+def state_dict():
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    return torch.load(CKPT, map_location="cpu", weights_only=False)["state_dict"]
+
+
+class TestCheckpointParity:
+    def test_forward_matches_torch(self, state_dict, rng):
+        params = convert.params_from_state_dict(state_dict)
+        net = _torch_reference_net(state_dict)
+
+        x = rng.normal(size=(4, 900)).astype(np.float32)
+        x[:, :100] = 0.0
+        with torch.no_grad():
+            want = net(torch.tensor(x[:, None, :])).numpy()[:, 0, :]
+        got = np.asarray(nwd_unet_forward(params, jnp.asarray(x[:, None, :])))[:, 0, :]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_realistic_trace_parity(self, state_dict):
+        # PSC-like input: bi-exponential bump + noise, peak-normalised
+        params = convert.params_from_state_dict(state_dict)
+        net = _torch_reference_net(state_dict)
+        t = np.arange(900, dtype=np.float32)
+        trace = (np.exp(-(t - 200) / 150) - np.exp(-(t - 200) / 20)) * (t > 200)
+        trace = (trace / trace.max() + 0.02 * np.random.default_rng(0).normal(size=900)
+                 ).astype(np.float32)[None]
+        with torch.no_grad():
+            want = net(torch.tensor(trace[:, None, :])).numpy()[:, 0, :]
+        got = np.asarray(nwd_unet_forward(params, jnp.asarray(trace[:, None, :])))[
+            :, 0, :
+        ]
+        assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_all_zoo_checkpoints_convert(self):
+        import glob
+
+        ckpts = glob.glob("/root/reference/demixers/*.ckpt")
+        if not ckpts:
+            pytest.skip("no checkpoints")
+        for ck in ckpts:
+            params = convert.load_params(ck)
+            out = nwd_unet_forward(
+                params, jnp.zeros((1, 1, 900), dtype=jnp.float32)
+            )
+            assert out.shape == (1, 1, 900)
+            assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestFacade:
+    def test_call_shapes_and_filter(self, state_dict, rng):
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        traces = np.abs(rng.normal(size=(10, 900))).astype(np.float32)
+        out = demix(traces, verbose=False)
+        assert out.shape == (10, 900)
+        # monotone decay beyond 500 enforced
+        tail = out[:, 500:]
+        assert np.all(np.diff(tail, axis=1) <= 1e-6)
+
+    def test_single_trace(self, state_dict, rng):
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        out = demix(np.abs(rng.normal(size=900)).astype(np.float32), verbose=False)
+        assert out.shape == (900,)
+
+    def test_scaling_equivariance(self, state_dict):
+        # peak-normalise -> forward -> rescale makes the demixer
+        # scale-equivariant by construction
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        t = np.arange(900, dtype=np.float32)
+        x = ((np.exp(-(t - 300) / 100) - np.exp(-(t - 300) / 30)) * (t > 300))[None]
+        a = demix(x, verbose=False)
+        b = demix(7.5 * x, verbose=False)
+        np.testing.assert_allclose(b, 7.5 * a, rtol=1e-3, atol=1e-5)
+
+
+class TestRoundtrip:
+    def test_save_load_npz(self, tmp_path, rng):
+        params = init_nwd_params(jax.random.PRNGKey(0))
+        path = str(tmp_path / "demixer.npz")
+        convert.save_params(path, params)
+        loaded = convert.load_params(path)
+        x = jnp.asarray(rng.normal(size=(2, 1, 900)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(nwd_unet_forward(params, x)),
+            np.asarray(nwd_unet_forward(loaded, x)),
+            rtol=1e-6,
+        )
+
+
+class TestTraining:
+    def test_datagen_shapes_and_normalisation(self):
+        (xi, yi), (xt, yt) = generate_psc_dataset(size=100, seed=0)
+        assert xi.shape == (90, 900) and yi.shape == (90, 900)
+        assert xt.shape == (10, 900)
+        # targets are subsets of inputs: non-negative, bounded by ~input peak
+        assert yi.min() >= 0.0
+        assert yi.max() <= 1.5
+
+    def test_loss_decreases(self):
+        demix = NeuralDemixer(seed=0)
+        demix.generate_training_data(size=256, seed=1)
+        history = demix.train(epochs=8, batch_size=32, learning_rate=1e-2,
+                              verbose=False)
+        first, last = history[0]["train_loss"], history[-1]["train_loss"]
+        assert last < first * 0.9
+
+    def test_template_negatives(self):
+        templates = np.abs(np.random.default_rng(0).normal(size=(5, 900)))
+        (xi, yi), _ = generate_psc_dataset(
+            size=200, templates=templates, template_prob=1.0, seed=2
+        )
+        # all traces replaced by templates -> zero targets
+        assert np.all(yi == 0.0)
