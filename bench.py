@@ -1,0 +1,83 @@
+"""North-star benchmark: demix + CAVIaR at N=1000 / K=20000 on one chip.
+
+BASELINE.json target: the full pipeline (NWD demixer forward over
+20k x 900 traces + a 50-iteration CAVIaR fit, msrmp=0.3, 100 MC
+samples) in < 10 s on a single TPU v5e with weight-recovery parity.
+The reference publishes no numbers (BASELINE.md) — 10 s is the
+recorded north star, so vs_baseline = 10 / measured_seconds
+(>1 means faster than target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # smaller problem for quick local checks: bench.py --small
+    small = "--small" in sys.argv
+    N, K = (200, 2000) if small else (1000, 20000)
+    iters = 50
+
+    from circuitmap_tpu.demix import NeuralDemixer
+    from circuitmap_tpu.model import default_priors
+    from circuitmap_tpu.simulation import simulate
+    from circuitmap_tpu.solvers import caviar
+    from circuitmap_tpu.utils.metrics import r2_score
+
+    np.random.seed(0)
+    sim = simulate(
+        N=N, trials=K, H=10, connection_prob=0.05, verbose=False,
+        batch_size=1000,
+    )
+
+    ckpt = "/root/reference/demixers/nwd_ie_ChroME2f.ckpt"
+    demixer = (
+        NeuralDemixer(path=ckpt) if os.path.exists(ckpt) else NeuralDemixer()
+    )
+
+    priors = default_priors(N)
+
+    def pipeline(psc, stim):
+        dem = demixer(psc, verbose=False, keep_on_device=True)
+        out = caviar(
+            dem, stim, priors["mu"], priors["beta"], priors["shape"],
+            priors["rate"], priors["phi"], priors["phi_cov"], iters=iters,
+            msrmp=0.3, verbose=False,
+        )
+        return out
+
+    # warm-up: compile both programs on this shape (cached thereafter)
+    warm_psc = sim["psc"][:K].copy()
+    pipeline(warm_psc, sim["stim_matrix"])
+
+    t0 = time.time()
+    out = pipeline(sim["psc"], sim["stim_matrix"])
+    jax.block_until_ready(out[2])
+    elapsed = time.time() - t0
+
+    r2 = r2_score(sim["weights"], np.asarray(out[0]))
+    baseline_target_s = 10.0
+    print(
+        json.dumps(
+            {
+                "metric": f"demix+caviar_fit_N{N}_K{K}_iters{iters}",
+                "value": round(elapsed, 3),
+                "unit": "seconds",
+                "vs_baseline": round(baseline_target_s / elapsed, 3),
+                "weight_recovery_r2": round(float(r2), 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

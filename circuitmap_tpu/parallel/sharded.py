@@ -1,0 +1,384 @@
+"""Trial-sharded CAVIaR: the full solver under ``shard_map``.
+
+Every CAVI update reduces over trials, so K shards over the mesh's
+``trial`` axis and each reduction becomes a ``psum`` over ICI:
+
+  * blocked weight update — the [N, N] Gram ``lam @ lam.T`` and the
+    [N] data projections psum once per iteration; the N x N Cholesky
+    solve is replicated (O(N^3) but N ~ 1e3: cheaper than moving it),
+  * per-neuron lam sweep — each coordinate update is local elementwise
+    work on the device's trial shard plus one [P+1] psum for the
+    PAVA/spike-count gate,
+  * noise + spontaneous updates — scalar psums,
+  * power-curve Laplace update — a single [N, P+1] psum of bucket
+    sufficient statistics (see solvers/_laplace.py); the Newton
+    recursion itself is replicated and K-free.
+
+Neuron-axis state (mu, beta, phi, phi_cov) is replicated: it is O(N)
+and every device needs all of it every sweep step. Spike posteriors
+``lam`` [N, K] — the big array — never leave their shard.
+
+K is padded to a multiple of the mesh size; padded trials carry
+``trial_valid = 0`` and are excluded from every reduction (they also
+get lam_mask = 0, so they can never host spikes or spontaneous events).
+
+The reference has no equivalent — its multi-device story is SLURM job
+arrays with zero communication (generate_loho_cv_slurm_scripts.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.nn import sigmoid
+from jax.sharding import PartitionSpec as P
+
+from ..ops.charge import prepare_observations
+from ..ops.pava import isotonic_fit_at_max
+from ..solvers._laplace import laplace_from_stats
+from ..solvers.caviar import (
+    CaviarState,
+    powercurve_logit_means,
+    reconnect_from_spontaneous,
+)
+from .mesh import TRIAL_AXIS
+
+
+def _psum(x):
+    return lax.psum(x, TRIAL_AXIS)
+
+
+# ---------------------------------------------------------------------------
+# Sharded update rules
+# ---------------------------------------------------------------------------
+
+
+def _update_weights(y, lam, shape, rate, mu_prior, beta_prior):
+    N = lam.shape[0]
+    sig = shape / rate
+    gram = _psum(lam @ lam.T)
+    soft_var = _psum(jnp.sum(lam * (1.0 - lam), axis=-1))
+    prior_prec = 1.0 / (beta_prior * beta_prior)
+    M = sig * gram + jnp.diag(sig * soft_var + prior_prec)
+    rhs = sig * _psum(lam @ y) + mu_prior * prior_prec
+    chol = jax.scipy.linalg.cho_factor(M, lower=True)
+    cov = jax.scipy.linalg.cho_solve(chol, jnp.eye(N, dtype=lam.dtype))
+    return cov @ rhs, jnp.diag(cov)
+
+
+def _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global):
+    pred = mu @ lam
+    parts = jnp.stack(
+        [
+            jnp.sum(jnp.square(y - pred)),
+            jnp.sum(jnp.square(mu[:, None] * lam)),
+            jnp.sum((mu * mu + beta * beta)[:, None] * lam),
+        ]
+    )
+    a, b, c = _psum(parts)
+    return shape_prior + 0.5 * k_global, rate_prior + 0.5 * (a - b + c)
+
+
+def _sweep_spikes(
+    y, stim, mu, beta, lam, sig, m0, m1, lam_mask, powers, power_counts,
+    order, msrmp_eff, minimum_spike_count, gate_active,
+):
+    """Sequential coordinate sweep; one [P+1] psum per neuron for the gate."""
+    r = mu @ lam
+    guard = power_counts + 1e-4 * (power_counts == 0.0)  # [N, P]
+
+    def body(i, carry):
+        lam, mu_s, r = carry
+        n = order[i]
+        stim_n = stim[n]
+        lam_n = lam[n]
+        mu_n = mu_s[n]
+
+        r_excl = r - mu_n * lam_n
+        quad = sig * (
+            -2.0 * y * mu_n + 2.0 * mu_n * r_excl + (mu_n * mu_n + beta[n] * beta[n])
+        )
+        est = lam_mask * (stim_n > 0) * sigmoid(m0[n] * stim_n - m1[n] - 0.5 * quad)
+
+        onehot = (stim_n[None, :] == powers[:, None]).astype(est.dtype)  # [P, K_loc]
+        local = jnp.concatenate([onehot @ est, jnp.sum(est)[None]])
+        red = _psum(local)
+        srates = red[:-1] / guard[n]
+        ok = (isotonic_fit_at_max(srates) >= msrmp_eff) & (
+            red[-1] >= minimum_spike_count
+        )
+        gate = jnp.where(gate_active, ok.astype(est.dtype), jnp.ones((), est.dtype))
+
+        new_lam_n = est * gate
+        new_mu_n = mu_n * gate
+        lam = lam.at[n].set(new_lam_n)
+        mu_s = mu_s.at[n].set(new_mu_n)
+        r = r_excl + new_mu_n * new_lam_n
+        return lam, mu_s, r
+
+    lam, _, _ = lax.fori_loop(0, lam.shape[0], body, (lam, mu, r))
+    return lam
+
+
+def _update_spontaneous(
+    y, mu, lam, z, it, penalty, lam_mask, scale_factor, tol, orthogonality, max_iters
+):
+    resid = y - mu @ lam
+    explained = jnp.any(lam >= orthogonality, axis=0)
+    denom = _psum(jnp.sum(y * y)) + 1e-5
+    init_err = _psum(jnp.sum(y))
+
+    def cond(carry):
+        i, err, _, _ = carry
+        return (i < max_iters) & (err > tol)
+
+    def body(carry):
+        i, _, _, pen = carry
+        z = jnp.where(resid < pen, 0.0, resid - pen)
+        z = jnp.maximum(z, 0.0)
+        z = jnp.where(explained, 0.0, z) * lam_mask
+        err = _psum(jnp.sum(jnp.square(resid - z))) / denom
+        return i + 1, err, z, pen * scale_factor
+
+    _, _, z, _ = lax.while_loop(cond, body, (it, init_err, z, penalty))
+    return z
+
+
+def _powercurve_stats_masked(lam, stim, levels, valid):
+    onehot = (stim[:, None, :] == levels[None, :, None]).astype(lam.dtype)
+    onehot = onehot * valid[None, None, :]
+    S = _psum(jnp.einsum("npk,nk->np", onehot, lam))
+    C = _psum(jnp.sum(onehot, axis=-1))
+    return S, C
+
+
+# ---------------------------------------------------------------------------
+# The sharded solver
+# ---------------------------------------------------------------------------
+
+
+def _iteration(state, it, data, hyper, static):
+    (y, stim, lam_mask, valid, powers, levels, power_counts, k_global) = data
+    mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior = hyper
+
+    mu, beta = _update_weights(y, state.lam, state.shape, state.rate,
+                               mu_prior, beta_prior)
+
+    key, k_order, k_mc = jax.random.split(state.key, 3)
+    N = stim.shape[0]
+    order = jax.random.permutation(k_order, N)  # replicated: same key everywhere
+    m0, m1 = powercurve_logit_means(
+        k_mc, state.phi, state.phi_cov, static["num_mc_samples"],
+        static["analytic_mc"],
+    )
+    lam = _sweep_spikes(
+        y, stim, mu, beta, state.lam, state.shape / state.rate, m0, m1,
+        lam_mask, powers, power_counts, order,
+        static["msrmp"] + state.spont_rate, static["minimum_spike_count"],
+        gate_active=it > static["delay_spont_est"],
+    )
+
+    shape, rate = _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global)
+
+    S, C = _powercurve_stats_masked(lam, stim, levels, valid)
+    phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+
+    z = _update_spontaneous(
+        y, mu, lam, state.z, it, jnp.asarray(static["penalty"], y.dtype), lam_mask,
+        static["scale_factor"], static["tol"], static["spont_orthogonality"],
+        static["max_backtrack_iters"],
+    )
+    spont_rate = _psum(jnp.sum((z != 0.0).astype(y.dtype))) / k_global
+
+    return CaviarState(mu, beta, lam, shape, rate, phi, phi_cov, z, spont_rate, key)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "iters", "num_mc_samples", "minimum_spike_count",
+        "delay_spont_est", "msrmp", "scale_factor", "penalty",
+        "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
+    ),
+)
+def _run_sharded(
+    y, stim, lam0, lam_mask, valid, powers, levels, power_counts, k_global,
+    mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
+    key, *, mesh, iters, num_mc_samples, minimum_spike_count, delay_spont_est,
+    msrmp, scale_factor, penalty, max_backtrack_iters, tol,
+    spont_orthogonality, analytic_mc,
+):
+    static = dict(
+        num_mc_samples=num_mc_samples,
+        minimum_spike_count=minimum_spike_count,
+        delay_spont_est=delay_spont_est,
+        msrmp=msrmp,
+        scale_factor=scale_factor,
+        penalty=penalty,
+        max_backtrack_iters=max_backtrack_iters,
+        tol=tol,
+        spont_orthogonality=spont_orthogonality,
+        analytic_mc=analytic_mc,
+    )
+    hyper_specs = (P(), P(), P(), P(), P(), P())
+
+    def body(y, stim, lam0, lam_mask, valid, powers, levels, power_counts,
+             k_global, mu_prior, beta_prior, shape_prior, rate_prior,
+             phi_prior, phi_cov_prior, key):
+        data = (y, stim, lam_mask, valid, powers, levels, power_counts, k_global)
+        hyper = (mu_prior, beta_prior, shape_prior, rate_prior, phi_prior,
+                 phi_cov_prior)
+        K_loc = y.shape[0]
+        init = CaviarState(
+            mu=mu_prior, beta=beta_prior, lam=lam0, shape=shape_prior,
+            rate=rate_prior, phi=phi_prior, phi_cov=phi_cov_prior,
+            z=jnp.zeros(K_loc, dtype=y.dtype),
+            spont_rate=jnp.zeros((), dtype=y.dtype), key=key,
+        )
+
+        def step(state, it):
+            return _iteration(state, it, data, hyper, static), None
+
+        final, _ = lax.scan(step, init, jnp.arange(iters))
+        return final
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(TRIAL_AXIS),            # y
+            P(None, TRIAL_AXIS),      # stim
+            P(None, TRIAL_AXIS),      # lam0
+            P(TRIAL_AXIS),            # lam_mask
+            P(TRIAL_AXIS),            # valid
+            P(), P(), P(), P(),       # powers, levels, power_counts, k_global
+            *hyper_specs,
+            P(),                      # key
+        ),
+        out_specs=CaviarState(
+            mu=P(), beta=P(), lam=P(None, TRIAL_AXIS), shape=P(), rate=P(),
+            phi=P(), phi_cov=P(), z=P(TRIAL_AXIS), spont_rate=P(), key=P(),
+        ),
+        check_vma=False,
+    )
+    return sharded(
+        y, stim, lam0, lam_mask, valid, powers, levels, power_counts, k_global,
+        mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
+        key,
+    )
+
+
+def caviar_sharded(
+    y_psc,
+    stim,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    mesh,
+    iters=50,
+    num_mc_samples=100,
+    seed=0,
+    y_xcorr_thresh=1e-2,
+    minimum_spike_count=3,
+    delay_spont_est=1,
+    msrmp=0.3,
+    scale_factor=0.75,
+    penalty=5e0,
+    max_backtrack_iters=20,
+    tol=0.05,
+    spont_orthogonality=0.1,
+    fn_scan=True,
+    dtype=jnp.float32,
+    analytic_mc=True,
+    verbose=True,
+):
+    """Fit CAVIaR with the trial axis sharded over ``mesh``.
+
+    Same posterior contract as solvers.caviar (histories unsupported on
+    the sharded path). Results match the single-device solver up to
+    reduction reassociation.
+    """
+    n_dev = mesh.devices.size
+    y_psc = np.asarray(y_psc)
+    stim_np = np.asarray(stim)
+    K = y_psc.shape[0]
+    pad = (-K) % n_dev
+    if pad:
+        y_psc = np.concatenate([y_psc, np.zeros((pad, y_psc.shape[1]))], axis=0)
+        stim_np = np.concatenate(
+            [stim_np, np.zeros((stim_np.shape[0], pad))], axis=1
+        )
+    valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
+
+    y_psc = jnp.asarray(y_psc, dtype=dtype)
+    stim_j = jnp.asarray(stim_np, dtype=dtype)
+    y, active = prepare_observations(y_psc, y_xcorr_thresh)
+    lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
+    lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+
+    powers = np.unique(stim_np)[1:]
+    levels = np.concatenate([[0.0], powers])
+    power_counts = (
+        stim_np[:, :K, None] == powers[None, None, :]
+    ).sum(axis=1).astype(np.float64)
+
+    if verbose:
+        print(f"Running CAVIaR sharded over {n_dev} devices (K={K}, pad={pad}).")
+
+    final = _run_sharded(
+        y,
+        stim_j,
+        lam0,
+        lam_mask,
+        jnp.asarray(valid, dtype),
+        jnp.asarray(powers, dtype),
+        jnp.asarray(levels, dtype),
+        jnp.asarray(power_counts, dtype),
+        jnp.asarray(float(K), dtype),
+        jnp.asarray(mu_prior, dtype),
+        jnp.asarray(beta_prior, dtype),
+        jnp.asarray(shape_prior, dtype),
+        jnp.asarray(rate_prior, dtype),
+        jnp.asarray(phi_prior, dtype),
+        jnp.asarray(phi_cov_prior, dtype),
+        jax.random.PRNGKey(seed),
+        mesh=mesh,
+        iters=int(iters),
+        num_mc_samples=int(num_mc_samples),
+        minimum_spike_count=int(minimum_spike_count),
+        delay_spont_est=int(delay_spont_est),
+        msrmp=float(msrmp),
+        scale_factor=float(scale_factor),
+        penalty=float(penalty),
+        max_backtrack_iters=int(max_backtrack_iters),
+        tol=float(tol),
+        spont_orthogonality=float(spont_orthogonality),
+        analytic_mc=bool(analytic_mc),
+    )
+
+    mu, beta = final.mu, final.beta
+    lam = final.lam[:, :K]
+    z = final.z[:K]
+    phi, phi_cov = final.phi, final.phi_cov
+
+    if fn_scan:
+        mu, beta, lam, z = reconnect_from_spontaneous(
+            np.asarray(y)[:K], stim_np[:, :K], lam, mu, beta, z,
+            msrmp=msrmp, minimum_spike_count=minimum_spike_count, verbose=verbose,
+        )
+        from ..solvers._laplace import laplace_phi_update
+
+        phi, phi_cov = laplace_phi_update(
+            jnp.asarray(lam, dtype), jnp.asarray(stim_np[:, :K], dtype),
+            jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+            powers=jnp.asarray(powers, dtype),
+        )
+
+    return (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None)

@@ -60,26 +60,29 @@ def psc_kernel_bank(tau_r, tau_d, window):
 
 
 @partial(jax.jit, static_argnames=("T",))
-def _shifted_psc_batch(kernels, spk_times, amps, T):
+def _shifted_psc_batch(tau_r, tau_d, spk_times, amps, T):
     """Sum over neurons of amplitude-scaled, spike-time-shifted kernels.
 
-    kernels: [n, T] (unnormalised); spk_times: [n, k] int; amps: [n, k]
+    tau_r, tau_d: [n]; spk_times: [n, k] int; amps: [n, k]
     (weight * mult_noise * spike). Returns [k, T].
 
     Matches reference kernel_conv_trialwise (simulation.py:17-23): the
     shifted kernel is renormalised by the sum over the visible window,
-    so late spikes keep unit area.
+    so late spikes keep unit area. Because the kernel is an analytic
+    bi-exponential, the shift is evaluated directly as a broadcast over
+    (t - spike_time) — pure elementwise VPU work. (A gather formulation
+    of the same thing took XLA:TPU ~90 s to compile; this compiles in
+    seconds and fuses.)
     """
-    tgrid = jnp.arange(T)
+    tgrid = jnp.arange(T, dtype=amps.dtype)
 
-    def one(kernel, st, amp):
-        # [k, T] gather: kernel[t - st] where valid
-        idx = tgrid[None, :] - st[:, None]
-        ke = jnp.where(idx >= 0, kernel[jnp.clip(idx, 0, T - 1)], 0.0)
+    def one(tr, td, st, amp):
+        dt = tgrid[None, :] - st[:, None].astype(amps.dtype)  # [k, T]
+        ke = (jnp.exp(-dt / td) - jnp.exp(-dt / tr)) * (dt >= 0)
         ke = ke / (jnp.sum(ke, axis=1, keepdims=True) + 1e-5)
         return ke * amp[:, None]
 
-    return jnp.sum(jax.vmap(one)(kernels, spk_times, amps), axis=0)
+    return jnp.sum(jax.vmap(one)(tau_r, tau_d, spk_times, amps), axis=0)
 
 
 def _latency_shape(power, scale=1e4):
@@ -273,18 +276,18 @@ def simulate(
     # device synthesis over connected neurons only, trial-batched
     if verbose:
         print("Synthesising PSC traces on device...")
-    kernels_c = jnp.asarray(
-        psc_kernel_bank(tau_r[connected], tau_d[connected], T), dtype=jnp.float32
-    )
     amps = (weights[:, None] * mult_noise * spks)[connected]
     st_c = spk_times[connected].astype(np.int32)
+    tr_c = jnp.asarray(tau_r[connected], dtype=jnp.float32)
+    td_c = jnp.asarray(tau_d[connected], dtype=jnp.float32)
 
     chunks = []
     for k0 in range(0, K, batch_size):
         k1 = min(k0 + batch_size, K)
         chunks.append(
             _shifted_psc_batch(
-                kernels_c,
+                tr_c,
+                td_c,
                 jnp.asarray(st_c[:, k0:k1]),
                 jnp.asarray(amps[:, k0:k1], dtype=jnp.float32),
                 T,
@@ -367,21 +370,23 @@ def _timeline_fft_conv(impulses, kernels, expt_len):
 
 
 @partial(jax.jit, static_argnames=("response_length",))
-def _evoked_window_batch(kernels, spk_times, amps, response_length):
+def _evoked_window_batch(tau_r, tau_d, divisors, spk_times, amps, response_length):
     """Ground-truth evoked responses for a batch of stims.
 
-    kernels: [n, W]; spk_times/amps: [n, k]. Returns [k, response_length]:
-    each neuron's kernel placed at its (context-offset) spike time.
-    Mirrors get_true_evoked_resp (simulation.py:322-327) as a gather.
+    tau_r/tau_d/divisors: [n] kernel params + trapz normalisers;
+    spk_times/amps: [n, k]. Returns [k, response_length]: each neuron's
+    kernel placed at its (context-offset) spike time. Mirrors
+    get_true_evoked_resp (simulation.py:322-327); evaluated analytically
+    by broadcasting (see _shifted_psc_batch for why not a gather).
     """
-    tgrid = jnp.arange(response_length)
+    tgrid = jnp.arange(response_length, dtype=amps.dtype)
 
-    def one(kernel, st, amp):
-        idx = tgrid[None, :] - st[:, None]
-        ke = jnp.where(idx >= 0, kernel[jnp.clip(idx, 0, kernel.shape[0] - 1)], 0.0)
+    def one(tr, td, div, st, amp):
+        dt = tgrid[None, :] - st[:, None].astype(amps.dtype)
+        ke = (jnp.exp(-dt / td) - jnp.exp(-dt / tr)) * (dt >= 0) / div
         return ke * amp[:, None]
 
-    return jnp.sum(jax.vmap(one)(kernels, spk_times, amps), axis=0)
+    return jnp.sum(jax.vmap(one)(tau_r, tau_d, divisors, spk_times, amps), axis=0)
 
 
 def simulate_continuous_experiment(
@@ -511,7 +516,9 @@ def simulate_continuous_experiment(
     # --- ground-truth per-stim responses ---
     if verbose:
         print("Extracting ground-truth evoked responses...")
-    kc = jnp.asarray(kernels_c, dtype=jnp.float32)
+    tr_c = jnp.asarray(tau_r[connected], dtype=jnp.float32)
+    td_c = jnp.asarray(tau_d[connected], dtype=jnp.float32)
+    div_c = jnp.asarray(divisors, dtype=jnp.float32)
     true_resps = []
     amps_c = (weights[:, None] * mult_noise * spks)[connected]
     st_c = (prior_context + spike_times[connected]).astype(np.int32)
@@ -520,7 +527,9 @@ def simulate_continuous_experiment(
         true_resps.append(
             np.asarray(
                 _evoked_window_batch(
-                    kc,
+                    tr_c,
+                    td_c,
+                    div_c,
                     jnp.asarray(st_c[:, k0:k1]),
                     jnp.asarray(amps_c[:, k0:k1], dtype=jnp.float32),
                     response_length,

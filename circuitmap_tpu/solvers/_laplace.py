@@ -1,24 +1,33 @@
 """Laplace approximation of the sigmoid power-curve posteriors (phi).
 
 Each neuron's opsin power curve is ``p(spike | power) = sigmoid(phi_0 *
-power - phi_1)``. Given current spike posteriors lam[n] (treated as soft
-Bernoulli observations), the posterior over (phi_0, phi_1) is
-approximated by a Laplace fit at the barrier-regularised MAP, found by
-damped Newton with Armijo backtracking (reference optimise/caviar.py:246-316).
+power - phi_1)``. Given current spike posteriors lam[n] (soft Bernoulli
+observations), the posterior over (phi_0, phi_1) is approximated by a
+Laplace fit at the barrier-regularised MAP via damped Newton with Armijo
+backtracking (reference optimise/caviar.py:246-316).
 
-TPU formulation: the Newton recursion is a fixed-length ``lax.scan``
-and the N per-neuron problems run as one ``vmap`` — N tiny 2x2 solves
-batched into dense vector ops. All K-reductions (gradient, Hessian,
-objective) are row sums, which under trial-axis sharding become psums.
+TPU formulation — sufficient statistics. The log-likelihood
+``sum_k lam_k log s(x_k) + (1 - lam_k) log s(-x_k)`` with
+``x_k = phi_0 I_k - phi_1`` depends on trial k only through its power
+bucket (I takes P+1 distinct values). Regrouping by bucket,
 
-Stability: log-likelihood terms use ``log_sigmoid`` so saturated power
-curves produce large finite values rather than inf (the reference
-relies on ``nan_to_num``; we keep that guard too).
+    nll(phi) = -sum_p [ S_p log s(x_p) + (C_p - S_p) log s(-x_p) ]
+
+with S_p = sum of lam over bucket p and C_p its trial count. The same
+regrouping holds for the gradient and Hessian. So the K-dependence is
+ONE [N, P+1] masked matmul per CAVI iteration (an MXU op; a single psum
+under trial sharding), and the Newton/backtracking recursion — a
+fixed-length ``lax.scan`` vmapped over N — runs on [P+1]-sized
+vectors. The reference re-reduces over all K trials at every
+backtracking evaluation (caviar.py:270-272, 312-316); this version is
+algebraically identical (sums regrouped) at a tiny fraction of the
+work.
+
+Stability: log-likelihoods use ``log_sigmoid`` so saturated power
+curves give large finite values rather than inf.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,37 +41,47 @@ BACKTRACK_BETA = 0.5
 MAX_BACKTRACK = 40
 
 
-def _penalised_nll(spk, phi, phi_prior, prec, powers_row, t):
-    """Negative log-lik + log-barrier keeping phi > 0 + Gaussian prior.
+def powercurve_stats(lam, stim, powers):
+    """Per-neuron bucket statistics (S, C) over power levels.
 
-    Mirrors reference ``negloglik_with_barrier`` (caviar.py:312-316).
+    lam, stim: [N, K]; powers: [P] nonzero power levels. Returns
+    S: [N, P+1] summed spike posteriors, C: [N, P+1] trial counts, with
+    bucket 0 = untargeted (power 0) trials. Under trial sharding these
+    are the only cross-device reductions the phi update needs.
     """
-    x = phi[0] * powers_row - phi[1]
-    ll = spk * log_sigmoid(x) + (1.0 - spk) * log_sigmoid(-x)
-    dphi = phi - phi_prior
-    return (
-        -jnp.sum(jnp.nan_to_num(ll))
-        - jnp.sum(jnp.log(phi)) / t
-        + 0.5 * dphi @ prec @ dphi
-    )
+    levels = jnp.concatenate([jnp.zeros((1,), powers.dtype), powers])  # [P+1]
+    onehot = (stim[:, None, :] == levels[None, :, None]).astype(lam.dtype)
+    S = jnp.einsum("npk,nk->np", onehot, lam)
+    C = jnp.sum(onehot, axis=-1)
+    return S, C, levels
 
 
-def _laplace_single(spk, phi_prior, phi_cov_prior, powers_row, t=BARRIER_T):
-    """MAP + covariance for one neuron. spk, powers_row: [K]; phi_prior: [2]."""
+def _laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior, t=BARRIER_T):
+    """MAP + covariance for one neuron from its bucket stats.
+
+    S, C, levels: [P+1]; phi_prior: [2]; phi_cov_prior: [2, 2].
+    """
     prec = jnp.linalg.inv(phi_cov_prior)
 
     def objective(phi):
-        return _penalised_nll(spk, phi, phi_prior, prec, powers_row, t)
+        x = phi[0] * levels - phi[1]
+        ll = S * log_sigmoid(x) + (C - S) * log_sigmoid(-x)
+        dphi = phi - phi_prior
+        return (
+            -jnp.sum(jnp.nan_to_num(ll))
+            - jnp.sum(jnp.log(phi)) / t
+            + 0.5 * dphi @ prec @ dphi
+        )
 
     def newton_direction(phi):
-        f = sigmoid(phi[0] * powers_row - phi[1])
-        resid = spk - f
-        g = jnp.array([-jnp.sum(powers_row * resid), jnp.sum(resid)])
+        f = sigmoid(phi[0] * levels - phi[1])
+        resid = S - C * f  # sum over bucket of (lam_k - f)
+        g = jnp.array([-jnp.sum(levels * resid), jnp.sum(resid)])
         g = g + prec @ (phi - phi_prior) - 1.0 / (t * phi)
 
-        w = f * (1.0 - f)
-        h00 = jnp.sum(powers_row * powers_row * w)
-        h01 = -jnp.sum(powers_row * w)
+        w = C * f * (1.0 - f)
+        h00 = jnp.sum(levels * levels * w)
+        h01 = -jnp.sum(levels * w)
         h11 = jnp.sum(w)
         H = jnp.array([[h00, h01], [h01, h11]])
         H = H + prec + jnp.diag(1.0 / (t * phi * phi))
@@ -97,14 +116,20 @@ def _laplace_single(spk, phi_prior, phi_cov_prior, powers_row, t=BARRIER_T):
     return phi, cov
 
 
-_laplace_batched = jax.vmap(_laplace_single, in_axes=(0, 0, 0, 0))
+laplace_from_stats = jax.vmap(_laplace_from_stats, in_axes=(0, 0, None, 0, 0))
 
 
-def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior):
+def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None):
     """Batched Laplace refit of all N power-curve posteriors.
 
-    lam, stim: [N, K]; phi_prior: [N, 2]; phi_cov_prior: [N, 2, 2].
-    Returns (phi [N, 2], phi_cov [N, 2, 2]).
-    Reference: vmapped ``_laplace_approx`` (caviar.py:253-310).
+    lam, stim: [N, K]; phi_prior: [N, 2]; phi_cov_prior: [N, 2, 2];
+    powers: [P] nonzero levels (derived from stim if omitted — only
+    possible outside jit). Returns (phi [N, 2], phi_cov [N, 2, 2]).
+    Reference behaviour: vmapped ``_laplace_approx`` (caviar.py:253-310).
     """
-    return _laplace_batched(lam, phi_prior, phi_cov_prior, stim)
+    if powers is None:
+        import numpy as np
+
+        powers = jnp.asarray(np.unique(np.asarray(stim))[1:], dtype=lam.dtype)
+    S, C, levels = powercurve_stats(lam, stim, powers)
+    return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)

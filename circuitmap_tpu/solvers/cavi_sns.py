@@ -139,7 +139,7 @@ def update_noise_sns(y, mu, beta, alpha, lam, shape_prior, rate_prior):
 
 
 def _iteration(state: SnsState, data, hyper, static):
-    y, stim, lam_mask = data
+    y, stim, lam_mask, powers = data
     (mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
      phi_prior, phi_cov_prior) = hyper
 
@@ -171,7 +171,8 @@ def _iteration(state: SnsState, data, hyper, static):
     )
 
     shape, rate = update_noise_sns(y, mu, beta, alpha, lam, shape_prior, rate_prior)
-    phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior)
+    phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
+                                      powers=powers)
 
     return SnsState(mu, beta, alpha, lam, shape, rate, phi, phi_cov, key)
 
@@ -184,12 +185,12 @@ def _iteration(state: SnsState, data, hyper, static):
     ),
 )
 def _run_sns(
-    y, stim, lam0, lam_mask,
+    y, stim, lam0, lam_mask, powers,
     mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
     phi_prior, phi_cov_prior, key,
     *, iters, num_mc_samples, minimum_spike_count, analytic_mc, save_histories,
 ):
-    data = (y, stim, lam_mask)
+    data = (y, stim, lam_mask, powers)
     hyper = (mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
              phi_prior, phi_cov_prior)
     static = dict(
@@ -235,7 +236,7 @@ def cavi_sns(
     minimum_spike_count=3,
     save_histories=True,
     dtype=jnp.float32,
-    analytic_mc=False,
+    analytic_mc=True,
     verbose=True,
 ):
     """Fit CAVI-SnS. Signature/return layout mirror reference cavi_sns.py:17-85.
@@ -247,15 +248,19 @@ def cavi_sns(
     if verbose:
         print("Running CAVI-SnS (TPU-native).")
 
-    y_psc = jnp.asarray(y_psc, dtype=dtype)
-    stim = jnp.asarray(stim, dtype=dtype)
+    y_psc_np = np.asarray(y_psc, dtype=np.float32)
+    stim_np = np.asarray(stim, dtype=np.float32)
+    powers_np = np.unique(stim_np)[1:]
+    y_psc = jnp.asarray(y_psc_np, dtype=dtype)
+    stim = jnp.asarray(stim_np, dtype=dtype)
     y = integrated_charge(y_psc)
     K = y.shape[0]
     lam_mask = jnp.ones(K, dtype=dtype)
     lam0 = jnp.where(stim > 0, jnp.asarray(0.95, dtype), 0.0)
+    powers = jnp.asarray(powers_np, dtype=dtype)
 
     final, hists = _run_sns(
-        y, stim, lam0, lam_mask,
+        y, stim, lam0, lam_mask, powers,
         jnp.asarray(mu_prior, dtype),
         jnp.asarray(beta_prior, dtype),
         jnp.asarray(alpha_prior, dtype),

@@ -52,7 +52,7 @@ from jax import lax
 from jax.nn import sigmoid
 
 from ..ops.charge import prepare_observations
-from ..ops.pava import isotonic_fit_at_max, isotonic_regression
+from ..ops.pava import isotonic_fit_at_max
 from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ._laplace import laplace_phi_update
@@ -263,7 +263,8 @@ def _iteration(state: CaviarState, it, data, hyper, static):
     )
 
     shape, rate = update_noise(y, mu, beta, lam, shape_prior, rate_prior)
-    phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior)
+    phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
+                                      powers=powers)
 
     z = update_spontaneous(
         y,
@@ -384,48 +385,71 @@ def reconnect_from_spontaneous(
     with spontaneous events are re-examined: if the isotonic fit of
     event rates at max power clears msrmp and the event count clears the
     spike minimum, the cell is reconnected, absorbing those events.
-    Runs once post-fit on small host arrays (≤ N iterations over [P]
-    vectors) — not worth device residency.
+
+    Runs once post-fit. The decision loop is host numpy over small
+    arrays (z, mu, beta, per-power counts) — O(N) data-dependent
+    decisions on [P]-sized vectors, where each device dispatch on a
+    tunneled TPU would cost more than the whole scan. The big [N, K]
+    spike-posterior matrix never leaves the device: reconnections are
+    collected as (row, trial) updates and applied as one scatter at the
+    end. The isotonic fit at max power is max-over-suffix-means (the
+    minimax form used in ops/pava.isotonic_fit_at_max), computed inline.
     """
     mu = np.asarray(mu).copy()
     beta = np.asarray(beta).copy()
-    lam = np.asarray(lam).copy()
     z = np.asarray(z).copy()
     stim = np.asarray(stim)
-
-    candidates = list(np.flatnonzero(mu == 0.0))
+    lam_updates = []  # (neuron, trial_locs) reconnections to scatter later
     powers = np.unique(stim)[1:]
 
-    while candidates and (np.count_nonzero(z) > minimum_spike_count):
-        # focus on the candidate with most spontaneous events on its trials
-        event_counts = [
-            np.count_nonzero(z[np.flatnonzero(stim[n])]) for n in candidates
-        ]
-        pick = int(np.argmax(event_counts))
-        n = candidates.pop(pick)
+    candidate_mask = mu == 0.0
+    z_nz = z != 0.0
 
-        rates = np.zeros_like(powers, dtype=float)
-        n_events = 0
-        for p, power in enumerate(powers):
-            locs = np.flatnonzero(stim[n] == power)
-            if locs.size:
-                hits = z[locs] != 0
-                rates[p] = hits.mean()
-                n_events += int(hits.sum())
-        iso_at_max = float(np.asarray(isotonic_regression(jnp.asarray(rates)))[-1])
+    # per-(neuron, power) trial counts and the per-neuron spontaneous-event
+    # counts, maintained incrementally: the scan examines each candidate
+    # once and only rescans event counts when a reconnection removes events
+    targeted = stim != 0.0  # [N, K]
+    power_counts = np.stack([(stim == p).sum(1) for p in powers], 1)  # [N, P]
+    event_counts = targeted @ z_nz  # [N]
+
+    while candidate_mask.any() and (z_nz.sum() > minimum_spike_count):
+        # focus on the candidate with most spontaneous events on its trials
+        masked = np.where(candidate_mask, event_counts, -1)
+        n = int(np.argmax(masked))
+        candidate_mask[n] = False
+
+        stim_n = stim[n]
+        hits = np.array([(stim_n == p) @ z_nz for p in powers], dtype=float)
+        with np.errstate(invalid="ignore"):
+            rates = np.where(power_counts[n] > 0, hits / power_counts[n], 0.0)
+        n_events = int(hits.sum())
+        # isotonic fit at max power == max over suffix means (host numpy)
+        suffix_means = np.cumsum(rates[::-1]) / np.arange(1, rates.size + 1)
+        iso_at_max = float(suffix_means.max())
 
         if iso_at_max >= msrmp and n_events >= minimum_spike_count:
-            locs = np.flatnonzero((stim[n] != 0) & (z != 0))
+            locs = np.flatnonzero(targeted[n] & z_nz)
             vals = z[locs]
             mu[n] = vals.mean()
             # standard error of the mean (scipy.stats.sem semantics, ddof=1)
             beta[n] = (
                 vals.std(ddof=1) / np.sqrt(vals.size) if vals.size > 1 else np.nan
             )
-            lam[n, locs] = 1.0
+            lam_updates.append((n, locs))
             z[locs] = 0.0
+            z_nz[locs] = False
+            event_counts = event_counts - targeted[:, locs].sum(1)
             if verbose:
                 print(f"reconnected cell {n} (iso fit at max power {iso_at_max:.2f})")
+
+    if lam_updates:
+        rows = np.concatenate([np.full(l.size, n) for n, l in lam_updates])
+        cols = np.concatenate([l for _, l in lam_updates])
+        if isinstance(lam, jnp.ndarray):
+            lam = lam.at[rows, cols].set(1.0)
+        else:
+            lam = np.asarray(lam).copy()
+            lam[rows, cols] = 1.0
 
     return mu, beta, lam, z
 
@@ -459,7 +483,7 @@ def caviar(
     spont_orthogonality=0.1,
     fn_scan=True,
     dtype=jnp.float32,
-    analytic_mc=False,
+    analytic_mc=True,
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -468,17 +492,31 @@ def caviar(
     receptive_fields, *eight history arrays)`` — receptive_fields is
     always None (reference caviar.py:51,100) and histories are None
     unless ``save_histories``.
+
+    ``analytic_mc=True`` (default) evaluates the power-curve
+    expectation with the exact truncated-normal mean — the quantity the
+    reference's 100-sample Monte Carlo estimates (caviar.py:209-215);
+    set False for the sampled estimator.
     """
     if verbose:
         print("Running CAVIaR (TPU-native).")
 
-    y_psc = jnp.asarray(y_psc, dtype=dtype)
-    stim = jnp.asarray(stim, dtype=dtype)
+    # host-side f32 cast + power levels before anything touches the
+    # device: halves the transfer and avoids a device->host round trip
+    # for np.unique (both matter on a tunneled TPU). Traces already on
+    # device (e.g. straight from the demixer) are used as-is.
+    if isinstance(y_psc, jax.Array):
+        y_psc = y_psc.astype(dtype)
+    else:
+        y_psc = jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
+    stim_np = np.asarray(stim, dtype=np.float32)
+    powers_np = np.unique(stim_np)[1:]
+    stim = jnp.asarray(stim_np, dtype=dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype)
 
     lam0 = jnp.where(stim > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
-    powers = jnp.asarray(np.unique(np.asarray(stim))[1:], dtype=dtype)
+    powers = jnp.asarray(powers_np, dtype=dtype)
 
     key = jax.random.PRNGKey(seed)
 
@@ -516,7 +554,7 @@ def caviar(
     if fn_scan:
         mu, beta, lam, z = reconnect_from_spontaneous(
             np.asarray(y),
-            np.asarray(stim),
+            stim_np,
             lam,
             mu,
             beta,
@@ -528,6 +566,7 @@ def caviar(
         phi, phi_cov = laplace_phi_update(
             jnp.asarray(lam, dtype), stim,
             jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+            powers=powers,
         )
 
     if save_histories:

@@ -1,0 +1,232 @@
+"""Visualisation: checkerboard trace plots and cross-model comparisons.
+
+Functional parity with the reference viz module (viz.py:4-280): the
+checkerboard lays out, per neuron row, its stimulated trials grouped by
+power, shading each trial by the inferred spike probability and marking
+trials attributed to spontaneous activity; the comparison grid renders
+several fitted models side by side on a shared cell ordering.
+
+matplotlib is imported lazily so the core library stays import-light.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _require_mpl():
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def cell_order_from_weights(weight_sets):
+    """Stable cell ordering: strongest connections of each model first,
+    then everything else (reference get_cell_order, viz.py:183-191)."""
+    weight_sets = [np.asarray(w) for w in weight_sets]
+    N = weight_sets[0].shape[0]
+    order = []
+    for w in weight_sets:
+        conn = np.flatnonzero(w)
+        for n in conn[np.argsort(w[conn])[::-1]]:
+            if n not in order:
+                order.append(int(n))
+    for n in range(N):
+        if n not in order:
+            order.append(n)
+    return np.array(order, dtype=int)
+
+
+get_cell_order = cell_order_from_weights  # reference-name alias
+
+
+def _trials_by_power(stim_row, powers, per_power):
+    locs = []
+    for p in powers:
+        locs.extend(np.flatnonzero(stim_row == p)[:per_power])
+    return np.asarray(locs, dtype=int)
+
+
+def plot_checkerboard(
+    psc,
+    stim_matrix,
+    model,
+    true_spikes=None,
+    true_weights=None,
+    save=None,
+    ymax=None,
+    n_plots=15,
+    max_trials_to_show=30,
+    col_width=7.5,
+    row_height=0.6,
+    order=None,
+    fig_width=None,
+    overlay_spikes=False,
+    trial_len=900,
+    fontsize=14,
+    plot_sponts=True,
+    spont_col="C0",
+    spont_alpha=0.75,
+    spike_col="lightcoral",
+    trials=None,
+    save_fmt="png",
+):
+    """Checkerboard of PSC traces with spike-posterior shading.
+
+    ``model`` is either a fitted Model (with ``.state``) or a state dict.
+    """
+    plt = _require_mpl()
+
+    state = model.state if hasattr(model, "state") else model
+    psc = np.asarray(psc)
+    stim = np.asarray(stim_matrix)
+    if trials is not None:
+        psc = psc[trials]
+        stim = stim[:, trials]
+
+    mu = np.asarray(state["mu"])
+    lam = np.asarray(state["lam"])
+    z = np.asarray(state.get("z", np.zeros(psc.shape[0])))
+    if trials is not None:
+        lam = lam[:, trials]
+        z = z[trials]
+
+    if order is None:
+        order = np.argsort(mu)[::-1]
+    if ymax is None:
+        ymax = np.percentile(psc / np.max(psc), 99.99)
+    ymin = -0.05 * ymax
+    norm = np.max(np.abs(psc))
+
+    trial_powers = stim.max(axis=0)
+    powers = np.unique(trial_powers[trial_powers > 0])
+    per_power = max_trials_to_show // max(len(powers), 1)
+
+    if fig_width is None:
+        fig_width = max_trials_to_show * col_width
+    fig, axes = plt.subplots(
+        n_plots, 1, figsize=(fig_width, row_height * n_plots * 1.5), squeeze=False
+    )
+    fig.subplots_adjust(hspace=0.5)
+
+    for m in range(n_plots):
+        n = order[m]
+        ax = axes[m, 0]
+        locs = _trials_by_power(stim[n], powers, per_power)
+        if locs.size == 0:
+            ax.axis("off")
+            continue
+        trace = psc[locs].reshape(-1) / norm
+        n_shown = locs.size
+        col = "k" if mu[n] != 0 else "gray"
+
+        for t in range(n_shown):
+            x0 = t * trial_len
+            if t > 0:
+                ax.plot([x0, x0], [ymin, ymax], "--", color=col, linewidth=0.6)
+            if not np.isnan(mu[n]):
+                ax.axvspan(x0, x0 + trial_len, color=spike_col,
+                           alpha=float(lam[n, locs[t]]), zorder=-5, lw=0)
+            if plot_sponts and z[locs[t]] != 0:
+                ax.axvspan(x0, x0 + trial_len, color=spont_col,
+                           alpha=spont_alpha, zorder=-5, lw=0)
+            if m == 0 and (t == 0 or stim[n, locs[t]] != stim[n, locs[t - 1]]):
+                ax.text(x0, 1.1 * ymax, f"{stim[n, locs[t]]:.0f} mW",
+                        fontsize=fontsize - 2)
+            if overlay_spikes and true_spikes is not None and \
+                    true_spikes[n, locs[t]] > 0:
+                ax.scatter(x0 + trial_len / 2, 0.75 * ymax, s=20, marker="v",
+                           edgecolor="k", facecolor="none", linewidth=0.5)
+
+        ax.plot(trace, color=col, linewidth=1.5)
+        ax.set_xlim(0, trial_len * n_shown)
+        ax.set_ylim(ymin, ymax)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        for side in ("top", "right", "left", "bottom"):
+            ax.spines[side].set_visible(False)
+        if m % 4 == 0:
+            ax.set_ylabel(m + 1, fontsize=fontsize - 1, rotation=0,
+                          labelpad=15, va="center", color=col)
+
+    fig.supylabel("Neuron", fontsize=fontsize)
+    if save is not None:
+        fig.savefig(save, format=save_fmt, bbox_inches="tight", dpi=300)
+    return fig
+
+
+def plot_spike_inference_comparison(
+    den_pscs,
+    stim_matrices,
+    models,
+    spks=None,
+    titles=None,
+    save=None,
+    ymax=1.1,
+    n_plots=15,
+    max_trials_to_show=30,
+    order=None,
+    trial_len=900,
+    fontsize=14,
+):
+    """Side-by-side checkerboards for several fitted models
+    (reference viz.py:193-280). ``models`` are state dicts."""
+    plt = _require_mpl()
+
+    ncols = len(models)
+    states = [m.state if hasattr(m, "state") else m for m in models]
+    if order is None:
+        order = cell_order_from_weights([s["mu"] for s in states])
+    norm = np.max(np.abs(np.vstack(den_pscs)))
+    ymin = -0.05 * ymax
+
+    fig, axes = plt.subplots(
+        n_plots, ncols, figsize=(7.5 * ncols, 0.6 * n_plots * 1.5), squeeze=False
+    )
+    fig.subplots_adjust(hspace=0.5, wspace=0.05)
+
+    for col in range(ncols):
+        stim = np.asarray(stim_matrices[col])
+        state = states[col]
+        lam = np.asarray(state["lam"])
+        mu = np.asarray(state["mu"])
+        z = np.asarray(state.get("z", np.zeros(lam.shape[1])))
+        trial_powers = stim.max(axis=0)
+        powers = np.unique(trial_powers[trial_powers > 0])
+        per_power = max_trials_to_show // max(len(powers), 1)
+
+        for m in range(n_plots):
+            n = order[m]
+            ax = axes[m, col]
+            locs = _trials_by_power(stim[n], powers, per_power)
+            if locs.size == 0:
+                ax.axis("off")
+                continue
+            trace = np.asarray(den_pscs[col])[locs].reshape(-1) / norm
+            tc = "k" if mu[n] != 0 else "gray"
+            for t in range(locs.size):
+                x0 = t * trial_len
+                if t > 0:
+                    ax.plot([x0, x0], [ymin, ymax], "--", color=tc, linewidth=0.5)
+                ax.axvspan(x0, x0 + trial_len, color="firebrick",
+                           alpha=float(lam[n, locs[t]]) * 0.5, zorder=-5, lw=0)
+                if z[locs[t]] != 0:
+                    ax.plot(x0 + trial_len / 2, 0.7 * ymax, marker="*",
+                            markerfacecolor="b", markeredgecolor="none",
+                            markersize=6)
+            ax.plot(trace, color=tc, linewidth=0.65)
+            ax.set_xlim(0, trial_len * locs.size)
+            ax.set_ylim(ymin, ymax)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            for side in ("top", "right", "left", "bottom"):
+                ax.spines[side].set_visible(False)
+            if m == 0 and titles is not None:
+                ax.set_title(titles[col], fontsize=fontsize)
+            if col == 0:
+                ax.set_ylabel(f"{m + 1} ({n})", fontsize=fontsize - 1,
+                              rotation=0, labelpad=15, va="center")
+
+    if save is not None:
+        fig.savefig(save, bbox_inches="tight", dpi=300, facecolor="white")
+    return fig

@@ -1,0 +1,57 @@
+"""Main CLI: demix + CAVIaR on an experiment file, export weights.
+
+TPU-native equivalent of the reference NeuroCAAS entry point
+(scripts/run_circuitmap_main.py:9-63): load psc + stimulus_matrix from
+.mat/.npy/.npz, demix with a pretrained NWD network, fit CAVIaR with
+the config's msrmp, export .mat + .npz. One device, one runtime — no
+CPU-pinned demixer workaround needed.
+
+Usage:
+  python scripts_tpu/run_main.py --data expt.mat --config config.yaml --out out/
+Config keys: demixer (checkpoint path), msrmp (float).
+"""
+
+import argparse
+from pathlib import Path
+
+import yaml
+
+from circuitmap_tpu import Model, NeuralDemixer
+from circuitmap_tpu.utils.io import load_experiment, export_state
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--iters", type=int, default=50)
+    args = parser.parse_args()
+
+    config = yaml.safe_load(open(args.config))
+
+    psc, stim_matrix = load_experiment(args.data)
+    N = stim_matrix.shape[0]
+
+    demix = NeuralDemixer(path=config["demixer"])
+    psc_dem = demix(psc)
+
+    model = Model(N)
+    model.fit(
+        psc_dem,
+        stim_matrix,
+        method="caviar",
+        fit_options={
+            "msrmp": float(config["msrmp"]),
+            "iters": args.iters,
+            "save_histories": False,
+        },
+    )
+    print(f"CAVIaR fit complete in {model.time:.2f}s.")
+
+    written = export_state(args.out, Path(args.data).stem, model.state)
+    print("Wrote:", ", ".join(written))
+
+
+if __name__ == "__main__":
+    main()

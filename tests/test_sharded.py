@@ -1,0 +1,104 @@
+"""Multi-device tests on the virtual 8-CPU mesh: the sharded CAVIaR must
+agree with the single-device solver."""
+
+import numpy as np
+import jax
+import pytest
+
+from circuitmap_tpu.model import default_priors
+from circuitmap_tpu.parallel import trial_mesh, caviar_sharded, run_sweep
+from circuitmap_tpu.parallel.sweep import loho_folds
+from circuitmap_tpu.simulation import simulate
+from circuitmap_tpu.solvers import caviar
+from circuitmap_tpu.utils.metrics import r2_score
+
+
+@pytest.fixture(scope="module")
+def sim():
+    np.random.seed(5)
+    # K chosen NOT divisible by 8 to exercise padding. Noise kept gentle:
+    # on heavily contaminated raw traces the REFERENCE algorithm itself
+    # collapses at higher iteration counts (verified by running the
+    # reference on identical data: r2 0.925@10 iters -> 0.153@20 iters,
+    # bit-matching this solver) — real pipelines demix first.
+    return simulate(
+        N=40, trials=501, H=5, connection_prob=0.1, verbose=False,
+        spont_prob=0.01, gp_scale=1e-3,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return trial_mesh(8)
+
+
+def _fit_args(sim, N):
+    p = default_priors(N)
+    return (
+        sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+        p["rate"], p["phi"], p["phi_cov"],
+    )
+
+
+class TestShardedCaviar:
+    def test_matches_single_device(self, sim, mesh8):
+        args = _fit_args(sim, 40)
+        kw = dict(iters=10, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True)
+        single = caviar(*args, **kw)
+        sharded = caviar_sharded(*args, mesh=mesh8, **kw)
+
+        mu_s, beta_s, lam_s = single[0], single[1], single[2]
+        mu_p, beta_p, lam_p = sharded[0], sharded[1], sharded[2]
+
+        # identical gating decisions and near-identical numerics
+        np.testing.assert_array_equal(
+            np.asarray(mu_s) != 0, np.asarray(mu_p) != 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(mu_s), np.asarray(mu_p), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(lam_s), np.asarray(lam_p), rtol=5e-3, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(beta_s), np.asarray(beta_p), rtol=5e-3, atol=1e-4
+        )
+
+    def test_recovery(self, sim, mesh8):
+        args = _fit_args(sim, 40)
+        out = caviar_sharded(
+            *args, mesh=mesh8, iters=20, verbose=False, analytic_mc=True
+        )
+        assert r2_score(sim["weights"], np.asarray(out[0])) > 0.8
+
+    def test_small_mesh(self, sim):
+        # a 2-device mesh also works
+        out = caviar_sharded(
+            *_fit_args(sim, 40), mesh=trial_mesh(2), iters=3, verbose=False,
+            fn_scan=False, analytic_mc=True,
+        )
+        assert np.asarray(out[2]).shape == (40, 501)
+
+
+class TestSweep:
+    def test_loho_folds(self, sim):
+        folds = list(loho_folds(sim["stim_matrix"]))
+        K = sim["stim_matrix"].shape[1]
+        # every trial appears in exactly one test fold
+        all_test = np.concatenate([t for _, _, t in folds])
+        assert sorted(all_test) == list(range(K))
+        for _, train, test in folds:
+            assert len(train) + len(test) == K
+            assert not set(train) & set(test)
+
+    def test_run_sweep_collects(self, tmp_path):
+        items = [{"x": i} for i in range(3)]
+        recs = run_sweep(items, lambda x: {"sq": x * x}, verbose=False,
+                         save_path=str(tmp_path / "sweep.json"))
+        assert [r["result"]["sq"] for r in recs] == [0, 1, 4]
+        import json
+
+        saved = json.load(open(tmp_path / "sweep.json"))
+        assert len(saved) == 3

@@ -1,0 +1,164 @@
+"""Tests for IO, checkpointing, metrics, profiling, and viz."""
+
+import json
+
+import numpy as np
+import matplotlib
+
+matplotlib.use("Agg")
+
+from circuitmap_tpu.utils.io import load_experiment, export_state
+from circuitmap_tpu.utils.checkpoint import save_state, load_state
+from circuitmap_tpu.utils.metrics import (
+    r2_score,
+    correlation,
+    precision_recall_connections,
+)
+from circuitmap_tpu.utils.profiling import Metrics
+from circuitmap_tpu.viz import (
+    plot_checkerboard,
+    cell_order_from_weights,
+    plot_spike_inference_comparison,
+)
+
+
+class TestMetrics:
+    def test_r2_perfect_and_mean(self, rng):
+        y = rng.normal(size=50)
+        assert r2_score(y, y) == 1.0
+        assert abs(r2_score(y, np.full_like(y, y.mean()))) < 1e-12
+
+    def test_correlation(self, rng):
+        a = rng.normal(size=100)
+        assert abs(correlation(a, 2 * a + 1) - 1.0) < 1e-9
+        assert correlation(a, np.zeros(100)) == 0.0
+
+    def test_precision_recall(self):
+        w_true = np.array([0, 1.0, 2.0, 0])
+        w_est = np.array([0, 1.1, 0, 3.0])
+        p, r = precision_recall_connections(w_true, w_est)
+        assert p == 0.5 and r == 0.5
+
+
+class TestIO:
+    def test_npz_roundtrip(self, tmp_path, rng):
+        psc = rng.normal(size=(20, 900))
+        stim = rng.normal(size=(10, 20))
+        path = tmp_path / "expt.npz"
+        np.savez(path, psc=psc, stimulus_matrix=stim)
+        p2, s2 = load_experiment(path)
+        np.testing.assert_allclose(p2, psc)
+        np.testing.assert_allclose(s2, stim)
+
+    def test_mat_roundtrip(self, tmp_path, rng):
+        from scipy.io import savemat
+
+        psc = rng.normal(size=(5, 30))
+        stim = rng.normal(size=(4, 5))
+        path = str(tmp_path / "expt.mat")
+        savemat(path, {"psc": psc, "stimulus_matrix": stim})
+        p2, s2 = load_experiment(path)
+        np.testing.assert_allclose(p2, psc)
+
+    def test_export_state(self, tmp_path, rng):
+        state = {
+            "mu": rng.normal(size=8),
+            "beta": rng.random(8),
+            "lam": rng.random((8, 20)),
+        }
+        written = export_state(tmp_path, "expt1", state)
+        assert len(written) == 2
+        loaded = np.load(written[1])
+        np.testing.assert_allclose(loaded["weights"], state["mu"])
+        from scipy.io import loadmat
+
+        m = loadmat(written[0])
+        np.testing.assert_allclose(m["spikes"], state["lam"])
+
+
+class TestCheckpoint:
+    def test_nested_roundtrip(self, tmp_path, rng):
+        tree = {
+            "solver": {"mu": rng.normal(size=5), "lam": rng.random((5, 9))},
+            "iter": np.asarray(7),
+            "histories": None,
+        }
+        path = tmp_path / "ckpt.npz"
+        save_state(path, tree)
+        back = load_state(path)
+        np.testing.assert_allclose(back["solver"]["mu"], tree["solver"]["mu"])
+        np.testing.assert_allclose(back["solver"]["lam"], tree["solver"]["lam"])
+        assert back["iter"] == 7
+        assert back["histories"] is None
+
+    def test_namedtuple_state(self, tmp_path):
+        from circuitmap_tpu.solvers.caviar import CaviarState
+        import jax.numpy as jnp
+        import jax
+
+        st = CaviarState(
+            mu=jnp.zeros(3), beta=jnp.ones(3), lam=jnp.zeros((3, 4)),
+            shape=jnp.asarray(1.0), rate=jnp.asarray(0.1),
+            phi=jnp.zeros((3, 2)), phi_cov=jnp.zeros((3, 2, 2)),
+            z=jnp.zeros(4), spont_rate=jnp.zeros(()),
+            key=jax.random.PRNGKey(0),
+        )
+        path = tmp_path / "solver.npz"
+        save_state(path, st)
+        back = load_state(path)
+        assert back["lam"].shape == (3, 4)
+        assert back["key"].shape == (2,)
+
+
+class TestProfiling:
+    def test_metrics_spans(self, tmp_path):
+        m = Metrics()
+        with m.span("fit", method="caviar"):
+            pass
+        m.log("r2", value=0.99)
+        lines = m.dump(tmp_path / "metrics.jsonl")
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert rec["name"] == "fit" and rec["seconds"] >= 0
+        assert (tmp_path / "metrics.jsonl").exists()
+
+
+class TestViz:
+    def _fake_state(self, rng, N=6, K=40):
+        stim = np.zeros((N, K))
+        for k in range(K):
+            stim[rng.choice(N, 2, replace=False), k] = rng.choice([45.0, 65.0])
+        return stim, {
+            "mu": rng.random(N) * (rng.random(N) > 0.5),
+            "lam": rng.random((N, K)) * (stim > 0),
+            "z": (rng.random(K) > 0.9) * rng.random(K),
+        }
+
+    def test_cell_order(self):
+        order = cell_order_from_weights([np.array([0, 3.0, 1.0, 0.0])])
+        assert list(order[:2]) == [1, 2]
+        assert sorted(order) == [0, 1, 2, 3]
+
+    def test_checkerboard_renders(self, tmp_path, rng):
+        stim, state = self._fake_state(rng)
+        psc = np.abs(rng.normal(size=(40, 900)))
+        fig = plot_checkerboard(
+            psc, stim, state, n_plots=4, max_trials_to_show=6,
+            save=str(tmp_path / "cb.png"), fig_width=8,
+        )
+        assert (tmp_path / "cb.png").exists()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_comparison_renders(self, tmp_path, rng):
+        stim, state = self._fake_state(rng)
+        psc = np.abs(rng.normal(size=(40, 900)))
+        fig = plot_spike_inference_comparison(
+            [psc, psc], [stim, stim], [state, state], titles=["a", "b"],
+            n_plots=3, max_trials_to_show=4, save=str(tmp_path / "cmp.png"),
+        )
+        assert (tmp_path / "cmp.png").exists()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
