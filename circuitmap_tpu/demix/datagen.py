@@ -51,7 +51,8 @@ def _psc_mixtures(
     for i0 in range(0, size, chunk):
         i1 = min(i0 + chunk, size)
         dt = t - delta[i0:i1]
-        ke = (np.exp(-dt / tau_d[i0:i1]) - np.exp(-dt / tau_r[i0:i1])) * (dt >= 0)
+        dtc = np.maximum(dt, 0.0)  # clamp before exp: inf * 0-mask is nan
+        ke = (np.exp(-dtc / tau_d[i0:i1]) - np.exp(-dtc / tau_r[i0:i1])) * (dt >= 0)
         peak = np.max(ke, axis=2, keepdims=True)
         ke = np.where(peak > 0, ke / np.maximum(peak, 1e-30), 0.0)
         out[i0:i1] = np.sum(ke * amp[i0:i1] * active[i0:i1], axis=1)

@@ -78,7 +78,10 @@ def _shifted_psc_batch(tau_r, tau_d, spk_times, amps, T):
 
     def one(tr, td, st, amp):
         dt = tgrid[None, :] - st[:, None].astype(amps.dtype)  # [k, T]
-        ke = (jnp.exp(-dt / td) - jnp.exp(-dt / tr)) * (dt >= 0)
+        # clamp before exp: exp(+large) for pre-spike times overflows to
+        # inf and inf * 0-mask is nan
+        dtc = jnp.maximum(dt, 0.0)
+        ke = (jnp.exp(-dtc / td) - jnp.exp(-dtc / tr)) * (dt >= 0)
         ke = ke / (jnp.sum(ke, axis=1, keepdims=True) + 1e-5)
         return ke * amp[:, None]
 
@@ -303,9 +306,8 @@ def simulate(
         tr = np.random.uniform(tau_r_min, tau_r_max)
         td = tr + np.random.uniform(tau_delta_min, tau_delta_max)
         delta = np.random.randint(1, T)
-        ke = (np.exp(-(tgrid - delta) / td) - np.exp(-(tgrid - delta) / tr)) * (
-            tgrid > delta
-        )
+        dtc = np.maximum(tgrid - delta, 0.0)
+        ke = (np.exp(-dtc / td) - np.exp(-dtc / tr)) * (tgrid > delta)
         w = np.random.uniform(weights[connected].min(), weights[connected].max())
         spont_pscs[k] = w * ke / (np.trapezoid(ke) + 1e-5)
 
@@ -383,10 +385,107 @@ def _evoked_window_batch(tau_r, tau_d, divisors, spk_times, amps, response_lengt
 
     def one(tr, td, div, st, amp):
         dt = tgrid[None, :] - st[:, None].astype(amps.dtype)
-        ke = (jnp.exp(-dt / td) - jnp.exp(-dt / tr)) * (dt >= 0) / div
+        dtc = jnp.maximum(dt, 0.0)  # see _shifted_psc_batch: avoid inf*0
+        ke = (jnp.exp(-dtc / td) - jnp.exp(-dtc / tr)) * (dt >= 0) / div
         return ke * amp[:, None]
 
     return jnp.sum(jax.vmap(one)(tau_r, tau_d, divisors, spk_times, amps), axis=0)
+
+
+def simulate_continuous_experiment_without_spike_failures(
+    N=100,
+    connected_frac=0.2,
+    exp_len=int(2e4),
+    gamma_beta=1.5e1,
+    min_latency=60,
+    spont_rate=0.0005,
+    mult_noise_log_var=0.01,
+    response_length=900,
+    noise_std=1e-2,
+    tau_r_min=10,
+    tau_r_max=40,
+    tau_delta_min=250,
+    tau_delta_max=300,
+    power=50,
+    sampling_freq=20000,
+    stim_freq=10,
+    weight_lower=2,
+    weight_upper=10,
+    seed=0,
+    ar_coef=0.95,
+    ar_std=1e-1,
+):
+    """Single-target continuous experiment where every stim evokes a spike.
+
+    The reference's earlier variant (simulation.py:222-281): one random
+    target per stim at a single power, deterministic spiking, peak-
+    normalised kernels. Returns pscs / obs_responses / true_responses /
+    tars / stim_times.
+    """
+    tau_r = np.random.uniform(tau_r_min, tau_r_max, N)
+    tau_d = tau_r + np.random.uniform(tau_delta_min, tau_delta_max, N)
+
+    isi = int(sampling_freq / stim_freq)
+    stim_times = np.arange(isi, exp_len - response_length, isi, dtype=int)
+    nstim = len(stim_times)
+    spike_lat = sample_spike_time(power * np.ones(nstim), gamma_beta=gamma_beta,
+                                  min_latency=min_latency)
+    tars = np.random.choice(N, nstim)
+
+    n_conn = int(connected_frac * N)
+    connected = np.random.choice(N, n_conn, replace=False)
+    weights = np.zeros(N)
+    weights[connected] = np.random.uniform(weight_lower, weight_upper, n_conn)
+
+    mult_noise = np.random.lognormal(0, mult_noise_log_var, nstim)
+
+    # per-stim responses: peak-normalised kernel of the targeted neuron
+    # placed at its (stim + latency) frame; evaluated analytically
+    frames = (stim_times + spike_lat).astype(int)
+    trange = np.arange(exp_len, dtype=np.float64)
+    pscs_evoked = np.zeros(exp_len)
+    true_resps = np.zeros((nstim, response_length))
+    win = np.arange(-100, response_length - 100)
+    for s in range(nstim):
+        n = tars[s]
+        dt = trange - frames[s]
+        dtc = np.maximum(dt, 0.0)
+        ke = (np.exp(-dtc / tau_d[n]) - np.exp(-dtc / tau_r[n])) * (dt > 0)
+        peak = ke.max()
+        if peak > 0:
+            ke = ke / peak
+        contrib = ke * weights[n] * mult_noise[s]
+        pscs_evoked += contrib
+        true_resps[s] = contrib[stim_times[s] - 100: stim_times[s] + 800]
+
+    # spontaneous events
+    nspont = int(spont_rate * exp_len)
+    sponts = np.zeros(exp_len)
+    if nspont:
+        sp_t = np.random.choice(exp_len, nspont, replace=False)
+        sp_tr = np.random.uniform(tau_r_min, tau_r_max, nspont)
+        sp_td = sp_tr + np.random.uniform(tau_delta_min, tau_delta_max, nspont)
+        sp_w = np.random.uniform(weight_lower, weight_upper, nspont)
+        for s in range(nspont):
+            dt = trange - sp_t[s]
+            dtc = np.maximum(dt, 0.0)
+            ke = (np.exp(-dtc / sp_td[s]) - np.exp(-dtc / sp_tr[s])) * (dt > 0)
+            peak = ke.max()
+            sponts += sp_w[s] * (ke / peak if peak > 0 else ke)
+
+    eps = np.random.normal(0, ar_std, exp_len)
+    ar1 = np.asarray(_ar1_noise(jnp.asarray(eps, dtype=jnp.float32), ar_coef))
+    pscs = pscs_evoked + sponts + ar1
+
+    obs_resps = pscs[stim_times[:, None] + win[None, :]]
+    return {
+        "pscs": pscs,
+        "obs_responses": obs_resps,
+        "true_responses": true_resps,
+        "tars": tars,
+        "stim_times": stim_times,
+        "weights": weights,
+    }
 
 
 def simulate_continuous_experiment(

