@@ -10,3 +10,7 @@ from .cosamp import cosamp
 from .mbcs import mbcs
 
 __all__ = ["caviar", "cavi_sns", "cosamp", "mbcs"]
+
+from .resumable import caviar_resumable  # noqa: E402
+
+__all__.append("caviar_resumable")

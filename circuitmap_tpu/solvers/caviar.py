@@ -299,6 +299,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "spont_orthogonality",
         "analytic_mc",
         "save_histories",
+        "start_iter",
     ),
 )
 def _run_caviar(
@@ -314,8 +315,10 @@ def _run_caviar(
     phi_prior,
     phi_cov_prior,
     key,
+    init_state=None,
     *,
     iters,
+    start_iter=0,
     num_mc_samples,
     minimum_spike_count,
     delay_spont_est,
@@ -344,18 +347,21 @@ def _run_caviar(
     )
 
     K = y.shape[0]
-    init = CaviarState(
-        mu=mu_prior,
-        beta=beta_prior,
-        lam=lam0,
-        shape=shape_prior,
-        rate=rate_prior,
-        phi=phi_prior,
-        phi_cov=phi_cov_prior,
-        z=jnp.zeros(K, dtype=y.dtype),
-        spont_rate=jnp.zeros((), dtype=y.dtype),
-        key=key,
-    )
+    if init_state is None:
+        init = CaviarState(
+            mu=mu_prior,
+            beta=beta_prior,
+            lam=lam0,
+            shape=shape_prior,
+            rate=rate_prior,
+            phi=phi_prior,
+            phi_cov=phi_cov_prior,
+            z=jnp.zeros(K, dtype=y.dtype),
+            spont_rate=jnp.zeros((), dtype=y.dtype),
+            key=key,
+        )
+    else:
+        init = init_state
 
     def step(state, it):
         new = _iteration(state, it, data, hyper, static)
@@ -366,7 +372,7 @@ def _run_caviar(
             hist = None
         return new, hist
 
-    final, hists = lax.scan(step, init, jnp.arange(iters))
+    final, hists = lax.scan(step, init, jnp.arange(start_iter, start_iter + iters))
     return final, hists
 
 

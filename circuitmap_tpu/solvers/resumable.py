@@ -1,0 +1,132 @@
+"""Checkpointable CAVIaR: segment-wise fitting with resume.
+
+The reference has no inference-side resume (SURVEY.md §5) — a preempted
+fit restarts from scratch. Here the CAVI carry is a flat pytree, so the
+fit runs in segments of iterations with the carry checkpointed between
+segments; a restarted process picks up at the last completed segment.
+The segmented run is numerically identical to the single-scan solver
+(the scan consumes explicit iteration indices, so gate delays and
+penalty-shrink budgets line up exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.charge import prepare_observations
+from ..utils.checkpoint import load_state, save_state
+from ._laplace import laplace_phi_update
+from .caviar import CaviarState, _run_caviar, reconnect_from_spontaneous
+
+
+def caviar_resumable(
+    y_psc,
+    stim,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    checkpoint_path,
+    iters=50,
+    checkpoint_every=10,
+    seed=0,
+    y_xcorr_thresh=1e-2,
+    minimum_spike_count=3,
+    delay_spont_est=1,
+    msrmp=0.3,
+    scale_factor=0.75,
+    penalty=5e0,
+    max_backtrack_iters=20,
+    tol=0.05,
+    spont_orthogonality=0.1,
+    fn_scan=True,
+    dtype=jnp.float32,
+    analytic_mc=True,
+    verbose=True,
+):
+    """CAVIaR with periodic state checkpoints + resume.
+
+    If ``checkpoint_path`` exists, resumes from the iteration recorded
+    in it. Returns the same tuple as solvers.caviar (histories None).
+    """
+    if isinstance(y_psc, jax.Array):
+        y_psc = y_psc.astype(dtype)
+    else:
+        y_psc = jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
+    stim_np = np.asarray(stim, dtype=np.float32)
+    powers = jnp.asarray(np.unique(stim_np)[1:], dtype=dtype)
+    stim = jnp.asarray(stim_np, dtype=dtype)
+
+    y, active = prepare_observations(y_psc, y_xcorr_thresh)
+    lam_mask = active.astype(dtype)
+    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+
+    start = 0
+    state = None
+    if os.path.exists(checkpoint_path):
+        ck = load_state(checkpoint_path)
+        start = int(ck.pop("completed_iters"))
+        state = CaviarState(**{
+            k: jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
+            for k, v in ck.items()
+        })
+        if verbose:
+            print(f"Resuming CAVIaR from iteration {start} ({checkpoint_path}).")
+
+    static = dict(
+        num_mc_samples=100,
+        minimum_spike_count=int(minimum_spike_count),
+        delay_spont_est=int(delay_spont_est),
+        msrmp=float(msrmp),
+        scale_factor=float(scale_factor),
+        penalty=float(penalty),
+        max_backtrack_iters=int(max_backtrack_iters),
+        tol=float(tol),
+        spont_orthogonality=float(spont_orthogonality),
+        analytic_mc=bool(analytic_mc),
+        save_histories=False,
+    )
+    priors = (
+        jnp.asarray(mu_prior, dtype),
+        jnp.asarray(beta_prior, dtype),
+        jnp.asarray(shape_prior, dtype),
+        jnp.asarray(rate_prior, dtype),
+        jnp.asarray(phi_prior, dtype),
+        jnp.asarray(phi_cov_prior, dtype),
+    )
+    key = jax.random.PRNGKey(seed)
+
+    while start < iters:
+        seg = min(checkpoint_every, iters - start)
+        state, _ = _run_caviar(
+            y, stim, lam0, lam_mask, powers, *priors, key, state,
+            iters=seg, start_iter=start, **static,
+        )
+        start += seg
+        save_state(checkpoint_path, {**state._asdict(),
+                                     "completed_iters": np.asarray(start)})
+        if verbose:
+            print(f"checkpointed after iteration {start}/{iters}")
+
+    mu, beta, lam, z = state.mu, state.beta, state.lam, state.z
+    phi, phi_cov = state.phi, state.phi_cov
+    if fn_scan:
+        mu, beta, lam, z = reconnect_from_spontaneous(
+            np.asarray(y), stim_np, lam, mu, beta, z,
+            msrmp=msrmp, minimum_spike_count=minimum_spike_count,
+            verbose=verbose,
+        )
+        phi, phi_cov = laplace_phi_update(
+            jnp.asarray(lam, dtype), stim,
+            jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+            powers=powers,
+        )
+
+    return (mu, beta, lam, state.shape, state.rate, phi, phi_cov, z, None,
+            *[None] * 8)
