@@ -51,10 +51,12 @@ class Model:
             "caviar": self._fit_caviar,
             "cavi_sns": self._fit_cavi_sns,
             "mbcs": self._fit_mbcs,
+            "cosamp": self._fit_cosamp,
         }.get(method)
         if runner is None:
             raise ValueError(
-                f"unknown method {method!r}; expected caviar | cavi_sns | mbcs"
+                f"unknown method {method!r}; expected "
+                "caviar | cavi_sns | mbcs | cosamp"
             )
         t0 = time.time()
         runner(obs, stimuli, fit_options)
@@ -127,6 +129,23 @@ class Model:
             n: (np.asarray(h) if h is not None else None)
             for n, h in zip(names, hists)
         }
+
+    def _fit_cosamp(self, obs, stimuli, fit_options):
+        """Greedy CoSaMP baseline on integrated charge.
+
+        The reference README documents ``method='cosamp'`` but its
+        dispatcher never implemented it (reference model.py:36-44
+        raises); provided here: sensing matrix = binary targeting
+        design, measurements = trapezoidal charges.
+        """
+        stim = np.asarray(stimuli, dtype=float)
+        y = np.trapezoid(np.asarray(obs, dtype=float), axis=-1)
+        A = (stim > 0).T.astype(float)
+        k = int(fit_options.pop("k", max(int(0.1 * self.N), 1)))
+        weights, elapsed = solvers.cosamp(A, y, k, **fit_options)
+        self.state.update(mu=weights, lam=np.zeros_like(stim))
+        self.trial_count = stim.shape[1]
+        self.history = {}
 
     def _fit_mbcs(self, obs, stimuli, fit_options):
         result = solvers.mbcs(

@@ -29,3 +29,7 @@ __all__ = [
     "spike_rates_by_power_batched",
     "monotone_decay_filter",
 ]
+
+from .masks import get_mask  # noqa: E402
+
+__all__.append("get_mask")

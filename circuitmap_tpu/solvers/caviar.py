@@ -52,7 +52,7 @@ from jax import lax
 from jax.nn import sigmoid
 
 from ..ops.charge import prepare_observations
-from ..ops.pava import isotonic_fit_at_max
+from ..ops.pava import isotonic_fit_at_max, isotonic_fit_at_max_batched
 from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ._laplace import laplace_phi_update
@@ -148,8 +148,9 @@ def sweep_spikes(
     msrmp_eff,
     minimum_spike_count,
     gate_active,
+    block_size=1,
 ):
-    """Sequential coordinate-ascent sweep over all N spike-posterior rows.
+    """Coordinate-ascent sweep over all N spike-posterior rows.
 
     Per-neuron math matches reference update_lam (caviar.py:190-231):
     the quadratic coupling term uses the running residual
@@ -158,39 +159,105 @@ def sweep_spikes(
     visible to later coordinates but — like the reference (caviar.py:231
     returns only lam) — the swept weights are NOT returned; the next
     blocked weight update re-derives them.
+
+    ``block_size`` > 1 updates that many coordinates per step from the
+    shared block-start residual (Jacobi within a block, Gauss–Seidel
+    across blocks). Neurons only couple through shared trials, and a
+    random block rarely contains co-stimulated pairs, so the fit is
+    essentially unchanged while the sweep gains a ~block_size reduction
+    in sequential-step latency — the dominant cost of a TPU sweep.
+    block_size=1 is exactly the reference's update order.
     """
 
     r = mu @ lam
 
+    if block_size == 1:
+
+        def body(i, carry):
+            lam, mu_s, r = carry
+            n = order[i]
+            stim_n = stim[n]
+            lam_n = lam[n]
+            mu_n = mu_s[n]
+
+            r_excl = r - mu_n * lam_n
+            quad = sig * (
+                -2.0 * y * mu_n + 2.0 * mu_n * r_excl
+                + (mu_n * mu_n + beta[n] * beta[n])
+            )
+            logit_drive = m0[n] * stim_n - m1[n]
+            est = lam_mask * (stim_n > 0) * sigmoid(logit_drive - 0.5 * quad)
+
+            srates = spike_rates_by_power(stim_n, est, powers)
+            ok = (isotonic_fit_at_max(srates) >= msrmp_eff) & (
+                jnp.sum(est) >= minimum_spike_count
+            )
+            gate = jnp.where(gate_active, ok.astype(est.dtype),
+                             jnp.ones((), est.dtype))
+
+            new_lam_n = est * gate
+            new_mu_n = mu_n * gate
+            lam = lam.at[n].set(new_lam_n)
+            mu_s = mu_s.at[n].set(new_mu_n)
+            r = r_excl + new_mu_n * new_lam_n
+            return lam, mu_s, r
+
+        N = lam.shape[0]
+        lam, _, _ = lax.fori_loop(0, N, body, (lam, mu, r))
+        return lam
+
+    # ---- blocked sweep ----
+    N = lam.shape[0]
+    B = block_size
+    n_blocks = -(-N // B)
+    pad = n_blocks * B - N
+    # invalid lanes point one past the end; their writes are dropped
+    order_pad = jnp.concatenate(
+        [order, jnp.full((pad,), N, dtype=order.dtype)]
+    ).reshape(n_blocks, B)
+
+    gate_srates = jax.vmap(spike_rates_by_power, in_axes=(0, 0, None))
+
     def body(i, carry):
         lam, mu_s, r = carry
-        n = order[i]
-        stim_n = stim[n]
-        lam_n = lam[n]
-        mu_n = mu_s[n]
+        idx = order_pad[i]
+        valid = (idx < N).astype(lam.dtype)
+        n = jnp.minimum(idx, N - 1)
 
-        r_excl = r - mu_n * lam_n
+        stim_b = stim[n]            # [B, K]
+        lam_b = lam[n]
+        mu_b = mu_s[n] * valid
+        beta_b = beta[n]
+
+        r_excl = r[None, :] - mu_b[:, None] * lam_b
         quad = sig * (
-            -2.0 * y * mu_n + 2.0 * mu_n * r_excl + (mu_n * mu_n + beta[n] * beta[n])
+            -2.0 * y[None, :] * mu_b[:, None]
+            + 2.0 * mu_b[:, None] * r_excl
+            + (mu_b * mu_b + beta_b * beta_b)[:, None]
         )
-        logit_drive = m0[n] * stim_n - m1[n]
-        est = lam_mask * (stim_n > 0) * sigmoid(logit_drive - 0.5 * quad)
-
-        srates = spike_rates_by_power(stim_n, est, powers)
-        ok = (isotonic_fit_at_max(srates) >= msrmp_eff) & (
-            jnp.sum(est) >= minimum_spike_count
+        est = lam_mask[None, :] * (stim_b > 0) * sigmoid(
+            m0[n][:, None] * stim_b - m1[n][:, None] - 0.5 * quad
         )
-        gate = jnp.where(gate_active, ok.astype(est.dtype), jnp.ones((), est.dtype))
 
-        new_lam_n = est * gate
-        new_mu_n = mu_n * gate
-        lam = lam.at[n].set(new_lam_n)
-        mu_s = mu_s.at[n].set(new_mu_n)
-        r = r_excl + new_mu_n * new_lam_n
+        srates = gate_srates(stim_b, est, powers)          # [B, P]
+        ok = (isotonic_fit_at_max_batched(srates) >= msrmp_eff) & (
+            jnp.sum(est, axis=1) >= minimum_spike_count
+        )
+        gate = jnp.where(gate_active, ok.astype(est.dtype),
+                         jnp.ones((B,), est.dtype))
+
+        new_lam_b = est * gate[:, None]
+        new_mu_b = mu_b * gate
+        write = jnp.minimum(idx, N)  # == idx; out-of-range rows dropped
+        lam = lam.at[write].set(new_lam_b, mode="drop")
+        mu_s = mu_s.at[write].set(new_mu_b, mode="drop")
+        r = r + jnp.sum(
+            valid[:, None] * (new_mu_b[:, None] * new_lam_b - mu_b[:, None] * lam_b),
+            axis=0,
+        )
         return lam, mu_s, r
 
-    N = lam.shape[0]
-    lam, _, _ = lax.fori_loop(0, N, body, (lam, mu, r))
+    lam, _, _ = lax.fori_loop(0, n_blocks, body, (lam, mu, r))
     return lam
 
 
@@ -260,6 +327,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         static["msrmp"] + state.spont_rate,
         static["minimum_spike_count"],
         gate_active=it > static["delay_spont_est"],
+        block_size=static["sweep_block_size"],
     )
 
     shape, rate = update_noise(y, mu, beta, lam, shape_prior, rate_prior)
@@ -300,6 +368,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "analytic_mc",
         "save_histories",
         "start_iter",
+        "sweep_block_size",
     ),
 )
 def _run_caviar(
@@ -330,6 +399,7 @@ def _run_caviar(
     spont_orthogonality,
     analytic_mc,
     save_histories,
+    sweep_block_size=1,
 ):
     data = (y, stim, lam_mask, powers)
     hyper = (mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior)
@@ -344,6 +414,7 @@ def _run_caviar(
         tol=tol,
         spont_orthogonality=spont_orthogonality,
         analytic_mc=analytic_mc,
+        sweep_block_size=sweep_block_size,
     )
 
     K = y.shape[0]
@@ -490,6 +561,7 @@ def caviar(
     fn_scan=True,
     dtype=jnp.float32,
     analytic_mc=True,
+    sweep_block_size=1,
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -517,7 +589,16 @@ def caviar(
         y_psc = jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
     stim_np = np.asarray(stim, dtype=np.float32)
     powers_np = np.unique(stim_np)[1:]
-    stim = jnp.asarray(stim_np, dtype=dtype)
+
+    # stim takes only P+1 distinct values: ship it as int8 bucket indices
+    # (4x less through the tunnel) and reconstruct on device. Falls back
+    # to the dense f32 upload for exotic designs.
+    levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
+    if levels_np.size <= 127:
+        bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
+        stim = jnp.asarray(levels_np, dtype)[jnp.asarray(bucket).astype(jnp.int32)]
+    else:
+        stim = jnp.asarray(stim_np, dtype=dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype)
 
@@ -551,6 +632,7 @@ def caviar(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
+        sweep_block_size=int(sweep_block_size),
     )
 
     mu, beta, lam = final.mu, final.beta, final.lam

@@ -129,3 +129,48 @@ class TestCosamp:
         A = np.eye(4)
         x_hat, _ = cosamp(A, np.zeros(4), 2)
         np.testing.assert_array_equal(x_hat, np.zeros(4))
+
+
+class TestBlockedSweep:
+    def test_blocked_matches_recovery(self, sim):
+        """block_size > 1 must recover the same connectivity."""
+        from circuitmap_tpu.solvers import caviar
+        from circuitmap_tpu.model import default_priors
+
+        p = default_priors(60)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+                p["rate"], p["phi"], p["phi_cov"])
+        kw = dict(iters=25, seed=0, verbose=False, analytic_mc=True)
+        seq = caviar(*args, sweep_block_size=1, **kw)
+        blk = caviar(*args, sweep_block_size=8, **kw)
+        mu_s, mu_b = np.asarray(seq[0]), np.asarray(blk[0])
+        assert r2_score(sim["weights"], mu_b) > 0.8
+        # same support up to at most one borderline cell
+        assert np.sum((mu_s != 0) != (mu_b != 0)) <= 1
+        # agreement on weight values
+        assert r2_score(mu_s, mu_b) > 0.95
+
+    def test_block_size_not_dividing_n(self, sim):
+        from circuitmap_tpu.solvers import caviar
+        from circuitmap_tpu.model import default_priors
+
+        p = default_priors(60)
+        out = caviar(sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                     p["shape"], p["rate"], p["phi"], p["phi_cov"],
+                     iters=4, sweep_block_size=7, verbose=False,
+                     fn_scan=False)
+        assert np.asarray(out[2]).shape == (60, 600)
+
+
+class TestCosampViaModel:
+    def test_model_fit_cosamp(self, sim):
+        model = Model(60)
+        model.fit(sim["psc"], sim["stim_matrix"], method="cosamp",
+                  fit_options={"k": 8})
+        mu = model.state["mu"]
+        assert mu.shape == (60,)
+        assert (mu != 0).sum() <= 8
+        # CoSaMP on charge recovers the strong connections roughly
+        true_top = set(np.argsort(sim["weights"])[-3:])
+        est_top = set(np.argsort(np.abs(mu))[-3:])
+        assert len(true_top & est_top) >= 2
