@@ -55,6 +55,7 @@ from ..ops.charge import prepare_observations
 from ..ops.pava import isotonic_fit_at_max, isotonic_fit_at_max_batched
 from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
+from ..ops.sweep_pallas import sweep_spikes_pallas
 from ._laplace import laplace_phi_update
 
 
@@ -300,7 +301,7 @@ def update_spontaneous(
 
 
 def _iteration(state: CaviarState, it, data, hyper, static):
-    y, stim, lam_mask, powers = data
+    y, stim, lam_mask, powers, _power_counts = data
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior = hyper
 
     mu, beta = update_weights(y, state.lam, state.shape, state.rate, mu_prior, beta_prior)
@@ -312,23 +313,33 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         k_mc, state.phi, state.phi_cov, static["num_mc_samples"], static["analytic_mc"]
     )
     sig = state.shape / state.rate
-    lam = sweep_spikes(
-        y,
-        stim,
-        mu,
-        beta,
-        state.lam,
-        sig,
-        m0,
-        m1,
-        lam_mask,
-        powers,
-        order,
-        static["msrmp"] + state.spont_rate,
-        static["minimum_spike_count"],
-        gate_active=it > static["delay_spont_est"],
-        block_size=static["sweep_block_size"],
-    )
+    impl = static["sweep_impl"]
+    if impl.startswith("pallas"):
+        lam = sweep_spikes_pallas(
+            y, stim, mu, beta, state.lam, sig, m0, m1, lam_mask, powers,
+            data[4], order, static["msrmp"] + state.spont_rate,
+            static["minimum_spike_count"],
+            (it > static["delay_spont_est"]).astype(y.dtype),
+            interpret=(impl == "pallas_interpret"),
+        )
+    else:
+        lam = sweep_spikes(
+            y,
+            stim,
+            mu,
+            beta,
+            state.lam,
+            sig,
+            m0,
+            m1,
+            lam_mask,
+            powers,
+            order,
+            static["msrmp"] + state.spont_rate,
+            static["minimum_spike_count"],
+            gate_active=it > static["delay_spont_est"],
+            block_size=static["sweep_block_size"],
+        )
 
     shape, rate = update_noise(y, mu, beta, lam, shape_prior, rate_prior)
     phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
@@ -369,6 +380,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "save_histories",
         "start_iter",
         "sweep_block_size",
+        "sweep_impl",
     ),
 )
 def _run_caviar(
@@ -400,8 +412,14 @@ def _run_caviar(
     analytic_mc,
     save_histories,
     sweep_block_size=1,
+    sweep_impl="xla",
 ):
-    data = (y, stim, lam_mask, powers)
+    # per-neuron trial counts per power: static across iterations, used
+    # by the pallas sweep's gate (computed once, fused by XLA)
+    power_counts = jnp.sum(
+        stim[:, None, :] == powers[None, :, None], axis=-1
+    ).astype(y.dtype)
+    data = (y, stim, lam_mask, powers, power_counts)
     hyper = (mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior)
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -415,6 +433,7 @@ def _run_caviar(
         spont_orthogonality=spont_orthogonality,
         analytic_mc=analytic_mc,
         sweep_block_size=sweep_block_size,
+        sweep_impl=sweep_impl,
     )
 
     K = y.shape[0]
@@ -536,6 +555,16 @@ def reconnect_from_spontaneous(
 # ---------------------------------------------------------------------------
 
 
+def _resolve_sweep_impl(sweep_impl, block_size):
+    """'auto' -> the Pallas kernel on TPU-class backends, XLA elsewhere."""
+    if sweep_impl != "auto":
+        return sweep_impl
+    if block_size != 1:
+        return "xla"
+    platform = jax.devices()[0].platform
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
 def caviar(
     y_psc,
     stim,
@@ -562,6 +591,7 @@ def caviar(
     dtype=jnp.float32,
     analytic_mc=True,
     sweep_block_size=1,
+    sweep_impl="auto",
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -633,6 +663,7 @@ def caviar(
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
         sweep_block_size=int(sweep_block_size),
+        sweep_impl=_resolve_sweep_impl(sweep_impl, sweep_block_size),
     )
 
     mu, beta, lam = final.mu, final.beta, final.lam

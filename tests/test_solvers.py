@@ -174,3 +174,23 @@ class TestCosampViaModel:
         true_top = set(np.argsort(sim["weights"])[-3:])
         est_top = set(np.argsort(np.abs(mu))[-3:])
         assert len(true_top & est_top) >= 2
+
+
+class TestPallasSweep:
+    def test_interpret_full_fit_matches_xla(self, sim):
+        """The pallas sweep (interpret mode on CPU) must reproduce the
+        XLA sweep through a full fit."""
+        from circuitmap_tpu.solvers import caviar
+        from circuitmap_tpu.model import default_priors
+
+        p = default_priors(60)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+                p["rate"], p["phi"], p["phi_cov"])
+        kw = dict(iters=8, seed=0, verbose=False, analytic_mc=True,
+                  fn_scan=False)
+        ref = caviar(*args, sweep_impl="xla", **kw)
+        pal = caviar(*args, sweep_impl="pallas_interpret", **kw)
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(pal[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(pal[2]),
+                                   rtol=1e-5, atol=1e-6)
