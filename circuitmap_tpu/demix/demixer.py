@@ -116,10 +116,17 @@ class NeuralDemixer:
 
     def __call__(self, traces, monotone_filter_start=500,
                  monotone_filter_inplace=True, verbose=True,
-                 keep_on_device=False):
+                 keep_on_device=False, chunk_size=4096):
         """Demix a trace block. ``keep_on_device=True`` returns a device
         array — use it when the output feeds a solver directly, so the
-        [K, T] block never round-trips through host memory."""
+        [K, T] block never round-trips through host memory.
+
+        Large blocks stream in ``chunk_size`` pieces: JAX's async
+        dispatch overlaps each chunk's host->device transfer with the
+        previous chunk's forward pass, hiding most of the upload time
+        behind compute (the transfer is the dominant cost on a
+        bandwidth-limited link).
+        """
         del monotone_filter_inplace  # functional; kept for API parity
         traces = np.asarray(traces, dtype=np.float32)
         squeeze = traces.ndim == 1
@@ -128,11 +135,24 @@ class NeuralDemixer:
         K, T = traces.shape
 
         t0 = time.time()
-        bucket = _bucket(K)
-        padded = np.zeros((bucket, T), dtype=np.float32)
-        padded[:K] = traces
-        dev = _demix_and_filter(self.params, jnp.asarray(padded),
-                                int(monotone_filter_start))[:K]
+        if K <= chunk_size:
+            bucket = _bucket(K)
+            padded = np.zeros((bucket, T), dtype=np.float32)
+            padded[:K] = traces
+            dev = _demix_and_filter(self.params, jnp.asarray(padded),
+                                    int(monotone_filter_start))[:K]
+        else:
+            chunks = []
+            for k0 in range(0, K, chunk_size):
+                part = traces[k0:k0 + chunk_size]
+                bucket = _bucket(part.shape[0])
+                padded = np.zeros((bucket, T), dtype=np.float32)
+                padded[:part.shape[0]] = part
+                chunks.append(
+                    _demix_and_filter(self.params, jnp.asarray(padded),
+                                      int(monotone_filter_start))[:part.shape[0]]
+                )
+            dev = jnp.concatenate(chunks, axis=0)
         out = dev if keep_on_device else np.asarray(dev)
         if verbose:
             print(f"Demixed {K} traces in {time.time() - t0:.3f}s.")

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
 from ._laplace import laplace_phi_update
-from .caviar import CaviarState, _run_caviar, reconnect_from_spontaneous
+from .caviar import (CaviarState, _run_caviar, _resolve_sweep_impl,
+                     reconnect_from_spontaneous)
 
 
 def caviar_resumable(
@@ -91,6 +92,8 @@ def caviar_resumable(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=False,
+        sweep_block_size=1,
+        sweep_impl=_resolve_sweep_impl("auto", 1),
     )
     priors = (
         jnp.asarray(mu_prior, dtype),

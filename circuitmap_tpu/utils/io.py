@@ -51,3 +51,28 @@ def export_state(out_dir, base_name, state, save_mat=True, save_npz=True):
         np.savez(str(stem), **payload)
         written.append(f"{stem}.npz")
     return written
+
+
+def load_continuous_recording(path, dtype="float32"):
+    """Memory-map a raw binary continuous recording (one float per sample)."""
+    return np.memmap(path, dtype=dtype, mode="r")
+
+
+def window_continuous_recording(timeline, stim_times, pre=100, width=900,
+                                with_charge=False):
+    """Slice a continuous recording into [K, width] response windows.
+
+    Uses the multithreaded native extractor (utils/native) when built —
+    streaming at memory bandwidth for hour-scale recordings — with a
+    numpy fallback. ``with_charge`` also returns per-window trapezoidal
+    charges (the solvers' observation vector) in the same pass.
+    """
+    from . import native
+
+    if with_charge:
+        return native.extract_windows_with_charge(
+            np.asarray(timeline), np.asarray(stim_times), pre, width
+        )
+    return native.extract_windows(
+        np.asarray(timeline), np.asarray(stim_times), pre, width
+    )

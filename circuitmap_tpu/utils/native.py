@@ -1,0 +1,128 @@
+"""ctypes bindings for the native windowing library.
+
+Compiles circuitmap_tpu/native/windowing.cpp on first use (cached next
+to the source) and exposes:
+
+  * extract_windows(timeline, stim_times, pre, width) -> [K, W] f32
+  * trapz_rows(traces) -> [K] f64 charges
+  * extract_windows_with_charge(...) -> (windows, charges)
+
+Every entry point has a numpy fallback (used automatically when no
+compiler is available), so the native path is a pure accelerator.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent.parent / "native" / "windowing.cpp"
+_LIB = _SRC.parent / "libwindowing.so"
+_lib = None
+_load_failed = False
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        str(_SRC), "-o", str(_LIB),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _get_lib():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.cm_extract_windows.argtypes = [
+            f32p, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, f32p,
+        ]
+        lib.cm_trapz_rows.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, f64p]
+        lib.cm_extract_windows_with_charge.argtypes = [
+            f32p, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, f32p, f64p,
+        ]
+        _lib = lib
+    except Exception:
+        _load_failed = True
+    return _lib
+
+
+def _as_f32(a):
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def extract_windows(timeline, stim_times, pre=100, width=900):
+    """[K, W] response windows around stim times; zero-padded at edges."""
+    timeline = _as_f32(timeline)
+    stim_times = np.ascontiguousarray(stim_times, dtype=np.int64)
+    K = stim_times.size
+    lib = _get_lib()
+    if lib is None:
+        return _extract_windows_np(timeline, stim_times, pre, width)
+    out = np.empty((K, width), dtype=np.float32)
+    lib.cm_extract_windows(
+        _ptr(timeline, ctypes.c_float), timeline.size,
+        _ptr(stim_times, ctypes.c_int64), K, pre, width,
+        _ptr(out, ctypes.c_float),
+    )
+    return out
+
+
+def trapz_rows(traces):
+    """Per-row trapezoidal charge of a [K, W] block (f64 accumulate)."""
+    traces = _as_f32(traces)
+    K, W = traces.shape
+    lib = _get_lib()
+    if lib is None:
+        return np.trapezoid(traces.astype(np.float64), axis=-1)
+    out = np.empty(K, dtype=np.float64)
+    lib.cm_trapz_rows(_ptr(traces, ctypes.c_float), K, W,
+                      _ptr(out, ctypes.c_double))
+    return out
+
+
+def extract_windows_with_charge(timeline, stim_times, pre=100, width=900):
+    """Fused windows + charges in one parallel pass."""
+    timeline = _as_f32(timeline)
+    stim_times = np.ascontiguousarray(stim_times, dtype=np.int64)
+    K = stim_times.size
+    lib = _get_lib()
+    if lib is None:
+        w = _extract_windows_np(timeline, stim_times, pre, width)
+        return w, np.trapezoid(w.astype(np.float64), axis=-1)
+    windows = np.empty((K, width), dtype=np.float32)
+    charges = np.empty(K, dtype=np.float64)
+    lib.cm_extract_windows_with_charge(
+        _ptr(timeline, ctypes.c_float), timeline.size,
+        _ptr(stim_times, ctypes.c_int64), K, pre, width,
+        _ptr(windows, ctypes.c_float), _ptr(charges, ctypes.c_double),
+    )
+    return windows, charges
+
+
+def _extract_windows_np(timeline, stim_times, pre, width):
+    T = timeline.size
+    idx = stim_times[:, None] - pre + np.arange(width)[None, :]
+    valid = (idx >= 0) & (idx < T)
+    out = np.where(valid, timeline[np.clip(idx, 0, T - 1)], 0.0)
+    return out.astype(np.float32)
+
+
+def native_available():
+    return _get_lib() is not None

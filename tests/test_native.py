@@ -1,0 +1,55 @@
+"""Native windowing library: parity with numpy + edge handling."""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def timeline(rng):
+    return rng.normal(size=200_000).astype(np.float32)
+
+
+class TestNative:
+    def test_builds(self):
+        assert native.native_available(), "g++ build of windowing.cpp failed"
+
+    def test_windows_match_numpy(self, timeline, rng):
+        stim_times = np.sort(rng.integers(1000, 190_000, size=300)).astype(np.int64)
+        got = native.extract_windows(timeline, stim_times, pre=100, width=900)
+        want = native._extract_windows_np(timeline, stim_times, 100, 900)
+        np.testing.assert_array_equal(got, want)
+
+    def test_edge_padding(self, timeline):
+        stim_times = np.array([10, len(timeline) - 10], dtype=np.int64)
+        w = native.extract_windows(timeline, stim_times, pre=100, width=900)
+        # first window: 90 leading zeros; last window: trailing zeros
+        assert np.all(w[0, :90] == 0.0)
+        np.testing.assert_array_equal(w[0, 90:], timeline[:810])
+        assert np.all(w[1, -(900 - 110):] == 0.0)
+
+    def test_trapz_matches_numpy(self, rng):
+        traces = rng.normal(size=(128, 900)).astype(np.float32)
+        got = native.trapz_rows(traces)
+        want = np.trapezoid(traces.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_fused(self, timeline, rng):
+        stim_times = np.sort(rng.integers(1000, 190_000, size=64)).astype(np.int64)
+        w, c = native.extract_windows_with_charge(timeline, stim_times)
+        np.testing.assert_allclose(
+            c, np.trapezoid(w.astype(np.float64), axis=-1), rtol=1e-6
+        )
+
+    def test_throughput_sanity(self, rng):
+        """Hour-scale recording windowed in well under a second."""
+        import time
+
+        timeline = rng.normal(size=20_000 * 600).astype(np.float32)  # 10 min
+        stim_times = np.arange(2000, timeline.size - 2000, 666, dtype=np.int64)
+        t0 = time.time()
+        w, c = native.extract_windows_with_charge(timeline, stim_times)
+        dt = time.time() - t0
+        assert w.shape[0] == stim_times.size
+        assert dt < 2.0, f"native windowing too slow: {dt:.2f}s"

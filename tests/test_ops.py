@@ -49,7 +49,8 @@ class TestPava:
         y = rng.normal(size=12)
         fit = np.asarray(isotonic_regression(jnp.array(y)))
         assert np.all(np.diff(fit) >= -1e-6)
-        np.testing.assert_allclose(fit.mean(), y.mean(), rtol=1e-6)
+        # atol guard: the mean can land arbitrarily close to zero
+        np.testing.assert_allclose(fit.mean(), y.mean(), rtol=1e-5, atol=1e-7)
 
     def test_idempotent(self, rng):
         y = rng.normal(size=9)
