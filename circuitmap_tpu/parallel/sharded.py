@@ -369,16 +369,17 @@ def caviar_sharded(
     phi, phi_cov = final.phi, final.phi_cov
 
     if fn_scan:
-        mu, beta, lam, z = reconnect_from_spontaneous(
+        mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
             np.asarray(y)[:K], stim_np[:, :K], lam, mu, beta, z,
             msrmp=msrmp, minimum_spike_count=minimum_spike_count, verbose=verbose,
         )
-        from ..solvers._laplace import laplace_phi_update
+        if reconnected:
+            from ..solvers._laplace import laplace_phi_update
 
-        phi, phi_cov = laplace_phi_update(
-            jnp.asarray(lam, dtype), jnp.asarray(stim_np[:, :K], dtype),
-            jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
-            powers=jnp.asarray(powers, dtype),
-        )
+            phi, phi_cov = laplace_phi_update(
+                jnp.asarray(lam, dtype), jnp.asarray(stim_np[:, :K], dtype),
+                jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+                powers=jnp.asarray(powers, dtype),
+            )
 
     return (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None)

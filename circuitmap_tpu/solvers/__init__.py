@@ -14,3 +14,7 @@ __all__ = ["caviar", "cavi_sns", "cosamp", "mbcs"]
 from .resumable import caviar_resumable  # noqa: E402
 
 __all__.append("caviar_resumable")
+
+from .batched import caviar_many  # noqa: E402
+
+__all__.append("caviar_many")

@@ -547,7 +547,7 @@ def reconnect_from_spontaneous(
             lam = np.asarray(lam).copy()
             lam[rows, cols] = 1.0
 
-    return mu, beta, lam, z
+    return mu, beta, lam, z, bool(lam_updates)
 
 
 # ---------------------------------------------------------------------------
@@ -671,7 +671,7 @@ def caviar(
     phi, phi_cov, z = final.phi, final.phi_cov, final.z
 
     if fn_scan:
-        mu, beta, lam, z = reconnect_from_spontaneous(
+        mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
             np.asarray(y),
             stim_np,
             lam,
@@ -682,11 +682,14 @@ def caviar(
             minimum_spike_count=minimum_spike_count,
             verbose=verbose,
         )
-        phi, phi_cov = laplace_phi_update(
-            jnp.asarray(lam, dtype), stim,
-            jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
-            powers=powers,
-        )
+        if reconnected:
+            # only refit the power curves if lam actually changed — the
+            # in-loop update already used this exact lam otherwise
+            phi, phi_cov = laplace_phi_update(
+                jnp.asarray(lam, dtype), stim,
+                jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+                powers=powers,
+            )
 
     if save_histories:
         hist_arrs = [np.asarray(h) for h in hists]

@@ -120,16 +120,17 @@ def caviar_resumable(
     mu, beta, lam, z = state.mu, state.beta, state.lam, state.z
     phi, phi_cov = state.phi, state.phi_cov
     if fn_scan:
-        mu, beta, lam, z = reconnect_from_spontaneous(
+        mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
             np.asarray(y), stim_np, lam, mu, beta, z,
             msrmp=msrmp, minimum_spike_count=minimum_spike_count,
             verbose=verbose,
         )
-        phi, phi_cov = laplace_phi_update(
-            jnp.asarray(lam, dtype), stim,
-            jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
-            powers=powers,
-        )
+        if reconnected:
+            phi, phi_cov = laplace_phi_update(
+                jnp.asarray(lam, dtype), stim,
+                jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+                powers=powers,
+            )
 
     return (mu, beta, lam, state.shape, state.rate, phi, phi_cov, z, None,
             *[None] * 8)

@@ -1,0 +1,56 @@
+"""Batched multi-experiment fitting must match individual fits."""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.model import default_priors
+from circuitmap_tpu.simulation import simulate
+from circuitmap_tpu.solvers import caviar, caviar_many
+from circuitmap_tpu.utils.metrics import r2_score
+
+
+@pytest.fixture(scope="module")
+def sims():
+    out = []
+    for seed in (31, 32, 33):
+        np.random.seed(seed)
+        # enough connections (~5) that one borderline miss can't dominate
+        # the recovery metric on these deliberately tiny maps
+        out.append(simulate(N=24, trials=240, H=3, connection_prob=0.2,
+                            spont_prob=0.01, gp_scale=1e-3, verbose=False))
+    return out
+
+
+def test_matches_individual_fits(sims):
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+    kw = dict(iters=10, fn_scan=False, analytic_mc=True)
+
+    batch = caviar_many(
+        np.stack([s["psc"] for s in sims]),
+        np.stack([s["stim_matrix"] for s in sims]),
+        *prior_args, seeds=[0, 1, 2], verbose=False, **kw,
+    )
+    for b, s in enumerate(sims):
+        single = caviar(s["psc"], s["stim_matrix"], *prior_args, seed=b,
+                        verbose=False, sweep_impl="xla", **kw)
+        np.testing.assert_allclose(np.asarray(single[0]), batch[b]["mu"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(single[2]), batch[b]["lam"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_recovery_per_map(sims):
+    # 12 iterations: small maps (N=24, 240 trials) are converged by then;
+    # longer runs can over-prune borderline cells on this little data
+    # (reference-faithful behaviour, see test_sharded.py fixture note)
+    p = default_priors(24)
+    batch = caviar_many(
+        np.stack([s["psc"] for s in sims]),
+        np.stack([s["stim_matrix"] for s in sims]),
+        p["mu"], p["beta"], p["shape"], p["rate"], p["phi"], p["phi_cov"],
+        iters=12, verbose=False,
+    )
+    for b, s in enumerate(sims):
+        assert r2_score(s["weights"], batch[b]["mu"]) > 0.7
