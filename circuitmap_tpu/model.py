@@ -66,17 +66,20 @@ class Model:
     # -- per-solver adapters ----------------------------------------------
 
     def _fit_caviar(self, obs, stimuli, fit_options):
-        result = solvers.caviar(
-            obs,
-            stimuli,
-            self.state["mu"],
-            self.state["beta"],
-            self.state["shape"],
-            self.state["rate"],
-            self.state["phi"],
-            self.state["phi_cov"],
-            **fit_options,
-        )
+        mesh = fit_options.pop("mesh", None)
+        if mesh is not None:
+            # trial-sharded fit over a device mesh (histories unsupported)
+            from .parallel import caviar_sharded
+
+            fit_options.pop("save_histories", None)
+            result = caviar_sharded(
+                obs, stimuli, self.state["mu"], self.state["beta"],
+                self.state["shape"], self.state["rate"], self.state["phi"],
+                self.state["phi_cov"], mesh=mesh, **fit_options,
+            )
+            result = (*result, *[None] * 8)
+        else:
+            result = self._run_caviar_local(obs, stimuli, fit_options)
         (mu, beta, lam, shape, rate, phi, phi_cov, z, receptive_fields,
          *hists) = result
 
@@ -97,6 +100,19 @@ class Model:
             n: (np.asarray(h) if h is not None else None)
             for n, h in zip(names, hists)
         }
+
+    def _run_caviar_local(self, obs, stimuli, fit_options):
+        return solvers.caviar(
+            obs,
+            stimuli,
+            self.state["mu"],
+            self.state["beta"],
+            self.state["shape"],
+            self.state["rate"],
+            self.state["phi"],
+            self.state["phi_cov"],
+            **fit_options,
+        )
 
     def _fit_cavi_sns(self, obs, stimuli, fit_options):
         result = solvers.cavi_sns(

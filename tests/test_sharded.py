@@ -102,3 +102,16 @@ class TestSweep:
 
         saved = json.load(open(tmp_path / "sweep.json"))
         assert len(saved) == 3
+
+
+class TestModelMeshDispatch:
+    def test_fit_with_mesh(self, sim, mesh8):
+        from circuitmap_tpu.model import Model
+
+        model = Model(40)
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"mesh": mesh8, "iters": 6, "verbose": False,
+                               "analytic_mc": True})
+        assert model.state["lam"].shape == (40, 501)
+        assert model.state["mu"].shape == (40,)
+        assert model.trial_count == 501
