@@ -63,8 +63,10 @@ void cm_extract_windows(const float* timeline, int64_t T,
     parallel_for(K, [&](long k) {
         const int64_t start = stim_times[k] - pre;
         float* dst = out_windows + k * W;
-        const int64_t lo = std::max<int64_t>(0, -start);
-        const int64_t hi = std::min<int64_t>(W, T - start);
+        // clamp both bounds to [0, W]: a stim time far before the
+        // recording start would otherwise zero-fill past the row end
+        const int64_t lo = std::min<int64_t>(W, std::max<int64_t>(0, -start));
+        const int64_t hi = std::min<int64_t>(W, std::max<int64_t>(0, T - start));
         for (int64_t j = 0; j < lo; ++j) dst[j] = 0.0f;
         for (int64_t j = std::max<int64_t>(lo, 0); j < hi; ++j)
             dst[j] = timeline[start + j];
@@ -92,8 +94,8 @@ void cm_extract_windows_with_charge(const float* timeline, int64_t T,
     parallel_for(K, [&](long k) {
         const int64_t start = stim_times[k] - pre;
         float* dst = out_windows + k * W;
-        const int64_t lo = std::max<int64_t>(0, -start);
-        const int64_t hi = std::min<int64_t>(W, T - start);
+        const int64_t lo = std::min<int64_t>(W, std::max<int64_t>(0, -start));
+        const int64_t hi = std::min<int64_t>(W, std::max<int64_t>(0, T - start));
         for (int64_t j = 0; j < lo; ++j) dst[j] = 0.0f;
         for (int64_t j = std::max<int64_t>(lo, 0); j < hi; ++j)
             dst[j] = timeline[start + j];

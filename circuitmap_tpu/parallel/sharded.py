@@ -39,6 +39,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.charge import prepare_observations
 from ..ops.pava import isotonic_fit_at_max
+from ..solvers._common import prepare_stim
 from ..solvers._laplace import laplace_from_stats
 from ..solvers.caviar import (
     CaviarState,
@@ -318,7 +319,7 @@ def caviar_sharded(
     valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
 
     y_psc = jnp.asarray(y_psc, dtype=dtype)
-    stim_j = jnp.asarray(stim_np, dtype=dtype)
+    stim_j, stim_np, _ = prepare_stim(stim_np, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask

@@ -59,12 +59,15 @@ def caviar_many(
     stims_np = np.asarray(stims, dtype=np.float32)
     B, K, _T = y_pscs.shape
 
-    levels = np.unique(stims_np)
-    powers_np = levels[levels > 0]
-    for b in range(B):
-        lv = np.unique(stims_np[b])
-        if not np.all(np.isin(lv, levels)):
-            raise ValueError("all experiments must share power levels")
+    levels0 = np.unique(stims_np[0])
+    powers_np = levels0[levels0 > 0]
+    for b in range(1, B):
+        if not np.array_equal(np.unique(stims_np[b]), levels0):
+            raise ValueError(
+                "all experiments must share the same power levels: "
+                f"experiment {b} has {np.unique(stims_np[b])}, "
+                f"experiment 0 has {levels0}"
+            )
 
     if verbose:
         print(f"Running CAVIaR on {B} experiments in one vmapped program.")

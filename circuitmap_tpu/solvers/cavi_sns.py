@@ -26,6 +26,7 @@ from jax.nn import sigmoid
 
 from ..ops.charge import integrated_charge
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
+from ._common import prepare_stim, prepare_traces
 from ._laplace import laplace_phi_update
 
 EPS = 1e-10
@@ -248,19 +249,8 @@ def cavi_sns(
     if verbose:
         print("Running CAVI-SnS (TPU-native).")
 
-    if isinstance(y_psc, jax.Array):
-        y_psc = y_psc.astype(dtype)
-    else:
-        y_psc = jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
-    stim_np = np.asarray(stim, dtype=np.float32)
-    powers_np = np.unique(stim_np)[1:]
-    # ship stim as int8 bucket indices when possible (see solvers/caviar.py)
-    levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
-    if levels_np.size <= 127:
-        bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
-        stim = jnp.asarray(levels_np, dtype)[jnp.asarray(bucket).astype(jnp.int32)]
-    else:
-        stim = jnp.asarray(stim_np, dtype=dtype)
+    y_psc = prepare_traces(y_psc, dtype)
+    stim, stim_np, powers_np = prepare_stim(stim, dtype)
     y = integrated_charge(y_psc)
     K = y.shape[0]
     lam_mask = jnp.ones(K, dtype=dtype)

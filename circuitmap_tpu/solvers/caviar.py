@@ -56,6 +56,7 @@ from ..ops.pava import isotonic_fit_at_max, isotonic_fit_at_max_batched
 from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ..ops.sweep_pallas import sweep_spikes_pallas
+from ._common import prepare_stim, prepare_traces
 from ._laplace import laplace_phi_update
 
 
@@ -609,26 +610,8 @@ def caviar(
     if verbose:
         print("Running CAVIaR (TPU-native).")
 
-    # host-side f32 cast + power levels before anything touches the
-    # device: halves the transfer and avoids a device->host round trip
-    # for np.unique (both matter on a tunneled TPU). Traces already on
-    # device (e.g. straight from the demixer) are used as-is.
-    if isinstance(y_psc, jax.Array):
-        y_psc = y_psc.astype(dtype)
-    else:
-        y_psc = jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
-    stim_np = np.asarray(stim, dtype=np.float32)
-    powers_np = np.unique(stim_np)[1:]
-
-    # stim takes only P+1 distinct values: ship it as int8 bucket indices
-    # (4x less through the tunnel) and reconstruct on device. Falls back
-    # to the dense f32 upload for exotic designs.
-    levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
-    if levels_np.size <= 127:
-        bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
-        stim = jnp.asarray(levels_np, dtype)[jnp.asarray(bucket).astype(jnp.int32)]
-    else:
-        stim = jnp.asarray(stim_np, dtype=dtype)
+    y_psc = prepare_traces(y_psc, dtype)
+    stim, stim_np, powers_np = prepare_stim(stim, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype)
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
+from ._common import prepare_stim, prepare_traces
 from ._laplace import laplace_phi_update
 from .caviar import (CaviarState, _run_caviar, _resolve_sweep_impl,
                      reconnect_from_spontaneous)
@@ -56,13 +57,12 @@ def caviar_resumable(
     If ``checkpoint_path`` exists, resumes from the iteration recorded
     in it. Returns the same tuple as solvers.caviar (histories None).
     """
-    if isinstance(y_psc, jax.Array):
-        y_psc = y_psc.astype(dtype)
-    else:
-        y_psc = jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
-    stim_np = np.asarray(stim, dtype=np.float32)
-    powers = jnp.asarray(np.unique(stim_np)[1:], dtype=dtype)
-    stim = jnp.asarray(stim_np, dtype=dtype)
+    # np.savez appends .npz; normalise so the resume check finds the file
+    if not str(checkpoint_path).endswith(".npz"):
+        checkpoint_path = str(checkpoint_path) + ".npz"
+    y_psc = prepare_traces(y_psc, dtype)
+    stim, stim_np, powers_np = prepare_stim(stim, dtype)
+    powers = jnp.asarray(powers_np, dtype=dtype)
 
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype)

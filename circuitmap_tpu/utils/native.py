@@ -38,7 +38,13 @@ def _get_lib():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # rebuild when the source is newer; a prebuilt .so without the
+        # source alongside (e.g. a binary install) is used as-is
+        stale = (
+            not _LIB.exists()
+            or (_SRC.exists() and _LIB.stat().st_mtime < _SRC.stat().st_mtime)
+        )
+        if stale:
             _build()
         lib = ctypes.CDLL(str(_LIB))
         i64p = ctypes.POINTER(ctypes.c_int64)

@@ -8,6 +8,9 @@ setup(
         "inference for holographic ensemble stimulation"
     ),
     packages=find_packages(exclude=("tests",)),
+    package_data={
+        "circuitmap_tpu.native": ["*.cpp", "*.so"],
+    },
     python_requires=">=3.10",
     install_requires=[
         "numpy>=1.24",

@@ -54,3 +54,13 @@ def test_recovery_per_map(sims):
     )
     for b, s in enumerate(sims):
         assert r2_score(s["weights"], batch[b]["mu"]) > 0.7
+
+
+def test_mismatched_power_levels_rejected(sims):
+    p = default_priors(24)
+    stims = np.stack([s["stim_matrix"] for s in sims])
+    stims[1] = stims[1] * 2.0  # different power levels
+    with pytest.raises(ValueError, match="share the same power levels"):
+        caviar_many(np.stack([s["psc"] for s in sims]), stims,
+                    p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                    p["phi_cov"], iters=2, verbose=False)

@@ -53,3 +53,14 @@ class TestNative:
         dt = time.time() - t0
         assert w.shape[0] == stim_times.size
         assert dt < 2.0, f"native windowing too slow: {dt:.2f}s"
+
+
+class TestEdgeCases:
+    def test_far_out_of_range_stim_times(self, timeline):
+        """Stim times far outside the recording must zero-fill, not
+        overflow (regression: unclamped leading-fill wrote past the row)."""
+        stim_times = np.array([-1500, len(timeline) + 1500], dtype=np.int64)
+        w = native.extract_windows(timeline, stim_times, pre=100, width=900)
+        assert np.all(w == 0.0)
+        w2, c = native.extract_windows_with_charge(timeline, stim_times)
+        assert np.all(w2 == 0.0) and np.all(c == 0.0)

@@ -44,3 +44,19 @@ def test_resume_from_partial(sim, tmp_path):
     single = caviar(*_args(sim), iters=12, **kw)
     np.testing.assert_allclose(np.asarray(single[0]), np.asarray(resumed[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_resume_without_npz_suffix(sim, tmp_path):
+    """Suffix-less checkpoint paths must still resume (np.savez appends
+    .npz; regression: the resume check looked for the bare path)."""
+    kw = dict(seed=3, verbose=False, fn_scan=False, analytic_mc=True)
+    ck = str(tmp_path / "fit_ckpt")  # no .npz
+    caviar_resumable(*_args(sim), checkpoint_path=ck, iters=5,
+                     checkpoint_every=5, **kw)
+    import os
+    assert os.path.exists(ck + ".npz")
+    resumed = caviar_resumable(*_args(sim), checkpoint_path=ck, iters=12,
+                               checkpoint_every=5, **kw)
+    single = caviar(*_args(sim), iters=12, **kw)
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(resumed[0]),
+                               rtol=1e-5, atol=1e-6)
