@@ -340,34 +340,34 @@ def simulate(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
 def _ar1_noise(eps, coef):
-    """x[t] = coef * x[t-1] + eps[t] as a parallel associative scan.
+    """x[t] = coef * x[t-1] + eps[t].
 
-    First-order linear recurrence: elements (a, b) compose as
-    (a1*a2, a2*b1 + b2). Replaces the reference's per-sample Python loop
-    over the full 20 kHz timeline (simulation.py:466-471).
+    A first-order linear recurrence == an IIR filter; scipy's lfilter
+    evaluates it in one C pass over the timeline (the reference loops in
+    Python per 20 kHz sample, simulation.py:466-471). Host by design —
+    see _timeline_fft_conv.
     """
-    a = jnp.full_like(eps, coef).at[0].set(1.0)
+    from scipy.signal import lfilter
 
-    def combine(x, y):
-        return (x[0] * y[0], x[1] * y[0] + y[1])
-
-    _, x = jax.lax.associative_scan(combine, (a, eps))
-    return x
+    return lfilter([1.0], [1.0, -float(coef)], np.asarray(eps))
 
 
-@partial(jax.jit, static_argnames=("expt_len",))
 def _timeline_fft_conv(impulses, kernels, expt_len):
     """Sum over neurons of (impulse train * kernel) via batched rFFT.
 
     impulses: [n, expt_len]; kernels: [n, W]. Linear convolution realised
     by zero-padding to expt_len + W; result truncated to expt_len.
+
+    Host numpy by design: this is data *generation*, the timelines are
+    tens of millions of samples, and host FFT keeps the simulator
+    independent of accelerator compile paths (very large FFTs trip the
+    axon remote-compile helper).
     """
     W = kernels.shape[1]
     L = expt_len + W
-    F = jnp.fft.rfft(impulses, n=L) * jnp.fft.rfft(kernels, n=L)
-    out = jnp.fft.irfft(jnp.sum(F, axis=0), n=L)
+    F = np.fft.rfft(impulses, n=L) * np.fft.rfft(kernels, n=L)
+    out = np.fft.irfft(np.sum(F, axis=0), n=L)
     return out[:expt_len]
 
 
@@ -474,7 +474,7 @@ def simulate_continuous_experiment_without_spike_failures(
             sponts += sp_w[s] * (ke / peak if peak > 0 else ke)
 
     eps = np.random.normal(0, ar_std, exp_len)
-    ar1 = np.asarray(_ar1_noise(jnp.asarray(eps, dtype=jnp.float32), ar_coef))
+    ar1 = _ar1_noise(eps, ar_coef)
     pscs = pscs_evoked + sponts + ar1
 
     obs_resps = pscs[stim_times[:, None] + win[None, :]]
@@ -604,12 +604,8 @@ def simulate_continuous_experiment(
     pscs = np.zeros(expt_len)
     nb = 8
     for i0 in range(0, len(connected), nb):
-        pscs += np.asarray(
-            _timeline_fft_conv(
-                jnp.asarray(impulses[i0:i0 + nb], dtype=jnp.float32),
-                jnp.asarray(kernels_c[i0:i0 + nb], dtype=jnp.float32),
-                expt_len,
-            )
+        pscs += _timeline_fft_conv(
+            impulses[i0:i0 + nb], kernels_c[i0:i0 + nb], expt_len
         )
 
     # --- ground-truth per-stim responses ---
@@ -660,7 +656,7 @@ def simulate_continuous_experiment(
 
     # --- AR(1) noise (device associative scan) ---
     eps = np.random.normal(0, ar_std, expt_len)
-    ar1 = np.asarray(_ar1_noise(jnp.asarray(eps, dtype=jnp.float32), ar_coef))
+    ar1 = _ar1_noise(eps, ar_coef)
 
     pscs = pscs + sponts + ar1
 
