@@ -38,10 +38,13 @@ def main():
         batch_size=1000,
     )
 
-    ckpt = "/root/reference/demixers/nwd_ie_ChroME2f.ckpt"
-    demixer = (
-        NeuralDemixer(path=ckpt) if os.path.exists(ckpt) else NeuralDemixer()
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "demixers", "nwd_ie_ChroME2f.npz"),  # repo zoo
+        "/root/reference/demixers/nwd_ie_ChroME2f.ckpt",
+    ]
+    ckpt = next((c for c in candidates if os.path.exists(c)), None)
+    demixer = NeuralDemixer(path=ckpt) if ckpt else NeuralDemixer()
 
     priors = default_priors(N)
 

@@ -18,8 +18,6 @@ linear interpolation. Data layout is NCH throughout.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -2,16 +2,18 @@
 
 Production mapping sessions produce stacks of same-shaped problems —
 cross-validation folds, repeated maps of the same field of view,
-parameter sweeps. Fitting them one at a time leaves the chip idle
-between small kernels; ``caviar_many`` vmaps the entire fused CAVI scan
-over the experiment axis, so B fits cost barely more wall-clock than
-one. (The reference's answer to this workload is a SLURM job array —
-one process per fit.)
+parameter sweeps. ``caviar_many`` vmaps the entire fused CAVI scan over
+the experiment axis: one compile, one dispatch, B posteriors. (The
+reference's answer to this workload is a SLURM job array — one process
+per fit.)
 
 Constraints: all experiments share trace/stim shapes and the same set
 of stimulation power levels (the common case: one rig configuration).
 The XLA sweep implementation is used (the Pallas kernel does not define
-a batching rule).
+a batching rule) — so on TPU, where the Pallas sweep makes a single fit
+very fast, sequential fits are competitive (measured: 0.8 s/map batched
+vs 0.5 s/map sequential at N=300/K=2000); the batched path wins on
+dispatch-bound hosts and for orchestration simplicity.
 """
 
 from __future__ import annotations
