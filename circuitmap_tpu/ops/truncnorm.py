@@ -25,10 +25,19 @@ def sample_truncated_normal(key, mean, sd, num_samples: int):
     Mirrors the reference estimator (caviar.py:209-212): note the
     reference uses the *covariance diagonal* directly as the scale, a
     behaviour callers preserve for parity.
+
+    The CDF argument is clamped away from {0, 1}: in float32,
+    ``a + u * (1 - a)`` can round to exactly 1.0 for u near 1 (and to
+    0.0 for a = u = 0), where ndtri returns +/-inf and a single infinite
+    sample poisons the whole fit through inf * 0 = nan. (The reference
+    is shielded only by running in float64.)
     """
     a = ndtr(-mean / sd)
     u = jax.random.uniform(key, (num_samples,) + mean.shape, dtype=mean.dtype)
-    return ndtri(a + u * (1.0 - a)) * sd + mean
+    q = a + u * (1.0 - a)
+    eps = jnp.finfo(mean.dtype).epsneg
+    q = jnp.clip(q, eps, 1.0 - eps)
+    return ndtri(q) * sd + mean
 
 
 def truncated_normal_mean(mean, sd):

@@ -297,7 +297,7 @@ def caviar_sharded(
     spont_orthogonality=0.1,
     fn_scan=True,
     dtype=jnp.float32,
-    analytic_mc=True,
+    analytic_mc=False,
     verbose=True,
 ):
     """Fit CAVIaR with the trial axis sharded over ``mesh``.

@@ -49,7 +49,7 @@ def caviar_many(
     spont_orthogonality=0.1,
     fn_scan=True,
     dtype=jnp.float32,
-    analytic_mc=True,
+    analytic_mc=False,
     verbose=True,
 ):
     """Fit B experiments at once. y_pscs: [B, K, T]; stims: [B, N, K].

@@ -237,7 +237,7 @@ def cavi_sns(
     minimum_spike_count=3,
     save_histories=True,
     dtype=jnp.float32,
-    analytic_mc=True,
+    analytic_mc=False,
     verbose=True,
 ):
     """Fit CAVI-SnS. Signature/return layout mirror reference cavi_sns.py:17-85.

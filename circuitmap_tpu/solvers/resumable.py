@@ -49,7 +49,7 @@ def caviar_resumable(
     spont_orthogonality=0.1,
     fn_scan=True,
     dtype=jnp.float32,
-    analytic_mc=True,
+    analytic_mc=False,
     verbose=True,
 ):
     """CAVIaR with periodic state checkpoints + resume.
