@@ -86,6 +86,31 @@ def _train_step(params, opt_state, x, y, lr):
 
 
 @jax.jit
+def _train_epoch(params, xs, ys, lr):
+    """A whole epoch as one compiled scan over stacked minibatches.
+
+    xs, ys: [steps, batch, T]. One device dispatch per epoch instead of
+    one per minibatch — on a dispatch-costly link (tunneled TPU) this is
+    the difference between training being host-bound or device-bound.
+    """
+
+    def step(params, batch):
+        x, y = batch
+
+        def loss_fn(p):
+            pred, stats = nwd_unet_forward(p, x[:, None, :], train=True)
+            return jnp.mean(jnp.square(pred[:, 0, :] - y)), stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        params = update_running_stats(params, stats)
+        return params, loss
+
+    params, losses = jax.lax.scan(step, params, (xs, ys))
+    return params, jnp.mean(losses)
+
+
+@jax.jit
 def _eval_loss(params, x, y):
     pred = nwd_unet_forward(params, x[:, None, :])
     return jnp.mean(jnp.square(pred[:, 0, :] - y))
@@ -202,14 +227,12 @@ class NeuralDemixer:
         history = []
         for epoch in range(epochs):
             perm = rng.permutation(n)[: steps * batch_size].reshape(steps, batch_size)
-            epoch_loss = 0.0
-            for idx in perm:
-                self.params, _, loss = _train_step(
-                    self.params, None, x_tr[idx], y_tr[idx], lr
-                )
-                epoch_loss += float(loss)
+            # whole epoch in one compiled scan: one dispatch per epoch
+            self.params, mean_loss = _train_epoch(
+                self.params, x_tr[perm], y_tr[perm], lr
+            )
             val = float(_eval_loss(self.params, x_te, y_te)) if x_te.shape[0] else 0.0
-            history.append({"epoch": epoch, "train_loss": epoch_loss / steps,
+            history.append({"epoch": epoch, "train_loss": float(mean_loss),
                             "val_loss": val})
             if verbose and (epoch % max(epochs // 10, 1) == 0 or epoch == epochs - 1):
                 print(f"epoch {epoch}: train={epoch_loss / steps:.5f} val={val:.5f}")
