@@ -1,0 +1,77 @@
+"""Robustness: degenerate experiment shapes the field actually produces."""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.model import Model, default_priors
+from circuitmap_tpu.simulation import simulate
+from circuitmap_tpu.solvers import caviar
+
+
+class TestSinglePower:
+    def test_one_power_level(self):
+        """Single-power experiments (common in quick mapping): P=1 makes
+        the PAVA gate a single-bucket mean."""
+        np.random.seed(1)
+        sim = simulate(N=20, trials=150, H=3, powers=[50], spont_prob=0.0,
+                       gp_scale=1e-3, connection_prob=0.2, verbose=False)
+        model = Model(20)
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"iters": 10, "verbose": False})
+        assert model.state["lam"].shape == (20, 150)
+        assert np.all(np.isfinite(model.state["mu"]))
+        # with one power the opsin curve is weakly identified, so weak
+        # cells can gate off; the strong connections must still be found
+        true = np.flatnonzero(sim["weights"])
+        strong = true[np.argsort(sim["weights"][true])[-2:]]
+        est = set(np.flatnonzero(model.state["mu"]))
+        assert set(strong) <= est
+
+
+class TestTinyProblems:
+    def test_fewer_trials_than_neurons(self):
+        np.random.seed(2)
+        sim = simulate(N=30, trials=20, H=3, spont_prob=0.0, verbose=False)
+        model = Model(30)
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"iters": 5, "verbose": False, "fn_scan": False})
+        assert np.all(np.isfinite(model.state["mu"]))
+
+    def test_single_neuron(self):
+        np.random.seed(3)
+        sim = simulate(N=1, trials=60, H=1, connection_prob=1.0,
+                       weights=np.array([15.0]), spont_prob=0.0, verbose=False)
+        model = Model(1)
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"iters": 10, "verbose": False})
+        assert model.state["mu"].shape == (1,)
+        assert model.state["mu"][0] > 0
+
+
+class TestDegenerateTraces:
+    def test_all_zero_traces(self):
+        """No signal at all: everything should gate off, nothing nan."""
+        N, K = 10, 80
+        np.random.seed(4)
+        stim = (np.random.rand(N, K) > 0.8) * 45.0
+        psc = np.zeros((K, 900))
+        p = default_priors(N)
+        out = caviar(psc, stim, p["mu"], p["beta"], p["shape"], p["rate"],
+                     p["phi"], p["phi_cov"], iters=5, verbose=False,
+                     fn_scan=False)
+        mu = np.asarray(out[0])
+        assert np.all(np.isfinite(mu))
+        assert np.all(np.asarray(out[2]) == 0.0)  # activity mask kills all
+
+    def test_untargeted_trials_mixed_in(self):
+        """Trials where nothing was stimulated must not break anything."""
+        np.random.seed(5)
+        sim = simulate(N=15, trials=100, H=3, spont_prob=0.0, verbose=False)
+        stim = np.asarray(sim["stim_matrix"]).copy()
+        stim[:, ::7] = 0.0  # blank out every 7th trial
+        model = Model(15)
+        model.fit(sim["psc"], stim, method="caviar",
+                  fit_options={"iters": 5, "verbose": False, "fn_scan": False})
+        lam = model.state["lam"]
+        assert np.all(lam[:, ::7] == 0.0)
+        assert np.all(np.isfinite(model.state["mu"]))
