@@ -50,9 +50,18 @@ def powercurve_stats(lam, stim, powers):
     are the only cross-device reductions the phi update needs.
     """
     levels = jnp.concatenate([jnp.zeros((1,), powers.dtype), powers])  # [P+1]
-    onehot = (stim[:, None, :] == levels[None, :, None]).astype(lam.dtype)
-    S = jnp.einsum("npk,nk->np", onehot, lam)
-    C = jnp.sum(onehot, axis=-1)
+    # one fused masked reduction per level: avoids materialising the
+    # [N, P+1, K] one-hot tensor (320 MB of traffic at N=1000, K=20000)
+    S = jnp.stack(
+        [jnp.sum(jnp.where(stim == levels[p], lam, 0.0), axis=-1)
+         for p in range(levels.shape[0])],
+        axis=1,
+    )
+    C = jnp.stack(
+        [jnp.sum((stim == levels[p]).astype(lam.dtype), axis=-1)
+         for p in range(levels.shape[0])],
+        axis=1,
+    )
     return S, C, levels
 
 
