@@ -1,0 +1,137 @@
+"""Batched PSC-template fitting: extract kernel parameters from data.
+
+The reference demonstrates extracting PSC template parameters (rise
+time, decay, onset, amplitude) from recorded traces by scipy-minimising
+a sum-of-templates model one trace at a time
+(examples/fit_sum_of_psc_templates.ipynb) — the parameters then
+calibrate the NWD training-data simulator to a particular preparation.
+
+Here the same model is fitted to EVERY trace simultaneously: one
+vmapped Adam optimisation inside a single ``lax.scan``, positivity via
+softplus reparameterisation. A helper converts the fitted population
+into the tau ranges ``generate_psc_dataset`` consumes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def sum_of_psc_templates(timepoints, tau_r, tau_diff, amp, onset):
+    """Sum of bi-exponential PSC kernels. Each param: [n_kernels]."""
+    dt = timepoints[None, :] - onset[:, None]
+    dtc = jnp.maximum(dt, 0.0)
+    tau_d = tau_r + tau_diff
+    ke = (jnp.exp(-dtc / tau_d[:, None]) - jnp.exp(-dtc / tau_r[:, None])) * (
+        dt > 0
+    )
+    return jnp.sum(amp[:, None] * ke, axis=0)
+
+
+def _unpack(raw):
+    """Softplus-positive parameters from unconstrained optimisation vars."""
+    tau_r = jax.nn.softplus(raw[:, 0]) + 0.05
+    tau_diff = jax.nn.softplus(raw[:, 1]) + 0.05
+    amp = jax.nn.softplus(raw[:, 2])
+    onset = raw[:, 3]
+    return tau_r, tau_diff, amp, onset
+
+
+@partial(jax.jit, static_argnames=("n_kernels", "steps"))
+def _fit_batch(traces, timepoints, init_raw, n_kernels, steps, lr):
+    """Adam on the template MSE, vmapped over traces, scanned over steps."""
+
+    def loss_one(raw, trace):
+        tau_r, tau_diff, amp, onset = _unpack(raw)
+        model = sum_of_psc_templates(timepoints, tau_r, tau_diff, amp, onset)
+        return jnp.mean(jnp.square(model - trace))
+
+    grad_one = jax.grad(loss_one)
+
+    def step(carry, _):
+        raw, m, v, t = carry
+        g = jax.vmap(grad_one)(raw, traces)
+        t = t + 1.0
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1.0 - 0.9**t)
+        vhat = v / (1.0 - 0.999**t)
+        raw = raw - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (raw, m, v, t), None
+
+    init = (init_raw, jnp.zeros_like(init_raw), jnp.zeros_like(init_raw),
+            jnp.asarray(0.0, traces.dtype))
+    (raw, _, _, _), _ = jax.lax.scan(step, init, None, length=steps)
+    final_loss = jax.vmap(loss_one)(raw, traces)
+    return raw, final_loss
+
+
+def fit_psc_templates(traces, timepoints=None, n_kernels=10, steps=800,
+                      lr=0.05, seed=0):
+    """Fit a sum of ``n_kernels`` PSC templates to each trace.
+
+    traces: [K, T] (units arbitrary); timepoints defaults to
+    ``linspace(-5, 40, T)`` ms as in the reference notebook. Returns a
+    dict with per-trace parameter arrays [K, n_kernels]
+    (tau_r / tau_diff / amp / onset, ms), the reconstruction [K, T],
+    and per-trace fit R².
+    """
+    traces = jnp.asarray(np.asarray(traces, dtype=np.float32))
+    K, T = traces.shape
+    if timepoints is None:
+        timepoints = np.linspace(-5.0, 40.0, T)
+    timepoints = jnp.asarray(np.asarray(timepoints, dtype=np.float32))
+
+    rng = np.random.default_rng(seed)
+    onsets0 = np.linspace(float(timepoints[0]), float(timepoints[-1]), n_kernels)
+    raw0 = np.zeros((K, n_kernels, 4), dtype=np.float32)
+    raw0[:, :, 0] = np.log(np.expm1(0.2))           # softplus^-1(0.2) ms rise
+    raw0[:, :, 1] = np.log(np.expm1(0.3))           # 0.3 ms tau_diff
+    raw0[:, :, 2] = np.log(np.expm1(0.5))           # 0.5 amplitude
+    raw0[:, :, 3] = onsets0[None, :] + 0.1 * rng.standard_normal((K, n_kernels))
+
+    raw, final_loss = _fit_batch(traces, timepoints, jnp.asarray(raw0),
+                                 int(n_kernels), int(steps), float(lr))
+
+    tau_r, tau_diff, amp, onset = jax.vmap(_unpack)(raw)
+    recon = jax.vmap(
+        lambda r: sum_of_psc_templates(timepoints, *_unpack(r))
+    )(raw)
+
+    traces_np = np.asarray(traces)
+    recon_np = np.asarray(recon)
+    ss_tot = np.sum(
+        (traces_np - traces_np.mean(axis=1, keepdims=True)) ** 2, axis=1
+    )
+    ss_res = np.sum((traces_np - recon_np) ** 2, axis=1)
+    r2 = 1.0 - ss_res / np.maximum(ss_tot, 1e-12)
+
+    return {
+        "tau_r": np.asarray(tau_r),
+        "tau_diff": np.asarray(tau_diff),
+        "amp": np.asarray(amp),
+        "onset": np.asarray(onset),
+        "reconstruction": recon_np,
+        "r2": r2,
+    }
+
+
+def suggest_datagen_ranges(fit, amp_threshold=0.1, srate=20000.0,
+                           lo_pct=10, hi_pct=90):
+    """Convert fitted template parameters (ms) into the frame-unit
+    tau ranges ``generate_psc_dataset`` / ``NeuralDemixer.
+    generate_training_data`` consume — the notebook's end product."""
+    keep = fit["amp"] > amp_threshold
+    ms_to_frames = srate / 1000.0
+    tau_r = fit["tau_r"][keep] * ms_to_frames
+    tau_diff = fit["tau_diff"][keep] * ms_to_frames
+    return {
+        "tau_r_lower": float(np.percentile(tau_r, lo_pct)),
+        "tau_r_upper": float(np.percentile(tau_r, hi_pct)),
+        "tau_diff_lower": float(np.percentile(tau_diff, lo_pct)),
+        "tau_diff_upper": float(np.percentile(tau_diff, hi_pct)),
+    }

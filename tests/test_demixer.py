@@ -196,3 +196,32 @@ class TestTraining:
         )
         # all traces replaced by templates -> zero targets
         assert np.all(yi == 0.0)
+
+
+class TestTemplateFit:
+    def test_recovers_known_templates(self):
+        """Batched template fitting recovers synthetic PSC parameters."""
+        from circuitmap_tpu.demix.template_fit import (
+            fit_psc_templates,
+            sum_of_psc_templates,
+            suggest_datagen_ranges,
+        )
+        import jax.numpy as jnp
+
+        t = np.linspace(-5, 40, 900).astype(np.float32)
+        rng = np.random.default_rng(0)
+        traces = []
+        for _ in range(8):
+            tau_r = rng.uniform(0.5, 2.0, 2)
+            tau_diff = rng.uniform(5.0, 15.0, 2)
+            amp = rng.uniform(0.5, 1.5, 2)
+            onset = rng.uniform(0.0, 20.0, 2)
+            sig = np.asarray(sum_of_psc_templates(
+                jnp.asarray(t), jnp.asarray(tau_r), jnp.asarray(tau_diff),
+                jnp.asarray(amp), jnp.asarray(onset)))
+            traces.append(sig + 0.01 * rng.standard_normal(900))
+        fit = fit_psc_templates(np.stack(traces), n_kernels=6, steps=600)
+        assert np.median(fit["r2"]) > 0.9
+        ranges = suggest_datagen_ranges(fit)
+        assert ranges["tau_r_lower"] < ranges["tau_r_upper"]
+        assert ranges["tau_diff_upper"] > 0
