@@ -72,8 +72,8 @@ def _bucket(n, minimum=64):
 
 
 @jax.jit
-def _train_step(params, opt_state, x, y, lr):
-    """One SGD step on MSE; returns loss, params with fresh BN stats."""
+def _train_step(params, x, y, lr):
+    """One SGD step on MSE; returns (params with fresh BN stats, loss)."""
 
     def loss_fn(p):
         pred, stats = nwd_unet_forward(p, x[:, None, :], train=True)
@@ -82,7 +82,7 @@ def _train_step(params, opt_state, x, y, lr):
     (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     params = update_running_stats(params, stats)
-    return params, opt_state, loss
+    return params, loss
 
 
 @jax.jit
