@@ -115,3 +115,19 @@ class TestModelMeshDispatch:
         assert model.state["lam"].shape == (40, 501)
         assert model.state["mu"].shape == (40,)
         assert model.trial_count == 501
+
+
+class TestShardedMcDefault:
+    def test_mc_mode_matches_single(self, sim, mesh8):
+        """The default (sampled-MC) estimator path must also agree
+        across sharding: identical replicated keys -> identical draws."""
+        args = _fit_args(sim, 40)
+        kw = dict(iters=6, seed=0, verbose=False, fn_scan=False)  # MC default
+        single = caviar(*args, **kw)
+        sharded = caviar_sharded(*args, mesh=mesh8, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(single[0]) != 0, np.asarray(sharded[0]) != 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(single[0]), np.asarray(sharded[0]), rtol=2e-3, atol=2e-3
+        )
