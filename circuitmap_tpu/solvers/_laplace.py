@@ -97,28 +97,25 @@ def _laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior, t=BARRIER_T):
         H_inv = jnp.linalg.inv(H)
         return -H_inv @ g, g, H_inv
 
-    def backtrack_cond(carry):
-        it, _, lhs, rhs, _, _, _ = carry
-        return (it < MAX_BACKTRACK) & (jnp.isnan(lhs) | (lhs > rhs))
-
-    def backtrack_body(carry):
-        it, step, lhs, rhs, v, g, phi = carry
-        step = step * BACKTRACK_BETA
-        lhs = objective(phi + step * v)
-        rhs = objective(phi) + ARMIJO_ALPHA * step * (g @ v)
-        return (it + 1, step, lhs, rhs, v, g, phi)
+    # Armijo backtracking evaluated in parallel: the while_loop walks the
+    # fixed geometric step sequence 1, beta, beta^2, ... until the first
+    # acceptable step (or gives up at beta^MAX) — so evaluate every
+    # candidate at once on the tiny [P+1] stats and pick the first
+    # acceptance. Identical step selection, no data-dependent loop
+    # (which vmap would otherwise run to the worst lane's trip count).
+    step_grid = BACKTRACK_BETA ** jnp.arange(MAX_BACKTRACK + 1)
 
     def newton_step(carry, _):
         phi, _ = carry
         v, g, H_inv = newton_direction(phi)
-        step = jnp.asarray(1.0, dtype=phi.dtype)
-        lhs = objective(phi + step * v)
-        rhs = objective(phi) + ARMIJO_ALPHA * step * (g @ v)
-        it0 = jnp.asarray(0, dtype=jnp.int32)
-        _, step, _, _, _, _, _ = lax.while_loop(
-            backtrack_cond, backtrack_body, (it0, step, lhs, rhs, v, g, phi)
-        )
-        return (phi + step * v, H_inv), None
+        steps = step_grid.astype(phi.dtype)
+        lhs = jax.vmap(lambda s: objective(phi + s * v))(steps)
+        rhs = objective(phi) + ARMIJO_ALPHA * steps * (g @ v)
+        ok = jnp.logical_not(jnp.isnan(lhs)) & (lhs <= rhs)
+        first = jnp.argmax(ok)
+        j = jnp.where(jnp.any(ok), first, MAX_BACKTRACK)
+        phi = phi + steps[j] * v
+        return (phi, H_inv), None
 
     init = (phi_prior, jnp.zeros((2, 2), dtype=phi_prior.dtype))
     (phi, cov), _ = lax.scan(newton_step, init, None, length=NEWTON_STEPS)
