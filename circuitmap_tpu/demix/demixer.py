@@ -219,6 +219,7 @@ class NeuralDemixer:
         x_te = jnp.asarray(test[0], dtype=jnp.float32)
         y_te = jnp.asarray(test[1], dtype=jnp.float32)
         n = x_tr.shape[0]
+        batch_size = min(batch_size, n)  # datasets smaller than one batch
         steps = max(n // batch_size, 1)
         lr = jnp.asarray(learning_rate, jnp.float32)
 
@@ -235,7 +236,7 @@ class NeuralDemixer:
             history.append({"epoch": epoch, "train_loss": float(mean_loss),
                             "val_loss": val})
             if verbose and (epoch % max(epochs // 10, 1) == 0 or epoch == epochs - 1):
-                print(f"epoch {epoch}: train={epoch_loss / steps:.5f} val={val:.5f}")
+                print(f"epoch {epoch}: train={float(mean_loss):.5f} val={val:.5f}")
             if save_path is not None and (epoch + 1) % save_every == 0:
                 convert.save_params(save_path, self.params)
 

@@ -159,7 +159,10 @@ class Model:
         A = (stim > 0).T.astype(float)
         k = int(fit_options.pop("k", max(int(0.1 * self.N), 1)))
         weights, elapsed = solvers.cosamp(A, y, k, **fit_options)
-        self.state.update(mu=weights, lam=np.zeros_like(stim))
+        # cosamp produces point weights only: record its solver-side
+        # elapsed time, and leave lam (and the rest of the state) at the
+        # priors rather than fabricating a posterior it never computed.
+        self.state.update(mu=weights, cosamp_time=float(elapsed))
         self.trial_count = stim.shape[1]
         self.history = {}
 

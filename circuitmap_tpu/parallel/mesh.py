@@ -23,6 +23,13 @@ def trial_mesh(n_devices=None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"trial_mesh({n_devices}) needs {n_devices} devices but the "
+                    f"{devices[0].platform} platform only exposes {len(devices)}; "
+                    "force a virtual CPU mesh (jax_platforms=cpu + "
+                    "jax_num_cpu_devices) before first backend use"
+                )
             devices = devices[:n_devices]
     import numpy as np
 

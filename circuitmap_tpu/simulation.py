@@ -46,6 +46,32 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def _resolve_kernel_taus(kernel, N, tau_r_min, tau_r_max,
+                         tau_delta_min, tau_delta_max):
+    """Per-neuron bi-exponential time constants: supplied or sampled.
+
+    ``kernel`` supplies them instead of sampling — either a
+    ``(tau_r, tau_d)`` pair or ``{"tau_r": ..., "tau_d": ...}``, each
+    scalar or [N]. (In the reference a non-None kernel leaves
+    ``psc_kernels`` undefined and crashes, simulation.py:81-86; here it
+    is honoured, since the analytic synthesis is parameterised by
+    exactly these constants.)
+    """
+    if kernel is None:
+        tau_r = np.random.uniform(tau_r_min, tau_r_max, N)
+        tau_d = tau_r + np.random.uniform(tau_delta_min, tau_delta_max, N)
+        return tau_r, tau_d
+    if isinstance(kernel, dict):
+        tau_r, tau_d = kernel["tau_r"], kernel["tau_d"]
+    else:
+        tau_r, tau_d = kernel
+    tau_r = np.broadcast_to(np.asarray(tau_r, dtype=float), (N,)).copy()
+    tau_d = np.broadcast_to(np.asarray(tau_d, dtype=float), (N,)).copy()
+    if np.any(tau_d <= tau_r):
+        raise ValueError("kernel requires tau_d > tau_r elementwise")
+    return tau_r, tau_d
+
+
 def psc_kernel_bank(tau_r, tau_d, window):
     """Bi-exponential PSC kernels evaluated on [0, window). [N, window].
 
@@ -248,9 +274,9 @@ def simulate(
     I = np.array([np.max(stim_matrix[:, k]) for k in range(K)])
 
     # biophysics
-    tau_r = np.random.uniform(tau_r_min, tau_r_max, N)
-    tau_delta = np.random.uniform(tau_delta_min, tau_delta_max, N)
-    tau_d = tau_r + tau_delta
+    tau_r, tau_d = _resolve_kernel_taus(
+        kernel, N, tau_r_min, tau_r_max, tau_delta_min, tau_delta_max
+    )
     if phi_0 is None or phi_1 is None:
         phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
         phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
@@ -544,8 +570,9 @@ def simulate_continuous_experiment(
             f"spont_rate={spont_rate}Hz powers={powers}"
         )
 
-    tau_r = np.random.uniform(tau_r_min, tau_r_max, N)
-    tau_d = tau_r + np.random.uniform(tau_delta_min, tau_delta_max, N)
+    tau_r, tau_d = _resolve_kernel_taus(
+        kernel, N, tau_r_min, tau_r_max, tau_delta_min, tau_delta_max
+    )
 
     if weights is None:
         weights = _sample_weights(

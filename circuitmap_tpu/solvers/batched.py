@@ -38,6 +38,7 @@ def caviar_many(
     phi_cov_prior,
     iters=50,
     seeds=None,
+    num_mc_samples=100,
     y_xcorr_thresh=1e-2,
     minimum_spike_count=3,
     delay_spont_est=1,
@@ -101,7 +102,7 @@ def caviar_many(
         final, _ = _run_caviar(
             y, stim, l0, mask, powers, *priors, key,
             iters=int(iters),
-            num_mc_samples=100,
+            num_mc_samples=int(num_mc_samples),
             minimum_spike_count=int(minimum_spike_count),
             delay_spont_est=int(delay_spont_est),
             msrmp=float(msrmp),

@@ -38,6 +38,7 @@ def caviar_resumable(
     iters=50,
     checkpoint_every=10,
     seed=0,
+    num_mc_samples=100,
     y_xcorr_thresh=1e-2,
     minimum_spike_count=3,
     delay_spont_est=1,
@@ -81,7 +82,7 @@ def caviar_resumable(
             print(f"Resuming CAVIaR from iteration {start} ({checkpoint_path}).")
 
     static = dict(
-        num_mc_samples=100,
+        num_mc_samples=int(num_mc_samples),
         minimum_spike_count=int(minimum_spike_count),
         delay_spont_est=int(delay_spont_est),
         msrmp=float(msrmp),

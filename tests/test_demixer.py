@@ -189,6 +189,45 @@ class TestTraining:
         first, last = history[0]["train_loss"], history[-1]["train_loss"]
         assert last < first * 0.9
 
+    def test_train_default_verbose(self, capsys):
+        """train() with default arguments (verbose=True) must complete.
+
+        Round-1 regression: the verbose print referenced an undefined
+        name and crashed at epoch 0 (ADVICE.md high; demixer.py:238).
+        """
+        demix = NeuralDemixer(seed=0)
+        demix.generate_training_data(size=64, seed=1)
+        history = demix.train(epochs=2, batch_size=32, learning_rate=1e-2)
+        assert len(history) == 2
+        out = capsys.readouterr().out
+        assert "epoch 0: train=" in out
+        assert "Training complete" in out
+
+    def test_train_cli_smoke(self, tmp_path):
+        """scripts_tpu/train_demixer.py end-to-end with default verbosity."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        out = tmp_path / "demixer.npz"
+        proc = subprocess.run(
+            [sys.executable, "scripts_tpu/train_demixer.py",
+             "--size", "64", "--epochs", "2", "--out", str(out)],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert out.exists()
+        # the checkpoint must load back into a working demixer
+        reloaded = NeuralDemixer(path=str(out))
+        res = reloaded(np.abs(np.random.default_rng(0).normal(
+            size=(4, 900))).astype(np.float32), verbose=False)
+        assert res.shape == (4, 900)
+
     def test_template_negatives(self):
         templates = np.abs(np.random.default_rng(0).normal(size=(5, 900)))
         (xi, yi), _ = generate_psc_dataset(

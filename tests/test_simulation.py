@@ -92,6 +92,26 @@ class TestSimulate:
         sim = simulate(N=20, trials=100, H=4, weights=w, verbose=False)
         np.testing.assert_array_equal(sim["weights"], w)
 
+    def test_kernel_taus_honoured(self):
+        """simulate(kernel=...) must drive the synthesis, not be ignored."""
+        np.random.seed(3)
+        tau_r = np.full(20, 30.0)
+        tau_d = np.full(20, 200.0)
+        sim = simulate(N=20, trials=100, H=4, kernel=(tau_r, tau_d),
+                       verbose=False)
+        np.testing.assert_array_equal(sim["tau_r"], tau_r)
+        np.testing.assert_array_equal(sim["tau_d"], tau_d)
+        # scalar + dict form
+        np.random.seed(3)
+        sim2 = simulate(N=20, trials=100, H=4,
+                        kernel={"tau_r": 30.0, "tau_d": 200.0}, verbose=False)
+        np.testing.assert_array_equal(sim2["tau_r"], tau_r)
+        # identical taus + identical np.random stream -> identical traces
+        np.testing.assert_allclose(sim2["psc"], sim["psc"], rtol=1e-6)
+        with np.testing.assert_raises(ValueError):
+            simulate(N=20, trials=50, H=4, kernel=(tau_d, tau_r),
+                     verbose=False)
+
 
 class TestContinuous:
     @pytest.fixture(scope="class")

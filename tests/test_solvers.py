@@ -174,6 +174,10 @@ class TestCosampViaModel:
         true_top = set(np.argsort(sim["weights"])[-3:])
         est_top = set(np.argsort(np.abs(mu))[-3:])
         assert len(true_top & est_top) >= 2
+        # state contract: elapsed recorded, lam left at the prior (no
+        # fabricated posterior for a point-estimate method)
+        assert model.state["cosamp_time"] >= 0.0
+        assert "lam" not in model.state  # not fabricated by cosamp
 
 
 class TestPallasSweep:
