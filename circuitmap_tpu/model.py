@@ -68,16 +68,14 @@ class Model:
     def _fit_caviar(self, obs, stimuli, fit_options):
         mesh = fit_options.pop("mesh", None)
         if mesh is not None:
-            # trial-sharded fit over a device mesh (histories unsupported)
+            # trial-sharded fit over a device mesh
             from .parallel import caviar_sharded
 
-            fit_options.pop("save_histories", None)
             result = caviar_sharded(
                 obs, stimuli, self.state["mu"], self.state["beta"],
                 self.state["shape"], self.state["rate"], self.state["phi"],
                 self.state["phi_cov"], mesh=mesh, **fit_options,
             )
-            result = (*result, *[None] * 8)
         else:
             result = self._run_caviar_local(obs, stimuli, fit_options)
         (mu, beta, lam, shape, rate, phi, phi_cov, z, receptive_fields,
@@ -115,18 +113,29 @@ class Model:
         )
 
     def _fit_cavi_sns(self, obs, stimuli, fit_options):
-        result = solvers.cavi_sns(
-            obs,
-            stimuli,
-            self.state["mu"],
-            self.state["beta"],
-            self.state["alpha"],
-            self.state["shape"],
-            self.state["rate"],
-            self.state["phi"],
-            self.state["phi_cov"],
-            **fit_options,
-        )
+        mesh = fit_options.pop("mesh", None)
+        if mesh is not None:
+            from .parallel import cavi_sns_sharded
+
+            result = cavi_sns_sharded(
+                obs, stimuli, self.state["mu"], self.state["beta"],
+                self.state["alpha"], self.state["shape"], self.state["rate"],
+                self.state["phi"], self.state["phi_cov"], mesh=mesh,
+                **fit_options,
+            )
+        else:
+            result = solvers.cavi_sns(
+                obs,
+                stimuli,
+                self.state["mu"],
+                self.state["beta"],
+                self.state["alpha"],
+                self.state["shape"],
+                self.state["rate"],
+                self.state["phi"],
+                self.state["phi_cov"],
+                **fit_options,
+            )
         mu, beta, alpha, lam, shape, rate, phi, phi_cov, *hists = result
 
         self.state.update(

@@ -190,3 +190,228 @@ def sweep_spikes_pallas(
         lam[:, None, :], stim[:, None, :],
     )
     return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Batched (B, N)-grid kernel + the custom-vmap wrapper that routes
+# jax.vmap of the sweep (solvers/batched.caviar_many) onto it
+# ---------------------------------------------------------------------------
+
+
+def _sweep_kernel_batched(
+    # scalar-prefetch
+    order_ref,        # [B, N] SMEM
+    # full-array SMEM operands
+    powers_ref,       # [P]
+    scalars_ref,      # [B, 4]: sig, msrmp_eff, min_count, gate_active per map
+    # blocked operands (one experiment / one row per grid step)
+    y_ref,            # (1, K) VMEM
+    lam_mask_ref,     # (1, K) VMEM
+    r_init_ref,       # (1, K) VMEM
+    mu_row_ref,       # (1, 1, 1, 1) VMEM — mu[b, order[b, j]]
+    beta_row_ref,     # (1, 1, 1, 1)
+    m0_row_ref,       # (1, 1, 1, 1)
+    m1_row_ref,       # (1, 1, 1, 1)
+    counts_row_ref,   # (1, 1, 1, P) VMEM — counts[b, order[b, j], :]
+    lam_row_ref,      # (1, 1, 1, K) VMEM
+    stim_row_ref,     # (1, 1, 1, K) VMEM
+    # outputs
+    out_row_ref,      # (1, 1, 1, K) VMEM
+    # scratch
+    r_ref,            # [K] VMEM — reset at the start of each experiment
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        r_ref[...] = r_init_ref[0, :]
+
+    sig = scalars_ref[b, 0]
+    msrmp_eff = scalars_ref[b, 1]
+    min_count = scalars_ref[b, 2]
+    gate_active = scalars_ref[b, 3]
+
+    lam_n = lam_row_ref[0, 0, 0, :]
+    stim_n = stim_row_ref[0, 0, 0, :]
+    mu_n = mu_row_ref[0, 0, 0, 0]
+    beta_n = beta_row_ref[0, 0, 0, 0]
+
+    r_excl = r_ref[...] - mu_n * lam_n
+    quad = sig * (
+        -2.0 * y_ref[0, :] * mu_n + 2.0 * mu_n * r_excl
+        + (mu_n * mu_n + beta_n * beta_n)
+    )
+    est = (
+        lam_mask_ref[0, :]
+        * (stim_n > 0).astype(lam_n.dtype)
+        * jax.nn.sigmoid(
+            m0_row_ref[0, 0, 0, 0] * stim_n - m1_row_ref[0, 0, 0, 0]
+            - 0.5 * quad
+        )
+    )
+
+    P = powers_ref.shape[0]
+    sums = [
+        jnp.sum(jnp.where(stim_n == powers_ref[p], est, 0.0)) for p in range(P)
+    ]
+    counts = [counts_row_ref[0, 0, 0, p] for p in range(P)]
+    rates = [s / (c + 1e-4 * (c == 0.0)) for s, c in zip(sums, counts)]
+    iso_max = rates[P - 1]
+    acc = rates[P - 1]
+    cnt = 1.0
+    for p in range(P - 2, -1, -1):
+        acc = acc + rates[p]
+        cnt = cnt + 1.0
+        iso_max = jnp.maximum(iso_max, acc / cnt)
+
+    total = jnp.sum(est)
+    ok = jnp.logical_and(iso_max >= msrmp_eff, total >= min_count)
+    gate = jnp.where(gate_active > 0, ok.astype(est.dtype),
+                     jnp.ones((), est.dtype))
+
+    new_lam = est * gate
+    new_mu = mu_n * gate
+    out_row_ref[0, 0, 0, :] = new_lam
+    r_ref[...] = r_excl + new_mu * new_lam
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sweep_spikes_pallas_batched(
+    y,             # [B, K]
+    stim,          # [B, N, K]
+    mu,            # [B, N]
+    beta,          # [B, N]
+    lam,           # [B, N, K]
+    sig,           # [B]
+    m0,            # [B, N]
+    m1,            # [B, N]
+    lam_mask,      # [B, K]
+    powers,        # [P] (shared across maps)
+    power_counts,  # [B, N, P]
+    order,         # [B, N]
+    msrmp_eff,     # [B]
+    minimum_spike_count,  # scalar or [B]
+    gate_active,   # scalar or [B]
+    interpret=False,
+):
+    """B independent sweeps as one (B, N)-grid kernel.
+
+    Each experiment keeps the sequential residual recursion of the
+    single-map kernel (reset at j == 0); the experiment axis is declared
+    ``parallel`` so Mosaic may split it across TPU cores.
+    """
+    B, N, K = lam.shape
+    P = powers.shape[0]
+    dtype = lam.dtype
+
+    ones_b = jnp.ones((B,), dtype)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(sig, dtype) * ones_b,
+            jnp.asarray(msrmp_eff, dtype) * ones_b,
+            jnp.asarray(minimum_spike_count, dtype) * ones_b,
+            jnp.asarray(gate_active, dtype) * ones_b,
+        ],
+        axis=1,
+    )
+    r_init = jnp.einsum("bn,bnk->bk", mu, lam)
+
+    def _expt(b, j, order):
+        del j, order
+        return (b, 0)
+
+    def _row(b, j, order):
+        return (b, order[b, j], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # powers
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # scalars
+            pl.BlockSpec((1, K), _expt),                  # y
+            pl.BlockSpec((1, K), _expt),                  # lam_mask
+            pl.BlockSpec((1, K), _expt),                  # r_init
+            pl.BlockSpec((1, 1, 1, 1), _row),             # mu row
+            pl.BlockSpec((1, 1, 1, 1), _row),             # beta row
+            pl.BlockSpec((1, 1, 1, 1), _row),             # m0 row
+            pl.BlockSpec((1, 1, 1, 1), _row),             # m1 row
+            pl.BlockSpec((1, 1, 1, P), _row),             # counts row
+            pl.BlockSpec((1, 1, 1, K), _row),             # lam row
+            pl.BlockSpec((1, 1, 1, K), _row),             # stim row
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, K), _row),
+        scratch_shapes=[pltpu.VMEM((K,), dtype)],
+    )
+
+    out = pl.pallas_call(
+        _sweep_kernel_batched,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, 1, K), dtype),
+        interpret=interpret,
+    )(
+        order.astype(jnp.int32),
+        powers,
+        scalars,
+        y, lam_mask, r_init,
+        mu[:, :, None, None], beta[:, :, None, None],
+        m0[:, :, None, None], m1[:, :, None, None],
+        power_counts.astype(dtype)[:, :, None, :],
+        lam[:, :, None, :], stim[:, :, None, :],
+    )
+    return out[:, :, 0, :]
+
+
+def _make_sweep_with_batching(interpret):
+    """The single-map Pallas sweep with a custom vmap rule.
+
+    ``jax.vmap`` of the CAVIaR iteration (solvers/batched.caviar_many)
+    hits this rule and lowers onto the (B, N)-grid kernel instead of
+    falling back to the XLA sweep — the round-1 gap where batched fits
+    lost the Pallas speedup (solvers/batched.py:12-16).
+    """
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def sweep(y, stim, mu, beta, lam, sig, m0, m1, lam_mask, powers,
+              power_counts, order, msrmp_eff, minimum_spike_count,
+              gate_active):
+        return sweep_spikes_pallas(
+            y, stim, mu, beta, lam, sig, m0, m1, lam_mask, powers,
+            power_counts, order, msrmp_eff, minimum_spike_count, gate_active,
+            interpret=interpret,
+        )
+
+    @sweep.def_vmap
+    def _rule(axis_size, in_batched, y, stim, mu, beta, lam, sig, m0, m1,
+              lam_mask, powers, power_counts, order, msrmp_eff,
+              minimum_spike_count, gate_active):
+        (b_y, b_stim, b_mu, b_beta, b_lam, b_sig, b_m0, b_m1, b_mask,
+         b_powers, b_counts, b_order, b_msrmp, b_minc, b_gate) = in_batched
+        if b_powers:
+            powers = powers[0]  # power levels must agree across maps
+
+        def bcast(x, batched):
+            x = jnp.asarray(x)
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape
+            )
+
+        out = sweep_spikes_pallas_batched(
+            bcast(y, b_y), bcast(stim, b_stim), bcast(mu, b_mu),
+            bcast(beta, b_beta), bcast(lam, b_lam),
+            bcast(sig, b_sig), bcast(m0, b_m0), bcast(m1, b_m1),
+            bcast(lam_mask, b_mask), powers,
+            bcast(power_counts, b_counts), bcast(order, b_order),
+            bcast(msrmp_eff, b_msrmp),
+            bcast(minimum_spike_count, b_minc), bcast(gate_active, b_gate),
+            interpret=interpret,
+        )
+        return out, True
+
+    return sweep
+
+
+sweep_spikes_pallas_v = _make_sweep_with_batching(False)
+sweep_spikes_pallas_interpret_v = _make_sweep_with_batching(True)

@@ -158,6 +158,319 @@ def _powercurve_stats_masked(lam, stim, levels, valid):
 
 
 # ---------------------------------------------------------------------------
+# Sharded CAVI-SnS update rules
+# ---------------------------------------------------------------------------
+
+
+def _sns_update_slab_scale(alpha, lam, shape, rate, beta_prior):
+    """Closed-form beta update; the lam row-sum psums (cf. solvers.cavi_sns)."""
+    lam_sum = _psum(jnp.sum(lam, axis=1))
+    return 1.0 / jnp.sqrt(
+        alpha * (shape / rate) * lam_sum + 1.0 / (beta_prior * beta_prior)
+    )
+
+
+def _sns_sweep_means(y, mu, beta, alpha, lam, sig, mu_prior, beta_prior, order):
+    """Sequential mu sweep; one scalar psum per coordinate step."""
+    r = (mu * alpha) @ lam
+    ylam = _psum(lam @ (sig * y))  # [N], hoisted
+
+    def body(i, carry):
+        mu, r = carry
+        n = order[i]
+        r_excl = r - mu[n] * alpha[n] * lam[n]
+        dot = _psum(jnp.dot(lam[n], r_excl))
+        new_mu_n = (beta[n] * beta[n]) * (
+            alpha[n] * ylam[n] - alpha[n] * sig * dot
+            + mu_prior[n] / (beta_prior[n] * beta_prior[n])
+        )
+        r = r_excl + new_mu_n * alpha[n] * lam[n]
+        return mu.at[n].set(new_mu_n), r
+
+    mu, _ = lax.fori_loop(0, mu.shape[0], body, (mu, r))
+    return mu
+
+
+def _sns_sweep_connection_probs(y, mu, beta, alpha, lam, sig, alpha_prior, order):
+    """Sequential alpha sweep; one scalar psum per coordinate step."""
+    eps = 1e-10
+    r = (mu * alpha) @ lam
+    ydot = _psum(lam @ y)
+    lam_sum = _psum(jnp.sum(lam, axis=1))
+    prior_logit = jnp.log((alpha_prior + eps) / (1.0 - alpha_prior + eps))
+
+    def body(i, carry):
+        alpha, r = carry
+        n = order[i]
+        r_excl = r - mu[n] * alpha[n] * lam[n]
+        dot = _psum(jnp.dot(lam[n], r_excl))
+        quad = (
+            -2.0 * mu[n] * ydot[n]
+            + 2.0 * mu[n] * dot
+            + (mu[n] * mu[n] + beta[n] * beta[n]) * lam_sum[n]
+        )
+        new_alpha_n = sigmoid(prior_logit[n] - 0.5 * sig * quad)
+        r = r_excl + mu[n] * new_alpha_n * lam[n]
+        return alpha.at[n].set(new_alpha_n), r
+
+    alpha, _ = lax.fori_loop(0, alpha.shape[0], body, (alpha, r))
+    return alpha
+
+
+def _sns_sweep_spikes(
+    y, stim, mu, beta, alpha, lam, sig, m0, m1, lam_mask, order,
+    minimum_spike_count,
+):
+    """Sequential lam sweep; the spike-count gate psums per step."""
+    r = (mu * alpha) @ lam
+
+    def body(i, carry):
+        lam, r = carry
+        n = order[i]
+        stim_n = stim[n]
+        r_excl = r - mu[n] * alpha[n] * lam[n]
+        quad = (
+            -2.0 * y * mu[n] * alpha[n]
+            + 2.0 * mu[n] * alpha[n] * r_excl
+            + (mu[n] * mu[n] + beta[n] * beta[n]) * alpha[n]
+        )
+        est = lam_mask * (stim_n > 0) * sigmoid(
+            m0[n] * stim_n - m1[n] - 0.5 * sig * quad
+        )
+        total = _psum(jnp.sum(est))
+        new_lam_n = est * (total >= minimum_spike_count)
+        r = r_excl + mu[n] * alpha[n] * new_lam_n
+        return lam.at[n].set(new_lam_n), r
+
+    lam, _ = lax.fori_loop(0, lam.shape[0], body, (lam, r))
+    return lam
+
+
+def _sns_update_noise(y, mu, beta, alpha, lam, shape_prior, rate_prior, k_global):
+    w = mu * alpha
+    pred = w @ lam
+    parts = jnp.stack([
+        jnp.sum(jnp.square(y - pred)),
+        jnp.sum(jnp.square(w[:, None] * lam)),
+        jnp.sum(((mu * mu + beta * beta) * alpha)[:, None] * lam),
+    ])
+    a, b, c = _psum(parts)
+    return shape_prior + 0.5 * k_global, rate_prior + 0.5 * (a - b + c)
+
+
+def _sns_iteration(state, data, hyper, static):
+    from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
+    from ..solvers.cavi_sns import SnsState
+
+    y, stim, lam_mask, valid, levels, k_global = data
+    (mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
+     phi_prior, phi_cov_prior) = hyper
+
+    key, k1, k2, k3, k_mc = jax.random.split(state.key, 5)
+    N = stim.shape[0]
+    sig0 = state.shape / state.rate
+
+    beta = _sns_update_slab_scale(state.alpha, state.lam, state.shape,
+                                  state.rate, beta_prior)
+    mu = _sns_sweep_means(
+        y, state.mu, beta, state.alpha, state.lam, sig0, mu_prior, beta_prior,
+        jax.random.permutation(k1, N),
+    )
+    alpha = _sns_sweep_connection_probs(
+        y, mu, beta, state.alpha, state.lam, sig0, alpha_prior,
+        jax.random.permutation(k2, N),
+    )
+
+    scale = jnp.diagonal(state.phi_cov, axis1=-2, axis2=-1)
+    if static["analytic_mc"]:
+        m = truncated_normal_mean(state.phi, scale)
+    else:
+        m = jnp.mean(
+            sample_truncated_normal(k_mc, state.phi, scale,
+                                    static["num_mc_samples"]),
+            axis=0,
+        )
+    lam = _sns_sweep_spikes(
+        y, stim, mu, beta, alpha, state.lam, sig0, m[:, 0], m[:, 1], lam_mask,
+        jax.random.permutation(k3, N), static["minimum_spike_count"],
+    )
+
+    shape, rate = _sns_update_noise(y, mu, beta, alpha, lam, shape_prior,
+                                    rate_prior, k_global)
+    S, C = _powercurve_stats_masked(lam, stim, levels, valid)
+    phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+
+    return SnsState(mu, beta, alpha, lam, shape, rate, phi, phi_cov, key)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "iters", "num_mc_samples", "minimum_spike_count",
+        "analytic_mc", "save_histories",
+    ),
+)
+def _run_sns_sharded(
+    y, stim, lam0, lam_mask, valid, levels, k_global,
+    mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
+    phi_prior, phi_cov_prior, key, *, mesh, iters, num_mc_samples,
+    minimum_spike_count, analytic_mc, save_histories,
+):
+    from ..solvers.cavi_sns import SnsState
+
+    static = dict(
+        num_mc_samples=num_mc_samples,
+        minimum_spike_count=minimum_spike_count,
+        analytic_mc=analytic_mc,
+    )
+
+    def body(y, stim, lam0, lam_mask, valid, levels, k_global,
+             mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
+             phi_prior, phi_cov_prior, key):
+        data = (y, stim, lam_mask, valid, levels, k_global)
+        hyper = (mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
+                 phi_prior, phi_cov_prior)
+        init = SnsState(
+            mu=mu_prior, beta=beta_prior, alpha=alpha_prior, lam=lam0,
+            shape=shape_prior, rate=rate_prior, phi=phi_prior,
+            phi_cov=phi_cov_prior, key=key,
+        )
+
+        def step(state, _):
+            new = _sns_iteration(state, data, hyper, static)
+            hist = (
+                (new.mu, new.beta, new.alpha, new.lam, new.shape, new.rate,
+                 new.phi, new.phi_cov)
+                if save_histories else None
+            )
+            return new, hist
+
+        return lax.scan(step, init, None, length=iters)
+
+    from ..solvers.cavi_sns import SnsState as _S
+
+    state_spec = _S(
+        mu=P(), beta=P(), alpha=P(), lam=P(None, TRIAL_AXIS), shape=P(),
+        rate=P(), phi=P(), phi_cov=P(), key=P(),
+    )
+    hist_spec = (
+        (P(), P(), P(), P(None, None, TRIAL_AXIS), P(), P(), P(), P())
+        if save_histories else None
+    )
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(TRIAL_AXIS),            # y
+            P(None, TRIAL_AXIS),      # stim
+            P(None, TRIAL_AXIS),      # lam0
+            P(TRIAL_AXIS),            # lam_mask
+            P(TRIAL_AXIS),            # valid
+            P(), P(),                 # levels, k_global
+            P(), P(), P(), P(), P(), P(), P(),   # hyper
+            P(),                      # key
+        ),
+        out_specs=(state_spec, hist_spec),
+        check_vma=False,
+    )
+    return sharded(
+        y, stim, lam0, lam_mask, valid, levels, k_global,
+        mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
+        phi_prior, phi_cov_prior, key,
+    )
+
+
+def cavi_sns_sharded(
+    y_psc,
+    stim,
+    mu_prior,
+    beta_prior,
+    alpha_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    mesh,
+    iters=50,
+    num_mc_samples=100,
+    seed=1,
+    minimum_spike_count=3,
+    save_histories=True,
+    dtype=jnp.float32,
+    analytic_mc=False,
+    verbose=True,
+):
+    """Fit CAVI-SnS with the trial axis sharded over ``mesh``.
+
+    Same return contract as solvers.cavi_sns: ``(mu, beta, alpha, lam,
+    shape, rate, phi, phi_cov, *eight history arrays)``. As in the
+    single-device solver (and the reference, cavi_sns.py:24-25) no trial
+    activity mask is applied — the mask here only excludes the trials
+    added to pad K to a mesh multiple.
+    """
+    from ..ops.charge import integrated_charge
+
+    n_dev = mesh.devices.size
+    y_psc = np.asarray(y_psc)
+    stim_np = np.asarray(stim)
+    K = y_psc.shape[0]
+    pad = (-K) % n_dev
+    if pad:
+        y_psc = np.concatenate([y_psc, np.zeros((pad, y_psc.shape[1]))], axis=0)
+        stim_np = np.concatenate(
+            [stim_np, np.zeros((stim_np.shape[0], pad))], axis=1
+        )
+    valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
+
+    y_psc = jnp.asarray(y_psc, dtype=dtype)
+    stim_j, stim_np, powers_np = prepare_stim(stim_np, dtype)
+    y = integrated_charge(y_psc)
+    lam_mask = jnp.asarray(valid, dtype)
+    lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+
+    levels = np.concatenate([[0.0], powers_np])
+
+    if verbose:
+        print(f"Running CAVI-SnS sharded over {n_dev} devices (K={K}, pad={pad}).")
+
+    final, hists = _run_sns_sharded(
+        y,
+        stim_j,
+        lam0,
+        lam_mask,
+        jnp.asarray(valid, dtype),
+        jnp.asarray(levels, dtype),
+        jnp.asarray(float(K), dtype),
+        jnp.asarray(mu_prior, dtype),
+        jnp.asarray(beta_prior, dtype),
+        jnp.asarray(alpha_prior, dtype),
+        jnp.asarray(shape_prior, dtype),
+        jnp.asarray(rate_prior, dtype),
+        jnp.asarray(phi_prior, dtype),
+        jnp.asarray(phi_cov_prior, dtype),
+        jax.random.PRNGKey(seed),
+        mesh=mesh,
+        iters=int(iters),
+        num_mc_samples=int(num_mc_samples),
+        minimum_spike_count=int(minimum_spike_count),
+        analytic_mc=bool(analytic_mc),
+        save_histories=bool(save_histories),
+    )
+
+    if save_histories:
+        h = list(hists)
+        h[3] = h[3][:, :, :K]  # lam history: trim trial padding
+        hist_arrs = [np.asarray(x) for x in h]
+    else:
+        hist_arrs = [None] * 8
+
+    return (
+        final.mu, final.beta, final.alpha, final.lam[:, :K], final.shape,
+        final.rate, final.phi, final.phi_cov, *hist_arrs,
+    )
+
+
+# ---------------------------------------------------------------------------
 # The sharded solver
 # ---------------------------------------------------------------------------
 
@@ -204,6 +517,7 @@ def _iteration(state, it, data, hyper, static):
         "mesh", "iters", "num_mc_samples", "minimum_spike_count",
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
+        "save_histories",
     ),
 )
 def _run_sharded(
@@ -211,7 +525,7 @@ def _run_sharded(
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
     key, *, mesh, iters, num_mc_samples, minimum_spike_count, delay_spont_est,
     msrmp, scale_factor, penalty, max_backtrack_iters, tol,
-    spont_orthogonality, analytic_mc,
+    spont_orthogonality, analytic_mc, save_histories=False,
 ):
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -242,11 +556,28 @@ def _run_sharded(
         )
 
         def step(state, it):
-            return _iteration(state, it, data, hyper, static), None
+            new = _iteration(state, it, data, hyper, static)
+            hist = (
+                (new.mu, new.beta, new.lam, new.shape, new.rate, new.phi,
+                 new.phi_cov, new.z)
+                if save_histories else None
+            )
+            return new, hist
 
-        final, _ = lax.scan(step, init, jnp.arange(iters))
-        return final
+        return lax.scan(step, init, jnp.arange(iters))
 
+    state_spec = CaviarState(
+        mu=P(), beta=P(), lam=P(None, TRIAL_AXIS), shape=P(), rate=P(),
+        phi=P(), phi_cov=P(), z=P(TRIAL_AXIS), spont_rate=P(), key=P(),
+    )
+    # history arrays gain a leading iters axis; lam/z stay trial-sharded
+    # so per-iteration snapshots never gather the big arrays onto one
+    # device (reference analogue: per-iter CPU device_put, caviar.py:54-70)
+    hist_spec = (
+        (P(), P(), P(None, None, TRIAL_AXIS), P(), P(), P(), P(),
+         P(None, TRIAL_AXIS))
+        if save_histories else None
+    )
     sharded = jax.shard_map(
         body,
         mesh=mesh,
@@ -260,10 +591,7 @@ def _run_sharded(
             *hyper_specs,
             P(),                      # key
         ),
-        out_specs=CaviarState(
-            mu=P(), beta=P(), lam=P(None, TRIAL_AXIS), shape=P(), rate=P(),
-            phi=P(), phi_cov=P(), z=P(TRIAL_AXIS), spont_rate=P(), key=P(),
-        ),
+        out_specs=(state_spec, hist_spec),
         check_vma=False,
     )
     return sharded(
@@ -296,15 +624,19 @@ def caviar_sharded(
     tol=0.05,
     spont_orthogonality=0.1,
     fn_scan=True,
+    save_histories=False,
     dtype=jnp.float32,
     analytic_mc=False,
     verbose=True,
 ):
     """Fit CAVIaR with the trial axis sharded over ``mesh``.
 
-    Same posterior contract as solvers.caviar (histories unsupported on
-    the sharded path). Results match the single-device solver up to
-    reduction reassociation.
+    Same posterior/return contract as solvers.caviar: ``(mu, beta, lam,
+    shape, rate, phi, phi_cov, z, receptive_fields, *eight history
+    arrays)``. Results match the single-device solver up to reduction
+    reassociation. With ``save_histories`` the per-iteration lam/z
+    snapshots stay trial-sharded on device and are trimmed of padding
+    on the way out.
     """
     n_dev = mesh.devices.size
     y_psc = np.asarray(y_psc)
@@ -333,7 +665,7 @@ def caviar_sharded(
     if verbose:
         print(f"Running CAVIaR sharded over {n_dev} devices (K={K}, pad={pad}).")
 
-    final = _run_sharded(
+    final, hists = _run_sharded(
         y,
         stim_j,
         lam0,
@@ -362,6 +694,7 @@ def caviar_sharded(
         tol=float(tol),
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
+        save_histories=bool(save_histories),
     )
 
     mu, beta = final.mu, final.beta
@@ -383,4 +716,16 @@ def caviar_sharded(
                 powers=jnp.asarray(powers, dtype),
             )
 
-    return (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None)
+    if save_histories:
+        # same 8-slot layout as solvers.caviar; trim trial padding
+        h_mu, h_beta, h_lam, h_shape, h_rate, h_phi, h_phi_cov, h_z = hists
+        hist_arrs = [
+            np.asarray(h_mu), np.asarray(h_beta), np.asarray(h_lam[:, :, :K]),
+            np.asarray(h_shape), np.asarray(h_rate), np.asarray(h_phi),
+            np.asarray(h_phi_cov), np.asarray(h_z[:, :K]),
+        ]
+    else:
+        hist_arrs = [None] * 8
+
+    return (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None,
+            *hist_arrs)

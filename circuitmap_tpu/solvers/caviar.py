@@ -323,12 +323,20 @@ def _iteration(state: CaviarState, it, data, hyper, static):
     sig = state.shape / state.rate
     impl = static["sweep_impl"]
     if impl.startswith("pallas"):
-        lam = sweep_spikes_pallas(
+        from ..ops.sweep_pallas import (
+            sweep_spikes_pallas_interpret_v,
+            sweep_spikes_pallas_v,
+        )
+
+        # custom-vmap wrapper: under jax.vmap (solvers/batched.caviar_many)
+        # this lowers onto the (B, N)-grid batched kernel
+        fn = (sweep_spikes_pallas_interpret_v if impl == "pallas_interpret"
+              else sweep_spikes_pallas_v)
+        lam = fn(
             y, stim, mu, beta, state.lam, sig, m0, m1, lam_mask, powers,
             data[4], order, static["msrmp"] + state.spont_rate,
             static["minimum_spike_count"],
             (it > static["delay_spont_est"]).astype(y.dtype),
-            interpret=(impl == "pallas_interpret"),
         )
     else:
         lam = sweep_spikes(

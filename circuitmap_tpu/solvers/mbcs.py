@@ -76,41 +76,45 @@ def update_weights_constrained_l1(
     """Penalty-shrinking constrained Lasso weight update (mbcs.py:157-213).
 
     Shrinks the L1 penalty geometrically until the residual meets the
-    noise-scale constraint sqrt(sum(rate/shape)).
+    noise-scale constraint sqrt(sum(rate/shape)). Fully on device as a
+    ``lax.while_loop`` so the whole MBCS fit traces into one program —
+    no per-penalty-iteration host syncs. The plateau check stops once
+    shrinking the penalty no longer changes the solution (the
+    reference's |err - err_prev| check compares against an un-updated
+    err_prev=0, i.e. never fires; comparing solutions is the intended
+    behaviour without looping uselessly once converged).
     """
-    A = jnp.asarray(lam).T  # [K, N]
+    del verbose  # one-program execution: no per-iteration host prints
+    lam = jnp.asarray(lam)
     y = jnp.asarray(y)
-    constr = float(np.sqrt(np.sum(np.asarray(rate) / np.asarray(shape))))
+    mu = jnp.asarray(mu)
+    constr = jnp.sqrt(jnp.sum(jnp.asarray(rate) / jnp.asarray(shape)))
     flip = constrain_weights == "negative"
-    if flip:
-        A, mu = -A, -mu
+    A = (-lam if flip else lam).T  # [K, N]
+    mu0 = -mu if flip else mu
     positive = constrain_weights in ("positive", "negative")
 
-    coef = jnp.asarray(mu)
-    prev_coef = None
-    for it in range(max_penalty_iters):
-        coef = _fista_lasso(
-            A, y, coef, jnp.asarray(penalty, A.dtype),
-            max_iters=int(max_lasso_iters), positive=positive,
-        )
-        err = float(jnp.linalg.norm(y - A @ coef))
-        if verbose:
-            print(f"  lasso penalty iter {it}: err={err:.4f} constr={constr:.4f}")
-        if err <= constr:
-            break
-        # plateau check: stop only once shrinking the penalty stopped
-        # changing the solution (the reference's |err - err_prev| check
-        # compares against an un-updated err_prev=0, i.e. never fires;
-        # comparing solutions is the intended behaviour without looping
-        # uselessly once converged)
-        if prev_coef is not None and it > 0 and bool(
-            jnp.all(jnp.abs(coef - prev_coef) < tol)
-        ) and not bool(jnp.all(coef == 0)):
-            break
-        prev_coef = coef
-        penalty = penalty * scale_factor
+    def cond(carry):
+        i, _, _, _, done = carry
+        return (i < max_penalty_iters) & (~done)
 
-    return (-coef if flip else coef)
+    def body(carry):
+        i, coef, _, pen, _ = carry
+        new = _fista_lasso(A, y, coef, pen, max_iters=int(max_lasso_iters),
+                           positive=positive)
+        err = jnp.linalg.norm(y - A @ new)
+        plateau = (
+            (i > 0)
+            & jnp.all(jnp.abs(new - coef) < tol)
+            & ~jnp.all(new == 0)
+        )
+        done = (err <= constr) | plateau
+        return i + 1, new, coef, pen * scale_factor, done
+
+    init = (jnp.asarray(0), mu0, mu0, jnp.asarray(penalty, A.dtype),
+            jnp.asarray(False))
+    _, coef, _, _, _ = lax.while_loop(cond, body, init)
+    return -coef if flip else coef
 
 
 # ---------------------------------------------------------------------------
@@ -217,28 +221,122 @@ def sweep_spikes_mbcs(y, stim, mu, beta, lam, shape, rate, lam_mask, spike_prior
 
 def update_outliers(y, mu, lam, lam_mask, penalty=1.0, scale_factor=0.5,
                     max_penalty_iters=10, orthogonal=True, tol=0.05):
-    """Soft-threshold outlier/spontaneous estimate (mbcs.py:215-257)."""
-    resid = np.asarray(y - mu @ lam)
-    lam_np = np.asarray(lam)
-    mask = np.asarray(lam_mask)
-    y_np = np.asarray(y)
-    z = np.zeros_like(resid)
-    for _ in range(max_penalty_iters):
-        z = np.where(resid < penalty, 0.0, resid - penalty)
-        z = np.maximum(z, 0.0)
+    """Soft-threshold outlier/spontaneous estimate (mbcs.py:215-257).
+
+    Device ``lax.while_loop`` over the penalty-shrink schedule (no host
+    round trips; the whole fit is one compiled program)."""
+    y = jnp.asarray(y)
+    lam = jnp.asarray(lam)
+    resid = y - jnp.asarray(mu) @ lam
+    explained = jnp.any(lam >= 0.5, axis=0)
+    denom = jnp.sum(y * y)
+
+    def cond(carry):
+        i, err, _, _ = carry
+        return (i < max_penalty_iters) & (err > tol)
+
+    def body(carry):
+        i, _, _, pen = carry
+        z = jnp.maximum(jnp.where(resid < pen, 0.0, resid - pen), 0.0)
         if orthogonal:
-            z[np.any(lam_np >= 0.5, axis=0)] = 0.0
-        z = z * mask
-        err = np.sum(np.square(resid - z)) / np.sum(np.square(y_np))
-        if err <= tol:
-            break
-        penalty *= scale_factor
+            z = jnp.where(explained, 0.0, z)
+        z = z * jnp.asarray(lam_mask)
+        err = jnp.sum(jnp.square(resid - z)) / denom
+        return i + 1, err, z, pen * scale_factor
+
+    init = (jnp.asarray(0), jnp.asarray(jnp.inf, y.dtype),
+            jnp.zeros_like(resid), jnp.asarray(penalty, y.dtype))
+    _, _, z, _ = lax.while_loop(cond, body, init)
     return z
 
 
 # ---------------------------------------------------------------------------
-# Driver
+# Driver: the whole fit is one lax.scan under jit (one device dispatch;
+# histories via scan ys), matching the execution model of the other solvers.
 # ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "max_penalty_iters", "max_lasso_iters", "constrain_weights",
+        "learn_lam", "delay_spont_estimation", "minimum_spike_count",
+        "num_mc_samples_noise_model", "orthogonal_outliers", "save_histories",
+    ),
+)
+def _run_mbcs(
+    y, stim, lam0, lam_mask, powers_with_zero, mu0, beta_prior, shape0, rate0,
+    key, penalty, scale_factor, outlier_penalty, minimum_maximal_spike_prob,
+    spont_rate0, outlier_tol, noise_scale, *,
+    iters, max_penalty_iters, max_lasso_iters, constrain_weights, learn_lam,
+    delay_spont_estimation, minimum_spike_count, num_mc_samples_noise_model,
+    orthogonal_outliers, save_histories,
+):
+    N = stim.shape[0]
+    K = y.shape[0]
+    P1 = powers_with_zero.shape[0]
+
+    init = (
+        mu0,                                    # mu
+        beta_prior,                             # beta
+        lam0,                                   # lam
+        shape0,                                 # shape [K]
+        rate0,                                  # rate [K]
+        jnp.zeros(K, dtype=y.dtype),            # z
+        spont_rate0,                            # spont_rate
+        lam0,                                   # spike_prior (it-0 rule)
+        jnp.zeros((N, P1), dtype=y.dtype),      # receptive fields
+        key,
+    )
+
+    def step(carry, it):
+        mu, beta, lam, shape, rate, z, spont_rate, spike_prior, _, key = carry
+
+        beta = update_slab_scale_mbcs(lam, shape, rate, beta_prior)
+        mu = update_weights_constrained_l1(
+            y, mu, lam, shape, rate, penalty=penalty,
+            scale_factor=scale_factor, max_penalty_iters=max_penalty_iters,
+            max_lasso_iters=max_lasso_iters,
+            constrain_weights=constrain_weights,
+        )
+
+        key, k_order, k_noise = jax.random.split(key, 3)
+        order = jax.random.permutation(k_order, N)
+
+        if learn_lam:
+            lam = sweep_spikes_mbcs(
+                y, stim, mu, beta, lam, shape, rate, lam_mask, spike_prior,
+                order,
+            )
+        rf, spike_prior = update_receptive_fields(lam, stim, powers_with_zero)
+        mu, lam = isotonic_filtering(
+            mu, lam, rf,
+            minimum_spike_count=minimum_spike_count,
+            minimum_maximal_spike_prob=minimum_maximal_spike_prob + spont_rate,
+        )
+        shape, rate = update_noise_mc(
+            k_noise, y, mu, beta, lam, noise_scale=noise_scale,
+            num_mc_samples=num_mc_samples_noise_model,
+        )
+
+        gate = it > delay_spont_estimation
+        z_new = update_outliers(
+            y, mu, lam, lam_mask, penalty=outlier_penalty,
+            scale_factor=scale_factor, max_penalty_iters=max_penalty_iters,
+            orthogonal=orthogonal_outliers, tol=outlier_tol,
+        )
+        z = jnp.where(gate, z_new, z)
+        spont_rate = jnp.where(
+            gate, jnp.mean((z_new != 0.0).astype(y.dtype)), spont_rate
+        )
+
+        new_carry = (mu, beta, lam, shape, rate, z, spont_rate, spike_prior,
+                     rf, key)
+        hist = (mu, beta, lam, shape, rate, z) if save_histories else None
+        return new_carry, hist
+
+    final, hists = lax.scan(step, init, jnp.arange(iters))
+    return final, hists
 
 
 def mbcs(
@@ -297,71 +395,49 @@ def mbcs(
     powers_with_zero = np.unique(stim_np)
 
     rng = np.random.default_rng(seed)
-    mu = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)
-    beta = jnp.asarray(beta_prior, dtype=dtype)
-    shape = jnp.full((K,), float(shape_prior), dtype=dtype)
-    rate = jnp.full((K,), float(rate_prior), dtype=dtype)
-    z = np.zeros(K)
+    mu0 = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)
 
     if init_lam is None:
-        lam = jnp.where(stim > 0, jnp.asarray(init_spike_prior, dtype), 0.0)
-        lam = lam * lam_mask
+        lam0 = jnp.where(stim > 0, jnp.asarray(init_spike_prior, dtype), 0.0)
+        lam0 = lam0 * lam_mask
     else:
-        lam = jnp.asarray(init_lam, dtype=dtype)
+        lam0 = jnp.asarray(init_lam, dtype=dtype)
 
-    key = jax.random.PRNGKey(seed)
-    receptive_fields = None
-
-    hists = {k: [] for k in ["mu", "beta", "lam", "shape", "rate", "z"]}
-
-    for it in range(iters):
-        beta = update_slab_scale_mbcs(lam, shape, rate, jnp.asarray(beta_prior, dtype))
-        mu = update_weights_constrained_l1(
-            y, mu, lam, shape, rate, penalty=penalty, scale_factor=scale_factor,
-            max_penalty_iters=max_penalty_iters, max_lasso_iters=max_lasso_iters,
-            constrain_weights=constrain_weights, verbose=verbose,
-        )
-
-        key, k_order, k_noise = jax.random.split(key, 3)
-        order = jax.random.permutation(k_order, N)
-
-        if receptive_fields is None:
-            spike_prior = lam
-        if learn_lam:
-            lam = sweep_spikes_mbcs(
-                y, stim, mu, beta, lam, shape, rate, lam_mask, spike_prior, order
-            )
-        receptive_fields, spike_prior = update_receptive_fields(
-            lam, stim, powers_with_zero
-        )
-        mu, lam = isotonic_filtering(
-            mu, lam, receptive_fields,
-            minimum_spike_count=minimum_spike_count,
-            minimum_maximal_spike_prob=minimum_maximal_spike_prob + spont_rate,
-        )
-        shape, rate = update_noise_mc(
-            k_noise, y, mu, beta, lam, noise_scale=noise_scale,
-            num_mc_samples=int(num_mc_samples_noise_model),
-        )
-
-        if it > delay_spont_estimation:
-            z = update_outliers(
-                y, mu, lam, lam_mask, penalty=outlier_penalty,
-                scale_factor=scale_factor, max_penalty_iters=max_penalty_iters,
-                orthogonal=orthogonal_outliers, tol=outlier_tol,
-            )
-            spont_rate = float(np.mean(z != 0))
-
-        if save_histories:
-            for name, val in zip(
-                hists, [mu, beta, lam, shape, rate, z]
-            ):
-                hists[name].append(np.asarray(val))
+    final, hists = _run_mbcs(
+        y,
+        stim,
+        lam0,
+        lam_mask,
+        jnp.asarray(powers_with_zero, dtype),
+        mu0,
+        jnp.asarray(beta_prior, dtype),
+        jnp.full((K,), float(shape_prior), dtype=dtype),
+        jnp.full((K,), float(rate_prior), dtype=dtype),
+        jax.random.PRNGKey(seed),
+        jnp.asarray(penalty, dtype),
+        jnp.asarray(scale_factor, dtype),
+        jnp.asarray(outlier_penalty, dtype),
+        jnp.asarray(minimum_maximal_spike_prob, dtype),
+        jnp.asarray(spont_rate, dtype),
+        jnp.asarray(outlier_tol, dtype),
+        jnp.asarray(noise_scale, dtype),
+        iters=int(iters),
+        max_penalty_iters=int(max_penalty_iters),
+        max_lasso_iters=int(max_lasso_iters),
+        constrain_weights=str(constrain_weights),
+        learn_lam=bool(learn_lam),
+        delay_spont_estimation=int(delay_spont_estimation),
+        minimum_spike_count=int(minimum_spike_count),
+        num_mc_samples_noise_model=int(num_mc_samples_noise_model),
+        orthogonal_outliers=bool(orthogonal_outliers),
+        save_histories=bool(save_histories),
+    )
+    (mu, beta, lam, shape, rate, z, _spont, _prior, receptive_fields,
+     _key) = final
 
     if save_histories:
-        hist_arrs = [np.stack(hists[k]) for k in hists]
+        hist_arrs = [np.asarray(h) for h in hists]
     else:
         hist_arrs = [None] * 6
 
-    return (mu, beta, lam, shape, rate, jnp.asarray(z, dtype), receptive_fields,
-            *hist_arrs)
+    return (mu, beta, lam, shape, rate, z, receptive_fields, *hist_arrs)

@@ -60,10 +60,18 @@ def plot_checkerboard(
     col_width=7.5,
     row_height=0.6,
     order=None,
+    sdevs=None,
     fig_width=None,
     overlay_spikes=False,
+    annotate_spikes=False,
+    labels=None,
+    hspace=0.5,
+    ylabelpad=0.05,
+    facecol=None,
+    edgecol=None,
     trial_len=900,
     fontsize=14,
+    append_last_row=False,
     plot_sponts=True,
     spont_col="C0",
     spont_alpha=0.75,
@@ -74,8 +82,19 @@ def plot_checkerboard(
     """Checkerboard of PSC traces with spike-posterior shading.
 
     ``model`` is either a fitted Model (with ``.state``) or a state dict.
+    Full kwarg parity with reference plot_checkerboard (viz.py:4-181):
+    ``sdevs`` annotates a per-trial value under each trial,
+    ``annotate_spikes`` prints true:inferred spiking-cell counts (needs
+    ``true_spikes``/``true_weights``), ``labels`` overrides row labels,
+    ``append_last_row`` adds the last (unconnected) neuron as a
+    reference row, ``facecol``/``edgecol`` style the spike shading.
     """
     plt = _require_mpl()
+    if facecol is not None:
+        spike_col = facecol
+    edge_kw = (
+        {"lw": 0} if edgecol is None else {"edgecolor": edgecol, "lw": 1.25}
+    )
 
     state = model.state if hasattr(model, "state") else model
     psc = np.asarray(psc)
@@ -104,10 +123,11 @@ def plot_checkerboard(
 
     if fig_width is None:
         fig_width = max_trials_to_show * col_width
+    nrows = n_plots + 2 if append_last_row else n_plots
     fig, axes = plt.subplots(
-        n_plots, 1, figsize=(fig_width, row_height * n_plots * 1.5), squeeze=False
+        nrows, 1, figsize=(fig_width, row_height * nrows * 1.5), squeeze=False
     )
-    fig.subplots_adjust(hspace=0.5)
+    fig.subplots_adjust(hspace=hspace)
 
     for m in range(n_plots):
         n = order[m]
@@ -126,13 +146,32 @@ def plot_checkerboard(
                 ax.plot([x0, x0], [ymin, ymax], "--", color=col, linewidth=0.6)
             if not np.isnan(mu[n]):
                 ax.axvspan(x0, x0 + trial_len, color=spike_col,
-                           alpha=float(lam[n, locs[t]]), zorder=-5, lw=0)
+                           alpha=float(lam[n, locs[t]]), zorder=-5, **edge_kw)
             if plot_sponts and z[locs[t]] != 0:
                 ax.axvspan(x0, x0 + trial_len, color=spont_col,
-                           alpha=spont_alpha, zorder=-5, lw=0)
+                           alpha=spont_alpha, zorder=-5, **edge_kw)
             if m == 0 and (t == 0 or stim[n, locs[t]] != stim[n, locs[t - 1]]):
                 ax.text(x0, 1.1 * ymax, f"{stim[n, locs[t]]:.0f} mW",
                         fontsize=fontsize - 2)
+            if sdevs is not None:
+                ax.text(x0 + trial_len / 3, 0.65, f"{sdevs[locs[t]]:.2f}",
+                        fontsize=5)
+            if annotate_spikes:
+                # true:inferred spiking-cell counts per trial
+                # (reference viz.py:104-119)
+                assert true_spikes is not None
+                inferred = np.intersect1d(
+                    np.flatnonzero(lam[:, locs[t]] >= 0.5),
+                    np.flatnonzero(mu != 0),
+                )
+                tw = mu if true_weights is None else np.asarray(true_weights)
+                true_c = np.intersect1d(
+                    np.flatnonzero(true_spikes[:, locs[t]] > 0),
+                    np.flatnonzero(tw != 0),
+                )
+                if inferred.size > 0:
+                    ax.text(x0 + trial_len // 4, -0.3,
+                            f"{true_c.size}: {inferred.size}", fontsize=7)
             if overlay_spikes and true_spikes is not None and \
                     true_spikes[n, locs[t]] > 0:
                 ax.scatter(x0 + trial_len / 2, 0.75 * ymax, s=20, marker="v",
@@ -145,11 +184,37 @@ def plot_checkerboard(
         ax.set_yticks([])
         for side in ("top", "right", "left", "bottom"):
             ax.spines[side].set_visible(False)
-        if m % 4 == 0:
+        if labels is not None:
+            ax.set_ylabel(labels[m] + 1, fontsize=fontsize - 1, rotation=0,
+                          labelpad=15, va="center", color="k")
+        elif m % 4 == 0:
             ax.set_ylabel(m + 1, fontsize=fontsize - 1, rotation=0,
                           labelpad=15, va="center", color=col)
 
-    fig.supylabel("Neuron", fontsize=fontsize)
+    if append_last_row:
+        # blank spacer row, then the last (weakest, typically unconnected)
+        # neuron as a gray reference row (reference viz.py:147-175)
+        axes[n_plots, 0].axis("off")
+        ax = axes[n_plots + 1, 0]
+        n = stim.shape[0] - 1
+        locs = _trials_by_power(stim[n], powers, per_power)
+        if locs.size:
+            trace = psc[locs].reshape(-1) / norm
+            for t in range(1, locs.size):
+                ax.plot([t * trial_len, t * trial_len], [ymin, ymax], "--",
+                        color="gray", linewidth=0.6)
+            ax.plot(trace, color="gray", linewidth=1.5)
+            ax.set_xlim(0, trial_len * locs.size)
+        ax.set_ylim(ymin, ymax)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        for side in ("top", "right", "left", "bottom"):
+            ax.spines[side].set_visible(False)
+        ax.set_xlabel("Trials", fontsize=fontsize)
+        ax.set_ylabel(stim.shape[0], fontsize=fontsize - 1, rotation=0,
+                      labelpad=15, va="center", color="gray")
+
+    fig.supylabel("Neuron", fontsize=fontsize, x=ylabelpad)
     if save is not None:
         fig.savefig(save, format=save_fmt, bbox_inches="tight", dpi=300)
     return fig

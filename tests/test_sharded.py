@@ -82,6 +82,97 @@ class TestShardedCaviar:
         assert np.asarray(out[2]).shape == (40, 501)
 
 
+class TestShardedHistories:
+    def test_histories_match_single_device(self, sim, mesh8):
+        args = _fit_args(sim, 40)
+        kw = dict(iters=5, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True, save_histories=True)
+        single = caviar(*args, **kw)
+        sharded = caviar_sharded(*args, mesh=mesh8, **kw)
+        # history slots 9..16: mu, beta, lam, shape, rate, phi, phi_cov, z
+        names = ["mu", "beta", "lam", "shape", "rate", "phi", "phi_cov", "z"]
+        for i, name in enumerate(names):
+            h_s, h_p = np.asarray(single[9 + i]), np.asarray(sharded[9 + i])
+            assert h_s.shape == h_p.shape, name
+            assert h_s.shape[0] == 5, name
+            np.testing.assert_allclose(h_s, h_p, rtol=5e-3, atol=5e-3,
+                                       err_msg=name)
+
+    def test_model_mesh_histories(self, sim, mesh8):
+        from circuitmap_tpu.model import Model
+
+        model = Model(40)
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"mesh": mesh8, "iters": 4, "verbose": False,
+                               "analytic_mc": True, "save_histories": True,
+                               "fn_scan": False})
+        assert model.history["mu"].shape == (4, 40)
+        assert model.history["lam"].shape == (4, 40, 501)
+        assert model.history["z"].shape == (4, 501)
+
+
+class TestShardedSns:
+    def test_matches_single_device(self, sim, mesh8):
+        from circuitmap_tpu.parallel import cavi_sns_sharded
+        from circuitmap_tpu.solvers import cavi_sns
+
+        p = default_priors(40)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["alpha"], p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        kw = dict(iters=8, seed=1, verbose=False, analytic_mc=True,
+                  save_histories=False)
+        single = cavi_sns(*args, **kw)
+        sharded = cavi_sns_sharded(*args, mesh=mesh8, **kw)
+
+        # effective weights, spike posteriors, noise posterior
+        w_s = np.asarray(single[0]) * np.asarray(single[2])
+        w_p = np.asarray(sharded[0]) * np.asarray(sharded[2])
+        np.testing.assert_allclose(w_s, w_p, rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(single[3]), np.asarray(sharded[3]), rtol=5e-3, atol=5e-3
+        )
+        assert float(single[4]) == pytest.approx(float(sharded[4]))
+        assert float(single[5]) == pytest.approx(float(sharded[5]), rel=5e-3)
+
+    def test_histories_and_model_dispatch(self, sim, mesh8):
+        from circuitmap_tpu.model import Model
+
+        model = Model(40)
+        model.fit(sim["psc"], sim["stim_matrix"], method="cavi_sns",
+                  fit_options={"mesh": mesh8, "iters": 3, "verbose": False,
+                               "analytic_mc": True})
+        assert model.state["lam"].shape == (40, 501)
+        assert model.history["alpha"].shape == (3, 40)
+        assert model.history["lam"].shape == (3, 40, 501)
+
+
+class TestShardedBatched:
+    def test_caviar_many_mesh_matches_local(self, mesh8):
+        from circuitmap_tpu.solvers.batched import caviar_many
+
+        np.random.seed(9)
+        B, N, K = 3, 16, 160  # B deliberately not divisible by 8
+        sims = [
+            simulate(N=N, trials=K, H=3, connection_prob=0.15, verbose=False,
+                     spont_prob=0.01, gp_scale=1e-3)
+            for _ in range(B)
+        ]
+        y = np.stack([s["psc"] for s in sims])
+        st = np.stack([s["stim_matrix"] for s in sims])
+        p = default_priors(N)
+        kw = dict(iters=5, verbose=False, fn_scan=False, analytic_mc=True)
+        local = caviar_many(y, st, p["mu"], p["beta"], p["shape"], p["rate"],
+                            p["phi"], p["phi_cov"], **kw)
+        meshed = caviar_many(y, st, p["mu"], p["beta"], p["shape"], p["rate"],
+                             p["phi"], p["phi_cov"], mesh=mesh8, **kw)
+        assert len(meshed) == B
+        for lo, me in zip(local, meshed):
+            np.testing.assert_allclose(lo["mu"], me["mu"], rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_allclose(lo["lam"], me["lam"], rtol=1e-4,
+                                       atol=1e-5)
+
+
 class TestSweep:
     def test_loho_folds(self, sim):
         folds = list(loho_folds(sim["stim_matrix"]))

@@ -198,3 +198,93 @@ class TestPallasSweep:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(pal[2]),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_batched_kernel_matches_stacked_singles(self, rng):
+        """The (B, N)-grid batched kernel == B single-map kernel calls."""
+        import jax
+        import jax.numpy as jnp
+        from circuitmap_tpu.ops.sweep_pallas import (
+            sweep_spikes_pallas,
+            sweep_spikes_pallas_batched,
+        )
+
+        B, N, K, P = 3, 10, 64, 3
+        powers = jnp.asarray([45.0, 55.0, 65.0])
+        stim = jnp.asarray(
+            powers[rng.integers(0, P, (B, N, K))] * (rng.random((B, N, K)) > 0.7)
+        ).astype(jnp.float32)
+        y = jnp.asarray(np.abs(rng.normal(size=(B, K))), jnp.float32)
+        mu = jnp.asarray(rng.normal(size=(B, N)) ** 2, jnp.float32)
+        beta = jnp.asarray(np.abs(rng.normal(size=(B, N))) + 0.1, jnp.float32)
+        lam = jnp.asarray(rng.random((B, N, K)), jnp.float32) * (stim > 0)
+        sig = jnp.asarray(np.abs(rng.normal(size=B)) + 0.5, jnp.float32)
+        m0 = jnp.asarray(rng.random((B, N)) * 0.2, jnp.float32)
+        m1 = jnp.asarray(rng.random((B, N)) * 10, jnp.float32)
+        mask = jnp.ones((B, K), jnp.float32)
+        counts = jnp.sum(
+            stim[:, :, None, :] == powers[None, None, :, None], axis=-1
+        ).astype(jnp.float32)
+        order = jnp.stack(
+            [jax.random.permutation(jax.random.PRNGKey(b), N) for b in range(B)]
+        )
+        msrmp = jnp.asarray([0.2, 0.3, 0.25], jnp.float32)
+
+        batched = sweep_spikes_pallas_batched(
+            y, stim, mu, beta, lam, sig, m0, m1, mask, powers, counts, order,
+            msrmp, 3.0, 1.0, interpret=True,
+        )
+        for b in range(B):
+            single = sweep_spikes_pallas(
+                y[b], stim[b], mu[b], beta[b], lam[b], sig[b], m0[b], m1[b],
+                mask[b], powers, counts[b], order[b], msrmp[b], 3.0, 1.0,
+                interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched[b]), np.asarray(single), rtol=1e-6,
+                atol=1e-7, err_msg=f"experiment {b}",
+            )
+
+    def test_custom_vmap_routes_to_batched(self, rng):
+        """jax.vmap of the wrapped sweep lowers onto the batched kernel
+        and matches per-map results, with mixed batched/unbatched args."""
+        import jax
+        import jax.numpy as jnp
+        from circuitmap_tpu.ops.sweep_pallas import (
+            sweep_spikes_pallas_interpret_v,
+        )
+
+        B, N, K, P = 2, 8, 32, 2
+        powers = jnp.asarray([45.0, 65.0])
+        stim = jnp.asarray(
+            powers[rng.integers(0, P, (B, N, K))] * (rng.random((B, N, K)) > 0.6)
+        ).astype(jnp.float32)
+        y = jnp.asarray(np.abs(rng.normal(size=(B, K))), jnp.float32)
+        mu = jnp.asarray(rng.random((B, N)) + 0.5, jnp.float32)
+        beta = jnp.asarray(rng.random((B, N)) + 0.1, jnp.float32)
+        lam = jnp.asarray(rng.random((B, N, K)), jnp.float32) * (stim > 0)
+        m0 = jnp.asarray(rng.random((B, N)) * 0.2, jnp.float32)
+        m1 = jnp.asarray(rng.random((B, N)) * 10, jnp.float32)
+        mask = jnp.ones((B, K), jnp.float32)
+        counts = jnp.sum(
+            stim[:, :, None, :] == powers[None, None, :, None], axis=-1
+        ).astype(jnp.float32)
+        order = jnp.stack(
+            [jax.random.permutation(jax.random.PRNGKey(b), N) for b in range(B)]
+        )
+        sig = jnp.asarray(1.3, jnp.float32)   # unbatched
+        msrmp = jnp.asarray(0.25, jnp.float32)  # unbatched
+
+        vm = jax.vmap(
+            sweep_spikes_pallas_interpret_v,
+            in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, 0, 0, None, None,
+                     None),
+        )(y, stim, mu, beta, lam, sig, m0, m1, mask, powers, counts, order,
+          msrmp, jnp.asarray(3.0), jnp.asarray(1.0))
+        for b in range(B):
+            single = sweep_spikes_pallas_interpret_v(
+                y[b], stim[b], mu[b], beta[b], lam[b], sig, m0[b], m1[b],
+                mask[b], powers, counts[b], order[b], msrmp,
+                jnp.asarray(3.0), jnp.asarray(1.0),
+            )
+            np.testing.assert_allclose(np.asarray(vm[b]), np.asarray(single),
+                                       rtol=1e-6, atol=1e-7)

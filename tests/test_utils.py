@@ -151,6 +151,27 @@ class TestViz:
 
         plt.close(fig)
 
+    def test_checkerboard_reference_kwargs(self, tmp_path, rng):
+        """The reference-parity kwargs (annotate_spikes, sdevs, labels,
+        append_last_row, facecol/edgecol — reference viz.py:4-7) render."""
+        stim, state = self._fake_state(rng)
+        psc = np.abs(rng.normal(size=(40, 900)))
+        true_spikes = (rng.random((6, 40)) > 0.7).astype(float) * (stim > 0)
+        fig = plot_checkerboard(
+            psc, stim, state, n_plots=4, max_trials_to_show=6, fig_width=8,
+            annotate_spikes=True, true_spikes=true_spikes,
+            true_weights=state["mu"], sdevs=rng.random(40),
+            labels=np.arange(4), append_last_row=True,
+            facecol="salmon", edgecol="k", hspace=0.4, ylabelpad=0.02,
+            save=str(tmp_path / "cb_kwargs.png"),
+        )
+        assert (tmp_path / "cb_kwargs.png").exists()
+        # 4 rows + spacer + appended reference row
+        assert len(fig.axes) == 6
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
     def test_comparison_renders(self, tmp_path, rng):
         stim, state = self._fake_state(rng)
         psc = np.abs(rng.normal(size=(40, 900)))
