@@ -49,11 +49,15 @@ def main():
     priors = default_priors(N)
 
     def pipeline(psc, stim):
-        dem = demixer(psc, verbose=False, keep_on_device=True)
+        # f16 wire format halves the host->TPU trace upload (~1e-3
+        # relative quantisation, no measurable R2 change)
+        dem = demixer(psc, verbose=False, keep_on_device=True,
+                      transfer_dtype=np.float16)
         out = caviar(
             dem, stim, priors["mu"], priors["beta"], priors["shape"],
             priors["rate"], priors["phi"], priors["phi_cov"], iters=iters,
-            msrmp=0.3, verbose=False,
+            msrmp=0.3, powers=[45.0, 55.0, 65.0],  # rig config, as in the
+            verbose=False,                         # reference harness YAMLs
         )
         return out
 

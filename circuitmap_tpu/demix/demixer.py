@@ -44,6 +44,7 @@ def _demix_batch(params, traces):
     Forward runs in the params' dtype (f32 default; bf16 supported for
     ~1.7x faster inference), normalisation/rescale always in f32.
     """
+    traces = traces.astype(jnp.float32)  # f16-wire inputs restored on device
     net_dtype = params["conv"]["conv"]["w"].dtype
     tmax = jnp.max(traces, axis=1, keepdims=True)
     safe = jnp.where(tmax != 0, tmax, 1.0)
@@ -141,7 +142,8 @@ class NeuralDemixer:
 
     def __call__(self, traces, monotone_filter_start=500,
                  monotone_filter_inplace=True, verbose=True,
-                 keep_on_device=False, chunk_size=4096):
+                 keep_on_device=False, chunk_size=4096,
+                 transfer_dtype=None):
         """Demix a trace block. ``keep_on_device=True`` returns a device
         array — use it when the output feeds a solver directly, so the
         [K, T] block never round-trips through host memory.
@@ -150,7 +152,10 @@ class NeuralDemixer:
         dispatch overlaps each chunk's host->device transfer with the
         previous chunk's forward pass, hiding most of the upload time
         behind compute (the transfer is the dominant cost on a
-        bandwidth-limited link).
+        bandwidth-limited link). ``transfer_dtype=np.float16`` halves
+        the upload: traces cast host-side, restored to f32 on device
+        before the forward pass (~1e-3 relative quantisation — far
+        below recording noise; measured no R2 change on the bench).
         """
         del monotone_filter_inplace  # functional; kept for API parity
         traces = np.asarray(traces, dtype=np.float32)
@@ -158,25 +163,21 @@ class NeuralDemixer:
         if squeeze:
             traces = traces[None]
         K, T = traces.shape
+        wire = np.float32 if transfer_dtype is None else transfer_dtype
+
+        def _one(part):
+            bucket = _bucket(part.shape[0])
+            padded = np.zeros((bucket, T), dtype=wire)
+            padded[:part.shape[0]] = part
+            return _demix_and_filter(self.params, jnp.asarray(padded),
+                                     int(monotone_filter_start))[:part.shape[0]]
 
         t0 = time.time()
         if K <= chunk_size:
-            bucket = _bucket(K)
-            padded = np.zeros((bucket, T), dtype=np.float32)
-            padded[:K] = traces
-            dev = _demix_and_filter(self.params, jnp.asarray(padded),
-                                    int(monotone_filter_start))[:K]
+            dev = _one(traces)
         else:
-            chunks = []
-            for k0 in range(0, K, chunk_size):
-                part = traces[k0:k0 + chunk_size]
-                bucket = _bucket(part.shape[0])
-                padded = np.zeros((bucket, T), dtype=np.float32)
-                padded[:part.shape[0]] = part
-                chunks.append(
-                    _demix_and_filter(self.params, jnp.asarray(padded),
-                                      int(monotone_filter_start))[:part.shape[0]]
-                )
+            chunks = [_one(traces[k0:k0 + chunk_size])
+                      for k0 in range(0, K, chunk_size)]
             dev = jnp.concatenate(chunks, axis=0)
         out = dev if keep_on_device else np.asarray(dev)
         if verbose:

@@ -1,11 +1,12 @@
 """Shared host->device preamble for the solvers.
 
 Every solver takes the [N, K] stimulus design matrix from host memory.
-On a bandwidth-limited link (CLAUDE.md: the tunneled TPU moves ~50 MB/s)
-the dense f32 upload dominates fixed cost, but stim takes only P+1
-distinct values — so it ships as int8 bucket indices (4x smaller) and is
-reconstructed by a device gather. Factored here so caviar, cavi_sns,
-the resumable wrapper, and the sharded solver share one implementation.
+On a bandwidth-limited link (CLAUDE.md: the tunneled TPU moves ~50 MB/s
+with ~0.5 s per dispatch) two things matter: ship few bytes, and issue
+few programs. So stim ships as int8 bucket indices (4x smaller — it
+takes only P+1 distinct values) and every eager device op of the prep
+path is fused into one jitted program (_stim_from_buckets /
+_prep_stim_and_init): a single dispatch instead of one per op.
 """
 
 from __future__ import annotations
@@ -22,20 +23,85 @@ def prepare_traces(y_psc, dtype):
     return jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
 
 
+def _bucketise(stim, powers=None):
+    """Host side: levels + int8 bucket indices (or None if too many).
+
+    ``powers`` (the rig's stimulation levels — experiment config, as in
+    the reference harness YAMLs) skips the 20M-element np.unique scan.
+    """
+    stim_np = np.asarray(stim, dtype=np.float32)
+    if powers is None:
+        powers_np = np.unique(stim_np)[1:]
+    else:
+        powers_np = np.sort(np.asarray(powers, dtype=np.float32))
+    levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
+    if levels_np.size > 127:
+        return stim_np, powers_np, levels_np, None
+    bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
+    return stim_np, powers_np, levels_np, bucket
+
+
+def _select_levels(levels, bucket):
+    """bucket indices -> level values WITHOUT a gather.
+
+    A [P+1]-table gather over N*K elements runs on the TPU's scalar
+    gather path (measured ~2 s at 20M elements); P+1 compare-selects are
+    pure VPU work and fuse into one pass. levels.shape is static under
+    jit, so the loop unrolls.
+    """
+    b = bucket.astype(jnp.int32)
+    stim = jnp.zeros(bucket.shape, levels.dtype)
+    for p in range(1, levels.shape[0]):
+        stim = stim + jnp.where(b == p, levels[p], jnp.zeros((), levels.dtype))
+    return stim
+
+
+@jax.jit
+def _stim_from_buckets(levels, bucket):
+    return _select_levels(levels, bucket)
+
+
 def prepare_stim(stim, dtype):
     """Returns (stim_device, stim_np_f32, powers_np).
 
     Ships stim as int8 power-bucket indices when there are at most 127
     levels (the practical case), falling back to a dense f32 upload.
     """
-    stim_np = np.asarray(stim, dtype=np.float32)
-    powers_np = np.unique(stim_np)[1:]
-    levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
-    if levels_np.size <= 127:
-        bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
-        stim_dev = jnp.asarray(levels_np, dtype)[
-            jnp.asarray(bucket).astype(jnp.int32)
-        ]
-    else:
-        stim_dev = jnp.asarray(stim_np, dtype=dtype)
+    stim_np, powers_np, levels_np, bucket = _bucketise(stim)
+    if bucket is None:
+        return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np
+    stim_dev = _stim_from_buckets(
+        jnp.asarray(levels_np, dtype), jnp.asarray(bucket)
+    )
     return stim_dev, stim_np, powers_np
+
+
+@jax.jit
+def _prep_stim_and_init(levels, bucket, active):
+    """Fused solver preamble: stim gather + activity mask + lam init.
+
+    One dispatch for what would otherwise be four eager ops through the
+    tunnel (gather, astype, where, multiply).
+    """
+    stim = _select_levels(levels, bucket)
+    lam_mask = active.astype(levels.dtype)
+    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, levels.dtype), 0.0) * lam_mask
+    return stim, lam_mask, lam0
+
+
+def prepare_stim_and_init(stim, active, dtype, powers=None):
+    """Device (stim, lam_mask, lam0) in a single compiled program.
+
+    The lam0 = 0.95-on-targeted-trials initialisation is shared by
+    caviar / resumable / sharded (reference caviar.py:32-34).
+    """
+    stim_np, powers_np, levels_np, bucket = _bucketise(stim, powers)
+    if bucket is None:
+        stim_dev = jnp.asarray(stim_np, dtype=dtype)
+        lam_mask = active.astype(dtype)
+        lam0 = jnp.where(stim_dev > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+        return stim_dev, lam_mask, lam0, stim_np, powers_np
+    stim_dev, lam_mask, lam0 = _prep_stim_and_init(
+        jnp.asarray(levels_np, dtype), jnp.asarray(bucket), active
+    )
+    return stim_dev, lam_mask, lam0, stim_np, powers_np

@@ -56,7 +56,7 @@ from ..ops.pava import isotonic_fit_at_max, isotonic_fit_at_max_batched
 from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ..ops.sweep_pallas import sweep_spikes_pallas
-from ._common import prepare_stim, prepare_traces
+from ._common import prepare_stim_and_init, prepare_traces
 from ._laplace import laplace_phi_update
 
 
@@ -608,6 +608,7 @@ def caviar(
     analytic_mc=False,
     sweep_block_size=1,
     sweep_impl="auto",
+    powers=None,
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -628,11 +629,12 @@ def caviar(
         print("Running CAVIaR (TPU-native).")
 
     y_psc = prepare_traces(y_psc, dtype)
-    stim, stim_np, powers_np = prepare_stim(stim, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
-    lam_mask = active.astype(dtype)
-
-    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+    # single fused program for the stim gather + mask + lam init (the
+    # eager-op version cost one tunnel dispatch per op)
+    stim, lam_mask, lam0, stim_np, powers_np = prepare_stim_and_init(
+        stim, active, dtype, powers=powers
+    )
     powers = jnp.asarray(powers_np, dtype=dtype)
 
     key = jax.random.PRNGKey(seed)

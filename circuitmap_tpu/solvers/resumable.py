@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
-from ._common import prepare_stim, prepare_traces
+from ._common import prepare_stim_and_init, prepare_traces
 from ._laplace import laplace_phi_update
 from .caviar import (CaviarState, _run_caviar, _resolve_sweep_impl,
                      reconnect_from_spontaneous)
@@ -62,12 +62,11 @@ def caviar_resumable(
     if not str(checkpoint_path).endswith(".npz"):
         checkpoint_path = str(checkpoint_path) + ".npz"
     y_psc = prepare_traces(y_psc, dtype)
-    stim, stim_np, powers_np = prepare_stim(stim, dtype)
-    powers = jnp.asarray(powers_np, dtype=dtype)
-
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
-    lam_mask = active.astype(dtype)
-    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+    stim, lam_mask, lam0, stim_np, powers_np = prepare_stim_and_init(
+        stim, active, dtype
+    )
+    powers = jnp.asarray(powers_np, dtype=dtype)
 
     start = 0
     state = None
