@@ -708,9 +708,9 @@ def caviar_sharded(
             msrmp=msrmp, minimum_spike_count=minimum_spike_count, verbose=verbose,
         )
         if reconnected:
-            from ..solvers._laplace import laplace_phi_update
+            from ..solvers._laplace import laplace_phi_update_jit
 
-            phi, phi_cov = laplace_phi_update(
+            phi, phi_cov = laplace_phi_update_jit(
                 jnp.asarray(lam, dtype), jnp.asarray(stim_np[:, :K], dtype),
                 jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
                 powers=jnp.asarray(powers, dtype),

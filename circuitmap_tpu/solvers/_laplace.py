@@ -139,3 +139,9 @@ def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None):
         powers = jnp.asarray(np.unique(np.asarray(stim))[1:], dtype=lam.dtype)
     S, C, levels = powercurve_stats(lam, stim, powers)
     return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+
+
+# Jitted form for EAGER call sites (post-reconnect refits): run op-by-op
+# through a dispatch-costly link, the masked reductions + vmapped Newton
+# while_loops cost ~2 s; as one compiled program, ~10 ms.
+laplace_phi_update_jit = jax.jit(laplace_phi_update)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
-from ._laplace import laplace_phi_update
+from ._laplace import laplace_phi_update_jit
 from .caviar import _resolve_sweep_impl, _run_caviar, reconnect_from_spontaneous
 
 
@@ -176,7 +176,7 @@ def caviar_many(
                 verbose=False,
             )
             if reconnected:
-                phi, phi_cov = laplace_phi_update(
+                phi, phi_cov = laplace_phi_update_jit(
                     jnp.asarray(lam, dtype), stim_dev[b],
                     priors[4], priors[5], powers=powers,
                 )

@@ -57,7 +57,7 @@ from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ..ops.sweep_pallas import sweep_spikes_pallas
 from ._common import prepare_stim_and_init, prepare_traces
-from ._laplace import laplace_phi_update
+from ._laplace import laplace_phi_update, laplace_phi_update_jit
 
 
 class CaviarState(NamedTuple):
@@ -487,8 +487,28 @@ def _run_caviar(
 # ---------------------------------------------------------------------------
 
 
+def _pull_host_batch(*arrs):
+    """Fetch several same-dtype device vectors in ONE host pull.
+
+    Each separate device->host transfer pays the tunnel round trip
+    (~0.2-0.4 s); concatenating on device first makes it a single one.
+    Host inputs pass through unchanged when nothing lives on device.
+    """
+    if not any(isinstance(a, jax.Array) for a in arrs):
+        return [np.asarray(a) for a in arrs]
+    flats = [jnp.ravel(jnp.asarray(a, jnp.float32)) for a in arrs]
+    sizes = [int(f.shape[0]) for f in flats]
+    packed = np.asarray(jnp.concatenate(flats))
+    out, o = [], 0
+    for s in sizes:
+        out.append(packed[o:o + s])
+        o += s
+    return out
+
+
 def reconnect_from_spontaneous(
-    y, stim, lam, mu, beta, z, msrmp=0.3, minimum_spike_count=3, verbose=False
+    y, stim, lam, mu, beta, z, msrmp=0.3, minimum_spike_count=3,
+    powers=None, verbose=False,
 ):
     """Greedy false-negative scan (reference ``reconnect_spont_cells``,
     caviar.py:102-144).
@@ -507,52 +527,65 @@ def reconnect_from_spontaneous(
     end. The isotonic fit at max power is max-over-suffix-means (the
     minimax form used in ops/pava.isotonic_fit_at_max), computed inline.
     """
-    mu = np.asarray(mu).copy()
-    beta = np.asarray(beta).copy()
-    z = np.asarray(z).copy()
+    del y  # accepted for reference-signature parity; decisions use z only
+    mu, beta, z = (a.copy() for a in _pull_host_batch(mu, beta, z))
     stim = np.asarray(stim)
     lam_updates = []  # (neuron, trial_locs) reconnections to scatter later
-    powers = np.unique(stim)[1:]
+    if powers is None:
+        powers = np.unique(stim)[1:]
+    else:
+        powers = np.sort(np.asarray(powers, dtype=stim.dtype))
 
     candidate_mask = mu == 0.0
     z_nz = z != 0.0
+    P = powers.size
 
-    # per-(neuron, power) trial counts and the per-neuron spontaneous-event
-    # counts, maintained incrementally: the scan examines each candidate
-    # once and only rescans event counts when a reconnection removes events
-    targeted = stim != 0.0  # [N, K]
+    # Vectorised greedy scan. Spontaneous events are only ever REMOVED,
+    # so a candidate whose gate fails can never pass later — the loop
+    # therefore only iterates once per actual reconnection (usually
+    # 0-3), with all candidates' gates evaluated in [N, P] batch ops,
+    # instead of once per candidate. Same decisions as the sequential
+    # reference scan (caviar.py:102-144): each reconnection is the
+    # highest-event-count passer at the current z state.
     power_counts = np.stack([(stim == p).sum(1) for p in powers], 1)  # [N, P]
-    event_counts = targeted @ z_nz  # [N]
+    # spontaneous events are sparse: restrict every hit computation to
+    # the event columns ([N, n_events] slices instead of full [N, K])
+    z_idx = np.flatnonzero(z_nz)
+    stim_z = stim[:, z_idx]
+    hits_all = np.stack([(stim_z == p).sum(1) for p in powers], 1).astype(float)
+    suffix_div = np.arange(1, P + 1, dtype=float)
 
-    while candidate_mask.any() and (z_nz.sum() > minimum_spike_count):
-        # focus on the candidate with most spontaneous events on its trials
-        masked = np.where(candidate_mask, event_counts, -1)
-        n = int(np.argmax(masked))
+    while z_nz.sum() > minimum_spike_count:
+        with np.errstate(invalid="ignore"):
+            rates = np.where(power_counts > 0, hits_all / power_counts, 0.0)
+        # isotonic fit at max power == max over suffix means
+        iso_at_max = (np.cumsum(rates[:, ::-1], axis=1) / suffix_div).max(1)
+        n_events = hits_all.sum(1)
+        ok = candidate_mask & (iso_at_max >= msrmp) & (
+            n_events >= minimum_spike_count
+        )
+        if not ok.any():
+            break
+        n = int(np.argmax(np.where(ok, n_events, -1.0)))
         candidate_mask[n] = False
 
-        stim_n = stim[n]
-        hits = np.array([(stim_n == p) @ z_nz for p in powers], dtype=float)
-        with np.errstate(invalid="ignore"):
-            rates = np.where(power_counts[n] > 0, hits / power_counts[n], 0.0)
-        n_events = int(hits.sum())
-        # isotonic fit at max power == max over suffix means (host numpy)
-        suffix_means = np.cumsum(rates[::-1]) / np.arange(1, rates.size + 1)
-        iso_at_max = float(suffix_means.max())
-
-        if iso_at_max >= msrmp and n_events >= minimum_spike_count:
-            locs = np.flatnonzero(targeted[n] & z_nz)
-            vals = z[locs]
-            mu[n] = vals.mean()
-            # standard error of the mean (scipy.stats.sem semantics, ddof=1)
-            beta[n] = (
-                vals.std(ddof=1) / np.sqrt(vals.size) if vals.size > 1 else np.nan
-            )
-            lam_updates.append((n, locs))
-            z[locs] = 0.0
-            z_nz[locs] = False
-            event_counts = event_counts - targeted[:, locs].sum(1)
-            if verbose:
-                print(f"reconnected cell {n} (iso fit at max power {iso_at_max:.2f})")
+        locs = np.flatnonzero((stim[n] != 0.0) & z_nz)
+        vals = z[locs]
+        mu[n] = vals.mean()
+        # standard error of the mean (scipy.stats.sem semantics, ddof=1)
+        beta[n] = (
+            vals.std(ddof=1) / np.sqrt(vals.size) if vals.size > 1 else np.nan
+        )
+        lam_updates.append((n, locs))
+        z[locs] = 0.0
+        z_nz[locs] = False
+        # incremental hit update: all removed events had z_nz == True
+        hits_all -= np.stack(
+            [(stim[:, locs] == p).sum(1) for p in powers], 1
+        )
+        if verbose:
+            print(f"reconnected cell {n} "
+                  f"(iso fit at max power {iso_at_max[n]:.2f})")
 
     if lam_updates:
         rows = np.concatenate([np.full(l.size, n) for n, l in lam_updates])
@@ -674,7 +707,7 @@ def caviar(
 
     if fn_scan:
         mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-            np.asarray(y),
+            y,           # pulled in one batch with mu/beta/z inside
             stim_np,
             lam,
             mu,
@@ -682,12 +715,13 @@ def caviar(
             z,
             msrmp=msrmp,
             minimum_spike_count=minimum_spike_count,
+            powers=powers_np,
             verbose=verbose,
         )
         if reconnected:
             # only refit the power curves if lam actually changed — the
             # in-loop update already used this exact lam otherwise
-            phi, phi_cov = laplace_phi_update(
+            phi, phi_cov = laplace_phi_update_jit(
                 jnp.asarray(lam, dtype), stim,
                 jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
                 powers=powers,

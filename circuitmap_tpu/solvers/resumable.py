@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
 from ._common import prepare_stim_and_init, prepare_traces
-from ._laplace import laplace_phi_update
+from ._laplace import laplace_phi_update_jit
 from .caviar import (CaviarState, _run_caviar, _resolve_sweep_impl,
                      reconnect_from_spontaneous)
 
@@ -126,7 +126,7 @@ def caviar_resumable(
             verbose=verbose,
         )
         if reconnected:
-            phi, phi_cov = laplace_phi_update(
+            phi, phi_cov = laplace_phi_update_jit(
                 jnp.asarray(lam, dtype), stim,
                 jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
                 powers=powers,

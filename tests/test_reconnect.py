@@ -1,0 +1,111 @@
+"""Tests for the false-negative reconnection scan (reference
+reconnect_spont_cells, caviar.py:102-144).
+
+Round-2 regression: the round-1 implementation computed spontaneous-hit
+counts with numpy bool @ bool — a LOGICAL dot, capping every count at 1
+— so the scan effectively never reconnected anything. These tests pin
+the true counting semantics against an in-test sequential port of the
+reference loop.
+"""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.solvers.caviar import reconnect_from_spontaneous
+
+
+def _reference_oracle(stim, mu, beta, z, msrmp, min_count):
+    """Direct sequential port of the reference scan (caviar.py:102-144)
+    on host numpy, used as the decision oracle."""
+    mu, beta, z = mu.copy(), beta.copy(), z.copy()
+    powers = np.unique(stim)[1:]
+    disc = list(np.flatnonzero(mu == 0.0))
+    reconnected = []
+    while disc:
+        if (z != 0).sum() <= min_count:
+            break
+        counts = [int(((stim[n] != 0) & (z != 0)).sum()) for n in disc]
+        focus = disc[int(np.argmax(counts))]
+        srates = np.zeros(powers.size)
+        spike_count = 0
+        for i, p in enumerate(powers):
+            locs = np.flatnonzero(stim[focus] == p)
+            if locs.size:
+                srates[i] = np.mean(z[locs] != 0)
+                spike_count += int((z[locs] != 0).sum())
+        # isotonic fit at max power == max suffix mean
+        pava = float((np.cumsum(srates[::-1]) / np.arange(1, srates.size + 1)).max())
+        if pava >= msrmp and spike_count >= min_count:
+            locs = np.flatnonzero((stim[focus] != 0) & (z != 0))
+            mu[focus] = z[locs].mean()
+            beta[focus] = (z[locs].std(ddof=1) / np.sqrt(locs.size)
+                           if locs.size > 1 else np.nan)
+            z[locs] = 0.0
+            reconnected.append(focus)
+        disc.remove(focus)
+    return mu, beta, z, sorted(reconnected)
+
+
+class TestReconnect:
+    def test_counts_not_capped(self):
+        """A cell whose trials host many spontaneous events must
+        reconnect (fails under the round-1 bool@bool logical dot)."""
+        N, K = 5, 60
+        stim = np.zeros((N, K), dtype=np.float32)
+        stim[0, :20] = 65.0          # candidate: 20 max-power trials
+        stim[1, 20:25] = 65.0
+        z = np.zeros(K)
+        z[:10] = 3.0                 # 10 events on the candidate's trials
+        mu = np.zeros(N)
+        beta = np.ones(N)
+        lam = np.zeros((N, K), dtype=np.float32)
+
+        mu2, beta2, lam2, z2, rec = reconnect_from_spontaneous(
+            None, stim, lam, mu, beta, z, msrmp=0.3, minimum_spike_count=3,
+        )
+        assert rec
+        assert mu2[0] == pytest.approx(3.0)   # mean of absorbed events
+        assert np.all(np.asarray(lam2)[0, :10] == 1.0)
+        assert np.all(z2[:10] == 0.0)
+
+    def test_low_rate_cell_stays_disconnected(self):
+        N, K = 3, 100
+        stim = np.zeros((N, K), dtype=np.float32)
+        stim[0, :50] = 65.0
+        z = np.zeros(K)
+        z[:5] = 1.0                  # rate 0.1 < msrmp 0.3
+        mu, beta = np.zeros(N), np.ones(N)
+        lam = np.zeros((N, K), dtype=np.float32)
+        mu2, _, _, z2, rec = reconnect_from_spontaneous(
+            None, stim, lam, mu, beta, z, msrmp=0.3, minimum_spike_count=3,
+        )
+        assert not rec
+        assert mu2[0] == 0.0
+        assert np.all(z2[:5] == 1.0)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_sequential_reference_oracle(self, seed):
+        """Vectorised greedy scan == the reference's sequential loop."""
+        rng = np.random.default_rng(seed)
+        N, K = 30, 300
+        stim = rng.choice([0.0, 45.0, 55.0, 65.0], size=(N, K),
+                          p=[0.85, 0.05, 0.05, 0.05]).astype(np.float32)
+        mu = (rng.random(N) * (rng.random(N) > 0.5))
+        beta = rng.random(N) + 0.1
+        z = rng.random(K) * (rng.random(K) > 0.8)
+        lam = np.zeros((N, K), dtype=np.float32)
+
+        mu_o, beta_o, z_o, rec_o = _reference_oracle(
+            stim, mu, beta, z, 0.3, 3)
+        mu_n, beta_n, lam_n, z_n, _ = reconnect_from_spontaneous(
+            None, stim, lam.copy(), mu.copy(), beta.copy(), z.copy(),
+            msrmp=0.3, minimum_spike_count=3,
+        )
+        np.testing.assert_allclose(np.nan_to_num(np.asarray(mu_n)),
+                                   np.nan_to_num(mu_o), rtol=1e-6)
+        np.testing.assert_allclose(np.nan_to_num(np.asarray(beta_n)),
+                                   np.nan_to_num(beta_o), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(z_n), z_o, rtol=1e-6)
+        rec_n = sorted(set(np.flatnonzero(np.nan_to_num(np.asarray(mu_n)) != 0))
+                       - set(np.flatnonzero(mu != 0)))
+        assert rec_n == rec_o
