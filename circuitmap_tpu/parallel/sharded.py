@@ -517,15 +517,16 @@ def _iteration(state, it, data, hyper, static):
         "mesh", "iters", "num_mc_samples", "minimum_spike_count",
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
-        "save_histories",
+        "save_histories", "start_iter",
     ),
 )
 def _run_sharded(
     y, stim, lam0, lam_mask, valid, powers, levels, power_counts, k_global,
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
-    key, *, mesh, iters, num_mc_samples, minimum_spike_count, delay_spont_est,
-    msrmp, scale_factor, penalty, max_backtrack_iters, tol,
-    spont_orthogonality, analytic_mc, save_histories=False,
+    key, init_state=None, *, mesh, iters, num_mc_samples,
+    minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
+    max_backtrack_iters, tol, spont_orthogonality, analytic_mc,
+    save_histories=False, start_iter=0,
 ):
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -543,17 +544,20 @@ def _run_sharded(
 
     def body(y, stim, lam0, lam_mask, valid, powers, levels, power_counts,
              k_global, mu_prior, beta_prior, shape_prior, rate_prior,
-             phi_prior, phi_cov_prior, key):
+             phi_prior, phi_cov_prior, key, init_state):
         data = (y, stim, lam_mask, valid, powers, levels, power_counts, k_global)
         hyper = (mu_prior, beta_prior, shape_prior, rate_prior, phi_prior,
                  phi_cov_prior)
         K_loc = y.shape[0]
-        init = CaviarState(
-            mu=mu_prior, beta=beta_prior, lam=lam0, shape=shape_prior,
-            rate=rate_prior, phi=phi_prior, phi_cov=phi_cov_prior,
-            z=jnp.zeros(K_loc, dtype=y.dtype),
-            spont_rate=jnp.zeros((), dtype=y.dtype), key=key,
-        )
+        if init_state is None:
+            init = CaviarState(
+                mu=mu_prior, beta=beta_prior, lam=lam0, shape=shape_prior,
+                rate=rate_prior, phi=phi_prior, phi_cov=phi_cov_prior,
+                z=jnp.zeros(K_loc, dtype=y.dtype),
+                spont_rate=jnp.zeros((), dtype=y.dtype), key=key,
+            )
+        else:
+            init = init_state
 
         def step(state, it):
             new = _iteration(state, it, data, hyper, static)
@@ -564,7 +568,7 @@ def _run_sharded(
             )
             return new, hist
 
-        return lax.scan(step, init, jnp.arange(iters))
+        return lax.scan(step, init, jnp.arange(start_iter, start_iter + iters))
 
     state_spec = CaviarState(
         mu=P(), beta=P(), lam=P(None, TRIAL_AXIS), shape=P(), rate=P(),
@@ -578,6 +582,7 @@ def _run_sharded(
          P(None, TRIAL_AXIS))
         if save_histories else None
     )
+    init_spec = None if init_state is None else state_spec
     sharded = jax.shard_map(
         body,
         mesh=mesh,
@@ -590,6 +595,7 @@ def _run_sharded(
             P(), P(), P(), P(),       # powers, levels, power_counts, k_global
             *hyper_specs,
             P(),                      # key
+            init_spec,                # resumed state (or None)
         ),
         out_specs=(state_spec, hist_spec),
         check_vma=False,
@@ -597,8 +603,51 @@ def _run_sharded(
     return sharded(
         y, stim, lam0, lam_mask, valid, powers, levels, power_counts, k_global,
         mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
-        key,
+        key, init_state,
     )
+
+
+def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh):
+    """Shared host->device preamble for the trial-sharded solvers.
+
+    Pads K to a mesh multiple, builds the validity mask, observations,
+    lam init, and power-bucket statistics. Returns host metadata plus
+    ``device_args`` — the positional prefix every _run_sharded call takes.
+    """
+    n_dev = mesh.devices.size
+    y_psc = np.asarray(y_psc)
+    stim_np = np.asarray(stim)
+    K = y_psc.shape[0]
+    pad = (-K) % n_dev
+    if pad:
+        y_psc = np.concatenate([y_psc, np.zeros((pad, y_psc.shape[1]))], axis=0)
+        stim_np = np.concatenate(
+            [stim_np, np.zeros((stim_np.shape[0], pad))], axis=1
+        )
+    valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
+
+    y_psc = jnp.asarray(y_psc, dtype=dtype)
+    stim_j, stim_np, _ = prepare_stim(stim_np, dtype)
+    y, active = prepare_observations(y_psc, y_xcorr_thresh)
+    lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
+    lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+
+    powers = np.unique(stim_np)[1:]
+    levels = np.concatenate([[0.0], powers])
+    power_counts = (
+        stim_np[:, :K, None] == powers[None, None, :]
+    ).sum(axis=1).astype(np.float64)
+
+    device_args = (
+        y, stim_j, lam0, lam_mask,
+        jnp.asarray(valid, dtype),
+        jnp.asarray(powers, dtype),
+        jnp.asarray(levels, dtype),
+        jnp.asarray(power_counts, dtype),
+        jnp.asarray(float(K), dtype),
+    )
+    return dict(K=K, pad=pad, stim_np=stim_np, powers_np=powers,
+                device_args=device_args, y=y)
 
 
 def caviar_sharded(
@@ -638,43 +687,17 @@ def caviar_sharded(
     snapshots stay trial-sharded on device and are trimmed of padding
     on the way out.
     """
-    n_dev = mesh.devices.size
-    y_psc = np.asarray(y_psc)
-    stim_np = np.asarray(stim)
-    K = y_psc.shape[0]
-    pad = (-K) % n_dev
-    if pad:
-        y_psc = np.concatenate([y_psc, np.zeros((pad, y_psc.shape[1]))], axis=0)
-        stim_np = np.concatenate(
-            [stim_np, np.zeros((stim_np.shape[0], pad))], axis=1
-        )
-    valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
-
-    y_psc = jnp.asarray(y_psc, dtype=dtype)
-    stim_j, stim_np, _ = prepare_stim(stim_np, dtype)
-    y, active = prepare_observations(y_psc, y_xcorr_thresh)
-    lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
-    lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
-
-    powers = np.unique(stim_np)[1:]
-    levels = np.concatenate([[0.0], powers])
-    power_counts = (
-        stim_np[:, :K, None] == powers[None, None, :]
-    ).sum(axis=1).astype(np.float64)
+    prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh)
+    K = prep["K"]
+    stim_np = prep["stim_np"]
+    powers = prep["powers_np"]
 
     if verbose:
-        print(f"Running CAVIaR sharded over {n_dev} devices (K={K}, pad={pad}).")
+        print(f"Running CAVIaR sharded over {mesh.devices.size} devices "
+              f"(K={K}, pad={prep['pad']}).")
 
     final, hists = _run_sharded(
-        y,
-        stim_j,
-        lam0,
-        lam_mask,
-        jnp.asarray(valid, dtype),
-        jnp.asarray(powers, dtype),
-        jnp.asarray(levels, dtype),
-        jnp.asarray(power_counts, dtype),
-        jnp.asarray(float(K), dtype),
+        *prep["device_args"],
         jnp.asarray(mu_prior, dtype),
         jnp.asarray(beta_prior, dtype),
         jnp.asarray(shape_prior, dtype),
@@ -704,8 +727,9 @@ def caviar_sharded(
 
     if fn_scan:
         mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-            np.asarray(y)[:K], stim_np[:, :K], lam, mu, beta, z,
-            msrmp=msrmp, minimum_spike_count=minimum_spike_count, verbose=verbose,
+            None, stim_np[:, :K], lam, mu, beta, z,
+            msrmp=msrmp, minimum_spike_count=minimum_spike_count,
+            powers=powers, verbose=verbose,
         )
         if reconnected:
             from ..solvers._laplace import laplace_phi_update_jit

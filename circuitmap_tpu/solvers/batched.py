@@ -171,9 +171,9 @@ def caviar_many(
         phi, phi_cov = finals.phi[b], finals.phi_cov[b]
         if fn_scan:
             mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-                np.asarray(ys[b]), stims_np[b], lam, mu, beta, z,
+                None, stims_np[b], lam, mu, beta, z,
                 msrmp=msrmp, minimum_spike_count=minimum_spike_count,
-                verbose=False,
+                powers=powers_np, verbose=False,
             )
             if reconnected:
                 phi, phi_cov = laplace_phi_update_jit(

@@ -51,16 +51,34 @@ def caviar_resumable(
     fn_scan=True,
     dtype=jnp.float32,
     analytic_mc=False,
+    mesh=None,
     verbose=True,
 ):
     """CAVIaR with periodic state checkpoints + resume.
 
     If ``checkpoint_path`` exists, resumes from the iteration recorded
     in it. Returns the same tuple as solvers.caviar (histories None).
+    With ``mesh`` the fit runs trial-sharded (parallel.caviar_sharded's
+    execution model) in checkpointed segments — preemptible multi-chip
+    fits; the checkpoint stores the gathered global state, so a resumed
+    run may even use a different mesh size.
     """
     # np.savez appends .npz; normalise so the resume check finds the file
     if not str(checkpoint_path).endswith(".npz"):
         checkpoint_path = str(checkpoint_path) + ".npz"
+    if mesh is not None:
+        return _caviar_resumable_sharded(
+            y_psc, stim, mu_prior, beta_prior, shape_prior, rate_prior,
+            phi_prior, phi_cov_prior, checkpoint_path, mesh,
+            iters=iters, checkpoint_every=checkpoint_every, seed=seed,
+            num_mc_samples=num_mc_samples, y_xcorr_thresh=y_xcorr_thresh,
+            minimum_spike_count=minimum_spike_count,
+            delay_spont_est=delay_spont_est, msrmp=msrmp,
+            scale_factor=scale_factor, penalty=penalty,
+            max_backtrack_iters=max_backtrack_iters, tol=tol,
+            spont_orthogonality=spont_orthogonality, fn_scan=fn_scan,
+            dtype=dtype, analytic_mc=analytic_mc, verbose=verbose,
+        )
     y_psc = prepare_traces(y_psc, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     stim, lam_mask, lam0, stim_np, powers_np = prepare_stim_and_init(
@@ -121,15 +139,108 @@ def caviar_resumable(
     phi, phi_cov = state.phi, state.phi_cov
     if fn_scan:
         mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-            np.asarray(y), stim_np, lam, mu, beta, z,
+            None, stim_np, lam, mu, beta, z,
             msrmp=msrmp, minimum_spike_count=minimum_spike_count,
-            verbose=verbose,
+            powers=powers_np, verbose=verbose,
         )
         if reconnected:
             phi, phi_cov = laplace_phi_update_jit(
                 jnp.asarray(lam, dtype), stim,
                 jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
                 powers=powers,
+            )
+
+    return (mu, beta, lam, state.shape, state.rate, phi, phi_cov, z, None,
+            *[None] * 8)
+
+
+def _caviar_resumable_sharded(
+    y_psc, stim, mu_prior, beta_prior, shape_prior, rate_prior,
+    phi_prior, phi_cov_prior, checkpoint_path, mesh, *,
+    iters, checkpoint_every, seed, num_mc_samples, y_xcorr_thresh,
+    minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
+    max_backtrack_iters, tol, spont_orthogonality, fn_scan, dtype,
+    analytic_mc, verbose,
+):
+    """Trial-sharded segmented fit with checkpoint/resume.
+
+    Segments run parallel.sharded._run_sharded with start_iter offsets
+    (iteration indices line up exactly with an unsegmented run, so gate
+    delays match); the checkpoint stores the GLOBAL (gathered) CaviarState
+    plus the completed-iteration count, so a resumed run is independent
+    of mesh size.
+    """
+    from ..parallel.sharded import _prep_sharded, _run_sharded
+    from ..solvers._laplace import laplace_phi_update_jit
+
+    prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh)
+    K = prep["K"]
+    stim_np = prep["stim_np"]
+    powers_np = prep["powers_np"]
+
+    start = 0
+    state = None
+    if os.path.exists(checkpoint_path):
+        ck = load_state(checkpoint_path)
+        start = int(ck.pop("completed_iters"))
+        state = CaviarState(**{
+            k: jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
+            for k, v in ck.items()
+        })
+        if verbose:
+            print(f"Resuming sharded CAVIaR from iteration {start} "
+                  f"({checkpoint_path}).")
+
+    priors = (
+        jnp.asarray(mu_prior, dtype),
+        jnp.asarray(beta_prior, dtype),
+        jnp.asarray(shape_prior, dtype),
+        jnp.asarray(rate_prior, dtype),
+        jnp.asarray(phi_prior, dtype),
+        jnp.asarray(phi_cov_prior, dtype),
+    )
+    static = dict(
+        num_mc_samples=int(num_mc_samples),
+        minimum_spike_count=int(minimum_spike_count),
+        delay_spont_est=int(delay_spont_est),
+        msrmp=float(msrmp),
+        scale_factor=float(scale_factor),
+        penalty=float(penalty),
+        max_backtrack_iters=int(max_backtrack_iters),
+        tol=float(tol),
+        spont_orthogonality=float(spont_orthogonality),
+        analytic_mc=bool(analytic_mc),
+        save_histories=False,
+    )
+    key = jax.random.PRNGKey(seed)
+
+    while start < iters:
+        seg = min(checkpoint_every, iters - start)
+        state, _ = _run_sharded(
+            *prep["device_args"], *priors, key, state,
+            mesh=mesh, iters=seg, start_iter=start, **static,
+        )
+        start += seg
+        save_state(checkpoint_path, {**state._asdict(),
+                                     "completed_iters": np.asarray(start)})
+        if verbose:
+            print(f"checkpointed after iteration {start}/{iters}")
+
+    mu, beta = state.mu, state.beta
+    lam = state.lam[:, :K]
+    z = state.z[:K]
+    phi, phi_cov = state.phi, state.phi_cov
+    if fn_scan:
+        mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
+            None, stim_np[:, :K], lam, mu, beta, z,
+            msrmp=msrmp, minimum_spike_count=minimum_spike_count,
+            powers=powers_np, verbose=verbose,
+        )
+        if reconnected:
+            phi, phi_cov = laplace_phi_update_jit(
+                jnp.asarray(lam, dtype), jnp.asarray(stim_np[:, :K], dtype),
+                jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
+                powers=jnp.asarray(powers_np, dtype),
             )
 
     return (mu, beta, lam, state.shape, state.rate, phi, phi_cov, z, None,

@@ -34,19 +34,23 @@ def main():
     N = stim_matrix.shape[0]
 
     demix = NeuralDemixer(path=config["demixer"])
-    psc_dem = demix(psc)
+    # fast path: f16 wire upload, demixed traces stay device-resident
+    # and feed the solver directly (no host round trip of the [K, T]
+    # block — see bench.py; same options the north-star bench uses)
+    import numpy as np
+
+    psc_dem = demix(psc, keep_on_device=True, transfer_dtype=np.float16)
+
+    fit_options = {
+        "msrmp": float(config["msrmp"]),
+        "iters": args.iters,
+        "save_histories": False,
+    }
+    if "powers" in config:  # rig power levels, skips a 20M-element scan
+        fit_options["powers"] = [float(p) for p in config["powers"]]
 
     model = Model(N)
-    model.fit(
-        psc_dem,
-        stim_matrix,
-        method="caviar",
-        fit_options={
-            "msrmp": float(config["msrmp"]),
-            "iters": args.iters,
-            "save_histories": False,
-        },
-    )
+    model.fit(psc_dem, stim_matrix, method="caviar", fit_options=fit_options)
     print(f"CAVIaR fit complete in {model.time:.2f}s.")
 
     written = export_state(args.out, Path(args.data).stem, model.state)

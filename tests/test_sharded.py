@@ -146,6 +146,38 @@ class TestShardedSns:
         assert model.history["lam"].shape == (3, 40, 501)
 
 
+class TestShardedResumable:
+    def test_segments_match_and_resume(self, sim, mesh8, tmp_path):
+        """Sharded segmented fit == sharded single-scan fit, and a fresh
+        process-equivalent resume picks up mid-fit bit-exactly."""
+        from circuitmap_tpu.solvers.resumable import caviar_resumable
+
+        args = _fit_args(sim, 40)
+        kw = dict(iters=6, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True)
+        whole = caviar_sharded(*args, mesh=mesh8, **kw)
+
+        ck = tmp_path / "ck_sharded"
+        seg = caviar_resumable(*args, checkpoint_path=str(ck), mesh=mesh8,
+                               checkpoint_every=2, **kw)
+        np.testing.assert_allclose(np.asarray(whole[0]), np.asarray(seg[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(whole[2]), np.asarray(seg[2]),
+                                   rtol=1e-5, atol=1e-6)
+
+        # simulate preemption: run only 4 iters (checkpoint at 2, 4),
+        # then resume to 6 from disk — must match the whole run
+        ck2 = tmp_path / "ck_preempt"
+        caviar_resumable(*args, checkpoint_path=str(ck2), mesh=mesh8,
+                         checkpoint_every=2,
+                         **{**kw, "iters": 4})
+        resumed = caviar_resumable(*args, checkpoint_path=str(ck2),
+                                   mesh=mesh8, checkpoint_every=2, **kw)
+        np.testing.assert_allclose(np.asarray(whole[0]),
+                                   np.asarray(resumed[0]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestShardedBatched:
     def test_caviar_many_mesh_matches_local(self, mesh8):
         from circuitmap_tpu.solvers.batched import caviar_many
