@@ -176,15 +176,25 @@ class Model:
         self.history = {}
 
     def _fit_mbcs(self, obs, stimuli, fit_options):
-        result = solvers.mbcs(
-            obs,
-            stimuli,
-            self.state["mu"],
-            self.state["beta"],
-            self.state["shape"],
-            self.state["rate"],
-            **fit_options,
-        )
+        mesh = fit_options.pop("mesh", None)
+        if mesh is not None:
+            from .parallel import mbcs_sharded
+
+            result = mbcs_sharded(
+                obs, stimuli, self.state["mu"], self.state["beta"],
+                self.state["shape"], self.state["rate"], mesh=mesh,
+                **fit_options,
+            )
+        else:
+            result = solvers.mbcs(
+                obs,
+                stimuli,
+                self.state["mu"],
+                self.state["beta"],
+                self.state["shape"],
+                self.state["rate"],
+                **fit_options,
+            )
         mu, beta, lam, shape, rate, z, receptive_fields, *hists = result
 
         self.state.update(

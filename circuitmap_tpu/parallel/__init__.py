@@ -9,7 +9,8 @@ reductions ride ``psum`` over ICI (SURVEY.md §5 "long-context" note).
 """
 
 from .mesh import trial_mesh
-from .sharded import caviar_sharded, cavi_sns_sharded
+from .sharded import caviar_sharded, cavi_sns_sharded, mbcs_sharded
 from .sweep import run_sweep
 
-__all__ = ["trial_mesh", "caviar_sharded", "cavi_sns_sharded", "run_sweep"]
+__all__ = ["trial_mesh", "caviar_sharded", "cavi_sns_sharded",
+           "mbcs_sharded", "run_sweep"]

@@ -471,6 +471,397 @@ def cavi_sns_sharded(
 
 
 # ---------------------------------------------------------------------------
+# Sharded MBCS update rules
+# ---------------------------------------------------------------------------
+
+
+def _mbcs_slab_scale(lam, shape, rate, beta_prior):
+    """beta update with per-trial noise vector; the lam sum psums."""
+    return 1.0 / jnp.sqrt(
+        _psum(jnp.sum((shape / rate)[None, :] * lam, axis=1))
+        + 1.0 / (beta_prior * beta_prior)
+    )
+
+
+def _mbcs_weights_l1_sharded(
+    y, mu, lam, shape, rate, penalty, scale_factor, max_penalty_iters,
+    max_lasso_iters, positive, flip, k_global, tol=1e-5,
+):
+    """Penalty-shrinking FISTA lasso under trial sharding.
+
+    The normal-equation statistics AtA = lam lam^T / K and
+    Aty = lam y / K psum ONCE (A is fixed across the penalty loop); the
+    FISTA recursion then runs replicated on [N]-sized state. The
+    residual-norm stopping constraint is a psum'd scalar.
+    """
+    A_lam = -lam if flip else lam          # rows of A^T
+    mu0 = -mu if flip else mu
+    AtA = _psum(A_lam @ A_lam.T) / k_global
+    Aty = _psum(A_lam @ y) / k_global
+    constr = jnp.sqrt(_psum(jnp.sum(rate / shape)))
+
+    # Lipschitz constant by power iteration (replicated)
+    def power_step(v, _):
+        w = AtA @ v
+        return w / (jnp.linalg.norm(w) + 1e-12), None
+
+    v0 = jnp.ones(AtA.shape[0], dtype=AtA.dtype) / jnp.sqrt(AtA.shape[0])
+    v, _ = lax.scan(power_step, v0, None, length=30)
+    step = 1.0 / jnp.maximum(v @ (AtA @ v), 1e-8)
+
+    def fista(x0, pen):
+        def prox_p(u):
+            s = jnp.sign(u) * jnp.maximum(jnp.abs(u) - step * pen, 0.0)
+            return jnp.maximum(s, 0.0) if positive else s
+
+        def fista_step(carry, _):
+            x, x_prev, t = carry
+            grad = AtA @ x - Aty
+            x_new = prox_p(x - step * grad)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            momentum = x_new + (t - 1.0) / t_new * (x_new - x_prev)
+            return (momentum, x_new, t_new), None
+
+        (_, x_last, _), _ = lax.scan(
+            fista_step, (x0, x0, jnp.asarray(1.0, AtA.dtype)), None,
+            length=max_lasso_iters,
+        )
+        return x_last
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return (i < max_penalty_iters) & (~done)
+
+    def body(carry):
+        i, coef, _, pen, _ = carry
+        new = fista(coef, pen)
+        err = jnp.sqrt(_psum(jnp.sum(jnp.square(y - new @ A_lam))))
+        plateau = (
+            (i > 0) & jnp.all(jnp.abs(new - coef) < tol) & ~jnp.all(new == 0)
+        )
+        done = (err <= constr) | plateau
+        return i + 1, new, coef, pen * scale_factor, done
+
+    init = (jnp.asarray(0), mu0, mu0, jnp.asarray(penalty, AtA.dtype),
+            jnp.asarray(False))
+    _, coef, _, _, _ = lax.while_loop(cond, body, init)
+    return -coef if flip else coef
+
+
+def _mbcs_receptive_fields_sharded(lam, stim, pw, valid):
+    """Isotonic per-power rates; stats psum, fit + prior lookup local."""
+    from ..ops.pava import isotonic_regression_batched
+
+    onehot = (stim[:, None, :] == pw[None, :, None]).astype(lam.dtype)
+    onehot = onehot * valid[None, None, :]
+    S = _psum(jnp.einsum("npk,nk->np", onehot, lam))
+    C = _psum(jnp.sum(onehot, axis=-1))
+    rates = S / jnp.maximum(C, 1.0)
+    rates = rates.at[:, 0].set(0.0)
+    rf = jnp.clip(isotonic_regression_batched(rates, 1.0), 0.0, 1.0)
+    bucket = jnp.argmax(stim[:, None, :] == pw[None, :, None], axis=1)
+    prior = jnp.take_along_axis(rf, bucket.reshape(rf.shape[0], -1), axis=1)
+    return rf, prior.reshape(stim.shape)
+
+
+def _mbcs_filtering_sharded(mu, lam, rf, minimum_spike_count,
+                            minimum_maximal_spike_prob):
+    keep = (rf[:, -1] >= minimum_maximal_spike_prob) & (
+        _psum(jnp.sum((lam >= 0.5).astype(mu.dtype), axis=1))
+        >= minimum_spike_count
+    )
+    keep = keep.astype(mu.dtype)
+    return mu * keep, lam * keep[:, None]
+
+
+def _mbcs_noise_mc_sharded(key, y, mu, beta, lam, noise_scale,
+                           num_mc_samples):
+    """MC noise model; weight draws replicated, spike draws shard-local.
+
+    Per-trial quantities stay on their shard. The spike uniforms fold
+    the shard index into the key (a [S, N, K] global draw cannot be
+    split counter-exactly), so results are statistically — not
+    bit-exactly — equal to the single-device solver.
+    """
+    eps = 1e-4
+    kw, ks = jax.random.split(key)
+    ks = jax.random.fold_in(ks, lax.axis_index(TRIAL_AXIS))
+    std = beta * (mu != 0)
+    w = mu[None, :] + std[None, :] * jax.random.normal(
+        kw, (num_mc_samples,) + mu.shape, dtype=mu.dtype
+    )
+    s = (
+        jax.random.uniform(ks, (num_mc_samples,) + lam.shape, dtype=lam.dtype)
+        <= lam[None]
+    ).astype(lam.dtype)
+    ws = jnp.einsum("sn,snk->sk", w, s)
+    mc_sq = jnp.mean(ws * ws, axis=0)
+    mc_err = jnp.mean(jnp.square(y[None] - ws), axis=0)
+    shape = noise_scale * noise_scale * mc_sq + 0.5
+    rate = noise_scale * (mu @ lam) + 0.5 * mc_err + eps
+    return shape, rate
+
+
+def _mbcs_outliers_sharded(y, mu, lam, lam_mask, penalty, scale_factor,
+                           max_penalty_iters, orthogonal, tol):
+    resid = y - mu @ lam
+    explained = jnp.any(lam >= 0.5, axis=0)
+    denom = _psum(jnp.sum(y * y))
+
+    def cond(carry):
+        i, err, _, _ = carry
+        return (i < max_penalty_iters) & (err > tol)
+
+    def body(carry):
+        i, _, _, pen = carry
+        z = jnp.maximum(jnp.where(resid < pen, 0.0, resid - pen), 0.0)
+        if orthogonal:
+            z = jnp.where(explained, 0.0, z)
+        z = z * lam_mask
+        err = _psum(jnp.sum(jnp.square(resid - z))) / denom
+        return i + 1, err, z, pen * scale_factor
+
+    init = (jnp.asarray(0), jnp.asarray(jnp.inf, y.dtype),
+            jnp.zeros_like(resid), jnp.asarray(penalty, y.dtype))
+    _, _, z, _ = lax.while_loop(cond, body, init)
+    return z
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "iters", "max_penalty_iters", "max_lasso_iters",
+        "constrain_weights", "learn_lam", "delay_spont_estimation",
+        "minimum_spike_count", "num_mc_samples_noise_model",
+        "orthogonal_outliers", "save_histories",
+    ),
+)
+def _run_mbcs_sharded(
+    y, stim, lam0, lam_mask, valid, pw, k_global, mu0, beta_prior,
+    shape0, rate0, key, penalty, scale_factor, outlier_penalty,
+    minimum_maximal_spike_prob, spont_rate0, outlier_tol, noise_scale, *,
+    mesh, iters, max_penalty_iters, max_lasso_iters, constrain_weights,
+    learn_lam, delay_spont_estimation, minimum_spike_count,
+    num_mc_samples_noise_model, orthogonal_outliers, save_histories,
+):
+    from ..solvers.mbcs import sweep_spikes_mbcs
+
+    flip = constrain_weights == "negative"
+    positive = constrain_weights in ("positive", "negative")
+    N = stim.shape[0]
+    P1 = pw.shape[0]
+
+    def body(y, stim, lam0, lam_mask, valid, pw, k_global, mu0, beta_prior,
+             shape0, rate0, key, penalty, scale_factor, outlier_penalty,
+             minimum_maximal_spike_prob, spont_rate0, outlier_tol,
+             noise_scale):
+        K_loc = y.shape[0]
+        init = (
+            mu0, beta_prior, lam0, shape0, rate0,
+            jnp.zeros(K_loc, dtype=y.dtype), spont_rate0, lam0,
+            jnp.zeros((N, P1), dtype=y.dtype), key,
+        )
+
+        def step(carry, it):
+            (mu, beta, lam, shape, rate, z, spont_rate, spike_prior, _,
+             key) = carry
+            beta = _mbcs_slab_scale(lam, shape, rate, beta_prior)
+            mu = _mbcs_weights_l1_sharded(
+                y, mu, lam, shape, rate, penalty, scale_factor,
+                max_penalty_iters, max_lasso_iters, positive, flip, k_global,
+            )
+            key, k_order, k_noise = jax.random.split(key, 3)
+            order = jax.random.permutation(k_order, N)  # replicated
+            if learn_lam:
+                # per-coordinate updates are trial-local: reuse the
+                # single-device sweep unchanged on the shard
+                lam = sweep_spikes_mbcs(
+                    y, stim, mu, beta, lam, shape, rate, lam_mask,
+                    spike_prior, order,
+                )
+            rf, spike_prior = _mbcs_receptive_fields_sharded(
+                lam, stim, pw, valid)
+            mu, lam = _mbcs_filtering_sharded(
+                mu, lam, rf, minimum_spike_count,
+                minimum_maximal_spike_prob + spont_rate,
+            )
+            shape, rate = _mbcs_noise_mc_sharded(
+                k_noise, y, mu, beta, lam, noise_scale,
+                num_mc_samples_noise_model,
+            )
+            gate = it > delay_spont_estimation
+            z_new = _mbcs_outliers_sharded(
+                y, mu, lam, lam_mask, outlier_penalty, scale_factor,
+                max_penalty_iters, orthogonal_outliers, outlier_tol,
+            )
+            z = jnp.where(gate, z_new, z)
+            spont_rate = jnp.where(
+                gate,
+                _psum(jnp.sum((z_new != 0.0).astype(y.dtype))) / k_global,
+                spont_rate,
+            )
+            carry = (mu, beta, lam, shape, rate, z, spont_rate, spike_prior,
+                     rf, key)
+            hist = (mu, beta, lam, shape, rate, z) if save_histories else None
+            return carry, hist
+
+        return lax.scan(step, init, jnp.arange(iters))
+
+    sh = P(TRIAL_AXIS)
+    state_spec = (P(), P(), P(None, TRIAL_AXIS), sh, sh, sh, P(),
+                  P(None, TRIAL_AXIS), P(), P())
+    hist_spec = (
+        (P(), P(), P(None, None, TRIAL_AXIS), P(None, TRIAL_AXIS),
+         P(None, TRIAL_AXIS), P(None, TRIAL_AXIS))
+        if save_histories else None
+    )
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            sh,                       # y
+            P(None, TRIAL_AXIS),      # stim
+            P(None, TRIAL_AXIS),      # lam0
+            sh,                       # lam_mask
+            sh,                       # valid
+            P(), P(),                 # pw, k_global
+            P(), P(),                 # mu0, beta_prior
+            sh, sh,                   # shape0, rate0 (per-trial)
+            P(),                      # key
+            P(), P(), P(), P(), P(), P(), P(),  # scalars
+        ),
+        out_specs=(state_spec, hist_spec),
+        check_vma=False,
+    )
+    return sharded(
+        y, stim, lam0, lam_mask, valid, pw, k_global, mu0, beta_prior,
+        shape0, rate0, key, penalty, scale_factor, outlier_penalty,
+        minimum_maximal_spike_prob, spont_rate0, outlier_tol, noise_scale,
+    )
+
+
+def mbcs_sharded(
+    y_psc,
+    stim,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    mesh,
+    iters=50,
+    seed=0,
+    y_xcorr_thresh=0.05,
+    penalty=5e0,
+    scale_factor=0.5,
+    max_penalty_iters=10,
+    max_lasso_iters=100,
+    constrain_weights="positive",
+    learn_lam=True,
+    delay_spont_estimation=1,
+    minimum_spike_count=1,
+    noise_scale=0.5,
+    num_mc_samples_noise_model=10,
+    minimum_maximal_spike_prob=0.2,
+    orthogonal_outliers=True,
+    outlier_penalty=5e1,
+    init_spike_prior=0.75,
+    outlier_tol=0.05,
+    spont_rate=0,
+    lam_mask_fraction=0.05,
+    dtype=jnp.float32,
+    save_histories=True,
+    verbose=False,
+    **_compat,
+):
+    """Fit MBCS with the trial axis sharded over ``mesh``.
+
+    Same return contract as solvers.mbcs: ``(mu, beta, lam, shape, rate,
+    z, receptive_fields, *six history arrays)``. The MC noise model's
+    per-trial spike draws are shard-local (statistically, not
+    bit-exactly, equal to the single-device solver — see
+    _mbcs_noise_mc_sharded); everything else matches up to reduction
+    reassociation.
+    """
+    n_dev = mesh.devices.size
+    y_psc_np = np.asarray(y_psc)
+    stim_np = np.asarray(stim)
+    K = y_psc_np.shape[0]
+    N = np.asarray(mu_prior).shape[0]
+
+    # host activity mask on the REAL trials (mbcs.py:41-42 analogue)
+    energy = np.sum(y_psc_np * y_psc_np, axis=-1)
+    lam_mask_np = (energy > y_xcorr_thresh).astype(np.float32)
+    lam_mask_np[np.max(y_psc_np, axis=1)
+                < lam_mask_fraction * np.max(y_psc_np)] = 0.0
+
+    pad = (-K) % n_dev
+    if pad:
+        y_psc_np = np.concatenate(
+            [y_psc_np, np.zeros((pad, y_psc_np.shape[1]))], axis=0)
+        stim_np = np.concatenate([stim_np, np.zeros((N, pad))], axis=1)
+        lam_mask_np = np.concatenate([lam_mask_np, np.zeros(pad)])
+    valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
+
+    from ..ops.charge import integrated_charge
+
+    y = integrated_charge(jnp.asarray(y_psc_np, dtype=dtype))
+    stim_j = jnp.asarray(stim_np, dtype=dtype)
+    lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
+    pw = np.unique(stim_np)
+
+    rng = np.random.default_rng(seed)
+    mu0 = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)
+    lam0 = jnp.where(stim_j > 0, jnp.asarray(init_spike_prior, dtype), 0.0)
+    lam0 = lam0 * lam_mask
+
+    if verbose:
+        print(f"Running MBCS sharded over {n_dev} devices (K={K}, pad={pad}).")
+
+    final, hists = _run_mbcs_sharded(
+        y, stim_j, lam0, lam_mask,
+        jnp.asarray(valid, dtype),
+        jnp.asarray(pw, dtype),
+        jnp.asarray(float(K), dtype),
+        mu0,
+        jnp.asarray(beta_prior, dtype),
+        jnp.full((K + pad,), float(shape_prior), dtype=dtype),
+        jnp.full((K + pad,), float(rate_prior), dtype=dtype),
+        jax.random.PRNGKey(seed),
+        jnp.asarray(penalty, dtype),
+        jnp.asarray(scale_factor, dtype),
+        jnp.asarray(outlier_penalty, dtype),
+        jnp.asarray(minimum_maximal_spike_prob, dtype),
+        jnp.asarray(spont_rate, dtype),
+        jnp.asarray(outlier_tol, dtype),
+        jnp.asarray(noise_scale, dtype),
+        mesh=mesh,
+        iters=int(iters),
+        max_penalty_iters=int(max_penalty_iters),
+        max_lasso_iters=int(max_lasso_iters),
+        constrain_weights=str(constrain_weights),
+        learn_lam=bool(learn_lam),
+        delay_spont_estimation=int(delay_spont_estimation),
+        minimum_spike_count=int(minimum_spike_count),
+        num_mc_samples_noise_model=int(num_mc_samples_noise_model),
+        orthogonal_outliers=bool(orthogonal_outliers),
+        save_histories=bool(save_histories),
+    )
+    (mu, beta, lam, shape, rate, z, _spont, _prior, rf, _key) = final
+    lam = lam[:, :K]
+    shape, rate, z = shape[:K], rate[:K], z[:K]
+
+    if save_histories:
+        h = list(hists)
+        h[2] = h[2][:, :, :K]
+        h[3], h[4], h[5] = h[3][:, :K], h[4][:, :K], h[5][:, :K]
+        hist_arrs = [np.asarray(x) for x in h]
+    else:
+        hist_arrs = [None] * 6
+
+    return (mu, beta, lam, shape, rate, z, rf, *hist_arrs)
+
+
+# ---------------------------------------------------------------------------
 # The sharded solver
 # ---------------------------------------------------------------------------
 

@@ -146,6 +146,41 @@ class TestShardedSns:
         assert model.history["lam"].shape == (3, 40, 501)
 
 
+class TestShardedMbcs:
+    def test_matches_single_device(self, sim, mesh8):
+        """Sharded MBCS tracks the single-device fit. The MC noise
+        model's spike draws are shard-local (documented), so agreement
+        is statistical: same support decisions, close weights."""
+        from circuitmap_tpu.parallel import mbcs_sharded
+        from circuitmap_tpu.solvers import mbcs
+
+        p = default_priors(40)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"])
+        kw = dict(iters=8, seed=0, save_histories=False)
+        single = mbcs(*args, **kw)
+        sharded = mbcs_sharded(*args, mesh=mesh8, **kw)
+
+        mu_s, mu_p = np.asarray(single[0]), np.asarray(sharded[0])
+        # identical support and strongly-correlated weights
+        assert (np.flatnonzero(mu_s) == np.flatnonzero(mu_p)).all() or \
+            r2_score(mu_s, mu_p) > 0.95
+        assert r2_score(mu_s, mu_p) > 0.95
+        assert np.asarray(sharded[2]).shape == (40, 501)
+        assert np.asarray(sharded[6]).shape[0] == 40  # receptive fields
+
+    def test_model_dispatch_and_histories(self, sim, mesh8):
+        from circuitmap_tpu.model import Model
+
+        model = Model(40)
+        model.fit(sim["psc"], sim["stim_matrix"], method="mbcs",
+                  fit_options={"mesh": mesh8, "iters": 4})
+        assert model.state["lam"].shape == (40, 501)
+        assert model.history["mu"].shape == (4, 40)
+        assert model.history["z"].shape == (4, 501)
+        assert r2_score(sim["weights"], model.state["mu"]) > 0.4
+
+
 class TestShardedResumable:
     def test_segments_match_and_resume(self, sim, mesh8, tmp_path):
         """Sharded segmented fit == sharded single-scan fit, and a fresh
