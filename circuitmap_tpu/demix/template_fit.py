@@ -10,6 +10,11 @@ Here the same model is fitted to EVERY trace simultaneously: one
 vmapped Adam optimisation inside a single ``lax.scan``, positivity via
 softplus reparameterisation. A helper converts the fitted population
 into the tau ranges ``generate_psc_dataset`` consumes.
+
+The template loss is highly multi-modal on superposed traces (several
+overlapping PSCs), so the fit runs ``restarts`` independent inits — a
+uniform onset grid plus peak-seeded onsets read off each trace — and
+keeps the best restart per trace by final loss.
 """
 
 from __future__ import annotations
@@ -70,32 +75,90 @@ def _fit_batch(traces, timepoints, init_raw, n_kernels, steps, lr):
     return raw, final_loss
 
 
-def fit_psc_templates(traces, timepoints=None, n_kernels=10, steps=800,
-                      lr=0.05, seed=0):
-    """Fit a sum of ``n_kernels`` PSC templates to each trace.
-
-    traces: [K, T] (units arbitrary); timepoints defaults to
-    ``linspace(-5, 40, T)`` ms as in the reference notebook. Returns a
-    dict with per-trace parameter arrays [K, n_kernels]
-    (tau_r / tau_diff / amp / onset, ms), the reconstruction [K, T],
-    and per-trace fit R².
-    """
-    traces = jnp.asarray(np.asarray(traces, dtype=np.float32))
-    K, T = traces.shape
-    if timepoints is None:
-        timepoints = np.linspace(-5.0, 40.0, T)
-    timepoints = jnp.asarray(np.asarray(timepoints, dtype=np.float32))
-
-    rng = np.random.default_rng(seed)
-    onsets0 = np.linspace(float(timepoints[0]), float(timepoints[-1]), n_kernels)
+def _grid_init(K, n_kernels, timepoints_np, rng, jitter):
+    """Uniform onset grid with gaussian jitter (the round-1 init)."""
+    onsets0 = np.linspace(timepoints_np[0], timepoints_np[-1], n_kernels)
     raw0 = np.zeros((K, n_kernels, 4), dtype=np.float32)
     raw0[:, :, 0] = np.log(np.expm1(0.2))           # softplus^-1(0.2) ms rise
     raw0[:, :, 1] = np.log(np.expm1(0.3))           # 0.3 ms tau_diff
     raw0[:, :, 2] = np.log(np.expm1(0.5))           # 0.5 amplitude
-    raw0[:, :, 3] = onsets0[None, :] + 0.1 * rng.standard_normal((K, n_kernels))
+    raw0[:, :, 3] = onsets0[None, :] + jitter * rng.standard_normal(
+        (K, n_kernels))
+    return raw0
 
-    raw, final_loss = _fit_batch(traces, timepoints, jnp.asarray(raw0),
-                                 int(n_kernels), int(steps), float(lr))
+
+def _peak_init(traces_np, timepoints_np, n_kernels, rng):
+    """Per-trace onsets seeded at the trace's own peaks.
+
+    Greedy non-max suppression picks the ``n_kernels`` largest samples
+    at least ``T // (2 n_kernels)`` frames apart; amplitudes start at
+    the trace value there. A bi-exponential with the default init taus
+    peaks ~0.4 ms after onset, so onsets back off by that much.
+    """
+    K, T = traces_np.shape
+    min_sep = max(1, T // (2 * n_kernels))
+    dt_ms = float(timepoints_np[-1] - timepoints_np[0]) / max(T - 1, 1)
+    raw0 = _grid_init(K, n_kernels, timepoints_np, rng, jitter=0.1)
+    for k in range(K):
+        order = np.argsort(traces_np[k])[::-1]
+        picked = []
+        for idx in order:
+            if len(picked) == n_kernels:
+                break
+            if all(abs(int(idx) - j) >= min_sep for j in picked):
+                picked.append(int(idx))
+        if not picked:
+            continue
+        picked = np.sort(np.asarray(picked))
+        n_got = picked.shape[0]
+        raw0[k, :n_got, 3] = timepoints_np[picked] - 0.4
+        amp = np.clip(traces_np[k, picked], 0.05, 50.0)
+        raw0[k, :n_got, 2] = np.log(np.expm1(amp))
+        # leftovers (trace flatter than n_kernels peaks) keep grid init,
+        # but with near-zero amplitude so they don't fight the peaks
+        raw0[k, n_got:, 2] = np.log(np.expm1(0.05))
+        # avoid several kernels stacking on one peak: tiny onset jitter
+        raw0[k, :n_got, 3] += 0.25 * dt_ms * rng.standard_normal(n_got)
+    return raw0
+
+
+def fit_psc_templates(traces, timepoints=None, n_kernels=10, steps=800,
+                      lr=0.05, seed=0, restarts=3):
+    """Fit a sum of ``n_kernels`` PSC templates to each trace.
+
+    traces: [K, T] (units arbitrary); timepoints defaults to
+    ``linspace(-5, 40, T)`` ms as in the reference notebook. Runs
+    ``restarts`` independent optimisations (grid-onset init, per-trace
+    peak-seeded init, then re-jittered grids) and keeps the best
+    restart per trace by final MSE — superposed traces land in local
+    optima from any single init. Returns a dict with per-trace
+    parameter arrays [K, n_kernels] (tau_r / tau_diff / amp / onset,
+    ms), the reconstruction [K, T], and per-trace fit R².
+    """
+    traces_np = np.asarray(traces, dtype=np.float32)
+    traces = jnp.asarray(traces_np)
+    K, T = traces.shape
+    if timepoints is None:
+        timepoints = np.linspace(-5.0, 40.0, T)
+    timepoints_np = np.asarray(timepoints, dtype=np.float32)
+    timepoints = jnp.asarray(timepoints_np)
+
+    rng = np.random.default_rng(seed)
+    raw = final_loss = None
+    for r in range(max(int(restarts), 1)):
+        if r == 1:
+            raw0 = _peak_init(traces_np, timepoints_np, n_kernels, rng)
+        else:
+            raw0 = _grid_init(K, n_kernels, timepoints_np, rng,
+                              jitter=0.1 if r == 0 else 1.0 + r)
+        raw_r, loss_r = _fit_batch(traces, timepoints, jnp.asarray(raw0),
+                                   int(n_kernels), int(steps), float(lr))
+        if raw is None:
+            raw, final_loss = raw_r, loss_r
+        else:
+            better = loss_r < final_loss
+            raw = jnp.where(better[:, None, None], raw_r, raw)
+            final_loss = jnp.minimum(loss_r, final_loss)
 
     tau_r, tau_diff, amp, onset = jax.vmap(_unpack)(raw)
     recon = jax.vmap(

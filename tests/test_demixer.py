@@ -264,3 +264,36 @@ class TestTemplateFit:
         ranges = suggest_datagen_ranges(fit)
         assert ranges["tau_r_lower"] < ranges["tau_r_upper"]
         assert ranges["tau_diff_upper"] > 0
+
+    def test_restarts_help_superposed_traces(self):
+        """Multi-restart (peak-seeded) fits beat a single grid init on
+        heavily superposed traces — the local-optima case the demo hits."""
+        from circuitmap_tpu.demix.template_fit import (
+            fit_psc_templates,
+            sum_of_psc_templates,
+        )
+        import jax.numpy as jnp
+
+        t = np.linspace(-5, 40, 900).astype(np.float32)
+        rng = np.random.default_rng(1)
+        traces = []
+        for _ in range(12):
+            n = int(rng.integers(3, 5))
+            tau_r = rng.uniform(0.2, 1.0, n)
+            tau_diff = rng.uniform(0.5, 4.0, n)
+            amp = rng.uniform(0.5, 2.0, n)
+            onset = rng.uniform(0.0, 25.0, n)
+            sig = np.asarray(sum_of_psc_templates(
+                jnp.asarray(t), jnp.asarray(tau_r.astype(np.float32)),
+                jnp.asarray(tau_diff.astype(np.float32)),
+                jnp.asarray(amp.astype(np.float32)),
+                jnp.asarray(onset.astype(np.float32))))
+            traces.append(sig + 0.01 * rng.standard_normal(900))
+        traces = np.stack(traces).astype(np.float32)
+
+        one = fit_psc_templates(traces, n_kernels=8, steps=500, restarts=1)
+        multi = fit_psc_templates(traces, n_kernels=8, steps=500, restarts=3)
+        # best-of selection can only improve the per-trace loss
+        assert np.all(multi["r2"] >= one["r2"] - 1e-5)
+        assert multi["r2"].min() >= one["r2"].min()
+        assert multi["r2"].min() > 0.9
