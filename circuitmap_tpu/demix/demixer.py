@@ -58,6 +58,13 @@ def _demix_and_filter(params, traces, start):
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
 
+@partial(jax.jit, static_argnames=("start",))
+def _demix_and_filter_quantised(params, wire, scale, start):
+    """int8-wire variant: dequantise on device, then demix + filter."""
+    traces = wire.astype(jnp.float32) * scale[:, None]
+    return monotone_decay_filter(_demix_batch(params, traces), start=start)
+
+
 def _bucket(n, minimum=64):
     """Round up to a bucket size (bounded recompiles, bounded padding waste).
 
@@ -156,6 +163,10 @@ class NeuralDemixer:
         the upload: traces cast host-side, restored to f32 on device
         before the forward pass (~1e-3 relative quantisation — far
         below recording noise; measured no R2 change on the bench).
+        ``transfer_dtype=np.int8`` quarters it: traces ship as int8
+        with a per-trace peak scale, dequantised on device (~4e-3
+        relative to the trace peak — the demixer normalises by peak
+        anyway, so this is a uniform input quantisation).
         """
         del monotone_filter_inplace  # functional; kept for API parity
         traces = np.asarray(traces, dtype=np.float32)
@@ -163,10 +174,21 @@ class NeuralDemixer:
         if squeeze:
             traces = traces[None]
         K, T = traces.shape
-        wire = np.float32 if transfer_dtype is None else transfer_dtype
+        wire = np.float32 if transfer_dtype is None else np.dtype(transfer_dtype)
 
         def _one(part):
             bucket = _bucket(part.shape[0])
+            if wire == np.int8:
+                scale = np.abs(part).max(axis=1) / 127.0
+                scale_safe = np.where(scale > 0, scale, 1.0)
+                padded = np.zeros((bucket, T), dtype=np.int8)
+                np.rint(part / scale_safe[:, None],
+                        out=padded[:part.shape[0]], casting="unsafe")
+                pscale = np.ones(bucket, dtype=np.float32)
+                pscale[:part.shape[0]] = scale_safe
+                return _demix_and_filter_quantised(
+                    self.params, jnp.asarray(padded), jnp.asarray(pscale),
+                    int(monotone_filter_start))[:part.shape[0]]
             padded = np.zeros((bucket, T), dtype=wire)
             padded[:part.shape[0]] = part
             return _demix_and_filter(self.params, jnp.asarray(padded),

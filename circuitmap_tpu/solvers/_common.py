@@ -3,13 +3,18 @@
 Every solver takes the [N, K] stimulus design matrix from host memory.
 On a bandwidth-limited link (CLAUDE.md: the tunneled TPU moves ~50 MB/s
 with ~0.5 s per dispatch) two things matter: ship few bytes, and issue
-few programs. So stim ships as int8 bucket indices (4x smaller — it
-takes only P+1 distinct values) and every eager device op of the prep
-path is fused into one jitted program (_stim_from_buckets /
-_prep_stim_and_init): a single dispatch instead of one per op.
+few programs. So stim ships in hologram form when it is column-sparse —
+each trial stimulates at most H of N neurons, so [H, K] target indices
++ power buckets carry the same information as the dense [N, K] matrix
+in ~N/H x fewer bytes (0.6 MB vs 20 MB at the bench shape) — falling
+back to int8 bucket indices (4x smaller than f32: stim takes only P+1
+distinct values), and every eager device op of the prep path is fused
+into one jitted program: a single dispatch instead of one per op.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 import jax
@@ -23,18 +28,24 @@ def prepare_traces(y_psc, dtype):
     return jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
 
 
-def _bucketise(stim, powers=None):
-    """Host side: levels + int8 bucket indices (or None if too many).
+def _levels(stim_np, powers=None):
+    """Host side: the sorted stimulation levels (0-prefixed).
 
     ``powers`` (the rig's stimulation levels — experiment config, as in
     the reference harness YAMLs) skips the 20M-element np.unique scan.
     """
-    stim_np = np.asarray(stim, dtype=np.float32)
     if powers is None:
         powers_np = np.unique(stim_np)[1:]
     else:
         powers_np = np.sort(np.asarray(powers, dtype=np.float32))
     levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
+    return powers_np, levels_np
+
+
+def _bucketise(stim, powers=None):
+    """Host side: levels + int8 bucket indices (or None if too many)."""
+    stim_np = np.asarray(stim, dtype=np.float32)
+    powers_np, levels_np = _levels(stim_np, powers)
     if levels_np.size > 127:
         return stim_np, powers_np, levels_np, None
     bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
@@ -61,19 +72,95 @@ def _stim_from_buckets(levels, bucket):
     return _select_levels(levels, bucket)
 
 
-def prepare_stim(stim, dtype):
+def _sparsify(stim_np, levels_np, max_fill=0.125):
+    """Column-sparse hologram wire format, or None when dense is cheaper.
+
+    Each trial (column) stimulates at most H neurons, so the bucket
+    matrix compresses to [H, K] target indices (int16, -1 padded) plus
+    [H, K] per-target power buckets (int8). Worth it when H is a small
+    fraction of N — the device-side reconstruction is H fused
+    compare-selects over [N, K].
+    """
+    N, K = stim_np.shape
+    if N > 32766:
+        return None
+    nz_n, nz_k = np.nonzero(stim_np)
+    if nz_k.size == 0:
+        return None
+    counts = np.bincount(nz_k, minlength=K)
+    H = int(counts.max())
+    if H > max(1, int(N * max_fill)):
+        return None
+    # np.nonzero is row-major ordered; a stable sort by column keeps
+    # rows ascending within each column
+    order = np.argsort(nz_k, kind="stable")
+    nz_n = nz_n[order]
+    nz_k = nz_k[order]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    slots = np.arange(nz_k.size) - offsets[nz_k]
+    targets = np.full((H, K), -1, dtype=np.int16)
+    tbucket = np.zeros((H, K), dtype=np.int8)
+    targets[slots, nz_k] = nz_n.astype(np.int16)
+    tbucket[slots, nz_k] = np.searchsorted(
+        levels_np, stim_np[nz_n, nz_k]
+    ).astype(np.int8)
+    return targets, tbucket
+
+
+def _stim_from_sparse(levels, targets, tbucket, n_neurons):
+    """[H, K] hologram form -> dense [N, K] stim, fully on device.
+
+    H compare-select passes (H is static, the loop unrolls) — pure VPU
+    work, no gather/scatter.
+    """
+    vals = _select_levels(levels, tbucket)                    # [H, K]
+    t32 = targets.astype(jnp.int32)
+    iota = jax.lax.iota(jnp.int32, n_neurons)[:, None]        # [N, 1]
+    K = targets.shape[1]
+    stim = jnp.zeros((n_neurons, K), levels.dtype)
+    for h in range(targets.shape[0]):
+        stim = stim + jnp.where(
+            t32[h][None, :] == iota, vals[h][None, :],
+            jnp.zeros((), levels.dtype),
+        )
+    return stim
+
+
+@partial(jax.jit, static_argnames=("n_neurons",))
+def _stim_from_sparse_jit(levels, targets, tbucket, n_neurons):
+    return _stim_from_sparse(levels, targets, tbucket, n_neurons)
+
+
+def prepare_stim(stim, dtype, powers=None):
     """Returns (stim_device, stim_np_f32, powers_np).
 
-    Ships stim as int8 power-bucket indices when there are at most 127
-    levels (the practical case), falling back to a dense f32 upload.
+    Ships stim in sparse hologram form when the design is column-sparse
+    (the practical case: H targets per trial), else as int8 power-bucket
+    indices when there are at most 127 levels, else dense f32.
     """
-    stim_np, powers_np, levels_np, bucket = _bucketise(stim)
-    if bucket is None:
+    stim_np = np.asarray(stim, dtype=np.float32)
+    powers_np, levels_np = _levels(stim_np, powers)
+    if levels_np.size > 127:
         return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np
+    sparse = _sparsify(stim_np, levels_np)
+    if sparse is not None:
+        targets, tbucket = sparse
+        stim_dev = _stim_from_sparse_jit(
+            jnp.asarray(levels_np, dtype), jnp.asarray(targets),
+            jnp.asarray(tbucket), stim_np.shape[0]
+        )
+        return stim_dev, stim_np, powers_np
+    bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
     stim_dev = _stim_from_buckets(
         jnp.asarray(levels_np, dtype), jnp.asarray(bucket)
     )
     return stim_dev, stim_np, powers_np
+
+
+def _mask_and_lam0(stim, active):
+    lam_mask = active.astype(stim.dtype)
+    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, stim.dtype), 0.0) * lam_mask
+    return lam_mask, lam0
 
 
 @jax.jit
@@ -84,23 +171,39 @@ def _prep_stim_and_init(levels, bucket, active):
     tunnel (gather, astype, where, multiply).
     """
     stim = _select_levels(levels, bucket)
-    lam_mask = active.astype(levels.dtype)
-    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, levels.dtype), 0.0) * lam_mask
-    return stim, lam_mask, lam0
+    return (stim,) + _mask_and_lam0(stim, active)
+
+
+@partial(jax.jit, static_argnames=("n_neurons",))
+def _prep_stim_and_init_sparse(levels, targets, tbucket, active, n_neurons):
+    stim = _stim_from_sparse(levels, targets, tbucket, n_neurons)
+    return (stim,) + _mask_and_lam0(stim, active)
 
 
 def prepare_stim_and_init(stim, active, dtype, powers=None):
     """Device (stim, lam_mask, lam0) in a single compiled program.
 
     The lam0 = 0.95-on-targeted-trials initialisation is shared by
-    caviar / resumable / sharded (reference caviar.py:32-34).
+    caviar / resumable / sharded (reference caviar.py:32-34). Uploads
+    the sparse hologram form when the design allows (see module
+    docstring), falling back to int8 buckets, then dense f32.
     """
-    stim_np, powers_np, levels_np, bucket = _bucketise(stim, powers)
-    if bucket is None:
+    stim_np = np.asarray(stim, dtype=np.float32)
+    powers_np, levels_np = _levels(stim_np, powers)
+    if levels_np.size > 127:
         stim_dev = jnp.asarray(stim_np, dtype=dtype)
         lam_mask = active.astype(dtype)
         lam0 = jnp.where(stim_dev > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
         return stim_dev, lam_mask, lam0, stim_np, powers_np
+    sparse = _sparsify(stim_np, levels_np)
+    if sparse is not None:
+        targets, tbucket = sparse
+        stim_dev, lam_mask, lam0 = _prep_stim_and_init_sparse(
+            jnp.asarray(levels_np, dtype), jnp.asarray(targets),
+            jnp.asarray(tbucket), active, stim_np.shape[0]
+        )
+        return stim_dev, lam_mask, lam0, stim_np, powers_np
+    bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
     stim_dev, lam_mask, lam0 = _prep_stim_and_init(
         jnp.asarray(levels_np, dtype), jnp.asarray(bucket), active
     )

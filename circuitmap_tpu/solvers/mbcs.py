@@ -24,6 +24,7 @@ from jax.nn import sigmoid
 
 from ..ops.charge import integrated_charge
 from ..ops.pava import isotonic_regression_batched
+from ._common import prepare_stim
 
 
 # ---------------------------------------------------------------------------
@@ -390,9 +391,9 @@ def mbcs(
     lam_mask_np[np.max(y_psc_np, axis=1) < lam_mask_fraction * np.max(y_psc_np)] = 0.0
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
 
-    stim_np = np.asarray(stim)
-    stim = jnp.asarray(stim_np, dtype=dtype)
-    powers_with_zero = np.unique(stim_np)
+    # compressed stim upload (sparse hologram / int8 buckets), as caviar
+    stim, stim_np, _powers_np = prepare_stim(stim, dtype)
+    powers_with_zero = np.concatenate([[0.0], _powers_np])
 
     rng = np.random.default_rng(seed)
     mu0 = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)

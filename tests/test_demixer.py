@@ -147,6 +147,35 @@ class TestFacade:
         out = demix(np.abs(rng.normal(size=900)).astype(np.float32), verbose=False)
         assert out.shape == (900,)
 
+    def test_wire_formats_agree(self):
+        """f16 and int8 trace wires must match the f32 output closely
+        (quantisation well below recording noise). Uses a real zoo
+        checkpoint: a random-stat BatchNorm net amplifies input noise
+        arbitrarily, which would test the net, not the wire."""
+        import os
+        ckpt = os.path.join(os.path.dirname(__file__), "..", "demixers",
+                            "nwd_ie_ChroME2f.npz")
+        if not os.path.exists(ckpt):
+            import pytest
+            pytest.skip("zoo checkpoint unavailable")
+        demix = NeuralDemixer(path=ckpt)
+        rng = np.random.default_rng(5)
+        t = np.arange(900, dtype=np.float32)
+        onsets = rng.uniform(250, 450, size=(12, 1))
+        taus = rng.uniform(40, 120, size=(12, 1))
+        traces = (np.exp(-(t - onsets) / taus)
+                  - np.exp(-(t - onsets) / 20.0)) * (t > onsets)
+        traces += 0.02 * rng.normal(size=traces.shape)
+        traces = traces.astype(np.float32)
+        ref = demix(traces, verbose=False)
+        half = demix(traces, verbose=False, transfer_dtype=np.float16)
+        quant = demix(traces, verbose=False, transfer_dtype=np.int8)
+        # bound errors relative to the input peak (what the wire
+        # quantises): f16 keeps ~3 decimal digits, int8 one step=1/127
+        scale = np.abs(traces).max()
+        np.testing.assert_allclose(half, ref, atol=2e-3 * scale)
+        np.testing.assert_allclose(quant, ref, atol=4.0 / 127.0 * scale)
+
     def test_scaling_equivariance(self, state_dict):
         # peak-normalise -> forward -> rescale makes the demixer
         # scale-equivariant by construction

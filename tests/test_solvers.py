@@ -288,3 +288,63 @@ class TestPallasSweep:
             )
             np.testing.assert_allclose(np.asarray(vm[b]), np.asarray(single),
                                        rtol=1e-6, atol=1e-7)
+
+
+class TestStimWireFormats:
+    """The host->device stim upload paths must reconstruct identically."""
+
+    def _hologram_stim(self, N=97, K=411, H=6, seed=3):
+        rng = np.random.default_rng(seed)
+        stim = np.zeros((N, K), np.float32)
+        for k in range(5, K):  # leave a few empty trials
+            tgt = rng.choice(N, size=rng.integers(1, H + 1), replace=False)
+            stim[tgt, k] = rng.choice([45.0, 55.0, 65.0])
+        return stim
+
+    def test_sparse_hologram_roundtrip(self):
+        import jax.numpy as jnp
+        from circuitmap_tpu.solvers._common import (
+            _levels, _sparsify, prepare_stim, prepare_stim_and_init)
+
+        stim = self._hologram_stim()
+        _, levels = _levels(stim)
+        assert _sparsify(stim, levels) is not None  # takes the sparse path
+        dev, stim_np, powers = prepare_stim(stim, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(dev), stim)
+        np.testing.assert_array_equal(powers, [45.0, 55.0, 65.0])
+
+        active = jnp.asarray(
+            (np.random.default_rng(0).random(stim.shape[1]) > 0.1)
+            .astype(np.float32))
+        dev2, lam_mask, lam0, _, _ = prepare_stim_and_init(
+            stim, active, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(dev2), stim)
+        expect = (stim > 0) * 0.95 * np.asarray(active)[None, :]
+        np.testing.assert_allclose(np.asarray(lam0), expect, rtol=1e-6)
+
+    def test_sparse_matches_dense_bucket_path(self):
+        import jax.numpy as jnp
+        from circuitmap_tpu.solvers import _common
+
+        stim = self._hologram_stim(N=64, K=200, H=5)
+        dev_sparse, _, _ = _common.prepare_stim(stim, jnp.float32)
+        # force the dense-bucket fallback by disabling sparsification
+        dense = _common._sparsify(stim, _common._levels(stim)[1],
+                                  max_fill=0.0)
+        assert dense is None
+        _, levels = _common._levels(stim)
+        bucket = np.searchsorted(levels, stim).astype(np.int8)
+        dev_dense = _common._stim_from_buckets(
+            jnp.asarray(levels, jnp.float32), jnp.asarray(bucket))
+        np.testing.assert_array_equal(np.asarray(dev_sparse),
+                                      np.asarray(dev_dense))
+
+    def test_explicit_powers_skip_unique(self):
+        import jax.numpy as jnp
+        from circuitmap_tpu.solvers._common import prepare_stim
+
+        stim = self._hologram_stim(N=40, K=120, H=4)
+        dev, _, powers = prepare_stim(stim, jnp.float32,
+                                      powers=[45.0, 55.0, 65.0])
+        np.testing.assert_array_equal(np.asarray(dev), stim)
+        np.testing.assert_array_equal(powers, [45.0, 55.0, 65.0])
