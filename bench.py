@@ -52,7 +52,7 @@ def main():
         # f16 wire format halves the host->TPU trace upload (~1e-3
         # relative quantisation, no measurable R2 change)
         dem = demixer(psc, verbose=False, keep_on_device=True,
-                      transfer_dtype=np.float16)
+                      transfer_dtype=np.int8)
         out = caviar(
             dem, stim, priors["mu"], priors["beta"], priors["shape"],
             priors["rate"], priors["phi"], priors["phi_cov"], iters=iters,
