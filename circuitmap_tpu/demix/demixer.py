@@ -169,7 +169,11 @@ class NeuralDemixer:
         anyway, so this is a uniform input quantisation).
         """
         del monotone_filter_inplace  # functional; kept for API parity
-        traces = np.asarray(traces, dtype=np.float32)
+        # NO full-size dtype cast here: a fresh [K, T] host buffer costs
+        # more than the cast itself (first-touch page faults, measured
+        # ~1.5 s / 80 MB in this container). Chunks cast into the small
+        # per-chunk wire buffer instead.
+        traces = np.asarray(traces)
         squeeze = traces.ndim == 1
         if squeeze:
             traces = traces[None]
@@ -179,8 +183,8 @@ class NeuralDemixer:
         def _one(part):
             bucket = _bucket(part.shape[0])
             if wire == np.int8:
-                scale = np.abs(part).max(axis=1) / 127.0
-                scale_safe = np.where(scale > 0, scale, 1.0)
+                scale = (np.abs(part).max(axis=1) / 127.0).astype(np.float32)
+                scale_safe = np.where(scale > 0, scale, np.float32(1.0))
                 padded = np.zeros((bucket, T), dtype=np.int8)
                 np.rint(part / scale_safe[:, None],
                         out=padded[:part.shape[0]], casting="unsafe")
@@ -190,7 +194,7 @@ class NeuralDemixer:
                     self.params, jnp.asarray(padded), jnp.asarray(pscale),
                     int(monotone_filter_start))[:part.shape[0]]
             padded = np.zeros((bucket, T), dtype=wire)
-            padded[:part.shape[0]] = part
+            padded[:part.shape[0]] = part  # casts into the wire buffer
             return _demix_and_filter(self.params, jnp.asarray(padded),
                                      int(monotone_filter_start))[:part.shape[0]]
 

@@ -67,8 +67,13 @@ def _update_weights(y, lam, shape, rate, mu_prior, beta_prior):
     M = sig * gram + jnp.diag(sig * soft_var + prior_prec)
     rhs = sig * _psum(lam @ y) + mu_prior * prior_prec
     chol = jax.scipy.linalg.cho_factor(M, lower=True)
-    cov = jax.scipy.linalg.cho_solve(chol, jnp.eye(N, dtype=lam.dtype))
-    return cov @ rhs, jnp.diag(cov)
+    mean = jax.scipy.linalg.cho_solve(chol, rhs)
+    # diag(M^-1) from one triangular solve (see solvers/caviar.py
+    # update_weights): replicated work per device, halved
+    Linv = jax.scipy.linalg.solve_triangular(
+        chol[0], jnp.eye(N, dtype=lam.dtype), lower=True
+    )
+    return mean, jnp.sum(Linv * Linv, axis=0)
 
 
 def _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global):

@@ -35,21 +35,13 @@ def _levels(stim_np, powers=None):
     the reference harness YAMLs) skips the 20M-element np.unique scan.
     """
     if powers is None:
-        powers_np = np.unique(stim_np)[1:]
+        powers_np = np.unique(stim_np)
+        # bucketing happens in f32; dedupe again after the cast
+        powers_np = np.unique(powers_np[powers_np != 0.0].astype(np.float32))
     else:
         powers_np = np.sort(np.asarray(powers, dtype=np.float32))
     levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
     return powers_np, levels_np
-
-
-def _bucketise(stim, powers=None):
-    """Host side: levels + int8 bucket indices (or None if too many)."""
-    stim_np = np.asarray(stim, dtype=np.float32)
-    powers_np, levels_np = _levels(stim_np, powers)
-    if levels_np.size > 127:
-        return stim_np, powers_np, levels_np, None
-    bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
-    return stim_np, powers_np, levels_np, bucket
 
 
 def _select_levels(levels, bucket):
@@ -101,9 +93,10 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     targets = np.full((H, K), -1, dtype=np.int16)
     tbucket = np.zeros((H, K), dtype=np.int8)
     targets[slots, nz_k] = nz_n.astype(np.int16)
-    tbucket[slots, nz_k] = np.searchsorted(
-        levels_np, stim_np[nz_n, nz_k]
-    ).astype(np.int8)
+    # bucket in f32 (casting only the nonzeros): levels are f32, and a
+    # mixed f64/f32 searchsorted mis-buckets non-representable powers
+    vals32 = stim_np[nz_n, nz_k].astype(np.float32)
+    tbucket[slots, nz_k] = np.searchsorted(levels_np, vals32).astype(np.int8)
     return targets, tbucket
 
 
@@ -138,7 +131,10 @@ def prepare_stim(stim, dtype, powers=None):
     (the practical case: H targets per trial), else as int8 power-bucket
     indices when there are at most 127 levels, else dense f32.
     """
-    stim_np = np.asarray(stim, dtype=np.float32)
+    # no full-size f32 cast: a fresh [N, K] host buffer costs more than
+    # the cast (first-touch page faults); host consumers (reconnect
+    # scan, power counts) are dtype-agnostic numpy
+    stim_np = np.asarray(stim)
     powers_np, levels_np = _levels(stim_np, powers)
     if levels_np.size > 127:
         return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np
@@ -150,7 +146,9 @@ def prepare_stim(stim, dtype, powers=None):
             jnp.asarray(tbucket), stim_np.shape[0]
         )
         return stim_dev, stim_np, powers_np
-    bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
+    bucket = np.searchsorted(
+        levels_np, stim_np.astype(np.float32, copy=False)
+    ).astype(np.int8)
     stim_dev = _stim_from_buckets(
         jnp.asarray(levels_np, dtype), jnp.asarray(bucket)
     )
@@ -188,7 +186,7 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
     the sparse hologram form when the design allows (see module
     docstring), falling back to int8 buckets, then dense f32.
     """
-    stim_np = np.asarray(stim, dtype=np.float32)
+    stim_np = np.asarray(stim)  # no full-size cast; see prepare_stim
     powers_np, levels_np = _levels(stim_np, powers)
     if levels_np.size > 127:
         stim_dev = jnp.asarray(stim_np, dtype=dtype)
@@ -203,7 +201,9 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
             jnp.asarray(tbucket), active, stim_np.shape[0]
         )
         return stim_dev, lam_mask, lam0, stim_np, powers_np
-    bucket = np.searchsorted(levels_np, stim_np).astype(np.int8)
+    bucket = np.searchsorted(
+        levels_np, stim_np.astype(np.float32, copy=False)
+    ).astype(np.int8)
     stim_dev, lam_mask, lam0 = _prep_stim_and_init(
         jnp.asarray(levels_np, dtype), jnp.asarray(bucket), active
     )

@@ -41,6 +41,20 @@ BACKTRACK_BETA = 0.5
 MAX_BACKTRACK = 40
 
 
+def _inv2x2(M):
+    """Closed-form 2x2 inverse (adjugate / determinant).
+
+    ``jnp.linalg.inv`` on a (vmapped) [2, 2] lowers to TPU's batched-LU
+    custom call — profiled at ~0.55 ms per Newton step at N=1000, it was
+    the single hottest op of the whole CAVI fit (10 calls per
+    iteration). The adjugate form is a handful of fused VPU ops.
+    """
+    a, b = M[0, 0], M[0, 1]
+    c, d = M[1, 0], M[1, 1]
+    det = a * d - b * c
+    return jnp.array([[d, -b], [-c, a]]) / det
+
+
 def powercurve_stats(lam, stim, powers):
     """Per-neuron bucket statistics (S, C) over power levels.
 
@@ -70,7 +84,7 @@ def _laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior, t=BARRIER_T):
 
     S, C, levels: [P+1]; phi_prior: [2]; phi_cov_prior: [2, 2].
     """
-    prec = jnp.linalg.inv(phi_cov_prior)
+    prec = _inv2x2(phi_cov_prior)
 
     def objective(phi):
         x = phi[0] * levels - phi[1]
@@ -94,7 +108,7 @@ def _laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior, t=BARRIER_T):
         h11 = jnp.sum(w)
         H = jnp.array([[h00, h01], [h01, h11]])
         H = H + prec + jnp.diag(1.0 / (t * phi * phi))
-        H_inv = jnp.linalg.inv(H)
+        H_inv = _inv2x2(H)
         return -H_inv @ g, g, H_inv
 
     # Armijo backtracking evaluated in parallel: the while_loop walks the

@@ -98,9 +98,15 @@ def update_weights(y, lam, shape, rate, mu_prior, beta_prior):
     M = M + jnp.diag(sig * soft_var + prior_prec)
     rhs = sig * (lam @ y) + mu_prior * prior_prec
     chol = jax.scipy.linalg.cho_factor(M, lower=True)
-    cov = jax.scipy.linalg.cho_solve(chol, jnp.eye(N, dtype=lam.dtype))
-    mean = cov @ rhs
-    return mean, jnp.diag(cov)
+    mean = jax.scipy.linalg.cho_solve(chol, rhs)
+    # cov diagonal without forming the inverse: M^-1 = L^-T L^-1, so
+    # diag(M^-1)_j = sum_i (L^-1)_ij^2 — ONE triangular solve with N
+    # rhs instead of cho_solve's two (triangular solves are the
+    # dominant per-iteration cost at N=1000; measured ~2x faster).
+    Linv = jax.scipy.linalg.solve_triangular(
+        chol[0], jnp.eye(N, dtype=lam.dtype), lower=True
+    )
+    return mean, jnp.sum(Linv * Linv, axis=0)
 
 
 def update_noise(y, mu, beta, lam, shape_prior, rate_prior):
@@ -323,15 +329,16 @@ def _iteration(state: CaviarState, it, data, hyper, static):
     sig = state.shape / state.rate
     impl = static["sweep_impl"]
     if impl.startswith("pallas"):
-        from ..ops.sweep_pallas import (
-            sweep_spikes_pallas_interpret_v,
-            sweep_spikes_pallas_v,
-        )
+        from ..ops import sweep_pallas as sp
 
-        # custom-vmap wrapper: under jax.vmap (solvers/batched.caviar_many)
-        # this lowers onto the (B, N)-grid batched kernel
-        fn = (sweep_spikes_pallas_interpret_v if impl == "pallas_interpret"
-              else sweep_spikes_pallas_v)
+        # custom-vmap wrappers: under jax.vmap (solvers/batched.caviar_many)
+        # these lower onto the (B, N)-grid batched kernel
+        fn = {
+            "pallas": sp.sweep_spikes_pallas_dma_v,       # manual-DMA kernel
+            "pallas_grid": sp.sweep_spikes_pallas_v,      # N-step grid kernel
+            "pallas_interpret": sp.sweep_spikes_pallas_interpret_v,
+            "pallas_dma_interpret": sp.sweep_spikes_pallas_dma_interpret_v,
+        }[impl]
         lam = fn(
             y, stim, mu, beta, state.lam, sig, m0, m1, lam_mask, powers,
             data[4], order, static["msrmp"] + state.spont_rate,

@@ -194,10 +194,50 @@ class TestPallasSweep:
                   fn_scan=False)
         ref = caviar(*args, sweep_impl="xla", **kw)
         pal = caviar(*args, sweep_impl="pallas_interpret", **kw)
+        # f32 rounding drifts compound over 8 CAVI iterations (the
+        # sweep impls reduce in different orders); bound loosely
         np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(pal[0]),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(pal[2]),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-4)
+        # the manual-DMA kernel (the TPU default) through the same fit
+        dma = caviar(*args, sweep_impl="pallas_dma_interpret", **kw)
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(dma[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(dma[2]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_dma_kernel_matches_grid_kernel(self):
+        """Raw-kernel equality: manual-DMA ring vs grid pipeline, with a
+        K that exercises the 128-padding path."""
+        import jax
+        import jax.numpy as jnp
+        from circuitmap_tpu.ops.sweep_pallas import (
+            sweep_spikes_pallas, sweep_spikes_pallas_dma)
+
+        N, K = 37, 259
+        rng = np.random.default_rng(0)
+        lam = jnp.asarray(rng.random((N, K)) * (rng.random((N, K)) < 0.2),
+                          jnp.float32)
+        y = jnp.asarray(rng.random(K), jnp.float32)
+        stim = jnp.asarray(rng.choice([0., 45., 55., 65.], size=(N, K),
+                                      p=[0.7, 0.1, 0.1, 0.1]), jnp.float32)
+        mu = jnp.asarray(rng.random(N), jnp.float32)
+        beta = jnp.asarray(rng.random(N) + 0.5, jnp.float32)
+        powers = jnp.asarray([45., 55., 65.], jnp.float32)
+        counts = jnp.sum(stim[:, None, :] == powers[None, :, None],
+                         axis=-1).astype(jnp.float32)
+        order = jnp.asarray(rng.permutation(N))
+        mask = jnp.asarray((rng.random(K) > 0.1).astype(np.float32))
+        args = (y, stim, mu, beta, lam, jnp.asarray(1.3, jnp.float32),
+                mu * 0.1, beta * 2, mask, powers, counts, order,
+                jnp.asarray(0.25, jnp.float32), jnp.asarray(3.0, jnp.float32),
+                jnp.asarray(1.0, jnp.float32))
+        ref = sweep_spikes_pallas(*args, interpret=True)
+        for depth in (2, 4, 64):  # incl. depth > N
+            out = sweep_spikes_pallas_dma(*args, interpret=True, depth=depth)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-7)
 
     def test_batched_kernel_matches_stacked_singles(self, rng):
         """The (B, N)-grid batched kernel == B single-map kernel calls."""
