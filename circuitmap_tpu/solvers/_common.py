@@ -76,18 +76,17 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     N, K = stim_np.shape
     if N > 32766:
         return None
-    nz_n, nz_k = np.nonzero(stim_np)
+    # scan a bool mask, transposed: nonzero() on the [K, N] view comes
+    # out sorted by column already (no argsort), and the bool pass reads
+    # 8x less memory than nonzero on the f64 matrix
+    mask = stim_np != 0
+    nz_k, nz_n = np.nonzero(mask.T)
     if nz_k.size == 0:
         return None
     counts = np.bincount(nz_k, minlength=K)
     H = int(counts.max())
     if H > max(1, int(N * max_fill)):
         return None
-    # np.nonzero is row-major ordered; a stable sort by column keeps
-    # rows ascending within each column
-    order = np.argsort(nz_k, kind="stable")
-    nz_n = nz_n[order]
-    nz_k = nz_k[order]
     offsets = np.concatenate([[0], np.cumsum(counts)])
     slots = np.arange(nz_k.size) - offsets[nz_k]
     targets = np.full((H, K), -1, dtype=np.int16)
@@ -96,8 +95,13 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     # bucket in f32 (casting only the nonzeros): levels are f32, and a
     # mixed f64/f32 searchsorted mis-buckets non-representable powers
     vals32 = stim_np[nz_n, nz_k].astype(np.float32)
-    tbucket[slots, nz_k] = np.searchsorted(levels_np, vals32).astype(np.int8)
-    return targets, tbucket
+    buckets = np.searchsorted(levels_np, vals32).astype(np.int8)
+    tbucket[slots, nz_k] = buckets
+    # per-neuron trial counts per power, free from the triples — saves
+    # the reconnect scan three [N, K] passes
+    power_counts = np.zeros((N, levels_np.size - 1))
+    np.add.at(power_counts, (nz_n, buckets.astype(np.int64) - 1), 1.0)
+    return targets, tbucket, power_counts
 
 
 def _stim_from_sparse(levels, targets, tbucket, n_neurons):
@@ -140,7 +144,7 @@ def prepare_stim(stim, dtype, powers=None):
         return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np
     sparse = _sparsify(stim_np, levels_np)
     if sparse is not None:
-        targets, tbucket = sparse
+        targets, tbucket, _pc = sparse
         stim_dev = _stim_from_sparse_jit(
             jnp.asarray(levels_np, dtype), jnp.asarray(targets),
             jnp.asarray(tbucket), stim_np.shape[0]
@@ -185,6 +189,12 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
     caviar / resumable / sharded (reference caviar.py:32-34). Uploads
     the sparse hologram form when the design allows (see module
     docstring), falling back to int8 buckets, then dense f32.
+
+    Returns (stim_dev, lam_mask, lam0, stim_np, powers_np,
+    power_counts_np) — power_counts_np is the host [N, P] per-neuron
+    trial count per power when the sparse path computed it for free
+    (None otherwise); the reconnect scan reuses it instead of three
+    [N, K] passes.
     """
     stim_np = np.asarray(stim)  # no full-size cast; see prepare_stim
     powers_np, levels_np = _levels(stim_np, powers)
@@ -192,19 +202,19 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
         stim_dev = jnp.asarray(stim_np, dtype=dtype)
         lam_mask = active.astype(dtype)
         lam0 = jnp.where(stim_dev > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
-        return stim_dev, lam_mask, lam0, stim_np, powers_np
+        return stim_dev, lam_mask, lam0, stim_np, powers_np, None
     sparse = _sparsify(stim_np, levels_np)
     if sparse is not None:
-        targets, tbucket = sparse
+        targets, tbucket, power_counts = sparse
         stim_dev, lam_mask, lam0 = _prep_stim_and_init_sparse(
             jnp.asarray(levels_np, dtype), jnp.asarray(targets),
             jnp.asarray(tbucket), active, stim_np.shape[0]
         )
-        return stim_dev, lam_mask, lam0, stim_np, powers_np
+        return stim_dev, lam_mask, lam0, stim_np, powers_np, power_counts
     bucket = np.searchsorted(
         levels_np, stim_np.astype(np.float32, copy=False)
     ).astype(np.int8)
     stim_dev, lam_mask, lam0 = _prep_stim_and_init(
         jnp.asarray(levels_np, dtype), jnp.asarray(bucket), active
     )
-    return stim_dev, lam_mask, lam0, stim_np, powers_np
+    return stim_dev, lam_mask, lam0, stim_np, powers_np, None

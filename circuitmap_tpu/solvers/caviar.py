@@ -515,7 +515,7 @@ def _pull_host_batch(*arrs):
 
 def reconnect_from_spontaneous(
     y, stim, lam, mu, beta, z, msrmp=0.3, minimum_spike_count=3,
-    powers=None, verbose=False,
+    powers=None, power_counts=None, verbose=False,
 ):
     """Greedy false-negative scan (reference ``reconnect_spont_cells``,
     caviar.py:102-144).
@@ -554,7 +554,10 @@ def reconnect_from_spontaneous(
     # instead of once per candidate. Same decisions as the sequential
     # reference scan (caviar.py:102-144): each reconnection is the
     # highest-event-count passer at the current z state.
-    power_counts = np.stack([(stim == p).sum(1) for p in powers], 1)  # [N, P]
+    if power_counts is None:  # [N, P]; the sparse prep hands it in free
+        power_counts = np.stack([(stim == p).sum(1) for p in powers], 1)
+    else:
+        power_counts = np.asarray(power_counts, dtype=float)
     # spontaneous events are sparse: restrict every hit computation to
     # the event columns ([N, n_events] slices instead of full [N, K])
     z_idx = np.flatnonzero(z_nz)
@@ -672,8 +675,8 @@ def caviar(
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     # single fused program for the stim gather + mask + lam init (the
     # eager-op version cost one tunnel dispatch per op)
-    stim, lam_mask, lam0, stim_np, powers_np = prepare_stim_and_init(
-        stim, active, dtype, powers=powers
+    stim, lam_mask, lam0, stim_np, powers_np, power_counts_np = (
+        prepare_stim_and_init(stim, active, dtype, powers=powers)
     )
     powers = jnp.asarray(powers_np, dtype=dtype)
 
@@ -723,6 +726,7 @@ def caviar(
             msrmp=msrmp,
             minimum_spike_count=minimum_spike_count,
             powers=powers_np,
+            power_counts=power_counts_np,
             verbose=verbose,
         )
         if reconnected:

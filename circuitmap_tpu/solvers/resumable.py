@@ -81,8 +81,8 @@ def caviar_resumable(
         )
     y_psc = prepare_traces(y_psc, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
-    stim, lam_mask, lam0, stim_np, powers_np = prepare_stim_and_init(
-        stim, active, dtype
+    stim, lam_mask, lam0, stim_np, powers_np, _power_counts_np = (
+        prepare_stim_and_init(stim, active, dtype)
     )
     powers = jnp.asarray(powers_np, dtype=dtype)
 

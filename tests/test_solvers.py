@@ -356,8 +356,12 @@ class TestStimWireFormats:
         active = jnp.asarray(
             (np.random.default_rng(0).random(stim.shape[1]) > 0.1)
             .astype(np.float32))
-        dev2, lam_mask, lam0, _, _ = prepare_stim_and_init(
+        dev2, lam_mask, lam0, _, _, pc = prepare_stim_and_init(
             stim, active, jnp.float32)
+        # power counts from the sparse path match a dense recount
+        expect_pc = np.stack(
+            [(stim == p).sum(1) for p in (45.0, 55.0, 65.0)], 1)
+        np.testing.assert_array_equal(pc, expect_pc)
         np.testing.assert_array_equal(np.asarray(dev2), stim)
         expect = (stim > 0) * 0.95 * np.asarray(active)[None, :]
         np.testing.assert_allclose(np.asarray(lam0), expect, rtol=1e-6)
