@@ -55,13 +55,18 @@ def _inv2x2(M):
     return jnp.array([[d, -b], [-c, a]]) / det
 
 
-def powercurve_stats(lam, stim, powers):
+def powercurve_stats(lam, stim, powers, total_trials=None):
     """Per-neuron bucket statistics (S, C) over power levels.
 
     lam, stim: [N, K]; powers: [P] nonzero power levels. Returns
     S: [N, P+1] summed spike posteriors, C: [N, P+1] trial counts, with
     bucket 0 = untargeted (power 0) trials. Under trial sharding these
     are the only cross-device reductions the phi update needs.
+
+    ``total_trials``: the real trial count when the arrays carry inert
+    128-alignment padding. Padded columns have stim == 0, so only the
+    bucket-0 count over-counts — and it equals
+    ``total_trials - sum(targeted counts)`` exactly.
     """
     levels = jnp.concatenate([jnp.zeros((1,), powers.dtype), powers])  # [P+1]
     # one fused masked reduction per level: avoids materialising the
@@ -76,6 +81,8 @@ def powercurve_stats(lam, stim, powers):
          for p in range(levels.shape[0])],
         axis=1,
     )
+    if total_trials is not None:
+        C = C.at[:, 0].set(total_trials - jnp.sum(C[:, 1:], axis=1))
     return S, C, levels
 
 
@@ -139,19 +146,21 @@ def _laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior, t=BARRIER_T):
 laplace_from_stats = jax.vmap(_laplace_from_stats, in_axes=(0, 0, None, 0, 0))
 
 
-def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None):
+def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None,
+                       total_trials=None):
     """Batched Laplace refit of all N power-curve posteriors.
 
     lam, stim: [N, K]; phi_prior: [N, 2]; phi_cov_prior: [N, 2, 2];
     powers: [P] nonzero levels (derived from stim if omitted — only
-    possible outside jit). Returns (phi [N, 2], phi_cov [N, 2, 2]).
+    possible outside jit); total_trials: see powercurve_stats.
+    Returns (phi [N, 2], phi_cov [N, 2, 2]).
     Reference behaviour: vmapped ``_laplace_approx`` (caviar.py:253-310).
     """
     if powers is None:
         import numpy as np
 
         powers = jnp.asarray(np.unique(np.asarray(stim))[1:], dtype=lam.dtype)
-    S, C, levels = powercurve_stats(lam, stim, powers)
+    S, C, levels = powercurve_stats(lam, stim, powers, total_trials)
     return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
 
 

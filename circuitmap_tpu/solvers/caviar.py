@@ -109,9 +109,14 @@ def update_weights(y, lam, shape, rate, mu_prior, beta_prior):
     return mean, jnp.sum(Linv * Linv, axis=0)
 
 
-def update_noise(y, mu, beta, lam, shape_prior, rate_prior):
-    """Gamma noise posterior (caviar.py:238-244)."""
-    K = y.shape[0]
+def update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_true=None):
+    """Gamma noise posterior (caviar.py:238-244).
+
+    ``k_true``: the real trial count when the arrays carry inert
+    128-alignment padding (zero traces/spikes contribute nothing to the
+    sums, but the shape term counts trials).
+    """
+    K = y.shape[0] if k_true is None else k_true
     pred = mu @ lam
     weighted = mu[:, None] * lam
     rate = rate_prior + 0.5 * (
@@ -364,9 +369,11 @@ def _iteration(state: CaviarState, it, data, hyper, static):
             block_size=static["sweep_block_size"],
         )
 
-    shape, rate = update_noise(y, mu, beta, lam, shape_prior, rate_prior)
+    shape, rate = update_noise(y, mu, beta, lam, shape_prior, rate_prior,
+                               k_true=static.get("k_true"))
     phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
-                                      powers=powers)
+                                      powers=powers,
+                                      total_trials=static.get("k_true"))
 
     z = update_spontaneous(
         y,
@@ -381,7 +388,8 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         static["spont_orthogonality"],
         static["max_backtrack_iters"],
     )
-    spont_rate = jnp.mean((z != 0.0).astype(y.dtype))
+    k_true = static.get("k_true") or y.shape[0]
+    spont_rate = jnp.sum((z != 0.0).astype(y.dtype)) / k_true
 
     return CaviarState(mu, beta, lam, shape, rate, phi, phi_cov, z, spont_rate, key)
 
@@ -437,6 +445,27 @@ def _run_caviar(
     sweep_block_size=1,
     sweep_impl="xla",
 ):
+    # Pad the trial axis to a multiple of 128 ONCE, outside the scan.
+    # The Pallas DMA sweep needs lane-aligned rows; padding inside the
+    # per-iteration wrapper cost two [N, K] copies every iteration
+    # (profiled at >half the device time of the whole fit). Padded
+    # trials are inert: traces, masks and spikes are zero there, so
+    # every sum over K is unchanged; the three places that count trials
+    # rather than sum them (noise shape term, spontaneous rate,
+    # bucket-0 power counts) use k_true instead.
+    k_true = y.shape[0]
+    padk = (-(-k_true // 128) * 128) - k_true
+    if padk:
+        y = jnp.pad(y, (0, padk))
+        lam_mask = jnp.pad(lam_mask, (0, padk))
+        lam0 = jnp.pad(lam0, ((0, 0), (0, padk)))
+        stim = jnp.pad(stim, ((0, 0), (0, padk)))
+        if init_state is not None:
+            init_state = init_state._replace(
+                lam=jnp.pad(init_state.lam, ((0, 0), (0, padk))),
+                z=jnp.pad(init_state.z, (0, padk)),
+            )
+
     # per-neuron trial counts per power: static across iterations, used
     # by the pallas sweep's gate (computed once, fused by XLA)
     power_counts = jnp.sum(
@@ -457,6 +486,7 @@ def _run_caviar(
         analytic_mc=analytic_mc,
         sweep_block_size=sweep_block_size,
         sweep_impl=sweep_impl,
+        k_true=k_true,
     )
 
     K = y.shape[0]
@@ -486,6 +516,13 @@ def _run_caviar(
         return new, hist
 
     final, hists = lax.scan(step, init, jnp.arange(start_iter, start_iter + iters))
+    if padk:  # strip the alignment padding from everything trial-shaped
+        final = final._replace(lam=final.lam[:, :k_true], z=final.z[:k_true])
+        if save_histories:
+            hists = list(hists)
+            hists[2] = hists[2][:, :, :k_true]  # lam snapshots
+            hists[7] = hists[7][:, :k_true]     # z snapshots
+            hists = tuple(hists)
     return final, hists
 
 
