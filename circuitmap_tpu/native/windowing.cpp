@@ -108,3 +108,108 @@ void cm_extract_windows_with_charge(const float* timeline, int64_t T,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Stimulus-matrix sparsification: dense [N, K] -> hologram wire format.
+//
+// The solvers upload the stimulus design in column-sparse form
+// (solvers/_common._sparsify): [H, K] target indices + power buckets,
+// where H = max targets per trial. The numpy path needs a bool-mask
+// pass, a nonzero() and fancy-index writes (~0.1 s at N=1000, K=20000);
+// this routine does it in ONE parallel pass, each thread streaming the
+// row-major matrix restricted to its own column block (contiguous
+// 8 B*W chunks per row), so within-column target order stays ascending
+// in n without any sort. Also accumulates the per-neuron trial counts
+// per power that the reconnection scan reuses.
+//
+// Returns H (the max column fill), or -1 if any column exceeds h_cap
+// (caller falls back to the dense path).
+
+namespace {
+
+template <typename T>
+int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
+                      const float* levels, int64_t L, int64_t h_cap,
+                      int16_t* targets, int8_t* tbucket,
+                      double* power_counts) {
+    const int64_t P = L - 1;
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 4;
+    // one column block per worker; blocks of >=512 columns keep the
+    // per-row read chunks comfortably larger than a cache line
+    int workers = static_cast<int>(
+        std::min<int64_t>(hw, std::max<int64_t>(1, K / 512)));
+    const int64_t block = (K + workers - 1) / workers;
+
+    std::vector<int64_t> h_max(workers, 0);
+    std::vector<std::vector<double>> pc(
+        workers, std::vector<double>(N * P, 0.0));
+    std::atomic<bool> overflow(false);
+
+    std::vector<std::thread> pool;
+    pool.reserve(workers);
+    for (int w = 0; w < workers; ++w) {
+        pool.emplace_back([&, w] {
+            const int64_t k0 = w * block;
+            const int64_t k1 = std::min<int64_t>(K, k0 + block);
+            if (k0 >= k1) return;
+            std::vector<int32_t> cnt(k1 - k0, 0);
+            double* my_pc = pc[w].data();
+            for (int64_t n = 0; n < N && !overflow.load(); ++n) {
+                const T* row = stim + n * K;
+                for (int64_t k = k0; k < k1; ++k) {
+                    const T v = row[k];
+                    if (v == static_cast<T>(0)) continue;
+                    const int32_t slot = cnt[k - k0]++;
+                    if (slot >= h_cap) {
+                        overflow.store(true);
+                        break;
+                    }
+                    // searchsorted(levels, v) on the tiny level table,
+                    // comparing in f32 exactly as the numpy path does
+                    const float vf = static_cast<float>(v);
+                    int64_t b = 0;
+                    while (b < L && levels[b] < vf) ++b;
+                    targets[slot * K + k] = static_cast<int16_t>(n);
+                    tbucket[slot * K + k] = static_cast<int8_t>(b);
+                    if (b >= 1 && b <= P) my_pc[n * P + (b - 1)] += 1.0;
+                }
+            }
+            int64_t hm = 0;
+            for (int32_t c : cnt) hm = std::max<int64_t>(hm, c);
+            h_max[w] = hm;
+        });
+    }
+    for (auto& t : pool) t.join();
+    if (overflow.load()) return -1;
+
+    int64_t H = 0;
+    for (int w = 0; w < workers; ++w) {
+        H = std::max(H, h_max[w]);
+        const double* src = pc[w].data();
+        for (int64_t i = 0; i < N * P; ++i) power_counts[i] += src[i];
+    }
+    return H;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t cm_sparsify_stim_f64(const double* stim, int64_t N, int64_t K,
+                             const float* levels, int64_t L, int64_t h_cap,
+                             int16_t* targets, int8_t* tbucket,
+                             double* power_counts) {
+    return sparsify_impl(stim, N, K, levels, L, h_cap, targets, tbucket,
+                         power_counts);
+}
+
+int64_t cm_sparsify_stim_f32(const float* stim, int64_t N, int64_t K,
+                             const float* levels, int64_t L, int64_t h_cap,
+                             int16_t* targets, int8_t* tbucket,
+                             double* power_counts) {
+    return sparsify_impl(stim, N, K, levels, L, h_cap, targets, tbucket,
+                         power_counts);
+}
+
+}  // extern "C"

@@ -76,9 +76,17 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     N, K = stim_np.shape
     if N > 32766:
         return None
-    # scan a bool mask, transposed: nonzero() on the [K, N] view comes
-    # out sorted by column already (no argsort), and the bool pass reads
-    # 8x less memory than nonzero on the f64 matrix
+    h_cap = max(1, int(N * max_fill))
+    # native single-pass sparsifier (utils/native.sparsify_stim) when
+    # the C++ library is available; identical wire contract
+    from ..utils import native as _native
+
+    out = _native.sparsify_stim(stim_np, levels_np, h_cap)
+    if out is not None:
+        return out
+    # numpy fallback: scan a bool mask, transposed — nonzero() on the
+    # [K, N] view comes out sorted by column already (no argsort), and
+    # the bool pass reads 8x less memory than nonzero on the f64 matrix
     mask = stim_np != 0
     nz_k, nz_n = np.nonzero(mask.T)
     if nz_k.size == 0:

@@ -49,9 +49,14 @@ def _iteration(state: ArdState, data, static):
     soft_var = jnp.sum(state.lam * (1.0 - state.lam), axis=-1)
     prec = (gram + jnp.diag(soft_var)) / state.sigma2 + jnp.diag(state.relevance)
     chol = jax.scipy.linalg.cho_factor(prec, lower=True)
-    cov = jax.scipy.linalg.cho_solve(chol, jnp.eye(N, dtype=y.dtype))
-    mu = cov @ (state.lam @ (y - state.z)) / state.sigma2
-    beta = jnp.sqrt(jnp.diag(cov))
+    mu = jax.scipy.linalg.cho_solve(
+        chol, state.lam @ (y - state.z)
+    ) / state.sigma2
+    # cov diagonal from one triangular solve (see caviar.update_weights)
+    Linv = jax.scipy.linalg.solve_triangular(
+        chol[0], jnp.eye(N, dtype=y.dtype), lower=True
+    )
+    beta = jnp.sqrt(jnp.sum(Linv * Linv, axis=0))
 
     # --- ARD relevance update: alpha_n = 1 / E[w_n^2] ---
     relevance = 1.0 / (mu * mu + beta * beta + 1e-8)

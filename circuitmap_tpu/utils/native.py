@@ -59,6 +59,17 @@ def _get_lib():
             f32p, ctypes.c_int64, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, f32p, f64p,
         ]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        for name, stim_p in (("cm_sparsify_stim_f64", f64p),
+                             ("cm_sparsify_stim_f32", f32p)):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                stim_p, ctypes.c_int64, ctypes.c_int64,
+                f32p, ctypes.c_int64, ctypes.c_int64,
+                i16p, i8p, f64p,
+            ]
+            fn.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _load_failed = True
@@ -120,6 +131,47 @@ def extract_windows_with_charge(timeline, stim_times, pre=100, width=900):
         _ptr(windows, ctypes.c_float), _ptr(charges, ctypes.c_double),
     )
     return windows, charges
+
+
+def sparsify_stim(stim_np, levels_np, h_cap):
+    """Native hologram sparsification of a dense [N, K] stim matrix.
+
+    Returns (targets int16 [H, K], tbucket int8 [H, K],
+    power_counts f64 [N, P]) or None when the native library is
+    unavailable, the dtype is unsupported, or some column holds more
+    than ``h_cap`` targets (caller falls back to numpy / dense paths).
+    One parallel pass, column-blocked so within-column target order
+    stays ascending in neuron index — the same wire contract as
+    solvers/_common._sparsify.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    stim_np = np.ascontiguousarray(stim_np)
+    if stim_np.dtype == np.float64:
+        fn, cptr = lib.cm_sparsify_stim_f64, ctypes.c_double
+    elif stim_np.dtype == np.float32:
+        fn, cptr = lib.cm_sparsify_stim_f32, ctypes.c_float
+    else:
+        return None
+    N, K = stim_np.shape
+    levels = np.ascontiguousarray(levels_np, dtype=np.float32)
+    P = levels.size - 1
+    h_cap = int(max(h_cap, 1))
+    targets = np.full((h_cap, K), -1, dtype=np.int16)
+    tbucket = np.zeros((h_cap, K), dtype=np.int8)
+    power_counts = np.zeros((N, P), dtype=np.float64)
+    H = fn(
+        _ptr(stim_np, cptr), N, K,
+        _ptr(levels, ctypes.c_float), levels.size, h_cap,
+        _ptr(targets, ctypes.c_int16), _ptr(tbucket, ctypes.c_int8),
+        _ptr(power_counts, ctypes.c_double),
+    )
+    if H < 0:
+        return None
+    if H == 0:
+        return None  # no stimulation anywhere: caller handles
+    return targets[:H], tbucket[:H], power_counts
 
 
 def _extract_windows_np(timeline, stim_times, pre, width):

@@ -64,3 +64,46 @@ class TestEdgeCases:
         assert np.all(w == 0.0)
         w2, c = native.extract_windows_with_charge(timeline, stim_times)
         assert np.all(w2 == 0.0) and np.all(c == 0.0)
+
+
+class TestSparsifyStim:
+    def _stim(self, N=137, K=700, H=6, seed=0):
+        rng = np.random.default_rng(seed)
+        stim = np.zeros((N, K))
+        for k in range(3, K):
+            tgt = rng.choice(N, size=rng.integers(1, H + 1), replace=False)
+            stim[tgt, k] = rng.choice([45.0, 55.0, 65.0])
+        return stim
+
+    def test_matches_numpy_sparsifier(self, monkeypatch):
+        """Native single-pass sparsify must produce the exact wire
+        arrays of the numpy path (targets, buckets, power counts)."""
+        from circuitmap_tpu.solvers import _common
+        import circuitmap_tpu.utils.native as nmod
+
+        stim = self._stim()
+        levels = np.asarray([0.0, 45.0, 55.0, 65.0], np.float32)
+        nat = native.sparsify_stim(stim, levels, h_cap=17)
+        if nat is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        monkeypatch.setattr(nmod, "sparsify_stim", lambda *a, **k: None)
+        ref = _common._sparsify(stim, levels)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        np.testing.assert_array_equal(nat[1], ref[1])
+        np.testing.assert_array_equal(nat[2], ref[2])
+
+    def test_f32_input_and_overflow(self):
+        stim = self._stim(N=64, K=300, H=4, seed=1)
+        levels = np.asarray([0.0, 45.0, 55.0, 65.0], np.float32)
+        a = native.sparsify_stim(stim, levels, h_cap=8)
+        b = native.sparsify_stim(stim.astype(np.float32), levels, h_cap=8)
+        if a is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        # a too-small cap reports overflow rather than truncating
+        assert native.sparsify_stim(stim, levels, h_cap=1) is None
+        # all-zero stim: nothing to sparsify
+        assert native.sparsify_stim(np.zeros((8, 16)), levels, 4) is None
