@@ -49,8 +49,9 @@ def main():
     priors = default_priors(N)
 
     def pipeline(psc, stim):
-        # f16 wire format halves the host->TPU trace upload (~1e-3
-        # relative quantisation, no measurable R2 change)
+        # int8 wire format quarters the host->TPU trace upload
+        # (per-trace peak scale, ~0.9% of peak quantisation — below
+        # recording noise; measured R2 0.9888 vs 0.9889 with f16)
         dem = demixer(psc, verbose=False, keep_on_device=True,
                       transfer_dtype=np.int8)
         out = caviar(

@@ -122,8 +122,9 @@ void cm_extract_windows_with_charge(const float* timeline, int64_t T,
 // in n without any sort. Also accumulates the per-neuron trial counts
 // per power that the reconnection scan reuses.
 //
-// Returns H (the max column fill), or -1 if any column exceeds h_cap
-// (caller falls back to the dense path).
+// Returns H (the max column fill), -1 if any column exceeds h_cap
+// (caller falls back to the dense path), or -2 if stim contains a
+// value missing from the level table (caller raises).
 
 namespace {
 
@@ -145,6 +146,7 @@ int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
     std::vector<std::vector<double>> pc(
         workers, std::vector<double>(N * P, 0.0));
     std::atomic<bool> overflow(false);
+    std::atomic<bool> mismatch(false);
 
     std::vector<std::thread> pool;
     pool.reserve(workers);
@@ -155,7 +157,8 @@ int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
             if (k0 >= k1) return;
             std::vector<int32_t> cnt(k1 - k0, 0);
             double* my_pc = pc[w].data();
-            for (int64_t n = 0; n < N && !overflow.load(); ++n) {
+            for (int64_t n = 0;
+                 n < N && !overflow.load() && !mismatch.load(); ++n) {
                 const T* row = stim + n * K;
                 for (int64_t k = k0; k < k1; ++k) {
                     const T v = row[k];
@@ -170,9 +173,16 @@ int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
                     const float vf = static_cast<float>(v);
                     int64_t b = 0;
                     while (b < L && levels[b] < vf) ++b;
+                    if (b >= L || levels[b] != vf) {
+                        // value not in the level table: a mismatched
+                        // powers= argument — report instead of
+                        // silently mis-bucketing
+                        mismatch.store(true);
+                        break;
+                    }
                     targets[slot * K + k] = static_cast<int16_t>(n);
                     tbucket[slot * K + k] = static_cast<int8_t>(b);
-                    if (b >= 1 && b <= P) my_pc[n * P + (b - 1)] += 1.0;
+                    my_pc[n * P + (b - 1)] += 1.0;
                 }
             }
             int64_t hm = 0;
@@ -181,6 +191,7 @@ int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
         });
     }
     for (auto& t : pool) t.join();
+    if (mismatch.load()) return -2;
     if (overflow.load()) return -1;
 
     int64_t H = 0;

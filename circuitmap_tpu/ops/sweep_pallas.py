@@ -525,8 +525,11 @@ def sweep_spikes_pallas_batched(
     """B independent sweeps as one (B, N)-grid kernel.
 
     Each experiment keeps the sequential residual recursion of the
-    single-map kernel (reset at j == 0); the experiment axis is declared
-    ``parallel`` so Mosaic may split it across TPU cores.
+    single-map kernel (reset at j == 0). NOTE the experiment axis must
+    NOT be declared ``parallel`` to Mosaic: the residual lives in a
+    single VMEM scratch shared across grid steps, so splitting b across
+    cores would race on it (a per-experiment scratch would be needed
+    first).
     """
     B, N, K = lam.shape
     P = powers.shape[0]

@@ -490,7 +490,7 @@ def _mbcs_slab_scale(lam, shape, rate, beta_prior):
 
 def _mbcs_weights_l1_sharded(
     y, mu, lam, shape, rate, penalty, scale_factor, max_penalty_iters,
-    max_lasso_iters, positive, flip, k_global, tol=1e-5,
+    max_lasso_iters, positive, flip, k_global, valid, tol=1e-5,
 ):
     """Penalty-shrinking FISTA lasso under trial sharding.
 
@@ -503,7 +503,10 @@ def _mbcs_weights_l1_sharded(
     mu0 = -mu if flip else mu
     AtA = _psum(A_lam @ A_lam.T) / k_global
     Aty = _psum(A_lam @ y) / k_global
-    constr = jnp.sqrt(_psum(jnp.sum(rate / shape)))
+    # masked by ``valid``: mesh-padding trials carry prior/degenerate
+    # noise values and must not perturb the stopping point vs the
+    # single-device solver
+    constr = jnp.sqrt(_psum(jnp.sum(valid * rate / shape)))
 
     # Lipschitz constant by power iteration (replicated)
     def power_step(v, _):
@@ -674,6 +677,7 @@ def _run_mbcs_sharded(
             mu = _mbcs_weights_l1_sharded(
                 y, mu, lam, shape, rate, penalty, scale_factor,
                 max_penalty_iters, max_lasso_iters, positive, flip, k_global,
+                valid,
             )
             key, k_order, k_noise = jax.random.split(key, 3)
             order = jax.random.permutation(k_order, N)  # replicated

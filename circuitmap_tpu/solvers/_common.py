@@ -10,6 +10,12 @@ in ~N/H x fewer bytes (0.6 MB vs 20 MB at the bench shape) — falling
 back to int8 bucket indices (4x smaller than f32: stim takes only P+1
 distinct values), and every eager device op of the prep path is fused
 into one jitted program: a single dispatch instead of one per op.
+
+Precision contract: the DEVICE stimulus holds the f32 level values
+(bucketed reconstruction), while the HOST powers returned to callers
+keep the original precision of the stim matrix — the host-side
+reconnection scan compares them against the original stim, so both
+sides always agree on which trials carry which power.
 """
 
 from __future__ import annotations
@@ -29,19 +35,26 @@ def prepare_traces(y_psc, dtype):
 
 
 def _levels(stim_np, powers=None):
-    """Host side: the sorted stimulation levels (0-prefixed).
+    """Host side: sorted stimulation levels, original-precision + f32.
 
     ``powers`` (the rig's stimulation levels — experiment config, as in
-    the reference harness YAMLs) skips the 20M-element np.unique scan.
+    the reference harness YAMLs) skips the 20M-element np.unique scan;
+    it is deduplicated here. Returns (powers_host, levels_np):
+    powers_host keeps the stim matrix's own precision (host consumers
+    compare it against stim directly), levels_np is the 0-prefixed f32
+    table the device reconstruction uses.
     """
     if powers is None:
-        powers_np = np.unique(stim_np)
-        # bucketing happens in f32; dedupe again after the cast
-        powers_np = np.unique(powers_np[powers_np != 0.0].astype(np.float32))
+        cand = np.unique(stim_np)
     else:
-        powers_np = np.sort(np.asarray(powers, dtype=np.float32))
-    levels_np = np.concatenate([[0.0], powers_np]).astype(np.float32)
-    return powers_np, levels_np
+        cand = np.unique(np.asarray(powers))
+    cand = cand[cand != 0.0]
+    # bucketing happens in f32: dedupe there, keeping the first
+    # original-precision representative of each f32 level
+    lv32, first = np.unique(cand.astype(np.float32), return_index=True)
+    powers_host = cand[first]
+    levels_np = np.concatenate([[0.0], lv32]).astype(np.float32)
+    return powers_host, levels_np
 
 
 def _select_levels(levels, bucket):
@@ -64,6 +77,15 @@ def _stim_from_buckets(levels, bucket):
     return _select_levels(levels, bucket)
 
 
+def _power_mismatch_error(levels_np):
+    return ValueError(
+        "stim contains stimulation values not covered by the supplied "
+        f"powers= levels {levels_np[1:].tolist()}; pass the exact set of "
+        "power levels used in the experiment (or omit powers= to derive "
+        "them from the stim matrix)"
+    )
+
+
 def _sparsify(stim_np, levels_np, max_fill=0.125):
     """Column-sparse hologram wire format, or None when dense is cheaper.
 
@@ -71,7 +93,9 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     matrix compresses to [H, K] target indices (int16, -1 padded) plus
     [H, K] per-target power buckets (int8). Worth it when H is a small
     fraction of N — the device-side reconstruction is H fused
-    compare-selects over [N, K].
+    compare-selects over [N, K]. Raises ValueError when stim contains
+    values the level table cannot represent (a mismatched ``powers=``
+    would otherwise silently corrupt the device stimulus).
     """
     N, K = stim_np.shape
     if N > 32766:
@@ -82,6 +106,8 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     from ..utils import native as _native
 
     out = _native.sparsify_stim(stim_np, levels_np, h_cap)
+    if out == "overflow":
+        return None  # too dense for hologram form; skip the numpy rescan
     if out is not None:
         return out
     # numpy fallback: scan a bool mask, transposed — nonzero() on the
@@ -93,7 +119,7 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
         return None
     counts = np.bincount(nz_k, minlength=K)
     H = int(counts.max())
-    if H > max(1, int(N * max_fill)):
+    if H > h_cap:
         return None
     offsets = np.concatenate([[0], np.cumsum(counts)])
     slots = np.arange(nz_k.size) - offsets[nz_k]
@@ -103,13 +129,44 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     # bucket in f32 (casting only the nonzeros): levels are f32, and a
     # mixed f64/f32 searchsorted mis-buckets non-representable powers
     vals32 = stim_np[nz_n, nz_k].astype(np.float32)
-    buckets = np.searchsorted(levels_np, vals32).astype(np.int8)
+    buckets = np.searchsorted(levels_np, vals32)
+    safe = np.minimum(buckets, levels_np.size - 1)
+    if not np.array_equal(levels_np[safe], vals32):
+        raise _power_mismatch_error(levels_np)
+    buckets = buckets.astype(np.int8)
     tbucket[slots, nz_k] = buckets
     # per-neuron trial counts per power, free from the triples — saves
     # the reconnect scan three [N, K] passes
     power_counts = np.zeros((N, levels_np.size - 1))
     np.add.at(power_counts, (nz_n, buckets.astype(np.int64) - 1), 1.0)
     return targets, tbucket, power_counts
+
+
+def _bucketise_dense(stim_np, levels_np):
+    """Dense int8 bucket matrix, validating level coverage."""
+    stim32 = stim_np.astype(np.float32, copy=False)
+    bucket = np.searchsorted(levels_np, stim32)
+    safe = np.minimum(bucket, levels_np.size - 1)
+    if not np.array_equal(levels_np[safe], stim32):
+        raise _power_mismatch_error(levels_np)
+    return bucket.astype(np.int8)
+
+
+def _upload_plan(stim_np, powers):
+    """Shared front half of the two prepare entry points.
+
+    Returns (powers_host, levels_np, kind, payload) with kind one of
+    "dense" (payload None), "sparse" (payload = (targets, tbucket,
+    power_counts)), or "bucket" (payload = int8 bucket matrix).
+    """
+    powers_host, levels_np = _levels(stim_np, powers)
+    if levels_np.size > 127:
+        return powers_host, levels_np, "dense", None
+    sparse = _sparsify(stim_np, levels_np)
+    if sparse is not None:
+        return powers_host, levels_np, "sparse", sparse
+    return powers_host, levels_np, "bucket", _bucketise_dense(
+        stim_np, levels_np)
 
 
 def _stim_from_sparse(levels, targets, tbucket, n_neurons):
@@ -137,7 +194,7 @@ def _stim_from_sparse_jit(levels, targets, tbucket, n_neurons):
 
 
 def prepare_stim(stim, dtype, powers=None):
-    """Returns (stim_device, stim_np_f32, powers_np).
+    """Returns (stim_device, stim_np, powers_np).
 
     Ships stim in sparse hologram form when the design is column-sparse
     (the practical case: H targets per trial), else as int8 power-bucket
@@ -147,22 +204,18 @@ def prepare_stim(stim, dtype, powers=None):
     # the cast (first-touch page faults); host consumers (reconnect
     # scan, power counts) are dtype-agnostic numpy
     stim_np = np.asarray(stim)
-    powers_np, levels_np = _levels(stim_np, powers)
-    if levels_np.size > 127:
+    powers_np, levels_np, kind, payload = _upload_plan(stim_np, powers)
+    if kind == "dense":
         return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np
-    sparse = _sparsify(stim_np, levels_np)
-    if sparse is not None:
-        targets, tbucket, _pc = sparse
+    if kind == "sparse":
+        targets, tbucket, _pc = payload
         stim_dev = _stim_from_sparse_jit(
             jnp.asarray(levels_np, dtype), jnp.asarray(targets),
             jnp.asarray(tbucket), stim_np.shape[0]
         )
         return stim_dev, stim_np, powers_np
-    bucket = np.searchsorted(
-        levels_np, stim_np.astype(np.float32, copy=False)
-    ).astype(np.int8)
     stim_dev = _stim_from_buckets(
-        jnp.asarray(levels_np, dtype), jnp.asarray(bucket)
+        jnp.asarray(levels_np, dtype), jnp.asarray(payload)
     )
     return stim_dev, stim_np, powers_np
 
@@ -205,24 +258,20 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
     [N, K] passes.
     """
     stim_np = np.asarray(stim)  # no full-size cast; see prepare_stim
-    powers_np, levels_np = _levels(stim_np, powers)
-    if levels_np.size > 127:
+    powers_np, levels_np, kind, payload = _upload_plan(stim_np, powers)
+    if kind == "dense":
         stim_dev = jnp.asarray(stim_np, dtype=dtype)
         lam_mask = active.astype(dtype)
         lam0 = jnp.where(stim_dev > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
         return stim_dev, lam_mask, lam0, stim_np, powers_np, None
-    sparse = _sparsify(stim_np, levels_np)
-    if sparse is not None:
-        targets, tbucket, power_counts = sparse
+    if kind == "sparse":
+        targets, tbucket, power_counts = payload
         stim_dev, lam_mask, lam0 = _prep_stim_and_init_sparse(
             jnp.asarray(levels_np, dtype), jnp.asarray(targets),
             jnp.asarray(tbucket), active, stim_np.shape[0]
         )
         return stim_dev, lam_mask, lam0, stim_np, powers_np, power_counts
-    bucket = np.searchsorted(
-        levels_np, stim_np.astype(np.float32, copy=False)
-    ).astype(np.int8)
     stim_dev, lam_mask, lam0 = _prep_stim_and_init(
-        jnp.asarray(levels_np, dtype), jnp.asarray(bucket), active
+        jnp.asarray(levels_np, dtype), jnp.asarray(payload), active
     )
     return stim_dev, lam_mask, lam0, stim_np, powers_np, None

@@ -130,6 +130,8 @@ def caviar_resumable(
             iters=seg, start_iter=start, **static,
         )
         start += seg
+        # state is already at the true K (_run_caviar strips its own
+        # 128-alignment padding before returning)
         save_state(checkpoint_path, {**state._asdict(),
                                      "completed_iters": np.asarray(start)})
         if verbose:
@@ -183,8 +185,16 @@ def _caviar_resumable_sharded(
     if os.path.exists(checkpoint_path):
         ck = load_state(checkpoint_path)
         start = int(ck.pop("completed_iters"))
+        # the checkpoint stores trial-shaped state at the TRUE K; re-pad
+        # to THIS mesh's multiple so a fit may resume on a different
+        # mesh size (padded trials are zero in any unsegmented run)
+        if prep["pad"]:
+            ck["lam"] = np.pad(np.asarray(ck["lam"]),
+                               ((0, 0), (0, prep["pad"])))
+            ck["z"] = np.pad(np.asarray(ck["z"]), (0, prep["pad"]))
         state = CaviarState(**{
-            k: jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
+            k: jnp.asarray(v, dtype if np.asarray(v).dtype.kind == "f"
+                           else None)
             for k, v in ck.items()
         })
         if verbose:
@@ -221,8 +231,14 @@ def _caviar_resumable_sharded(
             mesh=mesh, iters=seg, start_iter=start, **static,
         )
         start += seg
-        save_state(checkpoint_path, {**state._asdict(),
-                                     "completed_iters": np.asarray(start)})
+        # store trial-shaped state trimmed to the true K: the checkpoint
+        # must be independent of this mesh's padding so it can resume on
+        # any mesh size (the advertised contract)
+        save_state(checkpoint_path, {
+            **state._asdict(),
+            "lam": np.asarray(state.lam[:, :K]),
+            "z": np.asarray(state.z[:K]),
+            "completed_iters": np.asarray(start)})
         if verbose:
             print(f"checkpointed after iteration {start}/{iters}")
 

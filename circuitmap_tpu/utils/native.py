@@ -137,12 +137,14 @@ def sparsify_stim(stim_np, levels_np, h_cap):
     """Native hologram sparsification of a dense [N, K] stim matrix.
 
     Returns (targets int16 [H, K], tbucket int8 [H, K],
-    power_counts f64 [N, P]) or None when the native library is
-    unavailable, the dtype is unsupported, or some column holds more
-    than ``h_cap`` targets (caller falls back to numpy / dense paths).
-    One parallel pass, column-blocked so within-column target order
-    stays ascending in neuron index — the same wire contract as
-    solvers/_common._sparsify.
+    power_counts f64 [N, P]); None when the native library is
+    unavailable or the dtype is unsupported (caller uses the numpy
+    path); the string "overflow" when some column holds more than
+    ``h_cap`` targets (caller goes straight to the dense upload).
+    Raises ValueError when stim contains a value missing from the
+    level table. One parallel pass, column-blocked so within-column
+    target order stays ascending in neuron index — the same wire
+    contract as solvers/_common._sparsify.
     """
     lib = _get_lib()
     if lib is None:
@@ -167,8 +169,14 @@ def sparsify_stim(stim_np, levels_np, h_cap):
         _ptr(targets, ctypes.c_int16), _ptr(tbucket, ctypes.c_int8),
         _ptr(power_counts, ctypes.c_double),
     )
-    if H < 0:
-        return None
+    if H == -2:
+        raise ValueError(
+            "stim contains stimulation values not covered by the level "
+            f"table {levels[1:].tolist()}; pass the exact powers= used "
+            "in the experiment (or omit powers=)"
+        )
+    if H == -1:
+        return "overflow"
     if H == 0:
         return None  # no stimulation anywhere: caller handles
     return targets[:H], tbucket[:H], power_counts

@@ -104,6 +104,6 @@ class TestSparsifyStim:
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
         # a too-small cap reports overflow rather than truncating
-        assert native.sparsify_stim(stim, levels, h_cap=1) is None
+        assert native.sparsify_stim(stim, levels, h_cap=1) == "overflow"
         # all-zero stim: nothing to sparsify
         assert native.sparsify_stim(np.zeros((8, 16)), levels, 4) is None

@@ -109,3 +109,26 @@ class TestReconnect:
         rec_n = sorted(set(np.flatnonzero(np.nan_to_num(np.asarray(mu_n)) != 0))
                        - set(np.flatnonzero(mu != 0)))
         assert rec_n == rec_o
+
+
+def test_reconnect_hits_with_non_f32_powers():
+    """f64 stim at a power not exactly representable in f32 (45.7) must
+    still produce per-power hits — regression: f32-rounded host powers
+    matched nothing in the f64 stim and silently disabled the scan."""
+    from circuitmap_tpu.solvers.caviar import reconnect_from_spontaneous
+    from circuitmap_tpu.solvers._common import prepare_stim
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    N, K = 20, 300
+    stim = np.zeros((N, K))
+    for k in range(K):
+        stim[rng.choice(N, 2, replace=False), k] = 45.7
+    _, stim_np, powers = prepare_stim(stim, np.float32)
+    lam = np.zeros((N, K))
+    z = np.zeros(K)
+    z[stim_np[0] != 0] = 1.0  # neuron 0's trials all spontaneous-active
+    mu_r, _, _, _, rec = reconnect_from_spontaneous(
+        None, stim_np, lam, np.zeros(N), np.zeros(N), z,
+        msrmp=0.3, minimum_spike_count=3, powers=powers, verbose=False)
+    assert rec and mu_r[0] > 0

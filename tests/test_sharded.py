@@ -212,6 +212,27 @@ class TestShardedResumable:
                                    np.asarray(resumed[0]),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_resume_on_different_mesh_size(self, sim, mesh8, tmp_path):
+        """The checkpoint stores state at the true K, so a fit may
+        checkpoint on one mesh size and resume on another (preemptible
+        re-scheduling) — regression: it used to store mesh-padded state
+        and crash on resume with a shape mismatch."""
+        from circuitmap_tpu.solvers.resumable import caviar_resumable
+
+        args = _fit_args(sim, 40)
+        kw = dict(iters=4, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True)
+        ck = tmp_path / "ck_remesh"
+        caviar_resumable(*args, checkpoint_path=str(ck), mesh=mesh8,
+                         checkpoint_every=2, **{**kw, "iters": 2})
+        mesh4 = trial_mesh(4)
+        resumed = caviar_resumable(*args, checkpoint_path=str(ck),
+                                   mesh=mesh4, checkpoint_every=2, **kw)
+        whole = caviar_sharded(*args, mesh=mesh8, **kw)
+        np.testing.assert_allclose(np.asarray(whole[0]),
+                                   np.asarray(resumed[0]),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestShardedBatched:
     def test_caviar_many_mesh_matches_local(self, mesh8):

@@ -392,3 +392,47 @@ class TestStimWireFormats:
                                       powers=[45.0, 55.0, 65.0])
         np.testing.assert_array_equal(np.asarray(dev), stim)
         np.testing.assert_array_equal(powers, [45.0, 55.0, 65.0])
+        # duplicated powers are deduplicated, not double-counted
+        dev2, _, powers2 = prepare_stim(stim, jnp.float32,
+                                        powers=[45.0, 45.0, 55.0, 65.0])
+        np.testing.assert_array_equal(powers2, [45.0, 55.0, 65.0])
+
+    def test_mismatched_powers_raise(self):
+        """A powers= list that doesn't cover the stim values must raise,
+        not silently mis-bucket (50 used to become 55 on device; values
+        above max power vanished to 0)."""
+        import jax.numpy as jnp
+        import pytest
+        from circuitmap_tpu.solvers._common import prepare_stim
+
+        stim = self._hologram_stim(N=40, K=120, H=4)
+        stim[stim == 55.0] = 50.0  # value outside the supplied table
+        with pytest.raises(ValueError, match="powers"):
+            prepare_stim(stim, jnp.float32, powers=[45.0, 55.0, 65.0])
+        stim2 = self._hologram_stim(N=40, K=120, H=4)
+        stim2[3, 7] = 99.0  # above the max supplied power
+        with pytest.raises(ValueError, match="powers"):
+            prepare_stim(stim2, jnp.float32, powers=[45.0, 55.0, 65.0])
+
+    def test_f64_stim_keeps_host_power_precision(self):
+        """Host-side powers keep the stim matrix's own precision so the
+        reconnection scan's exact comparisons still hit — regression:
+        f32-rounded powers (45.7 -> 45.70000076) matched nothing in an
+        f64 stim and silently disabled the scan."""
+        import jax.numpy as jnp
+        from circuitmap_tpu.solvers._common import prepare_stim
+
+        rng = np.random.default_rng(0)
+        stim = np.zeros((30, 200))  # float64
+        for k in range(200):
+            tgt = rng.choice(30, 3, replace=False)
+            stim[tgt, k] = rng.choice([45.7, 55.3, 65.1])
+        dev, stim_np, powers = prepare_stim(stim, jnp.float32)
+        assert powers.dtype == np.float64
+        np.testing.assert_array_equal(powers, [45.7, 55.3, 65.1])
+        # every host power matches the host stim exactly
+        for p in powers:
+            assert (stim_np == p).sum() > 0
+        # the device stim carries the f32-rounded level values
+        np.testing.assert_array_equal(
+            np.asarray(dev), stim.astype(np.float32))
