@@ -1027,12 +1027,14 @@ def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh):
     valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
 
     y_psc = jnp.asarray(y_psc, dtype=dtype)
-    stim_j, stim_np, _ = prepare_stim(stim_np, dtype)
+    # powers come back deduplicated and at the stim matrix's own
+    # precision (host comparisons below and the reconnect scan need
+    # exact matches; see solvers/_common._levels)
+    stim_j, stim_np, powers = prepare_stim(stim_np, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
 
-    powers = np.unique(stim_np)[1:]
     levels = np.concatenate([[0.0], powers])
     power_counts = (
         stim_np[:, :K, None] == powers[None, None, :]
