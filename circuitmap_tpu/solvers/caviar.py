@@ -646,6 +646,102 @@ def reconnect_from_spontaneous(
     return mu, beta, lam, z, bool(lam_updates)
 
 
+def _reconnect_scan_device(stim, lam, mu, beta, z, powers, msrmp,
+                           minimum_spike_count):
+    """The greedy reconnection scan as one ``lax.while_loop`` on device.
+
+    Same decisions as reconnect_from_spontaneous (greedy
+    highest-event-count passer at the current z state; ties break to
+    the lowest index in both argmax implementations), but with zero
+    host round trips — on a tunneled TPU the host version's batched
+    pull costs more than the whole scan. [N, K, P] temporaries are
+    avoided: per-power hits update via P unrolled masked reductions.
+    """
+    dtype = lam.dtype
+    P = powers.shape[0]
+    counts = jnp.stack(
+        [jnp.sum((stim == powers[p]).astype(dtype), axis=1)
+         for p in range(P)], axis=1)                               # [N, P]
+
+    def hits_of(vec):  # [K] f32 membership vector -> [N, P] event counts
+        return jnp.stack(
+            [(stim == powers[p]).astype(dtype) @ vec for p in range(P)],
+            axis=1)
+
+    z_nz0 = (z != 0.0).astype(dtype)
+    state0 = dict(
+        mu=mu, beta=beta, lam=lam, z=z, z_nz=z_nz0,
+        candidate=(mu == 0.0),
+        hits=hits_of(z_nz0),
+        go=jnp.asarray(True),
+        n_reconnected=jnp.asarray(0, jnp.int32),
+    )
+    min_count = jnp.asarray(minimum_spike_count, dtype)
+    nan = jnp.asarray(jnp.nan, dtype)
+
+    def cond(s):
+        return s["go"] & (jnp.sum(s["z_nz"]) > min_count)
+
+    def body(s):
+        rates = jnp.where(counts > 0, s["hits"] / jnp.maximum(counts, 1.0),
+                          0.0)
+        iso = isotonic_fit_at_max_batched(rates)                   # [N]
+        n_events = jnp.sum(s["hits"], axis=1)
+        ok = s["candidate"] & (iso >= msrmp) & (n_events >= min_count)
+        any_ok = jnp.any(ok)
+        n = jnp.argmax(jnp.where(ok, n_events, -1.0))
+
+        stim_n = stim[n]                                           # [K]
+        locs = ((stim_n != 0.0) & (s["z_nz"] > 0)).astype(dtype)
+        c = jnp.sum(locs)
+        c_safe = jnp.maximum(c, 1.0)
+        mean = jnp.sum(s["z"] * locs) / c_safe
+        # scipy.stats.sem semantics: std(ddof=1) / sqrt(c); nan at c==1
+        var = jnp.sum(jnp.square(s["z"] - mean) * locs) / jnp.maximum(
+            c - 1.0, 1.0)
+        sem = jnp.sqrt(var / c_safe)
+        upd = any_ok
+        rm = locs * upd                                            # [K]
+
+        new = dict(s)
+        new["mu"] = s["mu"].at[n].set(jnp.where(upd, mean, s["mu"][n]))
+        new["beta"] = s["beta"].at[n].set(
+            jnp.where(upd, jnp.where(c > 1.0, sem, nan), s["beta"][n]))
+        new["lam"] = s["lam"].at[n].set(
+            jnp.where(rm > 0, jnp.asarray(1.0, dtype), s["lam"][n]))
+        new["z"] = jnp.where(rm > 0, 0.0, s["z"])
+        new["z_nz"] = s["z_nz"] * (1.0 - rm)
+        new["candidate"] = s["candidate"].at[n].set(
+            jnp.where(upd, False, s["candidate"][n]))
+        new["hits"] = s["hits"] - hits_of(rm)
+        new["go"] = any_ok
+        new["n_reconnected"] = s["n_reconnected"] + upd.astype(jnp.int32)
+        return new
+
+    out = lax.while_loop(cond, body, state0)
+    return (out["mu"], out["beta"], out["lam"], out["z"],
+            out["n_reconnected"])
+
+
+@jax.jit
+def _reconnect_and_refit_device(stim, lam, mu, beta, z, powers,
+                                phi, phi_cov, phi_prior, phi_cov_prior,
+                                msrmp, minimum_spike_count):
+    """Fused device program: reconnection scan + conditional power-curve
+    refit — replaces the host scan's mid-fit pull + scatter + refit
+    dispatches with ONE dispatch that ends in the final state."""
+    mu, beta, lam, z, n_rec = _reconnect_scan_device(
+        stim, lam, mu, beta, z, powers, msrmp, minimum_spike_count)
+
+    def refit(_):
+        return laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
+                                  powers=powers)
+
+    phi, phi_cov = lax.cond(n_rec > 0, refit, lambda _: (phi, phi_cov),
+                            operand=None)
+    return mu, beta, lam, z, phi, phi_cov, n_rec
+
+
 # ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
@@ -753,27 +849,46 @@ def caviar(
     phi, phi_cov, z = final.phi, final.phi_cov, final.z
 
     if fn_scan:
-        mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-            y,           # pulled in one batch with mu/beta/z inside
-            stim_np,
-            lam,
-            mu,
-            beta,
-            z,
-            msrmp=msrmp,
-            minimum_spike_count=minimum_spike_count,
-            powers=powers_np,
-            power_counts=power_counts_np,
-            verbose=verbose,
-        )
-        if reconnected:
-            # only refit the power curves if lam actually changed — the
-            # in-loop update already used this exact lam otherwise
-            phi, phi_cov = laplace_phi_update_jit(
-                jnp.asarray(lam, dtype), stim,
-                jnp.asarray(phi_prior, dtype), jnp.asarray(phi_cov_prior, dtype),
-                powers=powers,
+        # On accelerator backends the whole scan + conditional refit is
+        # ONE device program — the host formulation's batched pull would
+        # cost a tunnel round trip mid-fit. The host path remains for
+        # CPU (where dispatches are free and it is faster) and for
+        # verbose per-reconnection prints.
+        on_accel = jax.devices()[0].platform not in ("cpu",)
+        if on_accel and not verbose:
+            mu, beta, lam, z, phi, phi_cov, _n_rec = (
+                _reconnect_and_refit_device(
+                    stim, lam, mu, beta, z, powers,
+                    phi, phi_cov,
+                    jnp.asarray(phi_prior, dtype),
+                    jnp.asarray(phi_cov_prior, dtype),
+                    jnp.asarray(msrmp, dtype),
+                    jnp.asarray(minimum_spike_count, dtype),
+                )
             )
+        else:
+            mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
+                y,       # pulled in one batch with mu/beta/z inside
+                stim_np,
+                lam,
+                mu,
+                beta,
+                z,
+                msrmp=msrmp,
+                minimum_spike_count=minimum_spike_count,
+                powers=powers_np,
+                power_counts=power_counts_np,
+                verbose=verbose,
+            )
+            if reconnected:
+                # only refit the power curves if lam actually changed —
+                # the in-loop update already used this exact lam otherwise
+                phi, phi_cov = laplace_phi_update_jit(
+                    jnp.asarray(lam, dtype), stim,
+                    jnp.asarray(phi_prior, dtype),
+                    jnp.asarray(phi_cov_prior, dtype),
+                    powers=powers,
+                )
 
     if save_histories:
         hist_arrs = [np.asarray(h) for h in hists]

@@ -132,3 +132,53 @@ def test_reconnect_hits_with_non_f32_powers():
         None, stim_np, lam, np.zeros(N), np.zeros(N), z,
         msrmp=0.3, minimum_spike_count=3, powers=powers, verbose=False)
     assert rec and mu_r[0] > 0
+
+
+def test_device_scan_matches_host_scan():
+    """The one-dispatch device reconnection scan must make exactly the
+    greedy decisions of the host scan (same reconnect order, same
+    mu/beta/lam/z updates, NaN sem included)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from circuitmap_tpu.solvers.caviar import (
+        reconnect_from_spontaneous, _reconnect_and_refit_device)
+    from circuitmap_tpu.solvers._common import prepare_stim
+
+    rng = np.random.default_rng(3)
+    N, K, P = 25, 400, 3
+    stim = np.zeros((N, K), np.float32)
+    for k in range(K):
+        stim[rng.choice(N, 3, replace=False), k] = rng.choice([45., 55., 65.])
+    _, stim_np, powers = prepare_stim(stim, jnp.float32)
+    mu = np.zeros(N); mu[5:] = rng.uniform(0.5, 2.0, N - 5)  # 0-4 candidates
+    beta = rng.uniform(0.1, 1.0, N)
+    lam = (rng.random((N, K)) < 0.05).astype(np.float32)
+    lam[mu == 0] = 0.0
+    z = np.zeros(K)
+    # give neurons 0 and 2 reconnectable spontaneous activity; neuron 1
+    # only a single event (exercises the NaN sem branch if picked)
+    z[np.flatnonzero(stim_np[0] != 0)] = rng.uniform(0.5, 1.5,
+                                                     (stim_np[0] != 0).sum())
+    locs2 = np.flatnonzero(stim_np[2] != 0)[:8]
+    z[locs2] = rng.uniform(0.5, 1.5, locs2.size)
+
+    h_mu, h_beta, h_lam, h_z, h_rec = reconnect_from_spontaneous(
+        None, stim_np, lam.copy(), mu.copy(), beta.copy(), z.copy(),
+        msrmp=0.25, minimum_spike_count=3, powers=powers, verbose=False)
+
+    phi = np.tile([0.1, 5.0], (N, 1)).astype(np.float32)
+    phi_cov = np.tile(np.eye(2, dtype=np.float32)[None] * 0.1, (N, 1, 1))
+    d = _reconnect_and_refit_device(
+        jnp.asarray(stim), jnp.asarray(lam), jnp.asarray(mu, jnp.float32),
+        jnp.asarray(beta, jnp.float32), jnp.asarray(z, jnp.float32),
+        jnp.asarray(powers, jnp.float32), jnp.asarray(phi),
+        jnp.asarray(phi_cov), jnp.asarray(phi), jnp.asarray(phi_cov),
+        jnp.asarray(0.25, jnp.float32), jnp.asarray(3.0, jnp.float32))
+    d_mu, d_beta, d_lam, d_z, _, _, n_rec = d
+
+    assert bool(h_rec) == (int(n_rec) > 0)
+    np.testing.assert_allclose(np.asarray(d_mu), h_mu, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_beta), h_beta, rtol=1e-4,
+                               atol=1e-6, equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(d_lam), h_lam)
+    np.testing.assert_allclose(np.asarray(d_z), h_z, rtol=1e-6, atol=1e-7)
