@@ -122,6 +122,18 @@ def _peak_init(traces_np, timepoints_np, n_kernels, rng):
     return raw0
 
 
+@jax.jit
+def _combine_restarts(raw, final_loss, raw_r, loss_r):
+    """Per-trace best-of selection, one fused program (not 3 eager
+    dispatches). A NaN incumbent loses to ANY later restart — otherwise
+    a diverged first restart would poison jnp.minimum and reject every
+    converged one after it.
+    """
+    better = (loss_r < final_loss) | jnp.isnan(final_loss)
+    raw = jnp.where(better[:, None, None], raw_r, raw)
+    return raw, jnp.where(better, loss_r, final_loss)
+
+
 def fit_psc_templates(traces, timepoints=None, n_kernels=10, steps=800,
                       lr=0.05, seed=0, restarts=3):
     """Fit a sum of ``n_kernels`` PSC templates to each trace.
@@ -156,16 +168,14 @@ def fit_psc_templates(traces, timepoints=None, n_kernels=10, steps=800,
         if raw is None:
             raw, final_loss = raw_r, loss_r
         else:
-            better = loss_r < final_loss
-            raw = jnp.where(better[:, None, None], raw_r, raw)
-            final_loss = jnp.minimum(loss_r, final_loss)
+            raw, final_loss = _combine_restarts(raw, final_loss, raw_r,
+                                                loss_r)
 
     tau_r, tau_diff, amp, onset = jax.vmap(_unpack)(raw)
     recon = jax.vmap(
         lambda r: sum_of_psc_templates(timepoints, *_unpack(r))
     )(raw)
 
-    traces_np = np.asarray(traces)
     recon_np = np.asarray(recon)
     ss_tot = np.sum(
         (traces_np - traces_np.mean(axis=1, keepdims=True)) ** 2, axis=1

@@ -59,11 +59,17 @@ def _get_lib():
             f32p, ctypes.c_int64, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, f32p, f64p,
         ]
+        # probe the (newer) sparsify symbols separately: a prebuilt
+        # libwindowing.so predating them must not disable the whole
+        # library — only sparsify_stim falls back
         i16p = ctypes.POINTER(ctypes.c_int16)
         i8p = ctypes.POINTER(ctypes.c_int8)
         for name, stim_p in (("cm_sparsify_stim_f64", f64p),
                              ("cm_sparsify_stim_f32", f32p)):
-            fn = getattr(lib, name)
+            try:
+                fn = getattr(lib, name)
+            except AttributeError:
+                continue
             fn.argtypes = [
                 stim_p, ctypes.c_int64, ctypes.c_int64,
                 f32p, ctypes.c_int64, ctypes.c_int64,
@@ -147,7 +153,7 @@ def sparsify_stim(stim_np, levels_np, h_cap):
     contract as solvers/_common._sparsify.
     """
     lib = _get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "cm_sparsify_stim_f64"):
         return None
     stim_np = np.ascontiguousarray(stim_np)
     if stim_np.dtype == np.float64:
@@ -157,6 +163,8 @@ def sparsify_stim(stim_np, levels_np, h_cap):
     else:
         return None
     N, K = stim_np.shape
+    if N > 32766:  # targets are int16; the callers guard too, but this
+        return None  # is a public util — never wrap silently
     levels = np.ascontiguousarray(levels_np, dtype=np.float32)
     P = levels.size - 1
     h_cap = int(max(h_cap, 1))

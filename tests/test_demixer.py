@@ -294,6 +294,33 @@ class TestTemplateFit:
         assert ranges["tau_r_lower"] < ranges["tau_r_upper"]
         assert ranges["tau_diff_upper"] > 0
 
+    def test_nan_restart_cannot_poison_selection(self):
+        """A diverged (NaN-loss) restart must lose to any later finite
+        restart — regression: jnp.minimum propagated the NaN and
+        rejected every converged restart after it."""
+        import jax.numpy as jnp
+        from circuitmap_tpu.demix.template_fit import _combine_restarts
+
+        raw_a = jnp.full((2, 3, 4), jnp.nan)
+        loss_a = jnp.asarray([jnp.nan, 1.0])
+        raw_b = jnp.ones((2, 3, 4))
+        loss_b = jnp.asarray([0.5, 2.0])
+        raw, loss = _combine_restarts(raw_a, loss_a, raw_b, loss_b)
+        np.testing.assert_array_equal(np.asarray(loss), [0.5, 1.0])
+        assert np.all(np.asarray(raw)[0] == 1.0)       # NaN incumbent replaced
+        assert np.isnan(np.asarray(raw)[1]).all()      # finite incumbent kept
+
+    def test_int8_wire_rejects_non_finite(self, state_dict):
+        """The int8 wire must fail loudly on NaN/inf traces — the
+        unsafe float->int8 cast would otherwise corrupt silently."""
+        import pytest
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        t = np.abs(np.random.default_rng(0).normal(size=(4, 900)))
+        t = t.astype(np.float32)
+        t[1, 10] = np.nan
+        with pytest.raises(ValueError, match="int8"):
+            demix(t, verbose=False, transfer_dtype=np.int8)
+
     def test_restarts_help_superposed_traces(self):
         """Multi-restart (peak-seeded) fits beat a single grid init on
         heavily superposed traces — the local-optima case the demo hits."""
