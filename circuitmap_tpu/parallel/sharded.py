@@ -155,11 +155,18 @@ def _update_spontaneous(
 
 
 def _powercurve_stats_masked(lam, stim, levels, valid):
-    onehot = (stim[:, None, :] == levels[None, :, None]).astype(lam.dtype)
-    onehot = onehot * valid[None, None, :]
-    S = _psum(jnp.einsum("npk,nk->np", onehot, lam))
-    C = _psum(jnp.sum(onehot, axis=-1))
-    return S, C
+    # per-level fused masked reductions — the [N, P+1, K] one-hot this
+    # replaces costs ~320 MB of traffic per iteration at the bench
+    # shape (see solvers/_laplace.powercurve_stats)
+    lam_v = lam * valid[None, :]
+    P1 = levels.shape[0]
+    S = jnp.stack(
+        [jnp.sum(jnp.where(stim == levels[p], lam_v, 0.0), axis=-1)
+         for p in range(P1)], axis=1)
+    C = jnp.stack(
+        [jnp.sum((stim == levels[p]).astype(lam.dtype) * valid[None, :],
+                 axis=-1) for p in range(P1)], axis=1)
+    return _psum(S), _psum(C)
 
 
 # ---------------------------------------------------------------------------
@@ -403,9 +410,14 @@ def cavi_sns_sharded(
     save_histories=True,
     dtype=jnp.float32,
     analytic_mc=False,
+    y_xcorr_thresh=1e-2,
     verbose=True,
 ):
     """Fit CAVI-SnS with the trial axis sharded over ``mesh``.
+
+    ``y_xcorr_thresh`` is accepted (so a local fit config can add
+    ``mesh``) but unused, exactly as in solvers.cavi_sns — the
+    reference disables the activity mask for this solver.
 
     Same return contract as solvers.cavi_sns: ``(mu, beta, alpha, lam,
     shape, rate, phi, phi_cov, *eight history arrays)``. As in the
@@ -560,16 +572,24 @@ def _mbcs_receptive_fields_sharded(lam, stim, pw, valid):
     """Isotonic per-power rates; stats psum, fit + prior lookup local."""
     from ..ops.pava import isotonic_regression_batched
 
-    onehot = (stim[:, None, :] == pw[None, :, None]).astype(lam.dtype)
-    onehot = onehot * valid[None, None, :]
-    S = _psum(jnp.einsum("npk,nk->np", onehot, lam))
-    C = _psum(jnp.sum(onehot, axis=-1))
+    # per-level masked reductions + compare-select prior lookup: no
+    # [N, P+1, K] one-hot and no TPU table gather (see _select_levels)
+    lam_v = lam * valid[None, :]
+    P1 = pw.shape[0]
+    S = jnp.stack(
+        [jnp.sum(jnp.where(stim == pw[p], lam_v, 0.0), axis=-1)
+         for p in range(P1)], axis=1)
+    C = jnp.stack(
+        [jnp.sum((stim == pw[p]).astype(lam.dtype) * valid[None, :],
+                 axis=-1) for p in range(P1)], axis=1)
+    S, C = _psum(S), _psum(C)
     rates = S / jnp.maximum(C, 1.0)
     rates = rates.at[:, 0].set(0.0)
     rf = jnp.clip(isotonic_regression_batched(rates, 1.0), 0.0, 1.0)
-    bucket = jnp.argmax(stim[:, None, :] == pw[None, :, None], axis=1)
-    prior = jnp.take_along_axis(rf, bucket.reshape(rf.shape[0], -1), axis=1)
-    return rf, prior.reshape(stim.shape)
+    prior = jnp.zeros(stim.shape, lam.dtype)
+    for p in range(P1):
+        prior = prior + jnp.where(stim == pw[p], rf[:, p][:, None], 0.0)
+    return rf, prior
 
 
 def _mbcs_filtering_sharded(mu, lam, rf, minimum_spike_count,
@@ -779,6 +799,7 @@ def mbcs_sharded(
     lam_mask_fraction=0.05,
     dtype=jnp.float32,
     save_histories=True,
+    init_lam=None,
     verbose=False,
     **_compat,
 ):
@@ -814,14 +835,21 @@ def mbcs_sharded(
     from ..ops.charge import integrated_charge
 
     y = integrated_charge(jnp.asarray(y_psc_np, dtype=dtype))
-    stim_j = jnp.asarray(stim_np, dtype=dtype)
+    # compressed stim upload + deduplicated levels, as every other solver
+    stim_j, stim_np, powers_mb = prepare_stim(stim_np, dtype)
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
-    pw = np.unique(stim_np)
+    pw = np.concatenate([[0.0], powers_mb])
 
     rng = np.random.default_rng(seed)
     mu0 = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)
-    lam0 = jnp.where(stim_j > 0, jnp.asarray(init_spike_prior, dtype), 0.0)
-    lam0 = lam0 * lam_mask
+    if init_lam is not None:
+        il = np.asarray(init_lam)
+        if pad:
+            il = np.concatenate([il, np.zeros((N, pad))], axis=1)
+        lam0 = jnp.asarray(il, dtype=dtype)
+    else:
+        lam0 = jnp.where(stim_j > 0, jnp.asarray(init_spike_prior, dtype), 0.0)
+        lam0 = lam0 * lam_mask
 
     if verbose:
         print(f"Running MBCS sharded over {n_dev} devices (K={K}, pad={pad}).")
@@ -1007,7 +1035,7 @@ def _run_sharded(
     )
 
 
-def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh):
+def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh, powers=None):
     """Shared host->device preamble for the trial-sharded solvers.
 
     Pads K to a mesh multiple, builds the validity mask, observations,
@@ -1030,14 +1058,18 @@ def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh):
     # powers come back deduplicated and at the stim matrix's own
     # precision (host comparisons below and the reconnect scan need
     # exact matches; see solvers/_common._levels)
-    stim_j, stim_np, powers = prepare_stim(stim_np, dtype)
+    stim_j, stim_np, powers = prepare_stim(stim_np, dtype, powers=powers)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
 
     levels = np.concatenate([[0.0], powers])
+    # counts compared in f32, matching the device-side bucketed stim:
+    # distinct f64 powers that collapse to one f32 level must count as
+    # one level on both sides
     power_counts = (
-        stim_np[:, :K, None] == powers[None, None, :]
+        stim_np[:, :K, None].astype(np.float32)
+        == powers[None, None, :].astype(np.float32)
     ).sum(axis=1).astype(np.float64)
 
     device_args = (
@@ -1078,6 +1110,9 @@ def caviar_sharded(
     save_histories=False,
     dtype=jnp.float32,
     analytic_mc=False,
+    powers=None,
+    sweep_impl="auto",
+    sweep_block_size=1,
     verbose=True,
 ):
     """Fit CAVIaR with the trial axis sharded over ``mesh``.
@@ -1087,9 +1122,14 @@ def caviar_sharded(
     arrays)``. Results match the single-device solver up to reduction
     reassociation. With ``save_histories`` the per-iteration lam/z
     snapshots stay trial-sharded on device and are trimmed of padding
-    on the way out.
+    on the way out. ``powers`` skips the stim level scan exactly as in
+    solvers.caviar; ``sweep_impl``/``sweep_block_size`` are accepted so
+    a working single-device fit config can add ``mesh`` without edits,
+    but are ignored — the sharded sweep is its own psum formulation.
     """
-    prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh)
+    del sweep_impl, sweep_block_size
+    prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
+                         powers=powers)
     K = prep["K"]
     stim_np = prep["stim_np"]
     powers = prep["powers_np"]

@@ -62,11 +62,34 @@ def run_sweep(items, fit_fn, save_path=None, verbose=True):
     return records
 
 
+_JSON_MAX_ELEMENTS = 100_000
+
+
 def _jsonable(x):
+    """JSON form of a sweep result, SUMMARISING large arrays.
+
+    The saved file is a summary: full [N, K] posterior matrices or
+    history stacks would serialise to hundreds of MB of JSON at
+    flagship scale. Arrays above _JSON_MAX_ELEMENTS elements are
+    replaced by shape/dtype plus summary statistics; the in-memory
+    ``records`` returned to the caller keep everything.
+    """
     if isinstance(x, dict):
         return {k: _jsonable(v) for k, v in x.items()}
     if isinstance(x, (list, tuple)):
         return [_jsonable(v) for v in x]
     if hasattr(x, "tolist"):
-        return x.tolist()
+        arr = np.asarray(x)
+        if arr.size > _JSON_MAX_ELEMENTS:
+            finite = arr[np.isfinite(arr)] if arr.dtype.kind == "f" else arr
+            return {
+                "summarised_array": True,
+                "shape": list(arr.shape),
+                "dtype": str(arr.dtype),
+                "mean": float(np.mean(finite)) if finite.size else None,
+                "min": float(np.min(finite)) if finite.size else None,
+                "max": float(np.max(finite)) if finite.size else None,
+                "nonzero": int(np.count_nonzero(arr)),
+            }
+        return arr.tolist()
     return x

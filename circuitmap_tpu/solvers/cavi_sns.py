@@ -220,6 +220,18 @@ def _run_sns(
     return final, hists
 
 
+@jax.jit
+def _sns_init(stim):
+    """All-ones trial mask + 0.95-on-targeted lam init, one dispatch.
+
+    The reference disables the activity mask for this solver
+    (cavi_sns.py:24-25), hence ones rather than an xcorr mask.
+    """
+    lam_mask = jnp.ones((stim.shape[1],), stim.dtype)
+    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, stim.dtype), 0.0)
+    return lam_mask, lam0
+
+
 def cavi_sns(
     y_psc,
     stim,
@@ -252,9 +264,9 @@ def cavi_sns(
     y_psc = prepare_traces(y_psc, dtype)
     stim, stim_np, powers_np = prepare_stim(stim, dtype)
     y = integrated_charge(y_psc)
-    K = y.shape[0]
-    lam_mask = jnp.ones(K, dtype=dtype)
-    lam0 = jnp.where(stim > 0, jnp.asarray(0.95, dtype), 0.0)
+    # one fused program for mask + lam init (eager jnp ops cost a
+    # tunnel dispatch each; cf. _common.prepare_stim_and_init)
+    lam_mask, lam0 = _sns_init(stim)
     powers = jnp.asarray(powers_np, dtype=dtype)
 
     final, hists = _run_sns(

@@ -53,6 +53,7 @@ def plot_checkerboard(
     model,
     true_spikes=None,
     true_weights=None,
+    spike_thresh=0.01,
     save=None,
     ymax=None,
     n_plots=15,
@@ -66,6 +67,7 @@ def plot_checkerboard(
     annotate_spikes=False,
     labels=None,
     hspace=0.5,
+    wspace=0.05,
     ylabelpad=0.05,
     facecol=None,
     edgecol=None,
@@ -78,6 +80,7 @@ def plot_checkerboard(
     spike_col="lightcoral",
     trials=None,
     save_fmt="png",
+    backend=None,
 ):
     """Checkerboard of PSC traces with spike-posterior shading.
 
@@ -88,6 +91,10 @@ def plot_checkerboard(
     ``true_spikes``/``true_weights``), ``labels`` overrides row labels,
     ``append_last_row`` adds the last (unconnected) neuron as a
     reference row, ``facecol``/``edgecol`` style the spike shading.
+    ``spike_thresh`` is accepted for signature parity (the reference
+    accepts but never reads it, viz.py:4); ``backend`` is forwarded to
+    savefig when given (the reference defaults to 'pgf', which needs a
+    LaTeX install — None uses matplotlib's active backend).
     """
     plt = _require_mpl()
     if facecol is not None:
@@ -99,14 +106,16 @@ def plot_checkerboard(
     state = model.state if hasattr(model, "state") else model
     psc = np.asarray(psc)
     stim = np.asarray(stim_matrix)
+    K_all = psc.shape[0]
+
+    mu = np.asarray(state["mu"])
+    # point-estimate fits (cosamp) carry no lam/z: default to zeros so
+    # the plot renders with no spike shading rather than KeyError
+    lam = np.asarray(state.get("lam", np.zeros((mu.shape[0], K_all))))
+    z = np.asarray(state.get("z", np.zeros(K_all)))
     if trials is not None:
         psc = psc[trials]
         stim = stim[:, trials]
-
-    mu = np.asarray(state["mu"])
-    lam = np.asarray(state["lam"])
-    z = np.asarray(state.get("z", np.zeros(psc.shape[0])))
-    if trials is not None:
         lam = lam[:, trials]
         z = z[trials]
 
@@ -127,7 +136,7 @@ def plot_checkerboard(
     fig, axes = plt.subplots(
         nrows, 1, figsize=(fig_width, row_height * nrows * 1.5), squeeze=False
     )
-    fig.subplots_adjust(hspace=hspace)
+    fig.subplots_adjust(hspace=hspace, wspace=wspace)
 
     for m in range(n_plots):
         n = order[m]
@@ -216,7 +225,8 @@ def plot_checkerboard(
 
     fig.supylabel("Neuron", fontsize=fontsize, x=ylabelpad)
     if save is not None:
-        fig.savefig(save, format=save_fmt, bbox_inches="tight", dpi=300)
+        kw = {} if backend is None else {"backend": backend}
+        fig.savefig(save, format=save_fmt, bbox_inches="tight", dpi=300, **kw)
     return fig
 
 
@@ -230,15 +240,24 @@ def plot_spike_inference_comparison(
     ymax=1.1,
     n_plots=15,
     max_trials_to_show=30,
+    col_widths=None,
+    row_height=0.6,
     order=None,
     trial_len=900,
+    lp_cell=None,
     fontsize=14,
 ):
     """Side-by-side checkerboards for several fitted models
-    (reference viz.py:193-280). ``models`` are state dicts."""
+    (reference viz.py:193-280). ``models`` are state dicts.
+    ``col_widths`` sets per-model column widths; ``lp_cell`` marks the
+    loose-patched cell (its spike shading renders in C0, reference
+    viz.py:238)."""
     plt = _require_mpl()
 
     ncols = len(models)
+    if col_widths is None:
+        col_widths = 7.5 * np.ones(ncols)
+    col_widths = np.asarray(col_widths, dtype=float)
     states = [m.state if hasattr(m, "state") else m for m in models]
     if order is None:
         order = cell_order_from_weights([s["mu"] for s in states])
@@ -246,7 +265,10 @@ def plot_spike_inference_comparison(
     ymin = -0.05 * ymax
 
     fig, axes = plt.subplots(
-        n_plots, ncols, figsize=(7.5 * ncols, 0.6 * n_plots * 1.5), squeeze=False
+        n_plots, ncols,
+        figsize=(float(np.sum(col_widths)), row_height * n_plots * 1.5),
+        squeeze=False,
+        gridspec_kw={"width_ratios": col_widths / col_widths[0]},
     )
     fig.subplots_adjust(hspace=0.5, wspace=0.05)
 
@@ -273,7 +295,8 @@ def plot_spike_inference_comparison(
                 x0 = t * trial_len
                 if t > 0:
                     ax.plot([x0, x0], [ymin, ymax], "--", color=tc, linewidth=0.5)
-                ax.axvspan(x0, x0 + trial_len, color="firebrick",
+                shade = "firebrick" if n != lp_cell else "C0"
+                ax.axvspan(x0, x0 + trial_len, color=shade,
                            alpha=float(lam[n, locs[t]]) * 0.5, zorder=-5, lw=0)
                 if z[locs[t]] != 0:
                     ax.plot(x0 + trial_len / 2, 0.7 * ymax, marker="*",

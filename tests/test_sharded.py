@@ -310,3 +310,44 @@ class TestShardedMcDefault:
         np.testing.assert_allclose(
             np.asarray(single[0]), np.asarray(sharded[0]), rtol=2e-3, atol=2e-3
         )
+
+
+class TestMeshKwargParity:
+    def test_local_fit_options_work_with_mesh(self, sim, mesh8):
+        """A working single-device fit config must not break when the
+        user adds mesh= — regression: the sharded entry points rejected
+        kwargs the local solvers accept (powers, sweep_impl,
+        y_xcorr_thresh, init_lam)."""
+        from circuitmap_tpu.model import Model
+
+        m = Model(40)
+        m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+              fit_options={"mesh": mesh8, "iters": 3, "verbose": False,
+                           "fn_scan": False, "analytic_mc": True,
+                           "powers": [45.0, 55.0, 65.0],
+                           "sweep_impl": "auto", "sweep_block_size": 1})
+        assert m.state["mu"].shape == (40,)
+
+        m2 = Model(40)
+        m2.fit(sim["psc"], sim["stim_matrix"], method="cavi_sns",
+               fit_options={"mesh": mesh8, "iters": 3, "verbose": False,
+                            "analytic_mc": True, "y_xcorr_thresh": 1e-2,
+                            "save_histories": False})
+        assert m2.state["alpha"].shape == (40,)
+
+    def test_mbcs_mesh_honours_init_lam(self, sim, mesh8):
+        """init_lam reaches the sharded MBCS fit instead of being
+        silently swallowed by **_compat."""
+        from circuitmap_tpu.parallel import mbcs_sharded
+        from circuitmap_tpu.model import default_priors
+
+        p = default_priors(40)
+        N, K = 40, sim["psc"].shape[0]
+        il = np.zeros((N, K), np.float32)  # all-zero spike init
+        out = mbcs_sharded(
+            sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], mesh=mesh8, iters=1, learn_lam=False,
+            save_histories=False, verbose=False, init_lam=il,
+        )
+        # learn_lam=False keeps lam at the init: all zeros proves receipt
+        assert np.all(np.asarray(out[2]) == 0.0)

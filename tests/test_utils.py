@@ -178,8 +178,26 @@ class TestViz:
         fig = plot_spike_inference_comparison(
             [psc, psc], [stim, stim], [state, state], titles=["a", "b"],
             n_plots=3, max_trials_to_show=4, save=str(tmp_path / "cmp.png"),
+            col_widths=[7.5, 5.0], row_height=0.5, lp_cell=1,
         )
         assert (tmp_path / "cmp.png").exists()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_checkerboard_trial_subset_without_z(self, rng):
+        """trials= with a state lacking z/lam (cavi_sns has no z; cosamp
+        has neither) must render — regression: the z default was built
+        from the already-subset psc and re-indexed with trials."""
+        stim, state = self._fake_state(rng)
+        state.pop("z", None)
+        state.pop("lam", None)
+        psc = np.abs(rng.normal(size=(40, 900)))
+        trials = np.arange(25, 40)  # indices above len(trials): the trap
+        fig = plot_checkerboard(psc, stim, state, n_plots=3,
+                                max_trials_to_show=4, fig_width=8,
+                                trials=trials, wspace=0.02,
+                                spike_thresh=0.05)
         import matplotlib.pyplot as plt
 
         plt.close(fig)
