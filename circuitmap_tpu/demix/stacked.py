@@ -36,9 +36,12 @@ class PSCData:
         return self.inputs[idx], self.targets[idx]
 
     def batches(self, batch_size, rng=None):
+        """Shuffled minibatches; the final partial batch is yielded too
+        (dropping it silently starved datasets smaller than batch_size
+        and never trained on the tail remainder)."""
         n = len(self)
         order = (rng or np.random.default_rng()).permutation(n)
-        for i0 in range(0, n - batch_size + 1, batch_size):
+        for i0 in range(0, n, batch_size):
             sel = order[i0:i0 + batch_size]
             yield self.inputs[sel], self.targets[sel]
 

@@ -291,7 +291,8 @@ def simulate(
     spk_times = np.zeros((N, K))
     spiking = stim_matrix * spks
     nz = spiking > 0
-    spk_times[nz] = sample_spike_time(spiking[nz], gamma_beta=gamma_beta)
+    spk_times[nz] = sample_spike_time(spiking[nz], gamma_beta=gamma_beta,
+                                      min_latency=min_latency)
 
     if weights is None:
         weights = _sample_weights(
@@ -334,7 +335,11 @@ def simulate(
         delta = np.random.randint(1, T)
         dtc = np.maximum(tgrid - delta, 0.0)
         ke = (np.exp(-dtc / td) - np.exp(-dtc / tr)) * (tgrid > delta)
-        w = np.random.uniform(weights[connected].min(), weights[connected].max())
+        if connected.size:
+            w = np.random.uniform(weights[connected].min(),
+                                  weights[connected].max())
+        else:  # nothing connected (tiny N * connection_prob): unit-scale
+            w = np.random.uniform(0.5, 1.5)
         spont_pscs[k] = w * ke / (np.trapezoid(ke) + 1e-5)
 
     gp_noise = sample_gp(trial_dur=T, n_samples=K, gp_scale=gp_scale,
@@ -471,6 +476,9 @@ def simulate_continuous_experiment_without_spike_failures(
     trange = np.arange(exp_len, dtype=np.float64)
     pscs_evoked = np.zeros(exp_len)
     true_resps = np.zeros((nstim, response_length))
+    # response window, clipped at the recording edges (a fast stim rate
+    # can put stim_times[0] - 100 before frame 0 — a raw slice would
+    # silently wrap to the end of the timeline)
     win = np.arange(-100, response_length - 100)
     for s in range(nstim):
         n = tars[s]
@@ -482,7 +490,9 @@ def simulate_continuous_experiment_without_spike_failures(
             ke = ke / peak
         contrib = ke * weights[n] * mult_noise[s]
         pscs_evoked += contrib
-        true_resps[s] = contrib[stim_times[s] - 100: stim_times[s] + 800]
+        idx = stim_times[s] + win
+        valid = (idx >= 0) & (idx < exp_len)
+        true_resps[s, valid] = contrib[idx[valid]]
 
     # spontaneous events
     nspont = int(spont_rate * exp_len)

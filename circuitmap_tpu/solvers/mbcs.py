@@ -133,17 +133,27 @@ def update_receptive_fields(lam, stim, powers_with_zero):
     stim = jnp.asarray(stim)
     pw = jnp.asarray(powers_with_zero, dtype=lam.dtype)  # [P+1], pw[0] == 0
 
-    onehot = (stim[:, None, :] == pw[None, :, None]).astype(lam.dtype)  # [N, P+1, K]
-    counts = jnp.sum(onehot, axis=-1)
-    rates = jnp.einsum("npk,nk->np", onehot, lam) / jnp.maximum(counts, 1.0)
+    # per-level fused reductions (no [N, P+1, K] one-hot temporary)
+    P1 = pw.shape[0]
+    S = jnp.stack(
+        [jnp.sum(jnp.where(stim == pw[p], lam, 0.0), axis=-1)
+         for p in range(P1)], axis=1)
+    counts = jnp.stack(
+        [jnp.sum((stim == pw[p]).astype(lam.dtype), axis=-1)
+         for p in range(P1)], axis=1)
+    rates = S / jnp.maximum(counts, 1.0)
     rates = rates.at[:, 0].set(0.0)  # zero power -> zero rate, as the reference
 
     rf = jnp.clip(isotonic_regression_batched(rates, 1.0), 0.0, 1.0)
 
-    # spike prior per trial: fitted value at the trial's power bucket
-    bucket = jnp.argmax(stim[:, None, :] == pw[None, :, None], axis=1)  # [N, K]
-    spike_prior = jnp.take_along_axis(rf, bucket.reshape(rf.shape[0], -1), axis=1)
-    return rf, spike_prior.reshape(stim.shape)
+    # spike prior per trial: fitted value at the trial's power bucket —
+    # compare-selects, not a 20M-index table gather (TPU scalar-gather
+    # path; see _common._select_levels)
+    spike_prior = jnp.zeros(stim.shape, lam.dtype)
+    for p in range(P1):
+        spike_prior = spike_prior + jnp.where(
+            stim == pw[p], rf[:, p][:, None], jnp.zeros((), lam.dtype))
+    return rf, spike_prior
 
 
 def isotonic_filtering(mu, lam, receptive_field, minimum_spike_count=1,

@@ -131,7 +131,13 @@ class TestSmallApis:
         xi, yi = ds[3]
         np.testing.assert_allclose(yi, 2 * xi)
         batches = list(ds.batches(8, rng=np.random.default_rng(0)))
-        assert len(batches) == 2 and batches[0][0].shape == (8, 30)
+        # 20 samples at batch 8 -> 8 + 8 + the 4-sample tail (dropping
+        # the remainder used to starve datasets smaller than one batch)
+        assert len(batches) == 3 and batches[0][0].shape == (8, 30)
+        assert batches[-1][0].shape == (4, 30)
+        # a dataset smaller than one batch still yields it
+        small = list(PSCData(x[:5], x[:5]).batches(8))
+        assert len(small) == 1 and small[0][0].shape == (5, 30)
 
     def test_stacked_network(self, rng):
         import jax
