@@ -28,10 +28,16 @@ import jax.numpy as jnp
 
 
 def prepare_traces(y_psc, dtype):
-    """Cast traces host-side (half the transfer) unless already on device."""
+    """Cast traces host-side (half the transfer) unless already on device.
+
+    The f32 wire applies only when the requested dtype is f32 or
+    narrower — an explicit dtype=float64 fit (e.g. reference-parity
+    oracle runs) must not silently lose mantissa bits in transit.
+    """
     if isinstance(y_psc, jax.Array):
         return y_psc.astype(dtype)
-    return jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
+    wire = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.float64
+    return jnp.asarray(np.asarray(y_psc, dtype=wire), dtype=dtype)
 
 
 def _levels(stim_np, powers=None):
@@ -220,6 +226,11 @@ def prepare_stim(stim, dtype, powers=None):
     return stim_dev, stim_np, powers_np
 
 
+@jax.jit
+def _mask_and_lam0_jit(stim, active):
+    return _mask_and_lam0(stim, active)
+
+
 def _mask_and_lam0(stim, active):
     lam_mask = active.astype(stim.dtype)
     lam0 = jnp.where(stim > 0, jnp.asarray(0.95, stim.dtype), 0.0) * lam_mask
@@ -261,8 +272,7 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
     powers_np, levels_np, kind, payload = _upload_plan(stim_np, powers)
     if kind == "dense":
         stim_dev = jnp.asarray(stim_np, dtype=dtype)
-        lam_mask = active.astype(dtype)
-        lam0 = jnp.where(stim_dev > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
+        lam_mask, lam0 = _mask_and_lam0_jit(stim_dev, active)
         return stim_dev, lam_mask, lam0, stim_np, powers_np, None
     if kind == "sparse":
         targets, tbucket, power_counts = payload

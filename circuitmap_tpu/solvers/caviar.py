@@ -532,15 +532,18 @@ def _run_caviar(
 
 
 def _pull_host_batch(*arrs):
-    """Fetch several same-dtype device vectors in ONE host pull.
+    """Fetch several device arrays (flattened) in ONE host pull.
 
     Each separate device->host transfer pays the tunnel round trip
     (~0.2-0.4 s); concatenating on device first makes it a single one.
     Host inputs pass through unchanged when nothing lives on device.
+    Values pack in their common result dtype — an f64 fit must not be
+    silently truncated to f32 on the way out.
     """
     if not any(isinstance(a, jax.Array) for a in arrs):
         return [np.asarray(a) for a in arrs]
-    flats = [jnp.ravel(jnp.asarray(a, jnp.float32)) for a in arrs]
+    pack_dtype = jnp.result_type(*arrs)
+    flats = [jnp.ravel(jnp.asarray(a, pack_dtype)) for a in arrs]
     sizes = [int(f.shape[0]) for f in flats]
     packed = np.asarray(jnp.concatenate(flats))
     out, o = [], 0
@@ -868,7 +871,7 @@ def caviar(
             )
         else:
             mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-                y,       # pulled in one batch with mu/beta/z inside
+                y,       # unused (reference-signature parity; never pulled)
                 stim_np,
                 lam,
                 mu,

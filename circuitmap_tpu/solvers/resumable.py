@@ -25,6 +25,27 @@ from .caviar import (CaviarState, _run_caviar, _resolve_sweep_impl,
                      reconnect_from_spontaneous)
 
 
+def _state_to_host(state):
+    """CaviarState -> numpy dict in TWO device pulls (the small fields
+    batched into one transfer + lam on its own), instead of one tunnel
+    round trip per field at every segment boundary."""
+    from .caviar import _pull_host_batch
+
+    N = state.mu.shape[0]
+    small = _pull_host_batch(
+        state.mu, state.beta, state.phi, state.phi_cov, state.z,
+        state.shape, state.rate, state.spont_rate,
+    )
+    return dict(
+        mu=small[0], beta=small[1],
+        phi=small[2].reshape(N, 2), phi_cov=small[3].reshape(N, 2, 2),
+        z=small[4], shape=small[5].reshape(()), rate=small[6].reshape(()),
+        spont_rate=small[7].reshape(()),
+        lam=np.asarray(state.lam),
+        key=np.asarray(state.key),
+    )
+
+
 def caviar_resumable(
     y_psc,
     stim,
@@ -52,17 +73,28 @@ def caviar_resumable(
     dtype=jnp.float32,
     analytic_mc=False,
     mesh=None,
+    powers=None,
+    sweep_impl="auto",
+    sweep_block_size=1,
     verbose=True,
 ):
     """CAVIaR with periodic state checkpoints + resume.
 
     If ``checkpoint_path`` exists, resumes from the iteration recorded
-    in it. Returns the same tuple as solvers.caviar (histories None).
-    With ``mesh`` the fit runs trial-sharded (parallel.caviar_sharded's
+    in it. Returns the same tuple as solvers.caviar (histories None —
+    per-iteration histories across segments are not retained). With
+    ``mesh`` the fit runs trial-sharded (parallel.caviar_sharded's
     execution model) in checkpointed segments — preemptible multi-chip
-    fits; the checkpoint stores the gathered global state, so a resumed
-    run may even use a different mesh size.
+    fits; the checkpoint stores the gathered global state at the true
+    trial count, so a resumed run may even use a different mesh size.
+    ``powers``/``sweep_impl``/``sweep_block_size`` match solvers.caviar
+    (the sharded path ignores the sweep knobs — its sweep is the psum
+    formulation).
     """
+    if int(checkpoint_every) < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     # np.savez appends .npz; normalise so the resume check finds the file
     if not str(checkpoint_path).endswith(".npz"):
         checkpoint_path = str(checkpoint_path) + ".npz"
@@ -77,12 +109,13 @@ def caviar_resumable(
             scale_factor=scale_factor, penalty=penalty,
             max_backtrack_iters=max_backtrack_iters, tol=tol,
             spont_orthogonality=spont_orthogonality, fn_scan=fn_scan,
-            dtype=dtype, analytic_mc=analytic_mc, verbose=verbose,
+            dtype=dtype, analytic_mc=analytic_mc, powers=powers,
+            verbose=verbose,
         )
     y_psc = prepare_traces(y_psc, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
-    stim, lam_mask, lam0, stim_np, powers_np, _power_counts_np = (
-        prepare_stim_and_init(stim, active, dtype)
+    stim, lam_mask, lam0, stim_np, powers_np, power_counts_np = (
+        prepare_stim_and_init(stim, active, dtype, powers=powers)
     )
     powers = jnp.asarray(powers_np, dtype=dtype)
 
@@ -110,8 +143,8 @@ def caviar_resumable(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=False,
-        sweep_block_size=1,
-        sweep_impl=_resolve_sweep_impl("auto", 1),
+        sweep_block_size=int(sweep_block_size),
+        sweep_impl=_resolve_sweep_impl(sweep_impl, int(sweep_block_size)),
     )
     priors = (
         jnp.asarray(mu_prior, dtype),
@@ -132,7 +165,7 @@ def caviar_resumable(
         start += seg
         # state is already at the true K (_run_caviar strips its own
         # 128-alignment padding before returning)
-        save_state(checkpoint_path, {**state._asdict(),
+        save_state(checkpoint_path, {**_state_to_host(state),
                                      "completed_iters": np.asarray(start)})
         if verbose:
             print(f"checkpointed after iteration {start}/{iters}")
@@ -143,7 +176,7 @@ def caviar_resumable(
         mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
             None, stim_np, lam, mu, beta, z,
             msrmp=msrmp, minimum_spike_count=minimum_spike_count,
-            powers=powers_np, verbose=verbose,
+            powers=powers_np, power_counts=power_counts_np, verbose=verbose,
         )
         if reconnected:
             phi, phi_cov = laplace_phi_update_jit(
@@ -162,7 +195,7 @@ def _caviar_resumable_sharded(
     iters, checkpoint_every, seed, num_mc_samples, y_xcorr_thresh,
     minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
     max_backtrack_iters, tol, spont_orthogonality, fn_scan, dtype,
-    analytic_mc, verbose,
+    analytic_mc, powers, verbose,
 ):
     """Trial-sharded segmented fit with checkpoint/resume.
 
@@ -173,9 +206,9 @@ def _caviar_resumable_sharded(
     of mesh size.
     """
     from ..parallel.sharded import _prep_sharded, _run_sharded
-    from ..solvers._laplace import laplace_phi_update_jit
 
-    prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh)
+    prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
+                         powers=powers)
     K = prep["K"]
     stim_np = prep["stim_np"]
     powers_np = prep["powers_np"]
@@ -234,11 +267,11 @@ def _caviar_resumable_sharded(
         # store trial-shaped state trimmed to the true K: the checkpoint
         # must be independent of this mesh's padding so it can resume on
         # any mesh size (the advertised contract)
-        save_state(checkpoint_path, {
-            **state._asdict(),
-            "lam": np.asarray(state.lam[:, :K]),
-            "z": np.asarray(state.z[:K]),
-            "completed_iters": np.asarray(start)})
+        host = _state_to_host(state)
+        host["lam"] = host["lam"][:, :K]
+        host["z"] = host["z"][:K]
+        save_state(checkpoint_path,
+                   {**host, "completed_iters": np.asarray(start)})
         if verbose:
             print(f"checkpointed after iteration {start}/{iters}")
 

@@ -49,8 +49,23 @@ def _unflatten(flat):
 
 
 def save_state(path, state_tree):
-    """Serialise a (possibly nested) dict/NamedTuple of arrays to .npz."""
-    np.savez(str(path), **_flatten(state_tree))
+    """Serialise a (possibly nested) dict/NamedTuple of arrays to .npz.
+
+    The write is ATOMIC (temp file + os.replace): a preemption mid-save
+    must not corrupt the only checkpoint — surviving preemption is the
+    whole point of this module. A torn in-place np.savez would leave a
+    truncated zip that exists but cannot load, permanently breaking
+    resume.
+    """
+    import os
+
+    path = str(path)
+    tmp = path + ".tmp"
+    np.savez(tmp, **_flatten(state_tree))
+    # np.savez appends .npz to names without an extension
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
 
 
 def load_state(path):

@@ -60,3 +60,35 @@ def test_resume_without_npz_suffix(sim, tmp_path):
     single = caviar(*_args(sim), iters=12, **kw)
     np.testing.assert_allclose(np.asarray(single[0]), np.asarray(resumed[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_invalid_segmenting_rejected(sim, tmp_path):
+    """checkpoint_every < 1 used to spin forever; iters < 1 crashed on
+    state.mu — both now raise up front."""
+    from circuitmap_tpu.solvers.resumable import caviar_resumable
+    from circuitmap_tpu.model import default_priors
+    import pytest
+
+    p = default_priors(30)
+    args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], p["phi"], p["phi_cov"])
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        caviar_resumable(*args, checkpoint_path=str(tmp_path / "a"),
+                         checkpoint_every=0, iters=4, verbose=False)
+    with pytest.raises(ValueError, match="iters"):
+        caviar_resumable(*args, checkpoint_path=str(tmp_path / "b"),
+                         iters=0, verbose=False)
+
+
+def test_checkpoint_save_is_atomic_replace(tmp_path):
+    """save_state overwrites via temp + os.replace: the destination is
+    either the old complete checkpoint or the new complete one."""
+    import numpy as np
+    from circuitmap_tpu.utils.checkpoint import load_state, save_state
+
+    path = tmp_path / "state.npz"
+    save_state(path, {"a": np.arange(5)})
+    save_state(path, {"a": np.arange(9)})  # overwrite in place
+    out = load_state(path)
+    assert out["a"].shape == (9,)
+    assert not list(tmp_path.glob("*.tmp*"))  # no temp litter
