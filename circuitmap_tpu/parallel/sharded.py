@@ -440,12 +440,13 @@ def cavi_sns_sharded(
     valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
 
     y_psc = jnp.asarray(y_psc, dtype=dtype)
-    stim_j, stim_np, powers_np = prepare_stim(stim_np, dtype)
+    stim_j, stim_np, powers_np, powers_dev = prepare_stim(stim_np, dtype)
     y = integrated_charge(y_psc)
     lam_mask = jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
 
-    levels = np.concatenate([[0.0], powers_np])
+    # device levels from the uploaded-stim table (f64 contract, _common)
+    levels = np.concatenate([[0.0], powers_dev])
 
     if verbose:
         print(f"Running CAVI-SnS sharded over {n_dev} devices (K={K}, pad={pad}).")
@@ -836,9 +837,10 @@ def mbcs_sharded(
 
     y = integrated_charge(jnp.asarray(y_psc_np, dtype=dtype))
     # compressed stim upload + deduplicated levels, as every other solver
-    stim_j, stim_np, powers_mb = prepare_stim(stim_np, dtype)
+    stim_j, stim_np, powers_mb, powers_mb_dev = prepare_stim(stim_np, dtype)
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
-    pw = np.concatenate([[0.0], powers_mb])
+    # device table from the uploaded stim (f64 contract, _common)
+    pw = np.concatenate([[0.0], powers_mb_dev])
 
     rng = np.random.default_rng(seed)
     mu0 = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)
@@ -1058,24 +1060,27 @@ def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh, powers=None):
     # powers come back deduplicated and at the stim matrix's own
     # precision (host comparisons below and the reconnect scan need
     # exact matches; see solvers/_common._levels)
-    stim_j, stim_np, powers = prepare_stim(stim_np, dtype, powers=powers)
+    stim_j, stim_np, powers, powers_dev = prepare_stim(
+        stim_np, dtype, powers=powers)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
 
-    levels = np.concatenate([[0.0], powers])
+    # all device-side tables come from powers_dev — the values actually
+    # present in the uploaded stim (f64 contract, _common docstring)
+    levels = np.concatenate([[0.0], powers_dev])
     # counts compared in f32, matching the device-side bucketed stim:
     # distinct f64 powers that collapse to one f32 level must count as
     # one level on both sides
     power_counts = (
         stim_np[:, :K, None].astype(np.float32)
-        == powers[None, None, :].astype(np.float32)
+        == powers_dev[None, None, :].astype(np.float32)
     ).sum(axis=1).astype(np.float64)
 
     device_args = (
         y, stim_j, lam0, lam_mask,
         jnp.asarray(valid, dtype),
-        jnp.asarray(powers, dtype),
+        jnp.asarray(powers_dev, dtype),
         jnp.asarray(levels, dtype),
         jnp.asarray(power_counts, dtype),
         jnp.asarray(float(K), dtype),

@@ -15,7 +15,14 @@ Precision contract: the DEVICE stimulus holds the f32 level values
 (bucketed reconstruction), while the HOST powers returned to callers
 keep the original precision of the stim matrix — the host-side
 reconnection scan compares them against the original stim, so both
-sides always agree on which trials carry which power.
+sides always agree on which trials carry which power. Because the two
+can differ under float64 (a non-f32-representable power like 45.7
+round-trips through the f32 level table), the prepare functions return
+BOTH: ``powers_np`` for host comparisons against the original stim and
+``powers_dev_np`` for building any device-side powers/levels array —
+the values that are actually present in the uploaded stim. Mixing them
+up silently zeroes every on-device ``stim == powers[p]`` match for f64
+fits (round-2 advisor finding).
 """
 
 from __future__ import annotations
@@ -106,7 +113,11 @@ def _sparsify(stim_np, levels_np, max_fill=0.125):
     N, K = stim_np.shape
     if N > 32766:
         return None
-    h_cap = max(1, int(N * max_fill))
+    # absolute cap alongside the relative one: the device reconstruction
+    # unrolls H compare-select passes over [N, K], so a moderately dense
+    # stim (H in the hundreds) would compile a huge program and lose to
+    # the int8 bucket upload it displaces (round-2 advisor finding)
+    h_cap = max(1, min(int(N * max_fill), 96))
     # native single-pass sparsifier (utils/native.sparsify_stim) when
     # the C++ library is available; identical wire contract
     from ..utils import native as _native
@@ -199,31 +210,50 @@ def _stim_from_sparse_jit(levels, targets, tbucket, n_neurons):
     return _stim_from_sparse(levels, targets, tbucket, n_neurons)
 
 
+def _powers_dev(powers_np, levels_np, kind):
+    """The powers array matching the values present in the DEVICE stim.
+
+    Dense uploads ship the original values (cast to dtype on upload), so
+    the original-precision table is the consistent one; the bucketed and
+    sparse reconstructions hold f32 level values widened to dtype, so
+    device comparisons must use the f32-rounded table. Identical for
+    dtype <= f32; differs exactly when an f64 fit uses powers that are
+    not f32-representable (module docstring).
+    """
+    if kind == "dense":
+        return powers_np
+    return levels_np[1:].astype(np.float64)
+
+
 def prepare_stim(stim, dtype, powers=None):
-    """Returns (stim_device, stim_np, powers_np).
+    """Returns (stim_device, stim_np, powers_np, powers_dev_np).
 
     Ships stim in sparse hologram form when the design is column-sparse
     (the practical case: H targets per trial), else as int8 power-bucket
     indices when there are at most 127 levels, else dense f32.
+    ``powers_np`` is for host comparisons against ``stim_np``;
+    ``powers_dev_np`` for any device-side powers/levels array (see
+    module docstring on the f64 precision contract).
     """
     # no full-size f32 cast: a fresh [N, K] host buffer costs more than
     # the cast (first-touch page faults); host consumers (reconnect
     # scan, power counts) are dtype-agnostic numpy
     stim_np = np.asarray(stim)
     powers_np, levels_np, kind, payload = _upload_plan(stim_np, powers)
+    pdev = _powers_dev(powers_np, levels_np, kind)
     if kind == "dense":
-        return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np
+        return jnp.asarray(stim_np, dtype=dtype), stim_np, powers_np, pdev
     if kind == "sparse":
         targets, tbucket, _pc = payload
         stim_dev = _stim_from_sparse_jit(
             jnp.asarray(levels_np, dtype), jnp.asarray(targets),
             jnp.asarray(tbucket), stim_np.shape[0]
         )
-        return stim_dev, stim_np, powers_np
+        return stim_dev, stim_np, powers_np, pdev
     stim_dev = _stim_from_buckets(
         jnp.asarray(levels_np, dtype), jnp.asarray(payload)
     )
-    return stim_dev, stim_np, powers_np
+    return stim_dev, stim_np, powers_np, pdev
 
 
 @jax.jit
@@ -263,25 +293,29 @@ def prepare_stim_and_init(stim, active, dtype, powers=None):
     docstring), falling back to int8 buckets, then dense f32.
 
     Returns (stim_dev, lam_mask, lam0, stim_np, powers_np,
-    power_counts_np) — power_counts_np is the host [N, P] per-neuron
-    trial count per power when the sparse path computed it for free
-    (None otherwise); the reconnect scan reuses it instead of three
-    [N, K] passes.
+    powers_dev_np, power_counts_np) — powers_np is for host comparisons
+    against stim_np, powers_dev_np for device-side powers arrays (module
+    docstring); power_counts_np is the host [N, P] per-neuron trial
+    count per power when the sparse path computed it for free (None
+    otherwise); the reconnect scan reuses it instead of three [N, K]
+    passes.
     """
     stim_np = np.asarray(stim)  # no full-size cast; see prepare_stim
     powers_np, levels_np, kind, payload = _upload_plan(stim_np, powers)
+    pdev = _powers_dev(powers_np, levels_np, kind)
     if kind == "dense":
         stim_dev = jnp.asarray(stim_np, dtype=dtype)
         lam_mask, lam0 = _mask_and_lam0_jit(stim_dev, active)
-        return stim_dev, lam_mask, lam0, stim_np, powers_np, None
+        return stim_dev, lam_mask, lam0, stim_np, powers_np, pdev, None
     if kind == "sparse":
         targets, tbucket, power_counts = payload
         stim_dev, lam_mask, lam0 = _prep_stim_and_init_sparse(
             jnp.asarray(levels_np, dtype), jnp.asarray(targets),
             jnp.asarray(tbucket), active, stim_np.shape[0]
         )
-        return stim_dev, lam_mask, lam0, stim_np, powers_np, power_counts
+        return (stim_dev, lam_mask, lam0, stim_np, powers_np, pdev,
+                power_counts)
     stim_dev, lam_mask, lam0 = _prep_stim_and_init(
         jnp.asarray(levels_np, dtype), jnp.asarray(payload), active
     )
-    return stim_dev, lam_mask, lam0, stim_np, powers_np, None
+    return stim_dev, lam_mask, lam0, stim_np, powers_np, pdev, None

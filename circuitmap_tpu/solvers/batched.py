@@ -83,7 +83,22 @@ def caviar_many(
     # one level scan (or none, with powers=); the per-experiment
     # compressed uploads below validate that every experiment's values
     # are covered by this shared level table and raise otherwise
-    powers_np, _ = _levels(stims_np[0], powers)
+    powers_np, levels_np = _levels(stims_np[0], powers)
+    # >127 levels falls back to the dense upload, whose prepare path has
+    # no coverage check — validate explicitly so mismatched experiments
+    # still raise (round-2 advisor finding: the dense path used to skip
+    # the shared-level validation silently)
+    dense_fallback = levels_np.size > 127
+    if dense_fallback:
+        table = np.concatenate([[0.0], powers_np])
+        for b in range(1, B):
+            extra = np.setdiff1d(np.unique(stims_np[b]), table)
+            if extra.size:
+                raise ValueError(
+                    "all experiments must share the same power levels: "
+                    f"experiment {b} contains values {extra[:5].tolist()} "
+                    "outside experiment 0's level table"
+                )
 
     if verbose:
         print(f"Running CAVIaR on {B} experiments in one vmapped program.")
@@ -93,10 +108,14 @@ def caviar_many(
     # buckets — ~0.6 MB instead of 80 MB f32 per experiment at the
     # flagship shape), stacked on device
     stim_rows = []
+    powers_dev_np = None
     for b in range(B):
         try:
-            stim_rows.append(
-                prepare_stim(stims_np[b], dtype, powers=powers_np)[0])
+            s_dev, _snp, _pnp, pdev = prepare_stim(
+                stims_np[b], dtype, powers=powers_np)
+            stim_rows.append(s_dev)
+            if powers_dev_np is None:
+                powers_dev_np = pdev
         except ValueError as e:
             raise ValueError(
                 "all experiments must share the same power levels: "
@@ -108,7 +127,8 @@ def caviar_many(
         y_dev, y_xcorr_thresh
     )
     lam_masks, lam0 = _many_init(stim_dev, actives)
-    powers = jnp.asarray(powers_np, dtype=dtype)
+    # device powers from the uploaded-stim level table (f64 contract)
+    powers = jnp.asarray(powers_dev_np, dtype=dtype)
 
     if seeds is None:
         seeds = np.arange(B)

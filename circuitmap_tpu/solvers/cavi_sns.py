@@ -262,12 +262,13 @@ def cavi_sns(
         print("Running CAVI-SnS (TPU-native).")
 
     y_psc = prepare_traces(y_psc, dtype)
-    stim, stim_np, powers_np = prepare_stim(stim, dtype)
+    stim, stim_np, powers_np, powers_dev_np = prepare_stim(stim, dtype)
     y = integrated_charge(y_psc)
     # one fused program for mask + lam init (eager jnp ops cost a
     # tunnel dispatch each; cf. _common.prepare_stim_and_init)
     lam_mask, lam0 = _sns_init(stim)
-    powers = jnp.asarray(powers_np, dtype=dtype)
+    # device powers from the uploaded-stim level table (f64 contract)
+    powers = jnp.asarray(powers_dev_np, dtype=dtype)
 
     final, hists = _run_sns(
         y, stim, lam0, lam_mask, powers,

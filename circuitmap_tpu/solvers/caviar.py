@@ -811,10 +811,13 @@ def caviar(
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     # single fused program for the stim gather + mask + lam init (the
     # eager-op version cost one tunnel dispatch per op)
-    stim, lam_mask, lam0, stim_np, powers_np, power_counts_np = (
+    stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (
         prepare_stim_and_init(stim, active, dtype, powers=powers)
     )
-    powers = jnp.asarray(powers_np, dtype=dtype)
+    # device powers come from the same table the uploaded stim was
+    # reconstructed from; powers_np (original precision) serves the host
+    # reconnect scan only (_common module docstring, f64 contract)
+    powers = jnp.asarray(powers_dev_np, dtype=dtype)
 
     key = jax.random.PRNGKey(seed)
 
@@ -854,12 +857,13 @@ def caviar(
     if fn_scan:
         # On accelerator backends the whole scan + conditional refit is
         # ONE device program — the host formulation's batched pull would
-        # cost a tunnel round trip mid-fit. The host path remains for
-        # CPU (where dispatches are free and it is faster) and for
-        # verbose per-reconnection prints.
+        # cost a tunnel round trip mid-fit. This is the default for ALL
+        # accelerator fits (verbose included — a post-hoc count replaces
+        # the per-reconnection prints); the host path remains for CPU,
+        # where dispatches are free and it is faster.
         on_accel = jax.devices()[0].platform not in ("cpu",)
-        if on_accel and not verbose:
-            mu, beta, lam, z, phi, phi_cov, _n_rec = (
+        if on_accel:
+            mu, beta, lam, z, phi, phi_cov, n_rec = (
                 _reconnect_and_refit_device(
                     stim, lam, mu, beta, z, powers,
                     phi, phi_cov,
@@ -869,6 +873,11 @@ def caviar(
                     jnp.asarray(minimum_spike_count, dtype),
                 )
             )
+            if verbose:
+                # the n_rec pull rides the state pull that follows the
+                # fit anyway; only the print itself is host work
+                print(f"Reconnected {int(np.asarray(n_rec))} neurons "
+                      "previously attributed to spontaneous activity.")
         else:
             mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
                 y,       # unused (reference-signature parity; never pulled)

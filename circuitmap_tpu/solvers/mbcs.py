@@ -402,8 +402,10 @@ def mbcs(
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
 
     # compressed stim upload (sparse hologram / int8 buckets), as caviar
-    stim, stim_np, _powers_np = prepare_stim(stim, dtype)
-    powers_with_zero = np.concatenate([[0.0], _powers_np])
+    stim, stim_np, _powers_np, _powers_dev = prepare_stim(stim, dtype)
+    # built from the uploaded-stim level table, not the original-precision
+    # host powers — the two differ for f64 fits (_common f64 contract)
+    powers_with_zero = np.concatenate([[0.0], _powers_dev])
 
     rng = np.random.default_rng(seed)
     mu0 = jnp.asarray(rng.lognormal(1.0, 1.0, N), dtype=dtype)

@@ -114,10 +114,12 @@ def caviar_resumable(
         )
     y_psc = prepare_traces(y_psc, dtype)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
-    stim, lam_mask, lam0, stim_np, powers_np, power_counts_np = (
+    stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (
         prepare_stim_and_init(stim, active, dtype, powers=powers)
     )
-    powers = jnp.asarray(powers_np, dtype=dtype)
+    # device powers from the uploaded-stim level table; powers_np keeps
+    # original precision for the host reconnect scan (f64 contract)
+    powers = jnp.asarray(powers_dev_np, dtype=dtype)
 
     start = 0
     state = None

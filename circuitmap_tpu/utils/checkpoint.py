@@ -61,11 +61,21 @@ def save_state(path, state_tree):
 
     path = str(path)
     tmp = path + ".tmp"
-    np.savez(tmp, **_flatten(state_tree))
-    # np.savez appends .npz to names without an extension
-    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
-        tmp = tmp + ".npz"
-    os.replace(tmp, path)
+    try:
+        np.savez(tmp, **_flatten(state_tree))
+        # np.savez appends .npz to names without an extension
+        if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+            tmp = tmp + ".npz"
+        os.replace(tmp, path)
+    finally:
+        # a failed savez (or a replace that never ran) must not strand
+        # stale '<path>.tmp[.npz]' files next to the checkpoint
+        for leftover in (tmp, tmp + ".npz" if not tmp.endswith(".npz")
+                         else tmp):
+            try:
+                os.unlink(leftover)
+            except FileNotFoundError:
+                pass
 
 
 def load_state(path):

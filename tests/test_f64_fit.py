@@ -1,0 +1,61 @@
+"""x64 full-fit regression: non-f32-representable powers (45.7-style).
+
+Round-2 advisor finding (high): the device stim is reconstructed from
+the f32 level table, but device-side powers arrays were built from the
+original-precision host powers. Under JAX x64 with powers like 45.7,
+every on-device ``stim == powers[p]`` comparison (sweep gate stats,
+power-curve stats, reconnect scan) matched zero trials and the fit
+silently collapsed to all-zero weights. The fix derives every device
+powers array from the uploaded-stim level table
+(solvers/_common._powers_dev); this test runs a FULL caviar fit under
+x64 with such powers and asserts genuine recovery.
+
+Runs in a subprocess because jax_enable_x64 is process-global and the
+rest of the suite runs f32.
+"""
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+from circuitmap_tpu.simulation import simulate
+from circuitmap_tpu.model import Model
+from circuitmap_tpu.utils.metrics import r2_score
+
+np.random.seed(0)
+sim = simulate(N=40, trials=500, H=4, connection_prob=0.1,
+               powers=[45.7, 55.3, 65.1], spont_prob=0.02, verbose=False)
+stim = np.asarray(sim["stim_matrix"], dtype=np.float64)
+assert (stim == 45.7).sum() > 0  # the host matrix holds exact f64 values
+
+model = Model(40)
+model.fit(sim["psc"], stim, method="caviar",
+          fit_options={"iters": 20, "verbose": False, "seed": 0,
+                       "dtype": jnp.float64})
+mu = model.state["mu"]
+lam = model.state["lam"]
+# pre-fix the f64 fit collapsed: zero device power matches -> no gates
+# pass -> mu identically zero. Require genuine recovery instead.
+assert np.count_nonzero(mu) > 0, "f64 fit collapsed to all-zero weights"
+r2 = r2_score(sim["weights"], mu)
+assert r2 > 0.7, f"f64 recovery R2 too low: {r2}"
+assert lam.max() > 0.5, "spike posteriors never updated"
+print("OK", r2)
+"""
+
+
+def test_f64_caviar_fit_with_non_f32_powers():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
+    assert proc.stdout.startswith("OK")

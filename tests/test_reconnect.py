@@ -124,7 +124,7 @@ def test_reconnect_hits_with_non_f32_powers():
     stim = np.zeros((N, K))
     for k in range(K):
         stim[rng.choice(N, 2, replace=False), k] = 45.7
-    _, stim_np, powers = prepare_stim(stim, np.float32)
+    _, stim_np, powers, _ = prepare_stim(stim, np.float32)
     lam = np.zeros((N, K))
     z = np.zeros(K)
     z[stim_np[0] != 0] = 1.0  # neuron 0's trials all spontaneous-active
@@ -149,7 +149,7 @@ def test_device_scan_matches_host_scan():
     stim = np.zeros((N, K), np.float32)
     for k in range(K):
         stim[rng.choice(N, 3, replace=False), k] = rng.choice([45., 55., 65.])
-    _, stim_np, powers = prepare_stim(stim, jnp.float32)
+    _, stim_np, powers, _ = prepare_stim(stim, jnp.float32)
     mu = np.zeros(N); mu[5:] = rng.uniform(0.5, 2.0, N - 5)  # 0-4 candidates
     beta = rng.uniform(0.1, 1.0, N)
     lam = (rng.random((N, K)) < 0.05).astype(np.float32)

@@ -349,14 +349,14 @@ class TestStimWireFormats:
         stim = self._hologram_stim()
         _, levels = _levels(stim)
         assert _sparsify(stim, levels) is not None  # takes the sparse path
-        dev, stim_np, powers = prepare_stim(stim, jnp.float32)
+        dev, stim_np, powers, powers_dev = prepare_stim(stim, jnp.float32)
         np.testing.assert_array_equal(np.asarray(dev), stim)
         np.testing.assert_array_equal(powers, [45.0, 55.0, 65.0])
 
         active = jnp.asarray(
             (np.random.default_rng(0).random(stim.shape[1]) > 0.1)
             .astype(np.float32))
-        dev2, lam_mask, lam0, _, _, pc = prepare_stim_and_init(
+        dev2, lam_mask, lam0, _, _, _, pc = prepare_stim_and_init(
             stim, active, jnp.float32)
         # power counts from the sparse path match a dense recount
         expect_pc = np.stack(
@@ -371,7 +371,7 @@ class TestStimWireFormats:
         from circuitmap_tpu.solvers import _common
 
         stim = self._hologram_stim(N=64, K=200, H=5)
-        dev_sparse, _, _ = _common.prepare_stim(stim, jnp.float32)
+        dev_sparse, _, _, _ = _common.prepare_stim(stim, jnp.float32)
         # force the dense-bucket fallback by disabling sparsification
         dense = _common._sparsify(stim, _common._levels(stim)[1],
                                   max_fill=0.0)
@@ -388,12 +388,12 @@ class TestStimWireFormats:
         from circuitmap_tpu.solvers._common import prepare_stim
 
         stim = self._hologram_stim(N=40, K=120, H=4)
-        dev, _, powers = prepare_stim(stim, jnp.float32,
+        dev, _, powers, _ = prepare_stim(stim, jnp.float32,
                                       powers=[45.0, 55.0, 65.0])
         np.testing.assert_array_equal(np.asarray(dev), stim)
         np.testing.assert_array_equal(powers, [45.0, 55.0, 65.0])
         # duplicated powers are deduplicated, not double-counted
-        dev2, _, powers2 = prepare_stim(stim, jnp.float32,
+        dev2, _, powers2, _ = prepare_stim(stim, jnp.float32,
                                         powers=[45.0, 45.0, 55.0, 65.0])
         np.testing.assert_array_equal(powers2, [45.0, 55.0, 65.0])
 
@@ -427,7 +427,7 @@ class TestStimWireFormats:
         for k in range(200):
             tgt = rng.choice(30, 3, replace=False)
             stim[tgt, k] = rng.choice([45.7, 55.3, 65.1])
-        dev, stim_np, powers = prepare_stim(stim, jnp.float32)
+        dev, stim_np, powers, powers_dev = prepare_stim(stim, jnp.float32)
         assert powers.dtype == np.float64
         np.testing.assert_array_equal(powers, [45.7, 55.3, 65.1])
         # every host power matches the host stim exactly
