@@ -23,8 +23,15 @@ import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
 from ._common import _levels, prepare_stim
-from ._laplace import laplace_phi_update_jit
+from ._laplace import laplace_phi_update
 from .caviar import _resolve_sweep_impl, _run_caviar, reconnect_from_spontaneous
+
+# one compiled program refitting the power curves of every reconnected
+# experiment at once: lam/stim batch over the leading (experiment) axis,
+# priors and the shared level table broadcast
+_laplace_refit_many = jax.jit(
+    jax.vmap(laplace_phi_update, in_axes=(0, 0, None, None, None))
+)
 
 
 @jax.jit
@@ -206,13 +213,18 @@ def caviar_many(
     host = {k: np.asarray(v) for k, v in finals._asdict().items()
             if k != "key"}
 
+    # host reconnect scans for all experiments first, collecting which
+    # ones actually changed; the conditional power-curve refits then run
+    # as ONE vmapped dispatch over the reconnected subset instead of one
+    # dispatch per experiment (round-2 verdict item #8 — each eager
+    # dispatch costs ~0.2-0.5 s through the tunnel)
     results = []
+    reconnected_idx = []
     for b in range(B):
         mu = host["mu"][b].copy()
         beta = host["beta"][b].copy()
         lam = host["lam"][b]
         z = host["z"][b].copy()
-        phi, phi_cov = host["phi"][b], host["phi_cov"][b]
         if fn_scan:
             mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
                 None, stims_np[b], lam, mu, beta, z,
@@ -220,18 +232,26 @@ def caviar_many(
                 powers=powers_np, verbose=False,
             )
             if reconnected:
-                phi, phi_cov = laplace_phi_update_jit(
-                    jnp.asarray(lam, dtype), stim_dev[b],
-                    priors[4], priors[5], powers=powers,
-                )
+                reconnected_idx.append(b)
         results.append({
             "mu": np.asarray(mu),
             "beta": np.asarray(beta),
             "lam": np.asarray(lam),
             "shape": host["shape"][b],
             "rate": host["rate"][b],
-            "phi": np.asarray(phi),
-            "phi_cov": np.asarray(phi_cov),
+            "phi": np.asarray(host["phi"][b]),
+            "phi_cov": np.asarray(host["phi_cov"][b]),
             "z": np.asarray(z),
         })
+    if reconnected_idx:
+        idx = np.asarray(reconnected_idx)
+        lam_sel = jnp.asarray(
+            np.stack([results[b]["lam"] for b in reconnected_idx]), dtype)
+        phi_sel, phi_cov_sel = _laplace_refit_many(
+            lam_sel, stim_dev[idx], priors[4], priors[5], powers)
+        phi_sel = np.asarray(phi_sel)
+        phi_cov_sel = np.asarray(phi_cov_sel)
+        for j, b in enumerate(reconnected_idx):
+            results[b]["phi"] = phi_sel[j]
+            results[b]["phi_cov"] = phi_cov_sel[j]
     return results

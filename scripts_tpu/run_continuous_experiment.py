@@ -26,13 +26,20 @@ from circuitmap_tpu.utils.metrics import r2_score
 SAMPLING_FREQ = 20000
 
 
-def fit_all(psc, stim, N, iters, msrmp):
+def fit_all(psc, stim, N, iters, msrmp, powers=None):
     out = {}
     for method in ("caviar", "cavi_sns"):
         model = Model(N)
         opts = {"iters": iters, "save_histories": False}
         if method == "caviar":
             opts["msrmp"] = msrmp
+            if powers is not None:
+                # the rig's stimulation levels are experiment config —
+                # passing them skips the per-fit [N, K] level scan the
+                # solver would otherwise run (reference
+                # run_continuous_experiment.py:142-207 re-fits dozens of
+                # times per sweep cell; the scan is pure overhead here)
+                opts["powers"] = list(powers)
         model.fit(psc, stim, method=method, fit_options=opts)
         out[method] = {"mu": model.state["mu"].tolist(), "t": model.time}
     y = np.trapezoid(psc, axis=-1)
@@ -54,6 +61,7 @@ def main():
 
     cfg = yaml.safe_load(open(args.config))
     N = cfg["N"]
+    powers = cfg.get("powers", [45, 55, 65])  # simulator default levels
     expt_len = int(cfg["expt_len"] * SAMPLING_FREQ)
     sub_every = int(cfg["subsample_every"] * SAMPLING_FREQ)
     demixer = NeuralDemixer(path=cfg["demixer"]) if cfg.get("demixer") else None
@@ -66,6 +74,7 @@ def main():
             connection_prob=cfg["connection_prob"],
             spont_rate=cfg["spont_rate"],
             max_power_min_spike_rate=cfg["max_power_min_spike_rate"],
+            powers=powers,
         )
         obs, stim = expt["obs_responses"], expt["stim_matrix"]
         stim_times = expt["stim_times"]
@@ -78,7 +87,8 @@ def main():
                 variants["demixed"] = demixer(psc_sub, verbose=False)
             for tag, psc_v in variants.items():
                 fits = fit_all(psc_v, stim_sub, N, args.iters,
-                               cfg["max_power_min_spike_rate"])
+                               cfg["max_power_min_spike_rate"],
+                               powers=powers)
                 for method, res in fits.items():
                     rows.append({
                         "stim_freq": stim_freq, "H": H,

@@ -64,3 +64,69 @@ def test_mismatched_power_levels_rejected(sims):
         caviar_many(np.stack([s["psc"] for s in sims]), stims,
                     p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
                     p["phi_cov"], iters=2, verbose=False)
+
+
+def test_reconnect_refits_batched_in_one_dispatch(sims, monkeypatch):
+    """Post-reconnect power-curve refits must run as ONE vmapped dispatch
+    covering every reconnected experiment (round-2 verdict #8), and the
+    batched results must equal per-experiment refits."""
+    import jax.numpy as jnp
+    from circuitmap_tpu.solvers import batched as mod
+    from circuitmap_tpu.solvers._laplace import laplace_phi_update_jit
+
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+
+    # force a deterministic "reconnection" in experiments 0 and 2: flip a
+    # couple of lam entries so the refit actually has something to do
+    real_scan = mod.reconnect_from_spontaneous
+
+    def fake_scan(y, stim, lam, mu, beta, z, **kwargs):
+        b = fake_scan.calls
+        fake_scan.calls += 1
+        if b in (0, 2):
+            lam = np.asarray(lam).copy()
+            row = np.flatnonzero((np.asarray(stim) > 0).sum(1) > 3)[0]
+            lam[row, np.asarray(stim)[row] > 0] = 0.9
+            return mu, beta, lam, z, True
+        return mu, beta, np.asarray(lam), z, False
+
+    fake_scan.calls = 0
+    monkeypatch.setattr(mod, "reconnect_from_spontaneous", fake_scan)
+
+    calls = {"n": 0}
+    real_many = mod._laplace_refit_many
+
+    def counting_many(*args):
+        calls["n"] += 1
+        return real_many(*args)
+
+    monkeypatch.setattr(mod, "_laplace_refit_many", counting_many)
+
+    batch = mod.caviar_many(
+        np.stack([s["psc"] for s in sims]),
+        np.stack([s["stim_matrix"] for s in sims]),
+        *prior_args, seeds=[0, 1, 2], verbose=False,
+        iters=6, fn_scan=True, analytic_mc=True,
+    )
+    assert calls["n"] == 1, "refits must batch into a single dispatch"
+
+    # equality vs the per-experiment eager refit on the same lam
+    for b in (0, 2):
+        stim = np.asarray(sims[b]["stim_matrix"])
+        powers = np.unique(stim)[1:]
+        phi_ref, phi_cov_ref = laplace_phi_update_jit(
+            jnp.asarray(batch[b]["lam"], jnp.float32),
+            jnp.asarray(stim, jnp.float32),
+            jnp.asarray(p["phi"], jnp.float32),
+            jnp.asarray(p["phi_cov"], jnp.float32),
+            powers=jnp.asarray(powers, jnp.float32),
+        )
+        np.testing.assert_allclose(batch[b]["phi"], np.asarray(phi_ref),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(batch[b]["phi_cov"],
+                                   np.asarray(phi_cov_ref),
+                                   rtol=2e-4, atol=2e-5)
+    # untouched experiment keeps its in-loop phi
+    assert batch[1]["phi"].shape == (24, 2)
