@@ -327,7 +327,14 @@ def _iteration(state: CaviarState, it, data, hyper, static):
 
     key, k_order, k_mc = jax.random.split(state.key, 3)
     N = stim.shape[0]
-    order = jax.random.permutation(k_order, N)
+    # "identity" fixes the coordinate schedule — paired with
+    # analytic_mc=True this makes the whole fit deterministic, which is
+    # how cross-implementation parity is measured with the sampling and
+    # ordering dither removed (scripts_tpu/parity_variance_reduced.py)
+    if static.get("update_order", "random") == "identity":
+        order = jnp.arange(N)
+    else:
+        order = jax.random.permutation(k_order, N)
     m0, m1 = powercurve_logit_means(
         k_mc, state.phi, state.phi_cov, static["num_mc_samples"], static["analytic_mc"]
     )
@@ -412,6 +419,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "start_iter",
         "sweep_block_size",
         "sweep_impl",
+        "update_order",
     ),
 )
 def _run_caviar(
@@ -444,6 +452,7 @@ def _run_caviar(
     save_histories,
     sweep_block_size=1,
     sweep_impl="xla",
+    update_order="random",
 ):
     # Pad the trial axis to a multiple of 128 ONCE, outside the scan.
     # The Pallas DMA sweep needs lane-aligned rows; padding inside the
@@ -486,6 +495,7 @@ def _run_caviar(
         analytic_mc=analytic_mc,
         sweep_block_size=sweep_block_size,
         sweep_impl=sweep_impl,
+        update_order=update_order,
         k_true=k_true,
     )
 
@@ -788,6 +798,7 @@ def caviar(
     sweep_block_size=1,
     sweep_impl="auto",
     powers=None,
+    update_order="random",
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -848,6 +859,7 @@ def caviar(
         save_histories=bool(save_histories),
         sweep_block_size=int(sweep_block_size),
         sweep_impl=_resolve_sweep_impl(sweep_impl, sweep_block_size),
+        update_order=str(update_order),
     )
 
     mu, beta, lam = final.mu, final.beta, final.lam
