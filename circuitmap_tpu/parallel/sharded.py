@@ -91,42 +91,114 @@ def _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global):
 
 def _sweep_spikes(
     y, stim, mu, beta, lam, sig, m0, m1, lam_mask, powers, power_counts,
-    order, msrmp_eff, minimum_spike_count, gate_active,
+    order, msrmp_eff, minimum_spike_count, gate_active, block_size=1,
 ):
-    """Sequential coordinate sweep; one [P+1] psum per neuron for the gate."""
+    """Coordinate sweep with psum-reduced gate statistics.
+
+    ``block_size`` = 1 is the reference-order sequential sweep: one
+    [P+1] psum per neuron — N latency-bound collectives per iteration.
+    ``block_size`` = B shares ONE [B, P+1] psum across a block of B
+    neurons (Jacobi within the block, Gauss-Seidel across blocks — the
+    single-device blocked formulation, solvers/caviar.py sweep_spikes),
+    cutting the collective count per iteration from N to ceil(N/B). On
+    real ICI the per-collective latency dominates the sharded sweep, so
+    this is the lever that makes multi-chip sweeps scale.
+    """
     r = mu @ lam
     guard = power_counts + 1e-4 * (power_counts == 0.0)  # [N, P]
+    N = lam.shape[0]
+
+    if block_size == 1:
+
+        def body(i, carry):
+            lam, mu_s, r = carry
+            n = order[i]
+            stim_n = stim[n]
+            lam_n = lam[n]
+            mu_n = mu_s[n]
+
+            r_excl = r - mu_n * lam_n
+            quad = sig * (
+                -2.0 * y * mu_n + 2.0 * mu_n * r_excl + (mu_n * mu_n + beta[n] * beta[n])
+            )
+            est = lam_mask * (stim_n > 0) * sigmoid(m0[n] * stim_n - m1[n] - 0.5 * quad)
+
+            onehot = (stim_n[None, :] == powers[:, None]).astype(est.dtype)  # [P, K_loc]
+            local = jnp.concatenate([onehot @ est, jnp.sum(est)[None]])
+            red = _psum(local)
+            srates = red[:-1] / guard[n]
+            ok = (isotonic_fit_at_max(srates) >= msrmp_eff) & (
+                red[-1] >= minimum_spike_count
+            )
+            gate = jnp.where(gate_active, ok.astype(est.dtype), jnp.ones((), est.dtype))
+
+            new_lam_n = est * gate
+            new_mu_n = mu_n * gate
+            lam = lam.at[n].set(new_lam_n)
+            mu_s = mu_s.at[n].set(new_mu_n)
+            r = r_excl + new_mu_n * new_lam_n
+            return lam, mu_s, r
+
+        lam, _, _ = lax.fori_loop(0, N, body, (lam, mu, r))
+        return lam
+
+    # ---- blocked sweep: one [B, P+1] psum per block of B neurons ----
+    from ..ops.pava import isotonic_fit_at_max_batched
+
+    B = block_size
+    n_blocks = -(-N // B)
+    pad = n_blocks * B - N
+    # invalid lanes point one past the end; their writes are dropped
+    order_pad = jnp.concatenate(
+        [order, jnp.full((pad,), N, dtype=order.dtype)]
+    ).reshape(n_blocks, B)
 
     def body(i, carry):
         lam, mu_s, r = carry
-        n = order[i]
-        stim_n = stim[n]
-        lam_n = lam[n]
-        mu_n = mu_s[n]
+        idx = order_pad[i]
+        valid_b = (idx < N).astype(lam.dtype)
+        n = jnp.minimum(idx, N - 1)
 
-        r_excl = r - mu_n * lam_n
+        stim_b = stim[n]                       # [B, K_loc]
+        lam_b = lam[n]
+        mu_b = mu_s[n] * valid_b
+        beta_b = beta[n]
+
+        r_excl = r[None, :] - mu_b[:, None] * lam_b
         quad = sig * (
-            -2.0 * y * mu_n + 2.0 * mu_n * r_excl + (mu_n * mu_n + beta[n] * beta[n])
+            -2.0 * y[None, :] * mu_b[:, None]
+            + 2.0 * mu_b[:, None] * r_excl
+            + (mu_b * mu_b + beta_b * beta_b)[:, None]
         )
-        est = lam_mask * (stim_n > 0) * sigmoid(m0[n] * stim_n - m1[n] - 0.5 * quad)
-
-        onehot = (stim_n[None, :] == powers[:, None]).astype(est.dtype)  # [P, K_loc]
-        local = jnp.concatenate([onehot @ est, jnp.sum(est)[None]])
-        red = _psum(local)
-        srates = red[:-1] / guard[n]
-        ok = (isotonic_fit_at_max(srates) >= msrmp_eff) & (
-            red[-1] >= minimum_spike_count
+        est = lam_mask[None, :] * (stim_b > 0) * sigmoid(
+            m0[n][:, None] * stim_b - m1[n][:, None] - 0.5 * quad
         )
-        gate = jnp.where(gate_active, ok.astype(est.dtype), jnp.ones((), est.dtype))
 
-        new_lam_n = est * gate
-        new_mu_n = mu_n * gate
-        lam = lam.at[n].set(new_lam_n)
-        mu_s = mu_s.at[n].set(new_mu_n)
-        r = r_excl + new_mu_n * new_lam_n
+        onehot = (stim_b[:, None, :] == powers[None, :, None]).astype(
+            est.dtype)                          # [B, P, K_loc]
+        local = jnp.concatenate(
+            [jnp.sum(onehot * est[:, None, :], axis=-1),
+             jnp.sum(est, axis=-1)[:, None]], axis=1)   # [B, P+1]
+        red = _psum(local)                      # ONE collective per block
+        srates = red[:, :-1] / guard[n]
+        ok = (isotonic_fit_at_max_batched(srates) >= msrmp_eff) & (
+            red[:, -1] >= minimum_spike_count
+        )
+        gate = jnp.where(gate_active, ok.astype(est.dtype),
+                         jnp.ones((B,), est.dtype))
+
+        new_lam_b = est * gate[:, None]
+        new_mu_b = mu_b * gate
+        lam = lam.at[idx].set(new_lam_b, mode="drop")
+        mu_s = mu_s.at[idx].set(new_mu_b, mode="drop")
+        r = r + jnp.sum(
+            valid_b[:, None] * (new_mu_b[:, None] * new_lam_b
+                                - mu_b[:, None] * lam_b),
+            axis=0,
+        )
         return lam, mu_s, r
 
-    lam, _, _ = lax.fori_loop(0, lam.shape[0], body, (lam, mu, r))
+    lam, _, _ = lax.fori_loop(0, n_blocks, body, (lam, mu, r))
     return lam
 
 
@@ -924,6 +996,7 @@ def _iteration(state, it, data, hyper, static):
         lam_mask, powers, power_counts, order,
         static["msrmp"] + state.spont_rate, static["minimum_spike_count"],
         gate_active=it > static["delay_spont_est"],
+        block_size=static.get("sweep_block_size", 1),
     )
 
     shape, rate = _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global)
@@ -947,7 +1020,7 @@ def _iteration(state, it, data, hyper, static):
         "mesh", "iters", "num_mc_samples", "minimum_spike_count",
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
-        "save_histories", "start_iter",
+        "save_histories", "start_iter", "sweep_block_size",
     ),
 )
 def _run_sharded(
@@ -956,7 +1029,7 @@ def _run_sharded(
     key, init_state=None, *, mesh, iters, num_mc_samples,
     minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
     max_backtrack_iters, tol, spont_orthogonality, analytic_mc,
-    save_histories=False, start_iter=0,
+    save_histories=False, start_iter=0, sweep_block_size=1,
 ):
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -969,6 +1042,7 @@ def _run_sharded(
         tol=tol,
         spont_orthogonality=spont_orthogonality,
         analytic_mc=analytic_mc,
+        sweep_block_size=sweep_block_size,
     )
     hyper_specs = (P(), P(), P(), P(), P(), P())
 
@@ -1128,11 +1202,15 @@ def caviar_sharded(
     reassociation. With ``save_histories`` the per-iteration lam/z
     snapshots stay trial-sharded on device and are trimmed of padding
     on the way out. ``powers`` skips the stim level scan exactly as in
-    solvers.caviar; ``sweep_impl``/``sweep_block_size`` are accepted so
-    a working single-device fit config can add ``mesh`` without edits,
-    but are ignored — the sharded sweep is its own psum formulation.
+    solvers.caviar. ``sweep_block_size`` > 1 batches the sweep's gate
+    collectives — one [B, P+1] psum per block of B neurons instead of
+    one [P+1] psum per neuron, N -> ceil(N/B) latency-bound collectives
+    per iteration (see _sweep_spikes); the blocked schedule matches the
+    single-device blocked sweep exactly. ``sweep_impl`` is accepted so a
+    single-device fit config can add ``mesh`` without edits, but is
+    ignored — the sharded sweep is its own psum formulation.
     """
-    del sweep_impl, sweep_block_size
+    del sweep_impl
     prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
                          powers=powers)
     K = prep["K"]
@@ -1165,6 +1243,7 @@ def caviar_sharded(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
+        sweep_block_size=int(sweep_block_size),
     )
 
     mu, beta = final.mu, final.beta
