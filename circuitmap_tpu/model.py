@@ -67,7 +67,14 @@ class Model:
 
     def _fit_caviar(self, obs, stimuli, fit_options):
         mesh = fit_options.pop("mesh", None)
+        track_elbo = bool(fit_options.get("track_elbo"))
         if mesh is not None:
+            if track_elbo:
+                raise ValueError(
+                    "track_elbo is not supported with mesh= yet; run the "
+                    "single-device solver or use solvers.diagnostics."
+                    "elbo_trajectory on a save_histories fit"
+                )
             # trial-sharded fit over a device mesh
             from .parallel import caviar_sharded
 
@@ -78,6 +85,10 @@ class Model:
             )
         else:
             result = self._run_caviar_local(obs, stimuli, fit_options)
+        if track_elbo:
+            *result, (elbos, converged_at) = result
+            self.elbo = np.asarray(elbos)
+            self.elbo_converged_at = converged_at
         (mu, beta, lam, shape, rate, phi, phi_cov, z, receptive_fields,
          *hists) = result
 
@@ -98,6 +109,8 @@ class Model:
             n: (np.asarray(h) if h is not None else None)
             for n, h in zip(names, hists)
         }
+        if track_elbo:
+            self.history["elbo"] = self.elbo
 
     def _run_caviar_local(self, obs, stimuli, fit_options):
         return solvers.caviar(

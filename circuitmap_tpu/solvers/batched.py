@@ -151,7 +151,7 @@ def caviar_many(
     )
 
     def one(y, stim, l0, mask, key):
-        final, _ = _run_caviar(
+        final, _, _ = _run_caviar(
             y, stim, l0, mask, powers, *priors, key,
             iters=int(iters),
             num_mc_samples=int(num_mc_samples),

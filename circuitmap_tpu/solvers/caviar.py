@@ -420,6 +420,8 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "sweep_block_size",
         "sweep_impl",
         "update_order",
+        "track_elbo",
+        "elbo_tol",
     ),
 )
 def _run_caviar(
@@ -453,6 +455,8 @@ def _run_caviar(
     sweep_block_size=1,
     sweep_impl="xla",
     update_order="random",
+    track_elbo=False,
+    elbo_tol=None,
 ):
     # Pad the trial axis to a multiple of 128 ONCE, outside the scan.
     # The Pallas DMA sweep needs lane-aligned rows; padding inside the
@@ -516,16 +520,50 @@ def _run_caviar(
     else:
         init = init_state
 
-    def step(state, it):
-        new = _iteration(state, it, data, hyper, static)
+    def _snap(new):
         if save_histories:
-            hist = (new.mu, new.beta, new.lam, new.shape, new.rate, new.phi,
+            return (new.mu, new.beta, new.lam, new.shape, new.rate, new.phi,
                     new.phi_cov, new.z)
-        else:
-            hist = None
-        return new, hist
+        return None
 
-    final, hists = lax.scan(step, init, jnp.arange(start_iter, start_iter + iters))
+    if not track_elbo:
+
+        def step(state, it):
+            new = _iteration(state, it, data, hyper, static)
+            return new, _snap(new)
+
+        final, hists = lax.scan(
+            step, init, jnp.arange(start_iter, start_iter + iters))
+        elbo_out = None
+    else:
+        # per-iteration ELBO as scan ys; with elbo_tol the iteration body
+        # is skipped (lax.cond — only one branch executes) once the
+        # relative bound change drops below tol, freezing the state: an
+        # early stop that keeps the scan shape static.
+        from .diagnostics import elbo_device
+
+        neg_inf = jnp.asarray(-jnp.inf, y.dtype)
+
+        def step(carry, it):
+            state, prev, done, stop_at = carry
+            new = lax.cond(
+                done, lambda s: s,
+                lambda s: _iteration(s, it, data, hyper, static), state)
+            e = jnp.where(
+                done, prev, elbo_device(y, stim, new, hyper, k_true))
+            if elbo_tol is not None:
+                rel = jnp.abs(e - prev) / jnp.maximum(jnp.abs(prev), 1e-12)
+                newly = (~done) & (it > start_iter) & (rel < elbo_tol)
+                stop_at = jnp.where(newly, it, stop_at)
+                done = done | newly
+            return (new, e, done, stop_at), (_snap(new), e)
+
+        carry0 = (init, neg_inf, jnp.asarray(False),
+                  jnp.asarray(start_iter + iters, jnp.int32))
+        (final, _, _, stop_at), (hists, elbos) = lax.scan(
+            step, carry0, jnp.arange(start_iter, start_iter + iters))
+        elbo_out = (elbos, stop_at)
+
     if padk:  # strip the alignment padding from everything trial-shaped
         final = final._replace(lam=final.lam[:, :k_true], z=final.z[:k_true])
         if save_histories:
@@ -533,7 +571,7 @@ def _run_caviar(
             hists[2] = hists[2][:, :, :k_true]  # lam snapshots
             hists[7] = hists[7][:, :k_true]     # z snapshots
             hists = tuple(hists)
-    return final, hists
+    return final, hists, elbo_out
 
 
 # ---------------------------------------------------------------------------
@@ -799,6 +837,8 @@ def caviar(
     sweep_impl="auto",
     powers=None,
     update_order="random",
+    track_elbo=False,
+    elbo_tol=None,
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -807,6 +847,15 @@ def caviar(
     receptive_fields, *eight history arrays)`` — receptive_fields is
     always None (reference caviar.py:51,100) and histories are None
     unless ``save_histories``.
+
+    ``track_elbo=True`` appends an 18th element ``(elbos[iters],
+    converged_at)``: the per-iteration evidence lower bound, recorded as
+    scan outputs inside the fit (solvers/diagnostics.elbo_device — the
+    reference tracks no objective at all). With ``elbo_tol`` set, CAVI
+    updates stop once the relative ELBO change drops below it
+    (``converged_at`` is the stopping iteration, else start+iters);
+    remaining scan steps skip the iteration body via lax.cond, so a
+    converged fit costs almost nothing per remaining step.
 
     ``analytic_mc=False`` (default, reference-faithful) uses the
     100-sample truncated-normal Monte Carlo estimator of the power-curve
@@ -832,7 +881,7 @@ def caviar(
 
     key = jax.random.PRNGKey(seed)
 
-    final, hists = _run_caviar(
+    final, hists, elbo_out = _run_caviar(
         y,
         stim,
         lam0,
@@ -860,6 +909,8 @@ def caviar(
         sweep_block_size=int(sweep_block_size),
         sweep_impl=_resolve_sweep_impl(sweep_impl, sweep_block_size),
         update_order=str(update_order),
+        track_elbo=bool(track_elbo),
+        elbo_tol=None if elbo_tol is None else float(elbo_tol),
     )
 
     mu, beta, lam = final.mu, final.beta, final.lam
@@ -920,4 +971,9 @@ def caviar(
         hist_arrs = [None] * 8
 
     receptive_fields = None
-    return (mu, beta, lam, shape, rate, phi, phi_cov, z, receptive_fields, *hist_arrs)
+    out = (mu, beta, lam, shape, rate, phi, phi_cov, z, receptive_fields,
+           *hist_arrs)
+    if track_elbo:
+        elbos, stop_at = elbo_out
+        out = out + ((np.asarray(elbos), int(np.asarray(stop_at))),)
+    return out

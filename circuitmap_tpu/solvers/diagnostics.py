@@ -101,6 +101,47 @@ def elbo_components(y, stim, state, priors, z=None):
     }
 
 
+def elbo_device(y, stim, state, hyper, k_true):
+    """In-fit ELBO: pure-jnp scalar, traced inside the CAVI scan.
+
+    Same bound as ``elbo_components`` but on the live ``CaviarState``
+    (beta holds the posterior weight VARIANCE — the caviar state
+    contract) with the solver's hyper tuple, and padding-safe: the
+    trial axis may carry inert 128-alignment padding (zero y/lam/stim),
+    which cancels from every sum; only the trial-count factor of the
+    likelihood must use ``k_true``.
+    """
+    mu_prior, beta_prior, shape_prior, rate_prior, _phi_p, _phi_cov_p = hyper
+    mu, var = state.mu, jnp.clip(state.beta, 1e-12, None)
+    lam, a, b, phi, z = state.lam, state.shape, state.rate, state.phi, state.z
+
+    e_tau = a / b
+    e_log_tau = digamma(a) - jnp.log(b)
+    resid = y - z - mu @ lam
+    e_sq = (
+        jnp.sum(resid * resid)
+        - jnp.sum(jnp.square(mu[:, None] * lam))
+        + jnp.sum((mu * mu + var)[:, None] * lam)
+    )
+    e_loglik = (0.5 * k_true * (e_log_tau - jnp.log(2 * jnp.pi))
+                - 0.5 * e_tau * e_sq)
+
+    kl_w = jnp.sum(_gauss_kl(mu, var, mu_prior, jnp.square(beta_prior)))
+    kl_tau = _gamma_kl(a, b, shape_prior, rate_prior)
+
+    drive = phi[:, 0:1] * stim - phi[:, 1:2]
+    targeted = stim > 0
+    logp = lam * log_sigmoid(drive) + (1.0 - lam) * log_sigmoid(-drive)
+    e_log_prior_s = jnp.sum(jnp.where(targeted, logp, 0.0))
+    lam_c = jnp.clip(lam, 1e-7, 1.0 - 1e-7)
+    entropy_s = -jnp.sum(
+        jnp.where(targeted,
+                  lam_c * jnp.log(lam_c) + (1 - lam_c) * jnp.log(1 - lam_c),
+                  0.0)
+    )
+    return e_loglik - kl_w - kl_tau + e_log_prior_s + entropy_s
+
+
 def elbo_trajectory(y, stim, history, priors):
     """ELBO per iteration from a save_histories=True fit."""
     iters = history["mu"].shape[0]

@@ -160,7 +160,7 @@ def caviar_resumable(
 
     while start < iters:
         seg = min(checkpoint_every, iters - start)
-        state, _ = _run_caviar(
+        state, _, _ = _run_caviar(
             y, stim, lam0, lam_mask, powers, *priors, key, state,
             iters=seg, start_iter=start, **static,
         )

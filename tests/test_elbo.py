@@ -1,0 +1,79 @@
+"""In-fit ELBO tracking + early stopping (round-2 verdict #9: the bound
+existed in solvers/diagnostics but nothing called it)."""
+
+import numpy as np
+import pytest
+
+from circuitmap_tpu.model import Model
+from circuitmap_tpu.simulation import simulate
+
+
+@pytest.fixture(scope="module")
+def sim():
+    np.random.seed(11)
+    return simulate(N=30, trials=400, H=3, connection_prob=0.1,
+                    spont_prob=0.01, gp_scale=1e-3, verbose=False)
+
+
+def _fit(sim, **extra):
+    m = Model(30)
+    m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+          fit_options=dict(iters=20, verbose=False, seed=0, fn_scan=False,
+                           analytic_mc=True, **extra))
+    return m
+
+
+def test_elbo_trajectory_recorded_and_improving(sim):
+    m = _fit(sim, track_elbo=True)
+    assert m.elbo.shape == (20,)
+    assert m.history["elbo"] is m.elbo
+    assert np.all(np.isfinite(m.elbo))
+    # non-decreasing up to small numerical slack once the delayed spont
+    # gate has engaged (the first gated iteration can drop the bound as
+    # connections are pruned — reference-faithful behaviour)
+    tail = m.elbo[3:]
+    drops = np.diff(tail)
+    assert drops.min() > -abs(tail[-1]) * 1e-3
+    # the bound actually improves over the fit
+    assert m.elbo[-1] > m.elbo[0]
+
+
+def test_elbo_early_stop_freezes_state(sim):
+    full = _fit(sim, track_elbo=True)
+    stopped = _fit(sim, track_elbo=True, elbo_tol=1e-6)
+    t = stopped.elbo_converged_at
+    assert t <= 20
+    if t < 20:
+        # post-stop entries are frozen at the stopping value
+        assert np.all(stopped.elbo[t:] == stopped.elbo[t])
+    # trajectories agree up to the stopping point
+    np.testing.assert_allclose(stopped.elbo[:t], full.elbo[:t], rtol=1e-6)
+
+
+def test_elbo_matches_host_diagnostics(sim):
+    """The in-scan device bound must equal the post-hoc host computation
+    on the same state."""
+    from circuitmap_tpu.model import default_priors
+    from circuitmap_tpu.solvers.diagnostics import elbo_components
+    from circuitmap_tpu.ops.charge import integrated_charge
+    import jax.numpy as jnp
+
+    m = _fit(sim, track_elbo=True, save_histories=True)
+    y = np.asarray(integrated_charge(jnp.asarray(sim["psc"], jnp.float32)))
+    priors = default_priors(30)
+    it = 10
+    state = {k: m.history[k][it]
+             for k in ("mu", "beta", "lam", "shape", "rate", "phi")}
+    state["z"] = m.history["z"][it]
+    host = elbo_components(y, np.asarray(sim["stim_matrix"]), state, priors)
+    np.testing.assert_allclose(m.elbo[it], host["elbo"], rtol=2e-4)
+
+
+def test_track_elbo_rejected_on_mesh(sim):
+    from circuitmap_tpu.parallel import trial_mesh
+
+    m = Model(30)
+    with pytest.raises(ValueError, match="track_elbo"):
+        m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+              fit_options=dict(iters=2, verbose=False, mesh=trial_mesh(2),
+                               track_elbo=True))
