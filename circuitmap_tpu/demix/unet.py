@@ -82,14 +82,23 @@ def conv1d_fft(x, w, b, padding, dilation):
     return (y + b.astype(jnp.float32)[None, :, None]).astype(x.dtype)
 
 
-def conv_transpose1d(x, w, b, stride=1):
-    """torch.nn.ConvTranspose1d: x [B,C,L], w [I,O,K].
+from functools import partial as _partial
 
-    ConvTranspose is the gradient of a forward conv mapping O->I; with
-    ``transpose_kernel=True`` lax expects that forward conv's kernel,
-    so the torch [in, out, K] weight is described as 'OIH'.
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_transpose1d_core(x, w, stride):
+    """ConvTranspose1d core (no bias): y[b,o,s*stride+k] += x[b,i,s] w[i,o,k].
+
+    Custom VJP: XLA's autodiff of the lhs-dilated conv this forward
+    lowers to is catastrophically slow on CPU (measured 250 ms per
+    gradient at the decoder shapes vs ~20 ms forward — it dominated the
+    whole training step). Both gradients are ordinary dense convs:
+
+      dx[b,i,s] = sum_{o,k} g[b,o,s*stride+k] w[i,o,k]   (strided corr)
+      dw[i,o,k] = sum_{b,s} x[b,i,s] g[b,o,s*stride+k]   (batch-contracted
+                                                          corr, rhs-dilated)
     """
-    out = lax.conv_transpose(
+    return lax.conv_transpose(
         x,
         w,
         strides=(stride,),
@@ -97,7 +106,48 @@ def conv_transpose1d(x, w, b, stride=1):
         dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
     )
-    return out + b[None, :, None]
+
+
+def _conv_transpose1d_fwd(x, w, stride):
+    return _conv_transpose1d_core(x, w, stride), (x, w)
+
+
+def _conv_transpose1d_bwd(stride, res, g):
+    x, w = res
+    # dx: correlate the cotangent with w at the forward stride — a plain
+    # strided VALID conv ([I,O,K] read as OIH: dim0 = dx's channel out).
+    dx = lax.conv_general_dilated(
+        g, w,
+        window_strides=(stride,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    # dw[i,o,k]: batch plays the contracted-feature role; computing
+    # out[o,i,k] = sum_{b,s} g[o,b,k+s*stride] x[i,b,s] as a conv with
+    # g^T as lhs, x^T as kernel, rhs_dilation = stride.
+    dw_t = lax.conv_general_dilated(
+        jnp.transpose(g, (1, 0, 2)),       # [O, B, Lg]
+        jnp.transpose(x, (1, 0, 2)),       # [I, B, S] as OIH
+        window_strides=(1,),
+        padding=[(0, 0)],
+        rhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )                                      # [O, I, K]
+    return dx, jnp.transpose(dw_t, (1, 0, 2))
+
+
+_conv_transpose1d_core.defvjp(_conv_transpose1d_fwd, _conv_transpose1d_bwd)
+
+
+def conv_transpose1d(x, w, b, stride=1):
+    """torch.nn.ConvTranspose1d: x [B,C,L], w [I,O,K].
+
+    ConvTranspose is the gradient of a forward conv mapping O->I; with
+    ``transpose_kernel=True`` lax expects that forward conv's kernel,
+    so the torch [in, out, K] weight is described as 'OIH'. Gradients
+    come from the custom VJP above.
+    """
+    return _conv_transpose1d_core(x, w, stride) + b[None, :, None]
 
 
 def avg_pool1d(x, kernel=3, stride=2):

@@ -353,3 +353,52 @@ class TestTemplateFit:
         assert np.all(multi["r2"] >= one["r2"] - 1e-5)
         assert multi["r2"].min() >= one["r2"].min()
         assert multi["r2"].min() > 0.9
+
+
+class TestConvTransposeVJP:
+    def test_custom_vjp_matches_autodiff(self):
+        """conv_transpose1d carries a custom VJP (XLA CPU's autodiff of
+        the lhs-dilated conv was ~13x slower than the forward and
+        dominated training); its gradients must match plain autodiff of
+        the raw lax op to f32 reassociation tolerance."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from circuitmap_tpu.demix.unet import conv_transpose1d, UP_SPECS
+
+        def ref_ct(x, w, b, stride):
+            return lax.conv_transpose(
+                x, w, strides=(stride,), padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                transpose_kernel=True) + b[None, :, None]
+
+        rng = np.random.default_rng(0)
+        for (ci, co, k, s), lin in zip(UP_SPECS, (17, 80, 193, 449)):
+            x = jnp.asarray(rng.normal(size=(4, ci, lin)), jnp.float32)
+            w = jnp.asarray(rng.normal(size=(ci, co, k)) * 0.1, jnp.float32)
+            b = jnp.asarray(rng.normal(size=co) * 0.1, jnp.float32)
+            # sin() makes the cotangent non-constant
+            g1 = jax.grad(lambda x, w, b, s=s: jnp.sum(
+                jnp.sin(conv_transpose1d(x, w, b, s))), argnums=(0, 1, 2))(x, w, b)
+            g2 = jax.grad(lambda x, w, b, s=s: jnp.sum(
+                jnp.sin(ref_ct(x, w, b, s))), argnums=(0, 1, 2))(x, w, b)
+            for a, bb in zip(g1, g2):
+                a, bb = np.asarray(a), np.asarray(bb)
+                scale = max(np.abs(bb).max(), 1.0)
+                assert np.abs(a - bb).max() < 1e-4 * scale
+
+    def test_forward_unchanged(self):
+        import jax.numpy as jnp
+        from jax import lax
+        from circuitmap_tpu.demix.unet import conv_transpose1d
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, 32, 40)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(32, 16, 16)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=16), jnp.float32)
+        want = lax.conv_transpose(
+            x, w, strides=(2,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            transpose_kernel=True) + b[None, :, None]
+        np.testing.assert_array_equal(
+            np.asarray(conv_transpose1d(x, w, b, 2)), np.asarray(want))
