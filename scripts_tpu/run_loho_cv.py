@@ -6,9 +6,19 @@ even in the repo) with an in-process sweep: one fit per held-out
 hologram, all sharing a single compiled program, held-out-trial
 predictions collected per fold.
 
+Two modes:
+  * in-process sweep (default): every fold in one process, shared
+    compiled program — right for a single TPU host;
+  * single-fold worker (``--fold I``): fit exactly one held-out
+    hologram and write ``<out>.fold_I.json`` — the job-array unit the
+    cluster fan-out generator emits (scripts_tpu/generate_fanout_jobs.py;
+    reference generate_loho_cv_slurm_scripts.py references worker
+    scripts that don't exist in its repo).
+
 Usage:
   python scripts_tpu/run_loho_cv.py --data expt.npz \
       [--demixer demixers/nwd_ie_ChroME2f.npz] --method caviar --out cv.json
+  python scripts_tpu/run_loho_cv.py --data expt.npz --fold 3 --out cv.json
 """
 
 import argparse
@@ -30,6 +40,9 @@ def main():
     parser.add_argument("--msrmp", type=float, default=0.3)
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--max_folds", type=int, default=None)
+    parser.add_argument("--fold", type=int, default=None,
+                        help="worker mode: run ONLY this fold index and "
+                             "write <out>.fold_<I>.json")
     parser.add_argument("--out", default="loho_cv.json")
     args = parser.parse_args()
 
@@ -39,7 +52,13 @@ def main():
     N, K = stim.shape
 
     folds = list(loho_folds(stim))
-    if args.max_folds:
+    if args.fold is not None:
+        if not 0 <= args.fold < len(folds):
+            raise SystemExit(
+                f"--fold {args.fold} out of range (0..{len(folds) - 1})")
+        folds = [folds[args.fold]]
+        args.out = f"{args.out}.fold_{args.fold}.json"
+    elif args.max_folds:
         folds = folds[: args.max_folds]
     print(f"{len(folds)} holograms; {K} trials")
 

@@ -229,3 +229,88 @@ class TestContinuousHarnessPowers:
         mod.fit_all(psc, stim, N=5, iters=2, msrmp=0.3,
                     powers=[45.0, 55.0, 65.0])
         assert seen["caviar"]["powers"] == [45.0, 55.0, 65.0]
+
+
+class TestFanout:
+    def _write_expt(self, tmp_path, N=12, K=90):
+        rng = np.random.default_rng(0)
+        stim = np.zeros((N, K))
+        # 6 distinct holograms, repeated
+        holos = [rng.choice(N, 3, replace=False) for _ in range(6)]
+        for k in range(K):
+            stim[holos[k % 6], k] = 45.0
+        psc = np.abs(rng.normal(size=(K, 150))).astype(np.float32)
+        path = tmp_path / "expt.npz"
+        np.savez(path, psc=psc, stimulus_matrix=stim)
+        return path
+
+    def test_generator_emits_chunked_arrays(self, tmp_path):
+        import os
+        data = self._write_expt(tmp_path)
+        out_dir = tmp_path / "jobs"
+        proc = subprocess.run(
+            [sys.executable, "scripts_tpu/generate_fanout_jobs.py",
+             "--data", str(data), "--backend", "slurm",
+             "--out-dir", str(out_dir), "--max-array", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo"}, timeout=240,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        scripts = sorted(out_dir.glob("*.sh"))
+        # 6 folds, arrays capped at 4 -> two chunks (4 + 2)
+        assert len(scripts) == 2
+        s0 = scripts[0].read_text()
+        assert "#SBATCH --array=0-3" in s0
+        assert "run_loho_cv.py" in s0 and "--fold $FOLD" in s0
+        s1 = scripts[1].read_text()
+        assert "#SBATCH --array=0-1" in s1 and "FOLD=$(( SLURM_ARRAY_TASK_ID + 4 ))" in s1
+
+    def test_single_fold_worker_runs(self, tmp_path):
+        import os
+        data = self._write_expt(tmp_path)
+        out = tmp_path / "cv.json"
+        proc = subprocess.run(
+            [sys.executable, "scripts_tpu/run_loho_cv.py",
+             "--data", str(data), "--fold", "2", "--iters", "3",
+             "--out", str(out)],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo"}, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        import json as _json
+        rec = _json.load(open(f"{out}.fold_2.json"))
+        assert len(rec) == 1 and rec[0]["hologram"] == 2
+
+    def test_shell_wrapper_local_mode(self, tmp_path):
+        """run_circuitmap_main.sh without neurocaas-contrib: env-var /
+        positional path mode drives the full pipeline and zips results."""
+        import os
+        import yaml
+        from circuitmap_tpu.demix import NeuralDemixer
+
+        rng = np.random.default_rng(0)
+        stim = np.zeros((10, 60))
+        for k in range(60):
+            stim[rng.choice(10, 2, replace=False), k] = 45.0
+        np.savez(tmp_path / "expt.npz",
+                 psc=np.abs(rng.normal(size=(60, 900))).astype(np.float32),
+                 stimulus_matrix=stim)
+        demixer_path = tmp_path / "demixer.npz"
+        NeuralDemixer(seed=0).save(str(demixer_path))
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(yaml.safe_dump(
+            {"demixer": str(demixer_path), "msrmp": 0.3}))
+        out_dir = tmp_path / "results"
+        env = {**os.environ, "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo"}
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.run(
+            ["bash", "scripts_tpu/run_circuitmap_main.sh",
+             str(tmp_path / "expt.npz"), str(cfg), str(out_dir)],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=420,
+        )
+        assert proc.returncode == 0, (proc.stdout[-800:], proc.stderr[-2000:])
+        assert (out_dir / "expt_cm.zip").exists()
