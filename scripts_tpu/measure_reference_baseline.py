@@ -336,6 +336,14 @@ def main():
         "cpu_count": os.cpu_count(),
         "configs": {},
     }
+    # partial re-measurements merge into the committed file instead of
+    # clobbering the configs they didn't run (incl. the "2vr"
+    # deterministic-parity row written by parity_variance_reduced.py)
+    if os.path.exists(args.out):
+        try:
+            results["configs"] = json.load(open(args.out)).get("configs", {})
+        except (json.JSONDecodeError, OSError):
+            pass
     runners = {
         1: lambda: config1_cavi_sns(ref_sns, args.iters),
         2: lambda: config2_caviar_flagship(
