@@ -69,13 +69,8 @@ class Model:
         mesh = fit_options.pop("mesh", None)
         track_elbo = bool(fit_options.get("track_elbo"))
         if mesh is not None:
-            if track_elbo:
-                raise ValueError(
-                    "track_elbo is not supported with mesh= yet; run the "
-                    "single-device solver or use solvers.diagnostics."
-                    "elbo_trajectory on a save_histories fit"
-                )
-            # trial-sharded fit over a device mesh
+            # trial-sharded fit over a device mesh (track_elbo supported:
+            # the sharded solver psums the bound per iteration)
             from .parallel import caviar_sharded
 
             result = caviar_sharded(

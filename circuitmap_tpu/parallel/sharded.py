@@ -977,6 +977,52 @@ def mbcs_sharded(
 # ---------------------------------------------------------------------------
 
 
+def _elbo_sharded(y, stim, state, hyper, k_global):
+    """Trial-sharded evidence lower bound (solvers.diagnostics.elbo_device
+    with every trial reduction psum'd; replicated scalar out). Padded
+    trials are inert (zero y/lam/stim/z), so only the explicit
+    trial-count factor uses k_global."""
+    from jax.scipy.special import digamma, gammaln
+    from jax.nn import log_sigmoid
+
+    mu_prior, beta_prior, shape_prior, rate_prior, _pp, _pc = hyper
+    mu, var = state.mu, jnp.clip(state.beta, 1e-12, None)
+    lam, a, b, phi, z = state.lam, state.shape, state.rate, state.phi, state.z
+
+    e_tau = a / b
+    e_log_tau = digamma(a) - jnp.log(b)
+    resid = y - z - mu @ lam
+    parts = jnp.stack([
+        jnp.sum(resid * resid),
+        jnp.sum(jnp.square(mu[:, None] * lam)),
+        jnp.sum((mu * mu + var)[:, None] * lam),
+    ])
+    drive = phi[:, 0:1] * stim - phi[:, 1:2]
+    targeted = stim > 0
+    logp = lam * log_sigmoid(drive) + (1.0 - lam) * log_sigmoid(-drive)
+    lam_c = jnp.clip(lam, 1e-7, 1.0 - 1e-7)
+    ent = jnp.where(targeted,
+                    lam_c * jnp.log(lam_c) + (1 - lam_c) * jnp.log(1 - lam_c),
+                    0.0)
+    spike_parts = jnp.stack([
+        jnp.sum(jnp.where(targeted, logp, 0.0)),
+        -jnp.sum(ent),
+    ])
+    red = _psum(jnp.concatenate([parts, spike_parts]))
+    e_sq = red[0] - red[1] + red[2]
+    e_loglik = (0.5 * k_global * (e_log_tau - jnp.log(2 * jnp.pi))
+                - 0.5 * e_tau * e_sq)
+    kl_w = jnp.sum(
+        0.5 * (jnp.log(jnp.square(beta_prior) / var)
+               + (var + jnp.square(mu - mu_prior)) / jnp.square(beta_prior)
+               - 1.0))
+    kl_tau = ((a - shape_prior) * digamma(a) - gammaln(a)
+              + gammaln(shape_prior)
+              + shape_prior * (jnp.log(b) - jnp.log(rate_prior))
+              + a * (rate_prior - b) / b)
+    return e_loglik - kl_w - kl_tau + red[3] + red[4]
+
+
 def _iteration(state, it, data, hyper, static):
     (y, stim, lam_mask, valid, powers, levels, power_counts, k_global) = data
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior = hyper
@@ -1021,6 +1067,7 @@ def _iteration(state, it, data, hyper, static):
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
         "save_histories", "start_iter", "sweep_block_size",
+        "track_elbo", "elbo_tol",
     ),
 )
 def _run_sharded(
@@ -1030,6 +1077,7 @@ def _run_sharded(
     minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
     max_backtrack_iters, tol, spont_orthogonality, analytic_mc,
     save_histories=False, start_iter=0, sweep_block_size=1,
+    track_elbo=False, elbo_tol=None,
 ):
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -1063,16 +1111,43 @@ def _run_sharded(
         else:
             init = init_state
 
-        def step(state, it):
-            new = _iteration(state, it, data, hyper, static)
-            hist = (
+        def _snap(new):
+            return (
                 (new.mu, new.beta, new.lam, new.shape, new.rate, new.phi,
                  new.phi_cov, new.z)
                 if save_histories else None
             )
-            return new, hist
 
-        return lax.scan(step, init, jnp.arange(start_iter, start_iter + iters))
+        if not track_elbo:
+
+            def step(state, it):
+                new = _iteration(state, it, data, hyper, static)
+                return new, (_snap(new), None)
+
+            return lax.scan(step, init,
+                            jnp.arange(start_iter, start_iter + iters))
+
+        # per-iteration psum'd ELBO as scan ys; with elbo_tol the
+        # iteration body is cond-skipped once converged (all devices
+        # see the same replicated bound, so they agree on `done`)
+        neg_inf = jnp.asarray(-jnp.inf, y.dtype)
+
+        def step(carry, it):
+            state, prev, done = carry
+            new = lax.cond(
+                done, lambda s: s,
+                lambda s: _iteration(s, it, data, hyper, static), state)
+            e = jnp.where(done, prev,
+                          _elbo_sharded(y, stim, new, hyper, k_global))
+            if elbo_tol is not None:
+                rel = jnp.abs(e - prev) / jnp.maximum(jnp.abs(prev), 1e-12)
+                done = done | ((it > start_iter) & (rel < elbo_tol))
+            return (new, e, done), (_snap(new), e)
+
+        (final, _, _), ys = lax.scan(
+            step, (init, neg_inf, jnp.asarray(False)),
+            jnp.arange(start_iter, start_iter + iters))
+        return final, ys
 
     state_spec = CaviarState(
         mu=P(), beta=P(), lam=P(None, TRIAL_AXIS), shape=P(), rate=P(),
@@ -1086,6 +1161,9 @@ def _run_sharded(
          P(None, TRIAL_AXIS))
         if save_histories else None
     )
+    # scan ys = (histories, per-iter ELBO); the bound is a psum'd
+    # replicated scalar per iteration
+    hist_spec = (hist_spec, P() if track_elbo else None)
     init_spec = None if init_state is None else state_spec
     sharded = jax.shard_map(
         body,
@@ -1192,6 +1270,8 @@ def caviar_sharded(
     powers=None,
     sweep_impl="auto",
     sweep_block_size=1,
+    track_elbo=False,
+    elbo_tol=None,
     verbose=True,
 ):
     """Fit CAVIaR with the trial axis sharded over ``mesh``.
@@ -1209,6 +1289,11 @@ def caviar_sharded(
     single-device blocked sweep exactly. ``sweep_impl`` is accepted so a
     single-device fit config can add ``mesh`` without edits, but is
     ignored — the sharded sweep is its own psum formulation.
+    ``track_elbo``/``elbo_tol`` match solvers.caviar: the bound is
+    computed with psum'd trial reductions every iteration (appended as
+    the 18th return element ``(elbos, converged_at)``), and the early
+    stop is consistent across devices because the replicated bound is
+    identical everywhere.
     """
     del sweep_impl
     prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
@@ -1221,7 +1306,7 @@ def caviar_sharded(
         print(f"Running CAVIaR sharded over {mesh.devices.size} devices "
               f"(K={K}, pad={prep['pad']}).")
 
-    final, hists = _run_sharded(
+    final, (hists, elbos) = _run_sharded(
         *prep["device_args"],
         jnp.asarray(mu_prior, dtype),
         jnp.asarray(beta_prior, dtype),
@@ -1244,6 +1329,8 @@ def caviar_sharded(
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
         sweep_block_size=int(sweep_block_size),
+        track_elbo=bool(track_elbo),
+        elbo_tol=None if elbo_tol is None else float(elbo_tol),
     )
 
     mu, beta = final.mu, final.beta
@@ -1277,5 +1364,15 @@ def caviar_sharded(
     else:
         hist_arrs = [None] * 8
 
-    return (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None,
-            *hist_arrs)
+    out = (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None,
+           *hist_arrs)
+    if track_elbo:
+        e = np.asarray(elbos)
+        # converged_at = first frozen index (trailing values repeat the
+        # stopping bound exactly once converged), else the full budget
+        same = np.flatnonzero(np.diff(e) == 0.0)
+        converged_at = int(same[0] + 1) if (
+            elbo_tol is not None and same.size
+            and np.all(e[same[0]:] == e[same[0]])) else int(iters)
+        out = out + ((e, converged_at),)
+    return out

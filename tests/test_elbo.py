@@ -69,11 +69,30 @@ def test_elbo_matches_host_diagnostics(sim):
     np.testing.assert_allclose(m.elbo[it], host["elbo"], rtol=2e-4)
 
 
-def test_track_elbo_rejected_on_mesh(sim):
+def test_sharded_elbo_matches_single_device(sim):
+    """The psum'd sharded bound must match the single-device bound on
+    the same fit (up to reduction reassociation)."""
+    from circuitmap_tpu.parallel import trial_mesh
+
+    single = _fit(sim, track_elbo=True)
+    m = Model(30)
+    m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+          fit_options=dict(iters=20, verbose=False, seed=0, fn_scan=False,
+                           analytic_mc=True, mesh=trial_mesh(8),
+                           track_elbo=True))
+    assert m.elbo.shape == (20,)
+    np.testing.assert_allclose(m.elbo, single.elbo, rtol=2e-3, atol=1e-2)
+
+
+def test_sharded_elbo_early_stop(sim):
     from circuitmap_tpu.parallel import trial_mesh
 
     m = Model(30)
-    with pytest.raises(ValueError, match="track_elbo"):
-        m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
-              fit_options=dict(iters=2, verbose=False, mesh=trial_mesh(2),
-                               track_elbo=True))
+    m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+          fit_options=dict(iters=20, verbose=False, seed=0, fn_scan=False,
+                           analytic_mc=True, mesh=trial_mesh(4),
+                           track_elbo=True, elbo_tol=1e-6))
+    t = m.elbo_converged_at
+    assert 1 <= t <= 20
+    if t < 20:
+        assert np.all(m.elbo[t:] == m.elbo[t])
