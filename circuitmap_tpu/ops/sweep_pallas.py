@@ -659,3 +659,258 @@ sweep_spikes_pallas_dma_v = _make_sweep_with_batching(
 sweep_spikes_pallas_dma_interpret_v = _make_sweep_with_batching(
     True, single_fn=sweep_spikes_pallas_dma
 )
+
+
+# ---------------------------------------------------------------------------
+# Blocked manual-DMA kernel: B=8-row blocks over the NATIVE 2-D layout.
+#
+# The row-at-a-time kernels above must take lam/stim as [N, 1, K] views
+# (Mosaic row-DMA of a 2-D T(8,128) array is misaligned on dim 0), and
+# XLA pays a physical [N, K] <-> [N, 1, K] relayout copy every iteration
+# to feed them — profiled at 0.57 ms/iteration at the bench shape, ~20%
+# of the whole CAVI step. DMA-ing 8-row-aligned BLOCKS of the plain 2-D
+# array is tile-aligned, so this kernel needs no view at all, and the
+# sequential chain shortens from N steps to N/8 (Jacobi within a block,
+# Gauss-Seidel across blocks — the sweep_block_size=8 schedule of
+# solvers/caviar.sweep_spikes, with block-consecutive row order).
+# ---------------------------------------------------------------------------
+
+
+def _sweep_kernel_dma_blocked(
+    # SMEM inputs
+    border_ref,       # [NB] int32 — block visit order (permutation of blocks)
+    mu_ref,           # [N]
+    beta_ref,         # [N]
+    m0_ref,           # [N]
+    m1_ref,           # [N]
+    powers_ref,       # [P]
+    counts_ref,       # [N, P]
+    scalars_ref,      # [4]: sig, msrmp_eff, min_spike_count, gate_active
+    # VMEM inputs
+    y_ref,            # [K]
+    lam_mask_ref,     # [K]
+    r_init_ref,       # [K]
+    # HBM inputs / output (manually DMA'd, NATIVE 2-D layout)
+    lam_hbm,          # [N, K]
+    stim_hbm,         # [N, K]
+    out_hbm,          # [N, K]
+    # scratch
+    r_ref,            # [K] VMEM
+    lam_buf,          # [D, B, K] VMEM ring
+    stim_buf,         # [D, B, K] VMEM ring
+    out_buf,          # [D, B, K] VMEM ring
+    in_sems,          # DMA (D, 2)
+    out_sems,         # DMA (D,)
+):
+    NB = border_ref.shape[0]
+    D, B, _K = lam_buf.shape
+
+    def in_dmas(t, slot):
+        n0 = border_ref[t] * B
+        return (
+            pltpu.make_async_copy(lam_hbm.at[pl.ds(n0, B)], lam_buf.at[slot],
+                                  in_sems.at[slot, 0]),
+            pltpu.make_async_copy(stim_hbm.at[pl.ds(n0, B)], stim_buf.at[slot],
+                                  in_sems.at[slot, 1]),
+        )
+
+    def out_dma(t, slot):
+        n0 = border_ref[t] * B
+        return pltpu.make_async_copy(out_buf.at[slot],
+                                     out_hbm.at[pl.ds(n0, B)],
+                                     out_sems.at[slot])
+
+    r_ref[...] = r_init_ref[...]
+
+    for s in range(min(D, NB)):  # static warm-up prefetch
+        for dma in in_dmas(s, s):
+            dma.start()
+
+    sig = scalars_ref[0]
+    msrmp_eff = scalars_ref[1]
+    min_count = scalars_ref[2]
+    gate_active = scalars_ref[3]
+    P = powers_ref.shape[0]
+
+    def body(t, _):
+        slot = jax.lax.rem(t, D)
+        for dma in in_dmas(t, slot):
+            dma.wait()
+        n0 = border_ref[t] * B
+
+        lam_b = lam_buf[slot]                       # [B, K]
+        stim_b = stim_buf[slot]
+        mu_b = jnp.stack([mu_ref[n0 + j] for j in range(B)])      # [B]
+        beta_b = jnp.stack([beta_ref[n0 + j] for j in range(B)])
+        m0_b = jnp.stack([m0_ref[n0 + j] for j in range(B)])
+        m1_b = jnp.stack([m1_ref[n0 + j] for j in range(B)])
+
+        r = r_ref[...]
+        r_excl = r[None, :] - mu_b[:, None] * lam_b
+        quad = sig * (
+            -2.0 * y_ref[...][None, :] * mu_b[:, None]
+            + 2.0 * mu_b[:, None] * r_excl
+            + (mu_b * mu_b + beta_b * beta_b)[:, None]
+        )
+        est = (
+            lam_mask_ref[...][None, :]
+            * (stim_b > 0).astype(lam_b.dtype)
+            * jax.nn.sigmoid(m0_b[:, None] * stim_b - m1_b[:, None]
+                             - 0.5 * quad)
+        )
+
+        # per-row per-power spike rates -> suffix-mean-max isotonic gate
+        rates = []
+        for p in range(P):
+            s_p = jnp.sum(jnp.where(stim_b == powers_ref[p], est, 0.0),
+                          axis=1)                                # [B]
+            c_p = jnp.stack(
+                [counts_ref[n0 + j, p] for j in range(B)])       # [B]
+            rates.append(s_p / (c_p + 1e-4 * (c_p == 0.0)))
+        iso_max = rates[P - 1]
+        acc = rates[P - 1]
+        cnt = 1.0
+        for p in range(P - 2, -1, -1):
+            acc = acc + rates[p]
+            cnt = cnt + 1.0
+            iso_max = jnp.maximum(iso_max, acc / cnt)
+
+        total = jnp.sum(est, axis=1)
+        ok = jnp.logical_and(iso_max >= msrmp_eff, total >= min_count)
+        gate = jnp.where(gate_active > 0, ok.astype(est.dtype),
+                         jnp.ones((B,), est.dtype))
+
+        new_lam = est * gate[:, None]
+        new_mu = mu_b * gate
+        r = r + jnp.sum(new_mu[:, None] * new_lam - mu_b[:, None] * lam_b,
+                        axis=0)
+
+        @pl.when(t >= D)
+        def _():  # slot reuse: the store issued D steps ago must be done
+            out_dma(t - D, slot).wait()
+
+        out_buf[slot] = new_lam
+        r_ref[...] = r
+        out_dma(t, slot).start()
+
+        @pl.when(t + D < NB)
+        def _():
+            for dma in in_dmas(t + D, slot):
+                dma.start()
+
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    def drain(j, _):
+        t = NB - jnp.minimum(D, NB) + j
+        out_dma(t, jax.lax.rem(t, D)).wait()
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(D, NB), drain, 0)
+
+
+@partial(jax.jit, static_argnames=("interpret", "depth", "block_size"))
+def sweep_spikes_pallas_dma_blocked(
+    y,
+    stim,
+    mu,
+    beta,
+    lam,
+    sig,
+    m0,
+    m1,
+    lam_mask,
+    powers,
+    power_counts,
+    border,
+    msrmp_eff,
+    minimum_spike_count,
+    gate_active,
+    interpret=False,
+    depth=4,
+    block_size=8,
+):
+    """Blocked manual-DMA sweep: visits blocks of ``block_size``
+    consecutive rows in the order given by ``border`` (a permutation of
+    block indices). Semantics == solvers.caviar.sweep_spikes with
+    ``block_size`` and a block-consecutive row order. ``block_size``
+    must be a multiple of 8 (Mosaic sublane tiling); N pads up with
+    inert rows (zero mu/lam/stim) and K pads to a lane multiple of 128.
+    """
+    N, K = lam.shape
+    dtype = lam.dtype
+    B = block_size
+    assert B % 8 == 0, "block_size must be a multiple of 8 (T(8,128) tiling)"
+
+    K128 = -(-K // 128) * 128
+    # the three [depth, B, K128] rings must fit the ~16 MB scoped-vmem
+    # budget alongside r/y/masks; clamp depth to ~12 MB of ring
+    bytes_per_slot = 3 * B * K128 * jnp.dtype(dtype).itemsize
+    depth = max(2, min(depth, int(12e6 // max(bytes_per_slot, 1))))
+    NB_pad = (-(-N // B)) * B
+    if K128 != K:
+        pad = K128 - K
+        y = jnp.pad(y, (0, pad))
+        lam_mask = jnp.pad(lam_mask, (0, pad))
+        lam = jnp.pad(lam, ((0, 0), (0, pad)))
+        stim = jnp.pad(stim, ((0, 0), (0, pad)))
+    if NB_pad != N:
+        rpad = NB_pad - N
+        lam = jnp.pad(lam, ((0, rpad), (0, 0)))
+        stim = jnp.pad(stim, ((0, rpad), (0, 0)))
+        mu = jnp.pad(mu, (0, rpad))
+        beta = jnp.pad(beta, (0, rpad))
+        m0 = jnp.pad(m0, (0, rpad))
+        m1 = jnp.pad(m1, (0, rpad))
+        power_counts = jnp.pad(power_counts, ((0, rpad), (0, 0)))
+
+    scalars = jnp.stack(
+        [
+            jnp.asarray(sig, dtype),
+            jnp.asarray(msrmp_eff, dtype),
+            jnp.asarray(minimum_spike_count, dtype),
+            jnp.asarray(gate_active, dtype),
+        ]
+    )
+    r_init = mu @ lam
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = lambda: pl.BlockSpec(memory_space=pl.ANY)
+
+    out = pl.pallas_call(
+        _sweep_kernel_dma_blocked,
+        in_specs=[
+            smem(),  # border
+            smem(),  # mu
+            smem(),  # beta
+            smem(),  # m0
+            smem(),  # m1
+            smem(),  # powers
+            smem(),  # counts
+            smem(),  # scalars
+            vmem(),  # y
+            vmem(),  # lam_mask
+            vmem(),  # r_init
+            anym(),  # lam (HBM, native 2-D)
+            anym(),  # stim (HBM, native 2-D)
+        ],
+        out_specs=anym(),
+        out_shape=jax.ShapeDtypeStruct((NB_pad, K128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((K128,), dtype),
+            pltpu.VMEM((depth, B, K128), dtype),
+            pltpu.VMEM((depth, B, K128), dtype),
+            pltpu.VMEM((depth, B, K128), dtype),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        interpret=interpret,
+    )(
+        border.astype(jnp.int32), mu, beta, m0, m1, powers,
+        power_counts.astype(dtype), scalars,
+        y, lam_mask, r_init,
+        lam, stim,
+    )
+    return out[:N, :K]

@@ -340,7 +340,27 @@ def _iteration(state: CaviarState, it, data, hyper, static):
     )
     sig = state.shape / state.rate
     impl = static["sweep_impl"]
-    if impl.startswith("pallas"):
+    if impl.startswith("pallas_blocked"):
+        from ..ops import sweep_pallas as sp
+
+        # blocked manual-DMA kernel over the native 2-D layout: visits
+        # blocks of sweep_block_size consecutive rows in permuted block
+        # order (no [N,1,K] relayout, N/B sequential steps). The order
+        # here is over BLOCKS, including any inert padding block.
+        B = static["sweep_block_size"]
+        nb_pad = -(-N // B)
+        if static.get("update_order", "random") == "identity":
+            border = jnp.arange(nb_pad)
+        else:
+            border = jax.random.permutation(k_order, nb_pad)
+        lam = sp.sweep_spikes_pallas_dma_blocked(
+            y, stim, mu, beta, state.lam, sig, m0, m1, lam_mask, powers,
+            data[4], border, static["msrmp"] + state.spont_rate,
+            static["minimum_spike_count"],
+            (it > static["delay_spont_est"]).astype(y.dtype),
+            interpret=impl.endswith("interpret"), block_size=B,
+        )
+    elif impl.startswith("pallas"):
         from ..ops import sweep_pallas as sp
 
         # custom-vmap wrappers: under jax.vmap (solvers/batched.caviar_many)
@@ -799,13 +819,22 @@ def _reconnect_and_refit_device(stim, lam, mu, beta, z, powers,
 
 
 def _resolve_sweep_impl(sweep_impl, block_size):
-    """'auto' -> the Pallas kernel on TPU-class backends, XLA elsewhere."""
+    """'auto' -> the Pallas kernel on TPU-class backends, XLA elsewhere.
+
+    With block_size > 1 on TPU (a multiple of 8), resolves to the
+    blocked manual-DMA kernel — block DMAs of the native 2-D layout,
+    no per-iteration [N,1,K] relayout, N/B sequential steps.
+    """
+    if sweep_impl == "pallas" and block_size > 1:
+        sweep_impl = "auto"  # route to the blocked kernel below
     if sweep_impl != "auto":
         return sweep_impl
-    if block_size != 1:
-        return "xla"
     platform = jax.devices()[0].platform
-    return "pallas" if platform in ("tpu", "axon") else "xla"
+    on_tpu = platform in ("tpu", "axon")
+    if block_size != 1:
+        return ("pallas_blocked"
+                if on_tpu and block_size % 8 == 0 else "xla")
+    return "pallas" if on_tpu else "xla"
 
 
 def caviar(

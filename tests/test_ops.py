@@ -174,3 +174,147 @@ class TestMonotoneFilter:
         got = np.asarray(monotone_decay_filter(jnp.array(arr), start=0))
         want = np.minimum.accumulate(arr, axis=1)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestBlockedDmaSweep:
+    """Blocked manual-DMA kernel == XLA blocked sweep with the matching
+    block-consecutive order (exact, incl. N not a multiple of the block)."""
+
+    def _inputs(self, N, K, seed=0):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        stim = np.zeros((N, K), np.float32)
+        for k in range(K):
+            stim[rng.choice(N, 3, replace=False), k] = rng.choice(
+                [45.0, 55.0, 65.0])
+        powers = jnp.asarray([45.0, 55.0, 65.0], jnp.float32)
+        counts = np.stack([(stim == p).sum(1) for p in (45., 55., 65.)],
+                          1).astype(np.float32)
+        lam = (rng.random((N, K)) * (stim > 0)).astype(np.float32)
+        args = dict(
+            y=jnp.asarray(np.abs(rng.normal(size=K)), jnp.float32),
+            stim=jnp.asarray(stim),
+            mu=jnp.asarray(rng.uniform(0, 2, N), jnp.float32),
+            beta=jnp.asarray(rng.uniform(0.1, 1, N), jnp.float32),
+            lam=jnp.asarray(lam),
+            sig=jnp.float32(1.3),
+            m0=jnp.asarray(rng.uniform(0.05, 0.2, N), jnp.float32),
+            m1=jnp.asarray(rng.uniform(3, 8, N), jnp.float32),
+            lam_mask=jnp.asarray((rng.random(K) > 0.05), jnp.float32),
+            powers=powers,
+        )
+        return args, jnp.asarray(counts)
+
+    @pytest.mark.parametrize("N,K", [(64, 300), (60, 257)])
+    def test_matches_xla_blocked(self, N, K):
+        import jax.numpy as jnp
+        from circuitmap_tpu.ops.sweep_pallas import (
+            sweep_spikes_pallas_dma_blocked)
+        from circuitmap_tpu.solvers.caviar import sweep_spikes
+
+        B = 8
+        args, counts = self._inputs(N, K)
+        nb_pad = -(-N // B)
+        rng = np.random.default_rng(7)
+        border = jnp.asarray(rng.permutation(nb_pad), jnp.int32)
+
+        got = sweep_spikes_pallas_dma_blocked(
+            args["y"], args["stim"], args["mu"], args["beta"], args["lam"],
+            args["sig"], args["m0"], args["m1"], args["lam_mask"],
+            args["powers"], counts, border, jnp.float32(0.3),
+            jnp.float32(3.0), jnp.float32(1.0),
+            interpret=True, block_size=B)
+
+        # reference: XLA blocked sweep on the row-padded problem with the
+        # equivalent block-consecutive per-neuron order
+        Npad = nb_pad * B
+        pad = Npad - N
+        def rpad(a, n=1):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) \
+                if pad else a
+        order = (np.asarray(border)[:, None] * B
+                 + np.arange(B)[None, :]).ravel()
+        want = sweep_spikes(
+            args["y"], rpad(args["stim"]), rpad(args["mu"]),
+            rpad(args["beta"]), rpad(args["lam"]), args["sig"],
+            rpad(args["m0"]), rpad(args["m1"]), args["lam_mask"],
+            args["powers"], jnp.asarray(order), jnp.float32(0.3),
+            jnp.float32(3.0), gate_active=jnp.asarray(True), block_size=B)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want)[:N],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gate_inactive_passthrough(self):
+        import jax.numpy as jnp
+        from circuitmap_tpu.ops.sweep_pallas import (
+            sweep_spikes_pallas_dma_blocked)
+        from circuitmap_tpu.solvers.caviar import sweep_spikes
+
+        N, K, B = 32, 200, 8
+        args, counts = self._inputs(N, K, seed=3)
+        border = jnp.arange(N // B, dtype=jnp.int32)
+        got = sweep_spikes_pallas_dma_blocked(
+            args["y"], args["stim"], args["mu"], args["beta"], args["lam"],
+            args["sig"], args["m0"], args["m1"], args["lam_mask"],
+            args["powers"], counts, border, jnp.float32(0.3),
+            jnp.float32(3.0), jnp.float32(0.0),   # gate inactive
+            interpret=True, block_size=B)
+        want = sweep_spikes(
+            args["y"], args["stim"], args["mu"], args["beta"], args["lam"],
+            args["sig"], args["m0"], args["m1"], args["lam_mask"],
+            args["powers"], jnp.arange(N), jnp.float32(0.3),
+            jnp.float32(3.0), gate_active=jnp.asarray(False), block_size=B)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestBlockedDmaFullFit:
+    def test_full_fit_matches_xla_blocked(self):
+        """caviar with sweep_impl='pallas_blocked_interpret' must match
+        sweep_impl='xla' + the same blocked schedule... the orders differ
+        (block-permuted vs neuron-permuted), so compare RECOVERY quality
+        instead: both fits on the same sim land at the same support."""
+        import jax.numpy as jnp
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.simulation import simulate
+        from circuitmap_tpu.solvers import caviar
+        from circuitmap_tpu.utils.metrics import r2_score
+
+        np.random.seed(21)
+        sim = simulate(N=48, trials=400, H=5, connection_prob=0.1,
+                       spont_prob=0.01, gp_scale=1e-3, verbose=False)
+        p = default_priors(48)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        kw = dict(iters=12, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True, sweep_block_size=8)
+        a = caviar(*args, sweep_impl="pallas_blocked_interpret", **kw)
+        b = caviar(*args, sweep_impl="xla", **kw)
+        r2a = r2_score(sim["weights"], np.asarray(a[0]))
+        r2b = r2_score(sim["weights"], np.asarray(b[0]))
+        assert r2a > 0.8 and r2b > 0.8
+        np.testing.assert_array_equal(np.asarray(a[0]) != 0,
+                                      np.asarray(b[0]) != 0)
+
+    def test_identity_order_exact_match(self):
+        """With update_order='identity' the blocked kernel and the XLA
+        blocked sweep follow the SAME schedule -> full fits match."""
+        import jax.numpy as jnp
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.simulation import simulate
+        from circuitmap_tpu.solvers import caviar
+
+        np.random.seed(22)
+        sim = simulate(N=48, trials=400, H=5, connection_prob=0.1,
+                       spont_prob=0.01, gp_scale=1e-3, verbose=False)
+        p = default_priors(48)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        kw = dict(iters=10, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True, sweep_block_size=8,
+                  update_order="identity")
+        a = caviar(*args, sweep_impl="pallas_blocked_interpret", **kw)
+        b = caviar(*args, sweep_impl="xla", **kw)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                                   rtol=2e-4, atol=1e-4)
