@@ -1032,7 +1032,10 @@ def _iteration(state, it, data, hyper, static):
 
     key, k_order, k_mc = jax.random.split(state.key, 3)
     N = stim.shape[0]
-    order = jax.random.permutation(k_order, N)  # replicated: same key everywhere
+    if static.get("update_order", "random") == "identity":
+        order = jnp.arange(N)  # deterministic schedule (parity measurement runs)
+    else:
+        order = jax.random.permutation(k_order, N)  # replicated: same key everywhere
     m0, m1 = powercurve_logit_means(
         k_mc, state.phi, state.phi_cov, static["num_mc_samples"],
         static["analytic_mc"],
@@ -1067,7 +1070,7 @@ def _iteration(state, it, data, hyper, static):
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
         "save_histories", "start_iter", "sweep_block_size",
-        "track_elbo", "elbo_tol",
+        "track_elbo", "elbo_tol", "update_order",
     ),
 )
 def _run_sharded(
@@ -1077,7 +1080,7 @@ def _run_sharded(
     minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
     max_backtrack_iters, tol, spont_orthogonality, analytic_mc,
     save_histories=False, start_iter=0, sweep_block_size=1,
-    track_elbo=False, elbo_tol=None,
+    track_elbo=False, elbo_tol=None, update_order="random",
 ):
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -1091,6 +1094,7 @@ def _run_sharded(
         spont_orthogonality=spont_orthogonality,
         analytic_mc=analytic_mc,
         sweep_block_size=sweep_block_size,
+        update_order=update_order,
     )
     hyper_specs = (P(), P(), P(), P(), P(), P())
 
@@ -1272,6 +1276,7 @@ def caviar_sharded(
     sweep_block_size=1,
     track_elbo=False,
     elbo_tol=None,
+    update_order="random",
     verbose=True,
 ):
     """Fit CAVIaR with the trial axis sharded over ``mesh``.
@@ -1331,6 +1336,7 @@ def caviar_sharded(
         sweep_block_size=int(sweep_block_size),
         track_elbo=bool(track_elbo),
         elbo_tol=None if elbo_tol is None else float(elbo_tol),
+        update_order=str(update_order),
     )
 
     mu, beta = final.mu, final.beta

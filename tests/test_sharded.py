@@ -454,3 +454,20 @@ class TestShardedBlockedSweep:
 
         np.testing.assert_allclose(np.asarray(f(1)), np.asarray(f(4)),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestShardedUpdateOrder:
+    def test_identity_order_matches_single_device_exactly(self, sim, mesh8):
+        """update_order='identity' + analytic_mc makes both solvers
+        fully deterministic on the SAME schedule -> tight agreement."""
+        args = _fit_args(sim, 40)
+        kw = dict(iters=10, seed=0, verbose=False, fn_scan=False,
+                  analytic_mc=True, update_order="identity")
+        single = caviar(*args, sweep_impl="xla", **kw)
+        sharded = caviar_sharded(*args, mesh=mesh8, **kw)
+        np.testing.assert_allclose(np.asarray(single[0]),
+                                   np.asarray(sharded[0]),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(single[2]),
+                                   np.asarray(sharded[2]),
+                                   rtol=2e-3, atol=1e-3)
