@@ -432,9 +432,9 @@ def _sweep_kernel_batched(
     powers_ref,       # [P]
     scalars_ref,      # [B, 4]: sig, msrmp_eff, min_count, gate_active per map
     # blocked operands (one experiment / one row per grid step)
-    y_ref,            # (1, K) VMEM
-    lam_mask_ref,     # (1, K) VMEM
-    r_init_ref,       # (1, K) VMEM
+    y_ref,            # (1, 1, K) VMEM — [B, 1, K] view (Mosaic: a (1, K)
+    lam_mask_ref,     # (1, 1, K) VMEM    block of [B, K] violates the
+    r_init_ref,       # (1, 1, K) VMEM    8-sublane tiling rule on real TPU)
     mu_row_ref,       # (1, 1, 1, 1) VMEM — mu[b, order[b, j]]
     beta_row_ref,     # (1, 1, 1, 1)
     m0_row_ref,       # (1, 1, 1, 1)
@@ -452,7 +452,7 @@ def _sweep_kernel_batched(
 
     @pl.when(j == 0)
     def _init():
-        r_ref[...] = r_init_ref[0, :]
+        r_ref[...] = r_init_ref[0, 0, :]
 
     sig = scalars_ref[b, 0]
     msrmp_eff = scalars_ref[b, 1]
@@ -466,11 +466,11 @@ def _sweep_kernel_batched(
 
     r_excl = r_ref[...] - mu_n * lam_n
     quad = sig * (
-        -2.0 * y_ref[0, :] * mu_n + 2.0 * mu_n * r_excl
+        -2.0 * y_ref[0, 0, :] * mu_n + 2.0 * mu_n * r_excl
         + (mu_n * mu_n + beta_n * beta_n)
     )
     est = (
-        lam_mask_ref[0, :]
+        lam_mask_ref[0, 0, :]
         * (stim_n > 0).astype(lam_n.dtype)
         * jax.nn.sigmoid(
             m0_row_ref[0, 0, 0, 0] * stim_n - m1_row_ref[0, 0, 0, 0]
@@ -549,7 +549,7 @@ def sweep_spikes_pallas_batched(
 
     def _expt(b, j, order):
         del j, order
-        return (b, 0)
+        return (b, 0, 0)
 
     def _row(b, j, order):
         return (b, order[b, j], 0, 0)
@@ -560,9 +560,13 @@ def sweep_spikes_pallas_batched(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # powers
             pl.BlockSpec(memory_space=pltpu.SMEM),        # scalars
-            pl.BlockSpec((1, K), _expt),                  # y
-            pl.BlockSpec((1, K), _expt),                  # lam_mask
-            pl.BlockSpec((1, K), _expt),                  # r_init
+            # [B, 1, K] views with (1, 1, K) blocks: trailing block dims
+            # equal the array dims, so any K satisfies Mosaic tiling (a
+            # (1, K) block of [B, K] requires 8 | 1 on real TPU — the
+            # interpret-mode tests never caught this)
+            pl.BlockSpec((1, 1, K), _expt),               # y
+            pl.BlockSpec((1, 1, K), _expt),               # lam_mask
+            pl.BlockSpec((1, 1, K), _expt),               # r_init
             pl.BlockSpec((1, 1, 1, 1), _row),             # mu row
             pl.BlockSpec((1, 1, 1, 1), _row),             # beta row
             pl.BlockSpec((1, 1, 1, 1), _row),             # m0 row
@@ -584,7 +588,7 @@ def sweep_spikes_pallas_batched(
         order.astype(jnp.int32),
         powers,
         scalars,
-        y, lam_mask, r_init,
+        y[:, None, :], lam_mask[:, None, :], r_init[:, None, :],
         mu[:, :, None, None], beta[:, :, None, None],
         m0[:, :, None, None], m1[:, :, None, None],
         power_counts.astype(dtype)[:, :, None, :],

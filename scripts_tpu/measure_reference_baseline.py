@@ -94,17 +94,20 @@ def config1_cavi_sns(ref_sns, iters):
 
     t0 = time.time()
     ref = ref_sns.cavi_sns(*args, iters=iters, seed=1, save_histories=False)
-    t_ref = time.time() - t0
+    np.asarray(ref[0])  # force completion: async dispatch would stop the
+    t_ref = time.time() - t0   # clock before the compute finishes
 
     from circuitmap_tpu.solvers import cavi_sns
 
     t0 = time.time()
     ours = cavi_sns(*args, iters=iters, seed=1, save_histories=False,
                     verbose=False)
+    np.asarray(ours[0])
     t_cold = time.time() - t0
     t0 = time.time()
     ours = cavi_sns(*args, iters=iters, seed=1, save_histories=False,
                     verbose=False)
+    np.asarray(ours[0])
     t_warm = time.time() - t0
 
     w_ref = np.asarray(ref[0]) * np.asarray(ref[2])
@@ -144,6 +147,7 @@ def config2_caviar_flagship(ref_caviar, iters, N, K):
     t0 = time.time()
     ref = ref_caviar.caviar(*args, iters=iters, msrmp=0.3, seed=0,
                             fn_scan=False)
+    np.asarray(ref[0])  # force completion (async dispatch)
     t_ref = time.time() - t0
 
     from circuitmap_tpu.solvers import caviar
@@ -151,10 +155,12 @@ def config2_caviar_flagship(ref_caviar, iters, N, K):
     t0 = time.time()
     ours = caviar(*args, iters=iters, msrmp=0.3, seed=0, fn_scan=False,
                   verbose=False)
+    np.asarray(ours[0])
     t_cold = time.time() - t0
     t0 = time.time()
     ours = caviar(*args, iters=iters, msrmp=0.3, seed=0, fn_scan=False,
                   verbose=False)
+    np.asarray(ours[0])
     t_warm = time.time() - t0
 
     mu_ref, mu_ours = np.asarray(ref[0]), np.asarray(ours[0])
@@ -275,6 +281,7 @@ def config5_end_to_end(ref_caviar, iters):
         ref_dem, sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
         p["rate"], p["phi"], p["phi_cov"], iters=iters, msrmp=0.3, seed=0,
         fn_scan=False)
+    np.asarray(ref[0])  # force completion (async dispatch)
     t_ref = time.time() - t0
 
     def ours_once():
