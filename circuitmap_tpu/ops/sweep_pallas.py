@@ -925,3 +925,313 @@ def sweep_spikes_pallas_dma_blocked(
         lam, stim,
     )
     return out[:N, :K]
+
+
+# ---------------------------------------------------------------------------
+# Batched blocked kernel: grid over experiments, manual block DMA within.
+#
+# The (B, N)-grid kernel above costs a very long Mosaic compile at
+# production sizes (B*N grid steps; measured ~11 min cold for
+# caviar_many at B=8/N=300 on a v5e) for a modest runtime edge over the
+# XLA sweep. This variant keeps the grid at (B,) — one sequential grid
+# step per experiment — and streams 8-row blocks through the manual DMA
+# ring inside the body, exactly like the single-fit blocked kernel:
+# compile time is that of ONE block body, runtime gains the blocked
+# kernel's no-relayout + N/8-steps advantages for every experiment.
+# ---------------------------------------------------------------------------
+
+
+def _make_blocked_kernel_batched(N, P, B, D, NB):
+    """Closure factory; same packed-SMEM layout as _make_blocked_kernel,
+    one row per experiment."""
+    O_MU, O_BETA, O_M0, O_M1 = 0, N, 2 * N, 3 * N
+    O_CNT = 4 * N
+    O_PW = O_CNT + N * P
+    O_SC = O_PW + P
+
+    def kernel(
+        border_ref,       # [BE, NB] int32 SMEM — per-experiment block order
+        packed_ref,       # [BE, 4N + N*P + P + 4] SMEM
+        y_ref,            # (1, 1, K) VMEM — this experiment's charges
+        lam_mask_ref,     # (1, 1, K) VMEM
+        r_init_ref,       # (1, 1, K) VMEM
+        lam_hbm,          # [BE, N, K] HBM (full)
+        stim_hbm,         # [BE, N, K] HBM
+        out_hbm,          # [BE, N, K] HBM
+        r_ref,            # [K] VMEM scratch
+        lam_buf,          # [D, B, K] VMEM ring
+        stim_buf,         # [D, B, K] VMEM ring
+        out_buf,          # [D, B, K] VMEM ring
+        in_sems,          # DMA (D, 2)
+        out_sems,         # DMA (D,)
+    ):
+        e = pl.program_id(0)
+
+        def in_dmas(t, slot):
+            n0 = border_ref[e, t] * B
+            return (
+                pltpu.make_async_copy(lam_hbm.at[e, pl.ds(n0, B)],
+                                      lam_buf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(stim_hbm.at[e, pl.ds(n0, B)],
+                                      stim_buf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        def out_dma(t, slot):
+            n0 = border_ref[e, t] * B
+            return pltpu.make_async_copy(out_buf.at[slot],
+                                         out_hbm.at[e, pl.ds(n0, B)],
+                                         out_sems.at[slot])
+
+        r_ref[...] = r_init_ref[0, 0, :]
+
+        for s in range(min(D, NB)):
+            for dma in in_dmas(s, s):
+                dma.start()
+
+        sig = packed_ref[e, O_SC + 0]
+        msrmp_eff = packed_ref[e, O_SC + 1]
+        min_count = packed_ref[e, O_SC + 2]
+        gate_active = packed_ref[e, O_SC + 3]
+
+        def body(t, _):
+            slot = jax.lax.rem(t, D)
+            for dma in in_dmas(t, slot):
+                dma.wait()
+            n0 = border_ref[e, t] * B
+
+            lam_b = lam_buf[slot]
+            stim_b = stim_buf[slot]
+            mu_b = jnp.stack(
+                [packed_ref[e, O_MU + n0 + j] for j in range(B)])
+            beta_b = jnp.stack(
+                [packed_ref[e, O_BETA + n0 + j] for j in range(B)])
+            m0_b = jnp.stack(
+                [packed_ref[e, O_M0 + n0 + j] for j in range(B)])
+            m1_b = jnp.stack(
+                [packed_ref[e, O_M1 + n0 + j] for j in range(B)])
+
+            r = r_ref[...]
+            r_excl = r[None, :] - mu_b[:, None] * lam_b
+            quad = sig * (
+                -2.0 * y_ref[0, 0, :][None, :] * mu_b[:, None]
+                + 2.0 * mu_b[:, None] * r_excl
+                + (mu_b * mu_b + beta_b * beta_b)[:, None]
+            )
+            est = (
+                lam_mask_ref[0, 0, :][None, :]
+                * (stim_b > 0).astype(lam_b.dtype)
+                * jax.nn.sigmoid(m0_b[:, None] * stim_b - m1_b[:, None]
+                                 - 0.5 * quad)
+            )
+
+            rates = []
+            for p in range(P):
+                s_p = jnp.sum(
+                    jnp.where(stim_b == packed_ref[e, O_PW + p], est, 0.0),
+                    axis=1)
+                c_p = jnp.stack(
+                    [packed_ref[e, O_CNT + (n0 + j) * P + p]
+                     for j in range(B)])
+                rates.append(s_p / (c_p + 1e-4 * (c_p == 0.0)))
+            iso_max = rates[P - 1]
+            acc = rates[P - 1]
+            cnt = 1.0
+            for p in range(P - 2, -1, -1):
+                acc = acc + rates[p]
+                cnt = cnt + 1.0
+                iso_max = jnp.maximum(iso_max, acc / cnt)
+
+            total = jnp.sum(est, axis=1)
+            ok = jnp.logical_and(iso_max >= msrmp_eff, total >= min_count)
+            gate = jnp.where(gate_active > 0, ok.astype(est.dtype),
+                             jnp.ones((B,), est.dtype))
+
+            new_lam = est * gate[:, None]
+            new_mu = mu_b * gate
+            r = r + jnp.sum(new_mu[:, None] * new_lam
+                            - mu_b[:, None] * lam_b, axis=0)
+
+            @pl.when(t >= D)
+            def _():
+                out_dma(t - D, slot).wait()
+
+            out_buf[slot] = new_lam
+            r_ref[...] = r
+            out_dma(t, slot).start()
+
+            @pl.when(t + D < NB)
+            def _():
+                for dma in in_dmas(t + D, slot):
+                    dma.start()
+
+            return 0
+
+        jax.lax.fori_loop(0, NB, body, 0)
+
+        def drain(j, _):
+            t = NB - jnp.minimum(D, NB) + j
+            out_dma(t, jax.lax.rem(t, D)).wait()
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(D, NB), drain, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "depth", "block_size"))
+def sweep_spikes_pallas_dma_blocked_batched(
+    y,             # [BE, K]
+    stim,          # [BE, N, K]
+    mu,            # [BE, N]
+    beta,          # [BE, N]
+    lam,           # [BE, N, K]
+    sig,           # [BE]
+    m0,            # [BE, N]
+    m1,            # [BE, N]
+    lam_mask,      # [BE, K]
+    powers,        # [P] (shared)
+    power_counts,  # [BE, N, P]
+    border,        # [BE, NB] block orders
+    msrmp_eff,     # [BE]
+    minimum_spike_count,  # [BE] or scalar
+    gate_active,   # [BE] or scalar
+    interpret=False,
+    depth=4,
+    block_size=8,
+):
+    """BE independent blocked sweeps: grid (BE,), manual DMA within."""
+    BE, N, K = lam.shape
+    P = powers.shape[0]
+    dtype = lam.dtype
+    B = block_size
+    assert B % 8 == 0
+
+    K128 = -(-K // 128) * 128
+    bytes_per_slot = 3 * B * K128 * jnp.dtype(dtype).itemsize
+    depth = max(2, min(depth, int(12e6 // max(bytes_per_slot, 1))))
+    NB_pad = (-(-N // B)) * B
+    if K128 != K:
+        pad = K128 - K
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+        lam_mask = jnp.pad(lam_mask, ((0, 0), (0, pad)))
+        lam = jnp.pad(lam, ((0, 0), (0, 0), (0, pad)))
+        stim = jnp.pad(stim, ((0, 0), (0, 0), (0, pad)))
+    if NB_pad != N:
+        rp = NB_pad - N
+        lam = jnp.pad(lam, ((0, 0), (0, rp), (0, 0)))
+        stim = jnp.pad(stim, ((0, 0), (0, rp), (0, 0)))
+        mu = jnp.pad(mu, ((0, 0), (0, rp)))
+        beta = jnp.pad(beta, ((0, 0), (0, rp)))
+        m0 = jnp.pad(m0, ((0, 0), (0, rp)))
+        m1 = jnp.pad(m1, ((0, 0), (0, rp)))
+        power_counts = jnp.pad(power_counts, ((0, 0), (0, rp), (0, 0)))
+
+    ones = jnp.ones((BE,), dtype)
+    packed = jnp.concatenate([
+        mu.astype(dtype), beta.astype(dtype), m0.astype(dtype),
+        m1.astype(dtype),
+        power_counts.astype(dtype).reshape(BE, -1),
+        jnp.broadcast_to(powers.astype(dtype)[None], (BE, P)),
+        jnp.stack([
+            jnp.asarray(sig, dtype) * ones,
+            jnp.asarray(msrmp_eff, dtype) * ones,
+            jnp.asarray(minimum_spike_count, dtype) * ones,
+            jnp.asarray(gate_active, dtype) * ones,
+        ], axis=1),
+    ], axis=1)
+    r_init = jnp.einsum("en,enk->ek", mu, lam)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    anym = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    NBLK = NB_pad // B
+    kernel = _make_blocked_kernel_batched(NB_pad, P, B, depth, NBLK)
+
+    def _expt(e):
+        return (e, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(BE,),
+        in_specs=[
+            smem(),  # border
+            smem(),  # packed
+            pl.BlockSpec((1, 1, K128), _expt),  # y view [BE,1,K]
+            pl.BlockSpec((1, 1, K128), _expt),  # lam_mask
+            pl.BlockSpec((1, 1, K128), _expt),  # r_init
+            anym(),  # lam (HBM)
+            anym(),  # stim (HBM)
+        ],
+        out_specs=anym(),
+        out_shape=jax.ShapeDtypeStruct((BE, NB_pad, K128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((K128,), dtype),
+            pltpu.VMEM((depth, B, K128), dtype),
+            pltpu.VMEM((depth, B, K128), dtype),
+            pltpu.VMEM((depth, B, K128), dtype),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        interpret=interpret,
+    )(
+        border.astype(jnp.int32), packed,
+        y[:, None, :], lam_mask[:, None, :], r_init[:, None, :],
+        lam, stim,
+    )
+    return out[:, :N, :K]
+
+
+def _make_blocked_sweep_with_batching(interpret, block_size):
+    """Blocked single-fit kernel with a custom vmap rule onto the
+    batched blocked kernel (so caviar_many's vmapped iteration keeps
+    the blocked speedup; cf. _make_sweep_with_batching). block_size is
+    a closure parameter (it shapes the kernel, so it must be static —
+    wrappers are cached per (interpret, block_size))."""
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def sweep(y, stim, mu, beta, lam, sig, m0, m1, lam_mask, powers,
+              power_counts, border, msrmp_eff, minimum_spike_count,
+              gate_active):
+        return sweep_spikes_pallas_dma_blocked(
+            y, stim, mu, beta, lam, sig, m0, m1, lam_mask, powers,
+            power_counts, border, msrmp_eff, minimum_spike_count,
+            gate_active, interpret=interpret, block_size=block_size,
+        )
+
+    @sweep.def_vmap
+    def _rule(axis_size, in_batched, y, stim, mu, beta, lam, sig, m0, m1,
+              lam_mask, powers, power_counts, border, msrmp_eff,
+              minimum_spike_count, gate_active):
+        (b_y, b_stim, b_mu, b_beta, b_lam, b_sig, b_m0, b_m1, b_mask,
+         b_powers, b_counts, b_border, b_msrmp, b_minc, b_gate) = in_batched
+        if b_powers:
+            powers = powers[0]
+
+        def bcast(x, batched):
+            x = jnp.asarray(x)
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+
+        out = sweep_spikes_pallas_dma_blocked_batched(
+            bcast(y, b_y), bcast(stim, b_stim), bcast(mu, b_mu),
+            bcast(beta, b_beta), bcast(lam, b_lam), bcast(sig, b_sig),
+            bcast(m0, b_m0), bcast(m1, b_m1), bcast(lam_mask, b_mask),
+            powers, bcast(power_counts, b_counts),
+            bcast(border, b_border), bcast(msrmp_eff, b_msrmp),
+            bcast(minimum_spike_count, b_minc), bcast(gate_active, b_gate),
+            interpret=interpret, block_size=block_size,
+        )
+        return out, True
+
+    return sweep
+
+
+_blocked_sweep_cache = {}
+
+
+def get_blocked_sweep_v(interpret, block_size):
+    """Cached vmappable blocked-sweep wrapper for a given block size."""
+    key = (bool(interpret), int(block_size))
+    if key not in _blocked_sweep_cache:
+        _blocked_sweep_cache[key] = _make_blocked_sweep_with_batching(*key)
+    return _blocked_sweep_cache[key]

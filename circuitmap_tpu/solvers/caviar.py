@@ -353,12 +353,14 @@ def _iteration(state: CaviarState, it, data, hyper, static):
             border = jnp.arange(nb_pad)
         else:
             border = jax.random.permutation(k_order, nb_pad)
-        lam = sp.sweep_spikes_pallas_dma_blocked(
+        # vmappable wrapper: under jax.vmap (caviar_many) this lowers
+        # onto the batched blocked kernel (grid over experiments)
+        fn = sp.get_blocked_sweep_v(impl.endswith("interpret"), B)
+        lam = fn(
             y, stim, mu, beta, state.lam, sig, m0, m1, lam_mask, powers,
             data[4], border, static["msrmp"] + state.spont_rate,
             static["minimum_spike_count"],
             (it > static["delay_spont_est"]).astype(y.dtype),
-            interpret=impl.endswith("interpret"), block_size=B,
         )
     elif impl.startswith("pallas"):
         from ..ops import sweep_pallas as sp

@@ -130,3 +130,33 @@ def test_reconnect_refits_batched_in_one_dispatch(sims, monkeypatch):
                                    rtol=2e-4, atol=2e-5)
     # untouched experiment keeps its in-loop phi
     assert batch[1]["phi"].shape == (24, 2)
+
+
+def test_blocked_kernel_matches_grid_path(sims):
+    """caviar_many with sweep_block_size=8 (batched blocked kernel, here
+    in interpret mode via monkeypatching the resolver) must recover the
+    same support as the default path on identical data."""
+    import jax.numpy as jnp
+    from circuitmap_tpu.solvers import batched as mod
+
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+    stack = (np.stack([s["psc"] for s in sims]),
+             np.stack([s["stim_matrix"] for s in sims]))
+    kw = dict(iters=10, fn_scan=False, analytic_mc=True, seeds=[0, 1, 2],
+              verbose=False)
+
+    default = mod.caviar_many(*stack, *prior_args, **kw)
+    real_resolve = mod._resolve_sweep_impl
+    mod._resolve_sweep_impl = lambda *a, **k: "pallas_blocked_interpret"
+    try:
+        blocked = mod.caviar_many(*stack, *prior_args,
+                                  sweep_block_size=8, **kw)
+    finally:
+        mod._resolve_sweep_impl = real_resolve
+    for b in range(len(sims)):
+        np.testing.assert_array_equal(default[b]["mu"] != 0,
+                                      blocked[b]["mu"] != 0)
+        np.testing.assert_allclose(default[b]["mu"], blocked[b]["mu"],
+                                   rtol=0.05, atol=0.05)
