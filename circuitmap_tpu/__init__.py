@@ -25,6 +25,39 @@ used without pulling in visualization or checkpoint-conversion deps.
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache():
+    """Opt-out persistent XLA compilation cache.
+
+    Cold compiles dominate process startup for production fits (a fresh
+    process re-compiles the whole fused solver: measured 197 s cold vs
+    86 s with a warm cache through the tunneled-TPU remote compiler).
+    Enabled unless the user configured their own cache dir or set
+    CIRCUITMAP_TPU_NO_COMPILE_CACHE=1. Failures are non-fatal — the
+    cache is an optimisation, never a requirement.
+    """
+    import os
+
+    if os.environ.get("CIRCUITMAP_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured one
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "circuitmap_tpu", "jax_cache"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 _LAZY = {
     "Model": ("circuitmap_tpu.model", "Model"),
     "NeuralDemixer": ("circuitmap_tpu.demix", "NeuralDemixer"),
