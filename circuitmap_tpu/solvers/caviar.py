@@ -820,6 +820,17 @@ def _reconnect_and_refit_device(stim, lam, mu, beta, z, powers,
 # ---------------------------------------------------------------------------
 
 
+def _resolve_sweep_block_size(block_size):
+    """'auto' -> 8 on TPU-class backends (the blocked manual-DMA kernel
+    wins there: no per-iteration relayout, N/8 sequential steps, and
+    truth-R2 measured equal within seed noise at the bench config), 1
+    elsewhere (the reference's strictly sequential schedule)."""
+    if block_size == "auto":
+        platform = jax.devices()[0].platform
+        return 8 if platform in ("tpu", "axon") else 1
+    return int(block_size)
+
+
 def _resolve_sweep_impl(sweep_impl, block_size):
     """'auto' -> the Pallas kernel on TPU-class backends, XLA elsewhere.
 
@@ -864,7 +875,7 @@ def caviar(
     fn_scan=True,
     dtype=jnp.float32,
     analytic_mc=False,
-    sweep_block_size=1,
+    sweep_block_size="auto",
     sweep_impl="auto",
     powers=None,
     update_order="random",
@@ -894,6 +905,13 @@ def caviar(
     truncated mean — deterministic and slightly cheaper, but its lack of
     sampling dither can flip borderline connection-gate decisions (see
     powercurve_logit_means).
+
+    ``sweep_block_size="auto"`` (default) resolves to 8 on TPU-class
+    backends — the blocked manual-DMA sweep (Jacobi within each 8-row
+    block, Gauss-Seidel across blocks; truth-R2 measured equal within
+    seed noise at N=1000/K=20000, device fit ~30% faster) — and to 1
+    elsewhere (the reference's strictly sequential schedule). Pass 1
+    explicitly for the reference schedule on TPU.
     """
     if verbose:
         print("Running CAVIaR (TPU-native).")
@@ -937,8 +955,9 @@ def caviar(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
-        sweep_block_size=int(sweep_block_size),
-        sweep_impl=_resolve_sweep_impl(sweep_impl, sweep_block_size),
+        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
+        sweep_impl=_resolve_sweep_impl(
+            sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
         update_order=str(update_order),
         track_elbo=bool(track_elbo),
         elbo_tol=None if elbo_tol is None else float(elbo_tol),

@@ -21,8 +21,8 @@ from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
 from ._common import prepare_stim_and_init, prepare_traces
 from ._laplace import laplace_phi_update_jit
-from .caviar import (CaviarState, _run_caviar, _resolve_sweep_impl,
-                     reconnect_from_spontaneous)
+from .caviar import (CaviarState, _run_caviar, _resolve_sweep_block_size,
+                     _resolve_sweep_impl, reconnect_from_spontaneous)
 
 
 def _state_to_host(state):
@@ -75,7 +75,7 @@ def caviar_resumable(
     mesh=None,
     powers=None,
     sweep_impl="auto",
-    sweep_block_size=1,
+    sweep_block_size="auto",
     verbose=True,
 ):
     """CAVIaR with periodic state checkpoints + resume.
@@ -145,8 +145,9 @@ def caviar_resumable(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=False,
-        sweep_block_size=int(sweep_block_size),
-        sweep_impl=_resolve_sweep_impl(sweep_impl, int(sweep_block_size)),
+        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
+        sweep_impl=_resolve_sweep_impl(
+            sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
     )
     priors = (
         jnp.asarray(mu_prior, dtype),
