@@ -26,18 +26,24 @@ used without pulling in visualization or checkpoint-conversion deps.
 __version__ = "0.1.0"
 
 
-def _enable_compile_cache():
-    """Opt-out persistent XLA compilation cache.
+def _ensure_compile_cache():
+    """Opt-out persistent XLA compilation cache, accelerator-only.
 
     Cold compiles dominate process startup for production fits (a fresh
     process re-compiles the whole fused solver: measured 197 s cold vs
     86 s with a warm cache through the tunneled-TPU remote compiler).
-    Enabled unless the user configured their own cache dir or set
-    CIRCUITMAP_TPU_NO_COMPILE_CACHE=1. Failures are non-fatal — the
-    cache is an optimisation, never a requirement.
+    Deliberately NOT enabled for CPU backends: XLA:CPU AOT cache entries
+    bake in the compile host's machine features and log load errors on
+    feature mismatch — and CPU compiles are cheap anyway. Called lazily
+    by the heavy entry points (Model.fit / solvers / NeuralDemixer)
+    once the backend exists; opt out with
+    CIRCUITMAP_TPU_NO_COMPILE_CACHE=1. Failures are non-fatal.
     """
     import os
 
+    if getattr(_ensure_compile_cache, "_done", False):
+        return
+    _ensure_compile_cache._done = True
     if os.environ.get("CIRCUITMAP_TPU_NO_COMPILE_CACHE"):
         return
     try:
@@ -45,6 +51,8 @@ def _enable_compile_cache():
 
         if jax.config.jax_compilation_cache_dir:
             return  # user already configured one
+        if jax.devices()[0].platform in ("cpu",):
+            return
         cache = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache",
@@ -55,8 +63,6 @@ def _enable_compile_cache():
     except Exception:
         pass
 
-
-_enable_compile_cache()
 
 _LAZY = {
     "Model": ("circuitmap_tpu.model", "Model"),

@@ -132,6 +132,9 @@ class NeuralDemixer:
         # ``device`` accepted for reference-API compatibility; JAX placement
         # is managed by the runtime (one memory pool for demixer + solver).
         del eval_mode, device
+        from .. import _ensure_compile_cache
+
+        _ensure_compile_cache()
         if params is not None:
             self.params = params
         elif path is not None:

@@ -58,6 +58,9 @@ class Model:
                 f"unknown method {method!r}; expected "
                 "caviar | cavi_sns | mbcs | cosamp"
             )
+        from . import _ensure_compile_cache
+
+        _ensure_compile_cache()
         t0 = time.time()
         runner(obs, stimuli, fit_options)
         self.time = time.time() - t0

@@ -913,6 +913,9 @@ def caviar(
     elsewhere (the reference's strictly sequential schedule). Pass 1
     explicitly for the reference schedule on TPU.
     """
+    from .. import _ensure_compile_cache
+
+    _ensure_compile_cache()
     if verbose:
         print("Running CAVIaR (TPU-native).")
 
