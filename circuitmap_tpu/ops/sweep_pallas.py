@@ -680,148 +680,6 @@ sweep_spikes_pallas_dma_interpret_v = _make_sweep_with_batching(
 # ---------------------------------------------------------------------------
 
 
-def _make_blocked_kernel(N, P, B, D, NB):
-    """Closure factory for the blocked kernel.
-
-    All small per-neuron operands (mu, beta, m0, m1, counts, powers,
-    scalars) travel in ONE packed SMEM buffer: each separate SMEM
-    operand of the custom call costs a ~0.2-0.9 ms fixed-latency copy
-    per invocation (profiled: 56 ms of copy spans per 50-iteration fit
-    with 6 separate SMEM operands), so packing cuts that by 6x.
-    Offsets are static python ints baked into the kernel.
-    """
-    O_MU, O_BETA, O_M0, O_M1 = 0, N, 2 * N, 3 * N
-    O_CNT = 4 * N
-    O_PW = O_CNT + N * P
-    O_SC = O_PW + P
-
-    def kernel(
-        border_ref,       # [NB] int32 SMEM — block visit order
-        packed_ref,       # [4N + N*P + P + 4] SMEM (layout above)
-        y_ref,            # [K] VMEM
-        lam_mask_ref,     # [K] VMEM
-        r_init_ref,       # [K] VMEM
-        lam_hbm,          # [N, K] HBM
-        stim_hbm,         # [N, K] HBM
-        out_hbm,          # [N, K] HBM
-        r_ref,            # [K] VMEM scratch
-        lam_buf,          # [D, B, K] VMEM ring
-        stim_buf,         # [D, B, K] VMEM ring
-        out_buf,          # [D, B, K] VMEM ring
-        in_sems,          # DMA (D, 2)
-        out_sems,         # DMA (D,)
-    ):
-        def in_dmas(t, slot):
-            n0 = border_ref[t] * B
-            return (
-                pltpu.make_async_copy(lam_hbm.at[pl.ds(n0, B)],
-                                      lam_buf.at[slot], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(stim_hbm.at[pl.ds(n0, B)],
-                                      stim_buf.at[slot], in_sems.at[slot, 1]),
-            )
-
-        def out_dma(t, slot):
-            n0 = border_ref[t] * B
-            return pltpu.make_async_copy(out_buf.at[slot],
-                                         out_hbm.at[pl.ds(n0, B)],
-                                         out_sems.at[slot])
-
-        r_ref[...] = r_init_ref[...]
-
-        for s in range(min(D, NB)):  # static warm-up prefetch
-            for dma in in_dmas(s, s):
-                dma.start()
-
-        sig = packed_ref[O_SC + 0]
-        msrmp_eff = packed_ref[O_SC + 1]
-        min_count = packed_ref[O_SC + 2]
-        gate_active = packed_ref[O_SC + 3]
-
-        def body(t, _):
-            slot = jax.lax.rem(t, D)
-            for dma in in_dmas(t, slot):
-                dma.wait()
-            n0 = border_ref[t] * B
-
-            lam_b = lam_buf[slot]                       # [B, K]
-            stim_b = stim_buf[slot]
-            mu_b = jnp.stack(
-                [packed_ref[O_MU + n0 + j] for j in range(B)])    # [B]
-            beta_b = jnp.stack(
-                [packed_ref[O_BETA + n0 + j] for j in range(B)])
-            m0_b = jnp.stack(
-                [packed_ref[O_M0 + n0 + j] for j in range(B)])
-            m1_b = jnp.stack(
-                [packed_ref[O_M1 + n0 + j] for j in range(B)])
-
-            r = r_ref[...]
-            r_excl = r[None, :] - mu_b[:, None] * lam_b
-            quad = sig * (
-                -2.0 * y_ref[...][None, :] * mu_b[:, None]
-                + 2.0 * mu_b[:, None] * r_excl
-                + (mu_b * mu_b + beta_b * beta_b)[:, None]
-            )
-            est = (
-                lam_mask_ref[...][None, :]
-                * (stim_b > 0).astype(lam_b.dtype)
-                * jax.nn.sigmoid(m0_b[:, None] * stim_b - m1_b[:, None]
-                                 - 0.5 * quad)
-            )
-
-            # per-row per-power spike rates -> suffix-mean-max gate
-            rates = []
-            for p in range(P):
-                s_p = jnp.sum(
-                    jnp.where(stim_b == packed_ref[O_PW + p], est, 0.0),
-                    axis=1)                                      # [B]
-                c_p = jnp.stack(
-                    [packed_ref[O_CNT + (n0 + j) * P + p] for j in range(B)])
-                rates.append(s_p / (c_p + 1e-4 * (c_p == 0.0)))
-            iso_max = rates[P - 1]
-            acc = rates[P - 1]
-            cnt = 1.0
-            for p in range(P - 2, -1, -1):
-                acc = acc + rates[p]
-                cnt = cnt + 1.0
-                iso_max = jnp.maximum(iso_max, acc / cnt)
-
-            total = jnp.sum(est, axis=1)
-            ok = jnp.logical_and(iso_max >= msrmp_eff, total >= min_count)
-            gate = jnp.where(gate_active > 0, ok.astype(est.dtype),
-                             jnp.ones((B,), est.dtype))
-
-            new_lam = est * gate[:, None]
-            new_mu = mu_b * gate
-            r = r + jnp.sum(new_mu[:, None] * new_lam
-                            - mu_b[:, None] * lam_b, axis=0)
-
-            @pl.when(t >= D)
-            def _():  # slot reuse: the store issued D steps ago is done
-                out_dma(t - D, slot).wait()
-
-            out_buf[slot] = new_lam
-            r_ref[...] = r
-            out_dma(t, slot).start()
-
-            @pl.when(t + D < NB)
-            def _():
-                for dma in in_dmas(t + D, slot):
-                    dma.start()
-
-            return 0
-
-        jax.lax.fori_loop(0, NB, body, 0)
-
-        def drain(j, _):
-            t = NB - jnp.minimum(D, NB) + j
-            out_dma(t, jax.lax.rem(t, D)).wait()
-            return 0
-
-        jax.lax.fori_loop(0, jnp.minimum(D, NB), drain, 0)
-
-    return kernel
-
-
 @partial(jax.jit, static_argnames=("interpret", "depth", "block_size"))
 def sweep_spikes_pallas_dma_blocked(
     y,
@@ -849,82 +707,18 @@ def sweep_spikes_pallas_dma_blocked(
     ``block_size`` and a block-consecutive row order. ``block_size``
     must be a multiple of 8 (Mosaic sublane tiling); N pads up with
     inert rows (zero mu/lam/stim) and K pads to a lane multiple of 128.
+
+    Implemented as the batched kernel with a single experiment — the
+    leading-axis views are metadata-only (trailing-dim tiling
+    unchanged), so there is exactly one kernel body to maintain.
     """
-    N, K = lam.shape
-    dtype = lam.dtype
-    B = block_size
-    assert B % 8 == 0, "block_size must be a multiple of 8 (T(8,128) tiling)"
-
-    K128 = -(-K // 128) * 128
-    # the three [depth, B, K128] rings must fit the ~16 MB scoped-vmem
-    # budget alongside r/y/masks; clamp depth to ~12 MB of ring
-    bytes_per_slot = 3 * B * K128 * jnp.dtype(dtype).itemsize
-    depth = max(2, min(depth, int(12e6 // max(bytes_per_slot, 1))))
-    NB_pad = (-(-N // B)) * B
-    if K128 != K:
-        pad = K128 - K
-        y = jnp.pad(y, (0, pad))
-        lam_mask = jnp.pad(lam_mask, (0, pad))
-        lam = jnp.pad(lam, ((0, 0), (0, pad)))
-        stim = jnp.pad(stim, ((0, 0), (0, pad)))
-    if NB_pad != N:
-        rpad = NB_pad - N
-        lam = jnp.pad(lam, ((0, rpad), (0, 0)))
-        stim = jnp.pad(stim, ((0, rpad), (0, 0)))
-        mu = jnp.pad(mu, (0, rpad))
-        beta = jnp.pad(beta, (0, rpad))
-        m0 = jnp.pad(m0, (0, rpad))
-        m1 = jnp.pad(m1, (0, rpad))
-        power_counts = jnp.pad(power_counts, ((0, rpad), (0, 0)))
-
-    P = powers.shape[0]
-    packed = jnp.concatenate([
-        mu.astype(dtype), beta.astype(dtype), m0.astype(dtype),
-        m1.astype(dtype), power_counts.astype(dtype).reshape(-1),
-        powers.astype(dtype),
-        jnp.stack([
-            jnp.asarray(sig, dtype),
-            jnp.asarray(msrmp_eff, dtype),
-            jnp.asarray(minimum_spike_count, dtype),
-            jnp.asarray(gate_active, dtype),
-        ]),
-    ])
-    r_init = mu @ lam
-
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    anym = lambda: pl.BlockSpec(memory_space=pl.ANY)
-
-    NBLK = NB_pad // B
-    kernel = _make_blocked_kernel(NB_pad, P, B, depth, NBLK)
-    out = pl.pallas_call(
-        kernel,
-        in_specs=[
-            smem(),  # border
-            smem(),  # packed small operands
-            vmem(),  # y
-            vmem(),  # lam_mask
-            vmem(),  # r_init
-            anym(),  # lam (HBM, native 2-D)
-            anym(),  # stim (HBM, native 2-D)
-        ],
-        out_specs=anym(),
-        out_shape=jax.ShapeDtypeStruct((NB_pad, K128), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((K128,), dtype),
-            pltpu.VMEM((depth, B, K128), dtype),
-            pltpu.VMEM((depth, B, K128), dtype),
-            pltpu.VMEM((depth, B, K128), dtype),
-            pltpu.SemaphoreType.DMA((depth, 2)),
-            pltpu.SemaphoreType.DMA((depth,)),
-        ],
-        interpret=interpret,
-    )(
-        border.astype(jnp.int32), packed,
-        y, lam_mask, r_init,
-        lam, stim,
-    )
-    return out[:N, :K]
+    return sweep_spikes_pallas_dma_blocked_batched(
+        y[None], stim[None], mu[None], beta[None], lam[None],
+        sig, m0[None], m1[None], lam_mask[None], powers,
+        power_counts[None], border[None], msrmp_eff,
+        minimum_spike_count, gate_active,
+        interpret=interpret, depth=depth, block_size=block_size,
+    )[0]
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,8 @@ from ..solvers.caviar import (
     CaviarState,
     powercurve_logit_means,
     reconnect_from_spontaneous,
+    _resolve_sweep_block_size,
+    _validate_update_order,
 )
 from .mesh import TRIAL_AXIS
 
@@ -1128,30 +1130,39 @@ def _run_sharded(
                 new = _iteration(state, it, data, hyper, static)
                 return new, (_snap(new), None)
 
-            return lax.scan(step, init,
-                            jnp.arange(start_iter, start_iter + iters))
+            final, ys = lax.scan(
+                step, init, jnp.arange(start_iter, start_iter + iters))
+            return final, (ys, None)
 
         # per-iteration psum'd ELBO as scan ys; with elbo_tol the
-        # iteration body is cond-skipped once converged (all devices
-        # see the same replicated bound, so they agree on `done`)
+        # iteration body AND the bound evaluation (with its psum) are
+        # cond-skipped once converged — all devices see the same
+        # replicated bound, so they agree on `done`. stop_at is carried
+        # exactly as in the single-device scan (caviar._run_caviar).
         neg_inf = jnp.asarray(-jnp.inf, y.dtype)
 
         def step(carry, it):
-            state, prev, done = carry
-            new = lax.cond(
-                done, lambda s: s,
-                lambda s: _iteration(s, it, data, hyper, static), state)
-            e = jnp.where(done, prev,
-                          _elbo_sharded(y, stim, new, hyper, k_global))
+            state, prev, done, stop_at = carry
+
+            def live(s):
+                new = _iteration(s, it, data, hyper, static)
+                return new, _elbo_sharded(y, stim, new, hyper, k_global)
+
+            new, e = lax.cond(done, lambda s: (s, prev), live, state)
             if elbo_tol is not None:
                 rel = jnp.abs(e - prev) / jnp.maximum(jnp.abs(prev), 1e-12)
-                done = done | ((it > start_iter) & (rel < elbo_tol))
-            return (new, e, done), (_snap(new), e)
+                newly = (~done) & (it > start_iter) & (rel < elbo_tol)
+                stop_at = jnp.where(newly, it, stop_at)
+                done = done | newly
+            return (new, e, done, stop_at), ((_snap(new), e))
 
-        (final, _, _), ys = lax.scan(
-            step, (init, neg_inf, jnp.asarray(False)),
-            jnp.arange(start_iter, start_iter + iters))
-        return final, ys
+        its = jnp.arange(start_iter, start_iter + iters)
+        # stop_at shares the xs dtype (int64 under jax_enable_x64)
+        carry0 = (init, neg_inf, jnp.asarray(False),
+                  jnp.asarray(start_iter + iters, its.dtype))
+        (final, _, _, stop_at), (hists, elbos) = lax.scan(
+            step, carry0, its)
+        return final, ((hists, elbos), stop_at)
 
     state_spec = CaviarState(
         mu=P(), beta=P(), lam=P(None, TRIAL_AXIS), shape=P(), rate=P(),
@@ -1165,9 +1176,10 @@ def _run_sharded(
          P(None, TRIAL_AXIS))
         if save_histories else None
     )
-    # scan ys = (histories, per-iter ELBO); the bound is a psum'd
-    # replicated scalar per iteration
-    hist_spec = (hist_spec, P() if track_elbo else None)
+    # second output = ((histories, per-iter ELBO), stop_at); the bound
+    # and the stopping iteration are psum'd/replicated scalars
+    hist_spec = ((hist_spec, P() if track_elbo else None),
+                 P() if track_elbo else None)
     init_spec = None if init_state is None else state_spec
     sharded = jax.shard_map(
         body,
@@ -1311,7 +1323,7 @@ def caviar_sharded(
         print(f"Running CAVIaR sharded over {mesh.devices.size} devices "
               f"(K={K}, pad={prep['pad']}).")
 
-    final, (hists, elbos) = _run_sharded(
+    final, ((hists, elbos), stop_at) = _run_sharded(
         *prep["device_args"],
         jnp.asarray(mu_prior, dtype),
         jnp.asarray(beta_prior, dtype),
@@ -1333,10 +1345,10 @@ def caviar_sharded(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
-        sweep_block_size=int(sweep_block_size),
+        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
         track_elbo=bool(track_elbo),
         elbo_tol=None if elbo_tol is None else float(elbo_tol),
-        update_order=str(update_order),
+        update_order=_validate_update_order(str(update_order)),
     )
 
     mu, beta = final.mu, final.beta
@@ -1373,12 +1385,7 @@ def caviar_sharded(
     out = (mu, beta, lam, final.shape, final.rate, phi, phi_cov, z, None,
            *hist_arrs)
     if track_elbo:
-        e = np.asarray(elbos)
-        # converged_at = first frozen index (trailing values repeat the
-        # stopping bound exactly once converged), else the full budget
-        same = np.flatnonzero(np.diff(e) == 0.0)
-        converged_at = int(same[0] + 1) if (
-            elbo_tol is not None and same.size
-            and np.all(e[same[0]:] == e[same[0]])) else int(iters)
-        out = out + ((e, converged_at),)
+        # stop_at is carried through the scan exactly as in the
+        # single-device solver — identical semantics with or without mesh
+        out = out + ((np.asarray(elbos), int(np.asarray(stop_at))),)
     return out

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..ops.charge import prepare_observations
 from ._common import _levels, prepare_stim
 from ._laplace import laplace_phi_update
-from .caviar import _resolve_sweep_impl, _run_caviar, reconnect_from_spontaneous
+from .caviar import (_resolve_sweep_block_size, _resolve_sweep_impl,
+                     _run_caviar, reconnect_from_spontaneous)
 
 # one compiled program refitting the power curves of every reconnected
 # experiment at once: lam/stim batch over the leading (experiment) axis,
@@ -177,8 +178,9 @@ def caviar_many(
             spont_orthogonality=float(spont_orthogonality),
             analytic_mc=bool(analytic_mc),
             save_histories=False,
-            sweep_block_size=int(sweep_block_size),
-            sweep_impl=_resolve_sweep_impl("auto", int(sweep_block_size)),
+            sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
+            sweep_impl=_resolve_sweep_impl(
+                "auto", _resolve_sweep_block_size(sweep_block_size)),
         )
         return final
 

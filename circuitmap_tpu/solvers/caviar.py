@@ -568,11 +568,15 @@ def _run_caviar(
 
         def step(carry, it):
             state, prev, done, stop_at = carry
-            new = lax.cond(
-                done, lambda s: s,
-                lambda s: _iteration(s, it, data, hyper, static), state)
-            e = jnp.where(
-                done, prev, elbo_device(y, stim, new, hyper, k_true))
+
+            def live(s):
+                new = _iteration(s, it, data, hyper, static)
+                return new, elbo_device(y, stim, new, hyper, k_true)
+
+            # the ELBO evaluation lives INSIDE the cond: once converged,
+            # frozen steps skip both the iteration AND the O(N*K) bound
+            # computation (a jnp.where would evaluate both operands)
+            new, e = lax.cond(done, lambda s: (s, prev), live, state)
             if elbo_tol is not None:
                 rel = jnp.abs(e - prev) / jnp.maximum(jnp.abs(prev), 1e-12)
                 newly = (~done) & (it > start_iter) & (rel < elbo_tol)
@@ -580,10 +584,13 @@ def _run_caviar(
                 done = done | newly
             return (new, e, done, stop_at), (_snap(new), e)
 
+        its = jnp.arange(start_iter, start_iter + iters)
+        # stop_at must share the xs dtype: under jax_enable_x64 arange
+        # yields int64 and an int32-pinned carry breaks the scan typing
         carry0 = (init, neg_inf, jnp.asarray(False),
-                  jnp.asarray(start_iter + iters, jnp.int32))
+                  jnp.asarray(start_iter + iters, its.dtype))
         (final, _, _, stop_at), (hists, elbos) = lax.scan(
-            step, carry0, jnp.arange(start_iter, start_iter + iters))
+            step, carry0, its)
         elbo_out = (elbos, stop_at)
 
     if padk:  # strip the alignment padding from everything trial-shaped
@@ -820,6 +827,17 @@ def _reconnect_and_refit_device(stim, lam, mu, beta, z, powers,
 # ---------------------------------------------------------------------------
 
 
+def _validate_update_order(update_order):
+    """update_order exists to make parity runs deterministic — a typo
+    silently falling back to random order would quietly re-measure the
+    order dither the knob exists to remove, so invalid values raise."""
+    if update_order not in ("random", "identity"):
+        raise ValueError(
+            f"update_order must be 'random' or 'identity', got "
+            f"{update_order!r}")
+    return update_order
+
+
 def _resolve_sweep_block_size(block_size):
     """'auto' -> 8 on TPU-class backends (the blocked manual-DMA kernel
     wins there: no per-iteration relayout, N/8 sequential steps, and
@@ -961,7 +979,7 @@ def caviar(
         sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
         sweep_impl=_resolve_sweep_impl(
             sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
-        update_order=str(update_order),
+        update_order=_validate_update_order(str(update_order)),
         track_elbo=bool(track_elbo),
         elbo_tol=None if elbo_tol is None else float(elbo_tol),
     )

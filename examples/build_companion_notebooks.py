@@ -140,9 +140,15 @@ from circuitmap_tpu.demix.template_fit import (fit_psc_templates,
                                                suggest_datagen_ranges)
 
 np.random.seed(0)
-sim = cm.simulate(N=30, trials=200, H=3, spont_prob=0.0, gp_scale=1e-3,
-                  verbose=False)
-traces = sim['psc'][:64]
+sim = cm.simulate(N=30, trials=200, H=3, connection_prob=0.3,
+                  spont_prob=0.0, gp_scale=1e-3, verbose=False)
+# calibrate on traces that actually contain events: trials whose targets
+# didn't spike carry only noise, and fitting templates to noise says
+# nothing about the opsin kinetics. The median trial peak IS the noise
+# floor here (most trials are event-free), so gate several noise floors up.
+peaks = sim['psc'].max(1)
+active = np.flatnonzero(peaks > 5 * np.median(peaks))
+traces = sim['psc'][active[:64]]
 fit = fit_psc_templates(traces, n_kernels=10, steps=800, seed=0)
 print(f'fitted {traces.shape[0]} traces, median R2 = '
       f'{np.median(fit["r2"]):.3f}')"""),

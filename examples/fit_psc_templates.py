@@ -38,10 +38,17 @@ def main():
         import circuitmap_tpu as cm
 
         np.random.seed(args.seed)
-        sim = cm.simulate(N=30, trials=200, H=3, spont_prob=0.0,
-                          gp_scale=1e-3, verbose=False)
-        traces = sim["psc"][:64]
-        print("no --data given; fitting 64 simulated traces")
+        sim = cm.simulate(N=30, trials=200, H=3, connection_prob=0.3,
+                          spont_prob=0.0, gp_scale=1e-3, verbose=False)
+        # calibrate on event-containing traces: trials whose targets
+        # didn't spike carry only noise and say nothing about kinetics.
+        # The median trial peak is the noise floor (most trials are
+        # event-free), so gate several noise floors above it.
+        peaks = sim["psc"].max(1)
+        active = np.flatnonzero(peaks > 5 * np.median(peaks))
+        traces = sim["psc"][active[:64]]
+        print(f"no --data given; fitting {traces.shape[0]} simulated "
+              "event-containing traces")
 
     fit = fit_psc_templates(traces, n_kernels=args.n_kernels,
                             steps=args.steps, seed=args.seed)

@@ -35,9 +35,14 @@ stim = np.asarray(sim["stim_matrix"], dtype=np.float64)
 assert (stim == 45.7).sum() > 0  # the host matrix holds exact f64 values
 
 model = Model(40)
+# track_elbo under x64 regression-tests the stop_at scan-carry dtype:
+# an int32-pinned carry vs the int64 arange xs broke the scan typing
 model.fit(sim["psc"], stim, method="caviar",
           fit_options={"iters": 20, "verbose": False, "seed": 0,
-                       "dtype": jnp.float64})
+                       "dtype": jnp.float64, "track_elbo": True,
+                       "elbo_tol": 1e-9})
+assert np.isfinite(model.elbo[1:]).all(), "x64 ELBO trajectory not finite"
+assert 1 <= model.elbo_converged_at <= 20
 mu = model.state["mu"]
 lam = model.state["lam"]
 # pre-fix the f64 fit collapsed: zero device power matches -> no gates

@@ -50,8 +50,16 @@ def ref_pkg(tmp_path_factory):
     )
     (pkg / "cavi_sns.py").write_text(sns)
     sys.path.insert(0, str(root))
+    # importing the reference caviar module executes its module-level
+    # ``config.update("jax_enable_x64", True)`` (reference caviar.py:12),
+    # a process-global switch; restore the pre-import state afterwards so
+    # the rest of the suite keeps its intended f32 semantics.
+    import jax
+
+    x64_before = jax.config.jax_enable_x64
     yield "ref_optimise"
     sys.path.remove(str(root))
+    jax.config.update("jax_enable_x64", x64_before)
 
 
 @pytest.fixture(scope="module")

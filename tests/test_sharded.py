@@ -471,3 +471,63 @@ class TestShardedUpdateOrder:
         np.testing.assert_allclose(np.asarray(single[2]),
                                    np.asarray(sharded[2]),
                                    rtol=2e-3, atol=1e-3)
+
+
+class TestReviewRegressions:
+    def test_auto_block_size_accepted_with_mesh(self, sim, mesh8):
+        """A single-device config spelling out sweep_block_size='auto'
+        must work unchanged when mesh= is added (review finding: the
+        sharded/batched entries used int() and crashed on 'auto')."""
+        args = _fit_args(sim, 40)
+        out = caviar_sharded(*args, mesh=mesh8, iters=2, verbose=False,
+                             fn_scan=False, analytic_mc=True,
+                             sweep_block_size="auto")
+        assert np.asarray(out[0]).shape == (40,)
+
+    def test_invalid_update_order_raises(self, sim, mesh8):
+        import pytest as _pytest
+        args = _fit_args(sim, 40)
+        with _pytest.raises(ValueError, match="update_order"):
+            caviar(*args, iters=2, verbose=False, update_order="identiy")
+        with _pytest.raises(ValueError, match="update_order"):
+            caviar_sharded(*args, mesh=mesh8, iters=2, verbose=False,
+                           update_order="Identity")
+
+    def test_sharded_converged_at_matches_single(self, sim, mesh8):
+        """stop_at is carried through the sharded scan exactly as in the
+        single-device scan (review finding: the post-hoc reconstruction
+        was off by one). converged_at must equal the first iteration at
+        which the solver's OWN returned ELBO trajectory satisfies the
+        stopping rule — checked per path, because the single-sum and
+        psum-of-partials bounds differ in the last ulps and may
+        legitimately cross a tolerance boundary one iteration apart."""
+        from circuitmap_tpu.model import Model
+
+        iters, tol = 20, 1e-5
+
+        def fit(mesh=None):
+            m = Model(40)
+            opts = dict(iters=iters, verbose=False, seed=0, fn_scan=False,
+                        analytic_mc=True, track_elbo=True, elbo_tol=tol)
+            if mesh is not None:
+                opts["mesh"] = mesh
+            m.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options=opts)
+            return m
+
+        def expected_stop(elbos):
+            # mirror of the scan rule: first it > 0 with rel < tol
+            for i in range(1, len(elbos)):
+                rel = abs(elbos[i] - elbos[i - 1]) / max(
+                    abs(elbos[i - 1]), 1e-12)
+                if rel < tol:
+                    return i
+            return iters
+
+        single, sharded = fit(), fit(mesh8)
+        for m in (single, sharded):
+            assert m.elbo_converged_at == expected_stop(
+                np.asarray(m.elbo, np.float64))
+        # the two trajectories agree to far better than the tolerance,
+        # so the stopping iterations can differ by at most one boundary
+        assert abs(sharded.elbo_converged_at - single.elbo_converged_at) <= 1
