@@ -69,22 +69,28 @@ def _update_weights(y, lam, shape, rate, mu_prior, beta_prior):
     M = sig * gram + jnp.diag(sig * soft_var + prior_prec)
     rhs = sig * _psum(lam @ y) + mu_prior * prior_prec
     chol = jax.scipy.linalg.cho_factor(M, lower=True)
-    mean = jax.scipy.linalg.cho_solve(chol, rhs)
-    # diag(M^-1) from one triangular solve (see solvers/caviar.py
-    # update_weights): replicated work per device, halved
+    # diag(M^-1) from one triangular solve, mean from two matmuls with
+    # the same explicit L^-1 (see solvers/caviar.py update_weights):
+    # replicated work per device, no second back-substitution chain
     Linv = jax.scipy.linalg.solve_triangular(
         chol[0], jnp.eye(N, dtype=lam.dtype), lower=True
     )
+    mean = Linv.T @ (Linv @ rhs)
     return mean, jnp.sum(Linv * Linv, axis=0)
 
 
 def _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global):
     pred = mu @ lam
+    # quadratic terms as row-weighted reductions of lam/lam^2 — one
+    # fused pass over the local [N, K/D] shard instead of two (see
+    # solvers/caviar.py update_noise); still a single [3] psum
+    row_lam = jnp.sum(lam, axis=1)
+    row_lam2 = jnp.sum(lam * lam, axis=1)
     parts = jnp.stack(
         [
             jnp.sum(jnp.square(y - pred)),
-            jnp.sum(jnp.square(mu[:, None] * lam)),
-            jnp.sum((mu * mu + beta * beta)[:, None] * lam),
+            jnp.sum(mu * mu * row_lam2),
+            jnp.sum((mu * mu + beta * beta) * row_lam),
         ]
     )
     a, b, c = _psum(parts)
@@ -335,10 +341,14 @@ def _sns_sweep_spikes(
 def _sns_update_noise(y, mu, beta, alpha, lam, shape_prior, rate_prior, k_global):
     w = mu * alpha
     pred = w @ lam
+    # row-weighted reductions: one fused pass over the local shard
+    # instead of two (see solvers/cavi_sns.py update_noise_sns)
+    row_lam = jnp.sum(lam, axis=1)
+    row_lam2 = jnp.sum(lam * lam, axis=1)
     parts = jnp.stack([
         jnp.sum(jnp.square(y - pred)),
-        jnp.sum(jnp.square(w[:, None] * lam)),
-        jnp.sum(((mu * mu + beta * beta) * alpha)[:, None] * lam),
+        jnp.sum(w * w * row_lam2),
+        jnp.sum((mu * mu + beta * beta) * alpha * row_lam),
     ])
     a, b, c = _psum(parts)
     return shape_prior + 0.5 * k_global, rate_prior + 0.5 * (a - b + c)
@@ -994,10 +1004,13 @@ def _elbo_sharded(y, stim, state, hyper, k_global):
     e_tau = a / b
     e_log_tau = digamma(a) - jnp.log(b)
     resid = y - z - mu @ lam
+    # row-weighted reductions: one fused pass over the local shard
+    row_lam = jnp.sum(lam, axis=1)
+    row_lam2 = jnp.sum(lam * lam, axis=1)
     parts = jnp.stack([
         jnp.sum(resid * resid),
-        jnp.sum(jnp.square(mu[:, None] * lam)),
-        jnp.sum((mu * mu + var)[:, None] * lam),
+        jnp.sum(mu * mu * row_lam2),
+        jnp.sum((mu * mu + var) * row_lam),
     ])
     drive = phi[:, 0:1] * stim - phi[:, 1:2]
     targeted = stim > 0

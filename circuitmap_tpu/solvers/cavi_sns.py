@@ -131,10 +131,14 @@ def update_noise_sns(y, mu, beta, alpha, lam, shape_prior, rate_prior):
     K = y.shape[0]
     w = mu * alpha
     pred = w @ lam
+    # quadratic terms as row-weighted reductions of lam/lam^2 — one
+    # fused pass over [N, K] instead of two (see caviar.update_noise)
+    row_lam = jnp.sum(lam, axis=1)
+    row_lam2 = jnp.sum(lam * lam, axis=1)
     rate = rate_prior + 0.5 * (
         jnp.sum(jnp.square(y - pred))
-        - jnp.sum(jnp.square(w[:, None] * lam))
-        + jnp.sum(((mu * mu + beta * beta) * alpha)[:, None] * lam)
+        - jnp.sum(w * w * row_lam2)
+        + jnp.sum((mu * mu + beta * beta) * alpha * row_lam)
     )
     return shape_prior + 0.5 * K, rate
 

@@ -63,10 +63,12 @@ def elbo_components(y, stim, state, priors, z=None):
     e_tau = a / b
     e_log_tau = digamma(a) - jnp.log(b)
     resid = y - z - mu @ lam
+    row_lam = jnp.sum(lam, axis=1)
+    row_lam2 = jnp.sum(lam * lam, axis=1)
     e_sq = (
         jnp.sum(resid * resid)
-        - jnp.sum(jnp.square(mu[:, None] * lam))
-        + jnp.sum((mu * mu + var)[:, None] * lam)
+        - jnp.sum(mu * mu * row_lam2)
+        + jnp.sum((mu * mu + var) * row_lam)
     )
     e_loglik = 0.5 * K * (e_log_tau - jnp.log(2 * jnp.pi)) - 0.5 * e_tau * e_sq
 
@@ -118,10 +120,13 @@ def elbo_device(y, stim, state, hyper, k_true):
     e_tau = a / b
     e_log_tau = digamma(a) - jnp.log(b)
     resid = y - z - mu @ lam
+    # row-weighted reductions: one fused [N, K] pass (caviar.update_noise)
+    row_lam = jnp.sum(lam, axis=1)
+    row_lam2 = jnp.sum(lam * lam, axis=1)
     e_sq = (
         jnp.sum(resid * resid)
-        - jnp.sum(jnp.square(mu[:, None] * lam))
-        + jnp.sum((mu * mu + var)[:, None] * lam)
+        - jnp.sum(mu * mu * row_lam2)
+        + jnp.sum((mu * mu + var) * row_lam)
     )
     e_loglik = (0.5 * k_true * (e_log_tau - jnp.log(2 * jnp.pi))
                 - 0.5 * e_tau * e_sq)
