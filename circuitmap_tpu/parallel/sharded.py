@@ -1299,6 +1299,7 @@ def caviar_sharded(
     powers=None,
     sweep_impl="auto",
     sweep_block_size=1,
+    laplace_impl="auto",
     track_elbo=False,
     elbo_tol=None,
     update_order="random",
@@ -1316,16 +1317,20 @@ def caviar_sharded(
     collectives — one [B, P+1] psum per block of B neurons instead of
     one [P+1] psum per neuron, N -> ceil(N/B) latency-bound collectives
     per iteration (see _sweep_spikes); the blocked schedule matches the
-    single-device blocked sweep exactly. ``sweep_impl`` is accepted so a
-    single-device fit config can add ``mesh`` without edits, but is
-    ignored — the sharded sweep is its own psum formulation.
+    single-device blocked sweep exactly. ``sweep_impl`` and
+    ``laplace_impl`` are accepted so a single-device fit config can add
+    ``mesh`` without edits, but are ignored — the sharded sweep is its
+    own psum formulation, and the sharded phi refit runs the XLA Newton
+    recursion replicated per device on the psum'd bucket stats (the
+    one-launch kernel, ops/laplace_pallas.py, is a single-device
+    latency optimisation).
     ``track_elbo``/``elbo_tol`` match solvers.caviar: the bound is
     computed with psum'd trial reductions every iteration (appended as
     the 18th return element ``(elbos, converged_at)``), and the early
     stop is consistent across devices because the replicated bound is
     identical everywhere.
     """
-    del sweep_impl
+    del sweep_impl, laplace_impl
     prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
                          powers=powers)
     K = prep["K"]

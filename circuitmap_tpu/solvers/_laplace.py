@@ -55,7 +55,7 @@ def _inv2x2(M):
     return jnp.array([[d, -b], [-c, a]]) / det
 
 
-def powercurve_stats(lam, stim, powers, total_trials=None):
+def powercurve_stats(lam, stim, powers, total_trials=None, counts=None):
     """Per-neuron bucket statistics (S, C) over power levels.
 
     lam, stim: [N, K]; powers: [P] nonzero power levels. Returns
@@ -67,6 +67,14 @@ def powercurve_stats(lam, stim, powers, total_trials=None):
     128-alignment padding. Padded columns have stim == 0, so only the
     bucket-0 count over-counts — and it equals
     ``total_trials - sum(targeted counts)`` exactly.
+
+    ``counts``: optional precomputed [N, P] per-neuron trial counts per
+    nonzero power (requires ``total_trials``). stim is constant across
+    CAVI iterations, so the C reductions are loop-invariant; the fit
+    scan hands in the counts it already computed once and this skips P+1
+    full [N, K] mask-sums per iteration. Bit-identical: both forms sum
+    the same 0/1 masks (exact integers in f32), and bucket 0 is derived
+    the same way.
     """
     levels = jnp.concatenate([jnp.zeros((1,), powers.dtype), powers])  # [P+1]
     # one fused masked reduction per level: avoids materialising the
@@ -76,6 +84,13 @@ def powercurve_stats(lam, stim, powers, total_trials=None):
          for p in range(levels.shape[0])],
         axis=1,
     )
+    if counts is not None:
+        if total_trials is None:
+            raise ValueError("counts= requires total_trials=")
+        counts = counts.astype(lam.dtype)
+        bucket0 = total_trials - jnp.sum(counts, axis=1)
+        C = jnp.concatenate([bucket0[:, None], counts], axis=1)
+        return S, C, levels
     C = jnp.stack(
         [jnp.sum((stim == levels[p]).astype(lam.dtype), axis=-1)
          for p in range(levels.shape[0])],
@@ -147,20 +162,33 @@ laplace_from_stats = jax.vmap(_laplace_from_stats, in_axes=(0, 0, None, 0, 0))
 
 
 def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None,
-                       total_trials=None):
+                       total_trials=None, counts=None, impl="xla"):
     """Batched Laplace refit of all N power-curve posteriors.
 
     lam, stim: [N, K]; phi_prior: [N, 2]; phi_cov_prior: [N, 2, 2];
     powers: [P] nonzero levels (derived from stim if omitted — only
-    possible outside jit); total_trials: see powercurve_stats.
+    possible outside jit); total_trials/counts: see powercurve_stats.
     Returns (phi [N, 2], phi_cov [N, 2, 2]).
     Reference behaviour: vmapped ``_laplace_approx`` (caviar.py:253-310).
+
+    ``impl``: "xla" (default — also the f64/CPU/vmapped fallback),
+    "pallas" (one-launch TPU Newton kernel, ops/laplace_pallas.py), or
+    "pallas_interpret" (the kernel under the interpreter, for CPU
+    equality tests).
     """
     if powers is None:
         import numpy as np
 
         powers = jnp.asarray(np.unique(np.asarray(stim))[1:], dtype=lam.dtype)
-    S, C, levels = powercurve_stats(lam, stim, powers, total_trials)
+    S, C, levels = powercurve_stats(lam, stim, powers, total_trials, counts)
+    if impl != "xla":
+        from ..ops.laplace_pallas import (
+            laplace_from_stats_pallas_v, laplace_from_stats_pallas_interpret_v,
+        )
+
+        fn = (laplace_from_stats_pallas_interpret_v
+              if impl.endswith("interpret") else laplace_from_stats_pallas_v)
+        return fn(S, C, levels, phi_prior, phi_cov_prior)
     return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
 
 

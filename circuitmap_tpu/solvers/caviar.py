@@ -409,9 +409,15 @@ def _iteration(state: CaviarState, it, data, hyper, static):
 
     shape, rate = update_noise(y, mu, beta, lam, shape_prior, rate_prior,
                                k_true=static.get("k_true"))
+    # counts= hands the loop-invariant bucket counts (data[4], computed
+    # once before the scan) to the phi update, skipping P+1 [N, K]
+    # mask-sums per iteration; laplace_impl routes the Newton recursion
+    # onto the one-launch TPU kernel (ops/laplace_pallas.py)
     phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
                                       powers=powers,
-                                      total_trials=static.get("k_true"))
+                                      total_trials=static.get("k_true"),
+                                      counts=data[4],
+                                      impl=static.get("laplace_impl", "xla"))
 
     z = update_spontaneous(
         y,
@@ -450,6 +456,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "start_iter",
         "sweep_block_size",
         "sweep_impl",
+        "laplace_impl",
         "update_order",
         "track_elbo",
         "elbo_tol",
@@ -485,6 +492,7 @@ def _run_caviar(
     save_histories,
     sweep_block_size=1,
     sweep_impl="xla",
+    laplace_impl="xla",
     update_order="random",
     track_elbo=False,
     elbo_tol=None,
@@ -530,6 +538,7 @@ def _run_caviar(
         analytic_mc=analytic_mc,
         sweep_block_size=sweep_block_size,
         sweep_impl=sweep_impl,
+        laplace_impl=laplace_impl,
         update_order=update_order,
         k_true=k_true,
     )
@@ -877,6 +886,19 @@ def _resolve_sweep_impl(sweep_impl, block_size):
     return "pallas" if on_tpu else "xla"
 
 
+def _resolve_laplace_impl(laplace_impl, dtype):
+    """'auto' -> the one-launch Newton kernel on TPU-class f32 fits.
+
+    The XLA formulation stays the fallback for CPU runs, f64
+    parity-oracle fits (Pallas TPU is f32), and any explicit override.
+    """
+    if laplace_impl != "auto":
+        return laplace_impl
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    return "pallas" if on_tpu and dtype == jnp.float32 else "xla"
+
+
 def caviar(
     y_psc,
     stim,
@@ -904,6 +926,7 @@ def caviar(
     analytic_mc=False,
     sweep_block_size="auto",
     sweep_impl="auto",
+    laplace_impl="auto",
     powers=None,
     update_order="random",
     track_elbo=False,
@@ -988,6 +1011,7 @@ def caviar(
         sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
         sweep_impl=_resolve_sweep_impl(
             sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
         update_order=_validate_update_order(str(update_order)),
         track_elbo=bool(track_elbo),
         elbo_tol=None if elbo_tol is None else float(elbo_tol),

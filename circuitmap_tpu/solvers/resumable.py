@@ -21,8 +21,9 @@ from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
 from ._common import prepare_stim_and_init, prepare_traces
 from ._laplace import laplace_phi_update_jit
-from .caviar import (CaviarState, _run_caviar, _resolve_sweep_block_size,
-                     _resolve_sweep_impl, reconnect_from_spontaneous)
+from .caviar import (CaviarState, _run_caviar, _resolve_laplace_impl,
+                     _resolve_sweep_block_size, _resolve_sweep_impl,
+                     reconnect_from_spontaneous)
 
 
 def _state_to_host(state):
@@ -76,6 +77,7 @@ def caviar_resumable(
     powers=None,
     sweep_impl="auto",
     sweep_block_size="auto",
+    laplace_impl="auto",
     verbose=True,
 ):
     """CAVIaR with periodic state checkpoints + resume.
@@ -87,9 +89,9 @@ def caviar_resumable(
     execution model) in checkpointed segments — preemptible multi-chip
     fits; the checkpoint stores the gathered global state at the true
     trial count, so a resumed run may even use a different mesh size.
-    ``powers``/``sweep_impl``/``sweep_block_size`` match solvers.caviar
-    (the sharded path ignores the sweep knobs — its sweep is the psum
-    formulation).
+    ``powers``/``sweep_impl``/``sweep_block_size``/``laplace_impl``
+    match solvers.caviar (the sharded path ignores the sweep/laplace
+    knobs — its sweep is the psum formulation).
     """
     if int(checkpoint_every) < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
@@ -148,6 +150,7 @@ def caviar_resumable(
         sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
         sweep_impl=_resolve_sweep_impl(
             sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
     priors = (
         jnp.asarray(mu_prior, dtype),
