@@ -192,6 +192,19 @@ def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None,
     return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
 
 
+def _resolve_laplace_impl(laplace_impl, dtype):
+    """'auto' -> the one-launch Newton kernel on TPU-class f32 fits.
+
+    The XLA formulation stays the fallback for CPU runs, f64
+    parity-oracle fits (Pallas TPU is f32), and any explicit override.
+    """
+    if laplace_impl != "auto":
+        return laplace_impl
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    return "pallas" if on_tpu and dtype == jnp.float32 else "xla"
+
+
 # Jitted form for EAGER call sites (post-reconnect refits): run op-by-op
 # through a dispatch-costly link, the masked reductions + vmapped Newton
 # while_loops cost ~2 s; as one compiled program, ~10 ms.

@@ -27,7 +27,7 @@ from jax.nn import sigmoid
 from ..ops.charge import integrated_charge
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ._common import prepare_stim, prepare_traces
-from ._laplace import laplace_phi_update
+from ._laplace import _resolve_laplace_impl, laplace_phi_update
 
 EPS = 1e-10
 
@@ -177,7 +177,8 @@ def _iteration(state: SnsState, data, hyper, static):
 
     shape, rate = update_noise_sns(y, mu, beta, alpha, lam, shape_prior, rate_prior)
     phi, phi_cov = laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
-                                      powers=powers)
+                                      powers=powers,
+                                      impl=static.get("laplace_impl", "xla"))
 
     return SnsState(mu, beta, alpha, lam, shape, rate, phi, phi_cov, key)
 
@@ -186,7 +187,7 @@ def _iteration(state: SnsState, data, hyper, static):
     jax.jit,
     static_argnames=(
         "iters", "num_mc_samples", "minimum_spike_count", "analytic_mc",
-        "save_histories",
+        "save_histories", "laplace_impl",
     ),
 )
 def _run_sns(
@@ -194,6 +195,7 @@ def _run_sns(
     mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
     phi_prior, phi_cov_prior, key,
     *, iters, num_mc_samples, minimum_spike_count, analytic_mc, save_histories,
+    laplace_impl="xla",
 ):
     data = (y, stim, lam_mask, powers)
     hyper = (mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
@@ -202,6 +204,7 @@ def _run_sns(
         num_mc_samples=num_mc_samples,
         minimum_spike_count=minimum_spike_count,
         analytic_mc=analytic_mc,
+        laplace_impl=laplace_impl,
     )
 
     init = SnsState(
@@ -254,6 +257,7 @@ def cavi_sns(
     save_histories=True,
     dtype=jnp.float32,
     analytic_mc=False,
+    laplace_impl="auto",
     verbose=True,
 ):
     """Fit CAVI-SnS. Signature/return layout mirror reference cavi_sns.py:17-85.
@@ -289,6 +293,7 @@ def cavi_sns(
         minimum_spike_count=int(minimum_spike_count),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
 
     hist_arrs = [np.asarray(h) for h in hists] if save_histories else [None] * 8

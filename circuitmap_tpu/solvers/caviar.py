@@ -57,7 +57,8 @@ from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ..ops.sweep_pallas import sweep_spikes_pallas
 from ._common import prepare_stim_and_init, prepare_traces
-from ._laplace import laplace_phi_update, laplace_phi_update_jit
+from ._laplace import (_resolve_laplace_impl, laplace_phi_update,
+                       laplace_phi_update_jit)
 
 
 class CaviarState(NamedTuple):
@@ -886,17 +887,6 @@ def _resolve_sweep_impl(sweep_impl, block_size):
     return "pallas" if on_tpu else "xla"
 
 
-def _resolve_laplace_impl(laplace_impl, dtype):
-    """'auto' -> the one-launch Newton kernel on TPU-class f32 fits.
-
-    The XLA formulation stays the fallback for CPU runs, f64
-    parity-oracle fits (Pallas TPU is f32), and any explicit override.
-    """
-    if laplace_impl != "auto":
-        return laplace_impl
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon")
-    return "pallas" if on_tpu and dtype == jnp.float32 else "xla"
 
 
 def caviar(

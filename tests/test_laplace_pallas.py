@@ -134,3 +134,26 @@ class TestFullFit:
             np.asarray(a[5]), np.asarray(b[5]), rtol=0, atol=1e-3
         )
         assert r2_score(sim["weights"], mu_b) > 0.95
+
+    def test_sns_fit_matches_xla_laplace(self):
+        from circuitmap_tpu.solvers.cavi_sns import cavi_sns
+
+        np.random.seed(5)
+        sim = simulate(
+            N=30, trials=400, H=5, connection_prob=0.1, verbose=False,
+            spont_prob=0.01, gp_scale=1e-3,
+        )
+        p = default_priors(30)
+        alpha_prior = np.full(30, 0.5, dtype=np.float32)
+        kw = dict(iters=10, verbose=False, analytic_mc=True,
+                  save_histories=False)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                alpha_prior, p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        a = cavi_sns(*args, laplace_impl="xla", **kw)
+        b = cavi_sns(*args, laplace_impl="pallas_interpret", **kw)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[6]), np.asarray(b[6]), rtol=0, atol=1e-3
+        )
