@@ -40,7 +40,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops.charge import prepare_observations
 from ..ops.pava import isotonic_fit_at_max
 from ..solvers._common import prepare_stim
-from ..solvers._laplace import laplace_from_stats
+from ..solvers._laplace import _resolve_laplace_impl, laplace_from_stats
 from ..solvers.caviar import (
     CaviarState,
     powercurve_logit_means,
@@ -1066,7 +1066,23 @@ def _iteration(state, it, data, hyper, static):
     shape, rate = _update_noise(y, mu, beta, lam, shape_prior, rate_prior, k_global)
 
     S, C = _powercurve_stats_masked(lam, stim, levels, valid)
-    phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+    # the stats are psum'd (replicated) so the Newton recursion runs
+    # identically on every device; on TPU route it through the
+    # one-launch kernel (ops/laplace_pallas.py) — the vmapped-XLA form
+    # is ~0.8 ms/iteration of latency-bound tiny fusions PER DEVICE,
+    # which would dominate the sharded iteration on real ICI
+    lap_impl = static.get("laplace_impl", "xla")
+    if lap_impl != "xla":
+        from ..ops.laplace_pallas import (
+            laplace_from_stats_pallas_interpret_v, laplace_from_stats_pallas_v,
+        )
+
+        lap_fn = (laplace_from_stats_pallas_interpret_v
+                  if lap_impl.endswith("interpret")
+                  else laplace_from_stats_pallas_v)
+        phi, phi_cov = lap_fn(S, C, levels, phi_prior, phi_cov_prior)
+    else:
+        phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
 
     z = _update_spontaneous(
         y, mu, lam, state.z, it, jnp.asarray(static["penalty"], y.dtype), lam_mask,
@@ -1085,7 +1101,7 @@ def _iteration(state, it, data, hyper, static):
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
         "save_histories", "start_iter", "sweep_block_size",
-        "track_elbo", "elbo_tol", "update_order",
+        "track_elbo", "elbo_tol", "update_order", "laplace_impl",
     ),
 )
 def _run_sharded(
@@ -1096,6 +1112,7 @@ def _run_sharded(
     max_backtrack_iters, tol, spont_orthogonality, analytic_mc,
     save_histories=False, start_iter=0, sweep_block_size=1,
     track_elbo=False, elbo_tol=None, update_order="random",
+    laplace_impl="xla",
 ):
     static = dict(
         num_mc_samples=num_mc_samples,
@@ -1110,6 +1127,7 @@ def _run_sharded(
         analytic_mc=analytic_mc,
         sweep_block_size=sweep_block_size,
         update_order=update_order,
+        laplace_impl=laplace_impl,
     )
     hyper_specs = (P(), P(), P(), P(), P(), P())
 
@@ -1317,20 +1335,22 @@ def caviar_sharded(
     collectives — one [B, P+1] psum per block of B neurons instead of
     one [P+1] psum per neuron, N -> ceil(N/B) latency-bound collectives
     per iteration (see _sweep_spikes); the blocked schedule matches the
-    single-device blocked sweep exactly. ``sweep_impl`` and
-    ``laplace_impl`` are accepted so a single-device fit config can add
-    ``mesh`` without edits, but are ignored — the sharded sweep is its
-    own psum formulation, and the sharded phi refit runs the XLA Newton
-    recursion replicated per device on the psum'd bucket stats (the
-    one-launch kernel, ops/laplace_pallas.py, is a single-device
-    latency optimisation).
+    single-device blocked sweep exactly. ``sweep_impl`` is accepted so
+    a single-device fit config can add ``mesh`` without edits, but is
+    ignored — the sharded sweep is its own psum formulation.
+    ``laplace_impl`` IS honoured: the phi refit's Newton recursion runs
+    replicated per device on the psum'd bucket stats, and "auto"
+    routes it through the one-launch kernel (ops/laplace_pallas.py) on
+    TPU f32 — the vmapped-XLA form costs ~0.8 ms of latency-bound tiny
+    fusions per device per iteration, which would dominate the sharded
+    iteration on real ICI.
     ``track_elbo``/``elbo_tol`` match solvers.caviar: the bound is
     computed with psum'd trial reductions every iteration (appended as
     the 18th return element ``(elbos, converged_at)``), and the early
     stop is consistent across devices because the replicated bound is
     identical everywhere.
     """
-    del sweep_impl, laplace_impl
+    del sweep_impl
     prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
                          powers=powers)
     K = prep["K"]
@@ -1367,6 +1387,7 @@ def caviar_sharded(
         track_elbo=bool(track_elbo),
         elbo_tol=None if elbo_tol is None else float(elbo_tol),
         update_order=_validate_update_order(str(update_order)),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
 
     mu, beta = final.mu, final.beta

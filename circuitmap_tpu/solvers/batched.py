@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
 from ._common import _levels, prepare_stim
-from ._laplace import laplace_phi_update
+from ._laplace import _resolve_laplace_impl, laplace_phi_update
 from .caviar import (_resolve_sweep_block_size, _resolve_sweep_impl,
                      _run_caviar, reconnect_from_spontaneous)
 
@@ -71,6 +71,7 @@ def caviar_many(
     mesh=None,
     powers=None,
     sweep_block_size=1,
+    laplace_impl="auto",
     verbose=True,
 ):
     """Fit B experiments at once. y_pscs: [B, K, T]; stims: [B, N, K].
@@ -181,6 +182,11 @@ def caviar_many(
             sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
             sweep_impl=_resolve_sweep_impl(
                 "auto", _resolve_sweep_block_size(sweep_block_size)),
+            # under the experiment vmap the pallas route flattens the
+            # B x N Newton solves into one kernel launch (the vmapped
+            # XLA recursion is latency-bound at the SAME ~0.8 ms/iter
+            # regardless of B — see ops/laplace_pallas._rule)
+            laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
         )
         return final
 
