@@ -394,7 +394,18 @@ def _sns_iteration(state, data, hyper, static):
     shape, rate = _sns_update_noise(y, mu, beta, alpha, lam, shape_prior,
                                     rate_prior, k_global)
     S, C = _powercurve_stats_masked(lam, stim, levels, valid)
-    phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+    lap_impl = static.get("laplace_impl", "xla")
+    if lap_impl != "xla":  # see the caviar _iteration note above
+        from ..ops.laplace_pallas import (
+            laplace_from_stats_pallas_interpret_v, laplace_from_stats_pallas_v,
+        )
+
+        lap_fn = (laplace_from_stats_pallas_interpret_v
+                  if lap_impl.endswith("interpret")
+                  else laplace_from_stats_pallas_v)
+        phi, phi_cov = lap_fn(S, C, levels, phi_prior, phi_cov_prior)
+    else:
+        phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
 
     return SnsState(mu, beta, alpha, lam, shape, rate, phi, phi_cov, key)
 
@@ -403,7 +414,7 @@ def _sns_iteration(state, data, hyper, static):
     jax.jit,
     static_argnames=(
         "mesh", "iters", "num_mc_samples", "minimum_spike_count",
-        "analytic_mc", "save_histories",
+        "analytic_mc", "save_histories", "laplace_impl",
     ),
 )
 def _run_sns_sharded(
@@ -411,6 +422,7 @@ def _run_sns_sharded(
     mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
     phi_prior, phi_cov_prior, key, *, mesh, iters, num_mc_samples,
     minimum_spike_count, analytic_mc, save_histories,
+    laplace_impl="xla",
 ):
     from ..solvers.cavi_sns import SnsState
 
@@ -418,6 +430,7 @@ def _run_sns_sharded(
         num_mc_samples=num_mc_samples,
         minimum_spike_count=minimum_spike_count,
         analytic_mc=analytic_mc,
+        laplace_impl=laplace_impl,
     )
 
     def body(y, stim, lam0, lam_mask, valid, levels, k_global,
@@ -495,6 +508,7 @@ def cavi_sns_sharded(
     dtype=jnp.float32,
     analytic_mc=False,
     y_xcorr_thresh=1e-2,
+    laplace_impl="auto",
     verbose=True,
 ):
     """Fit CAVI-SnS with the trial axis sharded over ``mesh``.
@@ -557,6 +571,7 @@ def cavi_sns_sharded(
         minimum_spike_count=int(minimum_spike_count),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
 
     if save_histories:

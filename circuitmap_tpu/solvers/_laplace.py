@@ -85,10 +85,12 @@ def powercurve_stats(lam, stim, powers, total_trials=None, counts=None):
         axis=1,
     )
     if counts is not None:
-        if total_trials is None:
-            raise ValueError("counts= requires total_trials=")
+        # without total_trials, bucket 0 counts every stim == 0 column
+        # (incl. any padding) — exactly what the mask-sum form computes,
+        # i.e. the full trial axis minus the targeted counts
+        total = lam.shape[-1] if total_trials is None else total_trials
         counts = counts.astype(lam.dtype)
-        bucket0 = total_trials - jnp.sum(counts, axis=1)
+        bucket0 = total - jnp.sum(counts, axis=1)
         C = jnp.concatenate([bucket0[:, None], counts], axis=1)
         return S, C, levels
     C = jnp.stack(

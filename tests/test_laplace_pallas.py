@@ -112,12 +112,17 @@ class TestHoistedCounts:
         np.testing.assert_array_equal(np.asarray(C1), np.asarray(C2))
         np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
 
-    def test_counts_requires_total(self):
-        with pytest.raises(ValueError):
-            powercurve_stats(
-                jnp.zeros((2, 4)), jnp.zeros((2, 4)),
-                jnp.asarray([1.0]), counts=jnp.zeros((2, 1)),
-            )
+    def test_counts_without_total_uses_trial_axis(self):
+        # no total_trials: bucket 0 must equal the mask-sum form's count
+        # of every stim == 0 column
+        lam = jnp.ones((2, 6), jnp.float32)
+        stim = jnp.asarray([[0, 1, 1, 0, 0, 0], [1, 1, 1, 0, 0, 0]],
+                           jnp.float32)
+        powers = jnp.asarray([1.0], jnp.float32)
+        counts = jnp.asarray([[2.0], [3.0]], jnp.float32)
+        _, C_ref, _ = powercurve_stats(lam, stim, powers)
+        _, C, _ = powercurve_stats(lam, stim, powers, counts=counts)
+        np.testing.assert_array_equal(np.asarray(C), np.asarray(C_ref))
 
 
 class TestFullFit:
