@@ -87,6 +87,24 @@ def main():
         elapsed = min(elapsed, time.time() - t0)
         elapsed_block = min(elapsed_block, t_block)
 
+    # fit-only time (input already device-resident): isolates the solver
+    # from the host->TPU trace wire, which dominates the end-to-end
+    # number through the tunnel
+    dem = demixer(sim["psc"], verbose=False, keep_on_device=True,
+                  transfer_dtype=np.int8)
+    np.asarray(dem[0, :1])  # settle the demixer before the fit clock
+    fit_only = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out_f = caviar(
+            dem, sim["stim_matrix"], priors["mu"], priors["beta"],
+            priors["shape"], priors["rate"], priors["phi"],
+            priors["phi_cov"], iters=iters, msrmp=0.3,
+            powers=[45.0, 55.0, 65.0], verbose=False, sweep_block_size=8,
+        )
+        np.asarray(out_f[0][:1])
+        fit_only = min(fit_only, time.time() - t0)
+
     r2 = r2_score(sim["weights"], np.asarray(out[0]))
     baseline_target_s = 10.0
     record = {
@@ -97,6 +115,7 @@ def main():
         "weight_recovery_r2": round(float(r2), 4),
         "device": str(jax.devices()[0]),
         "block_until_ready_seconds": round(elapsed_block, 3),
+        "fit_only_seconds": round(fit_only, 3),
     }
     # measured-reference comparison, when the committed artifact exists
     # (scripts_tpu/measure_reference_baseline.py — reference end-to-end
