@@ -761,7 +761,7 @@ def _mbcs_outliers_sharded(y, mu, lam, lam_mask, penalty, scale_factor,
         "mesh", "iters", "max_penalty_iters", "max_lasso_iters",
         "constrain_weights", "learn_lam", "delay_spont_estimation",
         "minimum_spike_count", "num_mc_samples_noise_model",
-        "orthogonal_outliers", "save_histories",
+        "orthogonal_outliers", "save_histories", "analytic_noise",
     ),
 )
 def _run_mbcs_sharded(
@@ -771,6 +771,7 @@ def _run_mbcs_sharded(
     mesh, iters, max_penalty_iters, max_lasso_iters, constrain_weights,
     learn_lam, delay_spont_estimation, minimum_spike_count,
     num_mc_samples_noise_model, orthogonal_outliers, save_histories,
+    analytic_noise=False,
 ):
     from ..solvers.mbcs import sweep_spikes_mbcs
 
@@ -814,10 +815,21 @@ def _run_mbcs_sharded(
                 mu, lam, rf, minimum_spike_count,
                 minimum_maximal_spike_prob + spont_rate,
             )
-            shape, rate = _mbcs_noise_mc_sharded(
-                k_noise, y, mu, beta, lam, noise_scale,
-                num_mc_samples_noise_model,
-            )
+            if analytic_noise:
+                # exact moments are per-trial (column-wise): shard-local
+                # with NO collective, and bit-exact vs single-device —
+                # unlike the MC draw, which can only be statistically
+                # equal across shardings (see solvers.mbcs)
+                from ..solvers.mbcs import update_noise_analytic
+
+                shape, rate = update_noise_analytic(
+                    y, mu, beta, lam, noise_scale=noise_scale,
+                )
+            else:
+                shape, rate = _mbcs_noise_mc_sharded(
+                    k_noise, y, mu, beta, lam, noise_scale,
+                    num_mc_samples_noise_model,
+                )
             gate = it > delay_spont_estimation
             z_new = _mbcs_outliers_sharded(
                 y, mu, lam, lam_mask, outlier_penalty, scale_factor,
@@ -901,6 +913,7 @@ def mbcs_sharded(
     save_histories=True,
     init_lam=None,
     verbose=False,
+    analytic_noise=False,
     **_compat,
 ):
     """Fit MBCS with the trial axis sharded over ``mesh``.
@@ -910,7 +923,9 @@ def mbcs_sharded(
     per-trial spike draws are shard-local (statistically, not
     bit-exactly, equal to the single-device solver — see
     _mbcs_noise_mc_sharded); everything else matches up to reduction
-    reassociation.
+    reassociation. ``analytic_noise=True`` (solvers.mbcs) closes even
+    that gap: the exact noise moments are column-wise, so the sharded
+    fit becomes bit-exact vs single-device with the same flag.
     """
     n_dev = mesh.devices.size
     y_psc_np = np.asarray(y_psc)
@@ -983,6 +998,7 @@ def mbcs_sharded(
         num_mc_samples_noise_model=int(num_mc_samples_noise_model),
         orthogonal_outliers=bool(orthogonal_outliers),
         save_histories=bool(save_histories),
+        analytic_noise=bool(analytic_noise),
     )
     (mu, beta, lam, shape, rate, z, _spont, _prior, rf, _key) = final
     lam = lam[:, :K]

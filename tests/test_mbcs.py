@@ -92,3 +92,42 @@ class TestMbcsEndToEnd:
         assert r2_score(true, mu) > 0.5
         assert model.state["receptive_fields"].shape == (30, 4)
         assert model.history["mu"].shape == (10, 30)
+
+    def test_analytic_noise_recovery(self):
+        # exact-moments noise model: same fit quality, deterministic
+        np.random.seed(7)
+        sim = simulate(N=30, trials=400, H=3, connection_prob=0.15,
+                       spont_prob=0.0, gp_scale=1e-3, verbose=False)
+        model = Model(30)
+        model.fit(
+            sim["psc"], sim["stim_matrix"], method="mbcs",
+            fit_options={"iters": 10, "verbose": False, "seed": 0,
+                         "analytic_noise": True},
+        )
+        assert r2_score(sim["weights"], model.state["mu"]) > 0.5
+
+
+class TestAnalyticNoiseMoments:
+    def test_matches_mc_at_large_s(self):
+        # the closed form is the S -> inf limit of update_noise_mc
+        import jax
+        from circuitmap_tpu.solvers.mbcs import (update_noise_analytic,
+                                                 update_noise_mc)
+
+        rng = np.random.default_rng(3)
+        N, K = 25, 200
+        lam = jnp.asarray(rng.uniform(0, 1, (N, K)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal(K).astype(np.float32))
+        mu = jnp.asarray(
+            (rng.standard_normal(N) * (rng.random(N) < 0.5)).astype(
+                np.float32)
+        )
+        beta = jnp.asarray(rng.uniform(0.05, 0.2, N).astype(np.float32))
+        sh_a, ra_a = update_noise_analytic(y, mu, beta, lam)
+        sh_m, ra_m = update_noise_mc(jax.random.PRNGKey(0), y, mu, beta,
+                                     lam, num_mc_samples=4000)
+        # MC error at S=4000 ~ 1/sqrt(S); compare relative
+        np.testing.assert_allclose(np.asarray(sh_a), np.asarray(sh_m),
+                                   rtol=0.1, atol=0.05)
+        np.testing.assert_allclose(np.asarray(ra_a), np.asarray(ra_m),
+                                   rtol=0.1, atol=0.05)

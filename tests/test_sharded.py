@@ -169,6 +169,24 @@ class TestShardedMbcs:
         assert np.asarray(sharded[2]).shape == (40, 501)
         assert np.asarray(sharded[6]).shape[0] == 40  # receptive fields
 
+    def test_analytic_noise_bit_exact(self, sim, mesh8):
+        """analytic_noise removes the sharded MC draw — the one
+        documented statistical divergence — so sharded-vs-single
+        agreement tightens to reduction reassociation."""
+        from circuitmap_tpu.parallel import mbcs_sharded
+        from circuitmap_tpu.solvers import mbcs
+
+        p = default_priors(40)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"])
+        kw = dict(iters=8, seed=0, save_histories=False,
+                  analytic_noise=True)
+        single = mbcs(*args, **kw)
+        sharded = mbcs_sharded(*args, mesh=mesh8, **kw)
+        mu_s, mu_p = np.asarray(single[0]), np.asarray(sharded[0])
+        assert (np.flatnonzero(mu_s) == np.flatnonzero(mu_p)).all()
+        np.testing.assert_allclose(mu_s, mu_p, rtol=1e-3, atol=1e-4)
+
     def test_model_dispatch_and_histories(self, sim, mesh8):
         from circuitmap_tpu.model import Model
 
