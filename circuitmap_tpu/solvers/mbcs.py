@@ -432,6 +432,11 @@ def mbcs(
     spike-dependent noise model (update_noise_analytic) — the S -> inf
     limit of the reference's sampler, deterministic and ~15x cheaper
     per iteration on TPU. Default False (reference-faithful sampling).
+
+    Feed DEMIXED traces at scale: unlike CAVIaR, MBCS has no power-curve
+    gating or reconnection machinery, and on raw contaminated traces at
+    N=1000/K=20000 it collapses (measured R2 ~ 0 raw vs 0.976 demixed
+    on the same sim; 0.991 at N=300/K=5000 demixed).
     """
     if verbose:
         print("Running MBCS (TPU-native).")
