@@ -887,8 +887,6 @@ def _resolve_sweep_impl(sweep_impl, block_size):
     return "pallas" if on_tpu else "xla"
 
 
-
-
 def caviar(
     y_psc,
     stim,
