@@ -34,17 +34,55 @@ import jax
 import jax.numpy as jnp
 
 
-def prepare_traces(y_psc, dtype):
+def prepare_traces(y_psc, dtype, trace_wire=None):
     """Cast traces host-side (half the transfer) unless already on device.
 
     The f32 wire applies only when the requested dtype is f32 or
     narrower — an explicit dtype=float64 fit (e.g. reference-parity
     oracle runs) must not silently lose mantissa bits in transit.
+
+    ``trace_wire`` compresses the host->device upload when raw traces
+    are fed straight to a solver (the demixed path already has this:
+    demix/demixer.py transfer_dtype): "f16" halves it (~1e-3 relative
+    quantisation), "int8" quarters it (per-trace peak scale, ~0.4% of
+    peak — below recording noise; WIRE_STUDY.json measured int8 == f32
+    truth-R2 to 4 decimals on the bench config). Opt-in: None keeps the
+    exact f32 wire. Ignored for device-resident inputs; rejected for
+    f64 fits (parity-oracle exactness).
     """
     if isinstance(y_psc, jax.Array):
         return y_psc.astype(dtype)
-    wire = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.float64
-    return jnp.asarray(np.asarray(y_psc, dtype=wire), dtype=dtype)
+    if trace_wire not in (None, "f32", "f16", "int8"):
+        raise ValueError(
+            f"trace_wire must be None, 'f32', 'f16' or 'int8', "
+            f"got {trace_wire!r}")
+    if jnp.dtype(dtype).itemsize > 4:
+        if trace_wire in ("f16", "int8"):
+            raise ValueError(
+                "compressed trace_wire is incompatible with dtype=float64 "
+                "(parity-oracle fits must keep full mantissa in transit)")
+        return jnp.asarray(np.asarray(y_psc, dtype=np.float64), dtype=dtype)
+    if trace_wire == "f16":
+        return jnp.asarray(np.asarray(y_psc, dtype=np.float16), dtype=dtype)
+    if trace_wire == "int8":
+        arr = np.asarray(y_psc)
+        scale = (np.abs(arr).max(axis=1) / 127.0).astype(np.float32)
+        if not np.isfinite(scale).all():
+            # same loud failure as the demixer wire: a non-finite peak
+            # would make the unsafe int8 cast wrap silently
+            raise ValueError(
+                "traces contain non-finite samples; the int8 trace wire "
+                "requires finite traces")
+        scale = np.where(scale > 0, scale, np.float32(1.0))
+        q = np.empty(arr.shape, dtype=np.int8)
+        np.rint(arr / scale[:, None], out=q, casting="unsafe")
+        return _dequantise_traces(jnp.asarray(q), jnp.asarray(scale), dtype)
+    return jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _dequantise_traces(q, scale, dtype):
+    return q.astype(dtype) * scale[:, None].astype(dtype)
 
 
 def _levels(stim_np, powers=None):

@@ -258,6 +258,7 @@ def cavi_sns(
     dtype=jnp.float32,
     analytic_mc=False,
     laplace_impl="auto",
+    trace_wire=None,
     verbose=True,
 ):
     """Fit CAVI-SnS. Signature/return layout mirror reference cavi_sns.py:17-85.
@@ -269,7 +270,7 @@ def cavi_sns(
     if verbose:
         print("Running CAVI-SnS (TPU-native).")
 
-    y_psc = prepare_traces(y_psc, dtype)
+    y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     stim, stim_np, powers_np, powers_dev_np = prepare_stim(stim, dtype)
     y = integrated_charge(y_psc)
     # one fused program for mask + lam init (eager jnp ops cost a

@@ -919,6 +919,7 @@ def caviar(
     update_order="random",
     track_elbo=False,
     elbo_tol=None,
+    trace_wire=None,
     verbose=True,
 ):
     """Fit CAVIaR. Signature and return layout mirror reference caviar.py:20-100.
@@ -950,6 +951,15 @@ def caviar(
     seed noise at N=1000/K=20000, device fit ~30% faster) — and to 1
     elsewhere (the reference's strictly sequential schedule). Pass 1
     explicitly for the reference schedule on TPU.
+
+    ``laplace_impl="auto"`` routes the power-curve Newton refit through
+    the one-launch Pallas kernel on TPU f32 fits (ops/laplace_pallas.py;
+    ~66x less per-iteration launch latency); XLA elsewhere.
+
+    ``trace_wire`` compresses the raw-trace upload when ``y_psc`` is a
+    host array ("f16" halves, "int8" quarters — see
+    _common.prepare_traces). Demixed device-resident inputs are
+    unaffected (the demixer has its own transfer_dtype wire).
     """
     from .. import _ensure_compile_cache
 
@@ -957,7 +967,7 @@ def caviar(
     if verbose:
         print("Running CAVIaR (TPU-native).")
 
-    y_psc = prepare_traces(y_psc, dtype)
+    y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     # single fused program for the stim gather + mask + lam init (the
     # eager-op version cost one tunnel dispatch per op)

@@ -78,6 +78,7 @@ def caviar_resumable(
     sweep_impl="auto",
     sweep_block_size="auto",
     laplace_impl="auto",
+    trace_wire=None,
     verbose=True,
 ):
     """CAVIaR with periodic state checkpoints + resume.
@@ -114,7 +115,7 @@ def caviar_resumable(
             dtype=dtype, analytic_mc=analytic_mc, powers=powers,
             verbose=verbose,
         )
-    y_psc = prepare_traces(y_psc, dtype)
+    y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (
         prepare_stim_and_init(stim, active, dtype, powers=powers)

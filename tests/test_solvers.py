@@ -436,3 +436,48 @@ class TestStimWireFormats:
         # the device stim carries the f32-rounded level values
         np.testing.assert_array_equal(
             np.asarray(dev), stim.astype(np.float32))
+
+
+class TestTraceWire:
+    def test_int8_wire_matches_f32_fit(self):
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.solvers import caviar
+
+        np.random.seed(5)
+        sim = simulate(N=40, trials=501, H=5, connection_prob=0.1,
+                       verbose=False, spont_prob=0.01, gp_scale=1e-3)
+        p = default_priors(40)
+        kw = dict(iters=15, verbose=False, analytic_mc=True, fn_scan=False,
+                  seed=0)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        a = caviar(*args, **kw)
+        b = caviar(*args, trace_wire="int8", **kw)
+        # int8 quantisation is ~0.4% of trace peak — recovery must agree
+        r_a = r2_score(sim["weights"], np.asarray(a[0]))
+        r_b = r2_score(sim["weights"], np.asarray(b[0]))
+        assert abs(r_a - r_b) < 0.02
+        assert r_b > 0.9
+
+    def test_wire_validation(self):
+        import jax.numpy as jnp
+
+        from circuitmap_tpu.solvers._common import prepare_traces
+
+        with pytest.raises(ValueError, match="trace_wire"):
+            prepare_traces(np.zeros((2, 4)), jnp.float32, trace_wire="int4")
+        with pytest.raises(ValueError, match="float64"):
+            prepare_traces(np.zeros((2, 4)), jnp.float64, trace_wire="int8")
+        with pytest.raises(ValueError, match="finite"):
+            prepare_traces(np.full((2, 4), np.nan), jnp.float32,
+                           trace_wire="int8")
+
+    def test_f16_wire_close(self):
+        import jax.numpy as jnp
+
+        from circuitmap_tpu.solvers._common import prepare_traces
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((8, 64)).astype(np.float32)
+        out = np.asarray(prepare_traces(x, jnp.float32, trace_wire="f16"))
+        np.testing.assert_allclose(out, x, rtol=2e-3, atol=2e-3)
