@@ -25,7 +25,9 @@ Newton direction evaluation (i.e. at phi_9), exactly as the scan carry
 in the XLA version. Reference behaviour: optimise/caviar.py:246-316.
 
 Float32 only (TPU). The XLA path remains the fallback for f64 parity
-fits, CPU runs, and vmapped (caviar_many) callers.
+fits and CPU runs. Vmapped callers (caviar_many) DO run the kernel:
+the custom_vmap rule below flattens the B x N independent per-neuron
+solves into B*N lanes of one launch.
 """
 
 from __future__ import annotations
@@ -218,7 +220,13 @@ def _make_with_batching(interpret):
         # under vmap), which dominated caviar_many's iteration.
         b_S, b_C, b_lev, b_pp, b_pc = in_batched
         if b_lev:
-            levels = levels[0]  # shared level table across experiments
+            # CONTRACT: the level table must be SHARED across the batch
+            # (caviar_many validates this host-side before any fit, in
+            # batched._upload_plan). Taking row 0 of a genuinely
+            # heterogeneous batch would silently solve every experiment
+            # against experiment 0's levels — new batched callers must
+            # validate like caviar_many does or keep levels unbatched.
+            levels = levels[0]
 
         def bcast(x, batched):
             x = jnp.asarray(x)

@@ -40,7 +40,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops.charge import prepare_observations
 from ..ops.pava import isotonic_fit_at_max
 from ..solvers._common import prepare_stim
-from ..solvers._laplace import _resolve_laplace_impl, laplace_from_stats
+from ..solvers._laplace import _resolve_laplace_impl, laplace_from_stats_impl
 from ..solvers.caviar import (
     CaviarState,
     powercurve_logit_means,
@@ -394,18 +394,9 @@ def _sns_iteration(state, data, hyper, static):
     shape, rate = _sns_update_noise(y, mu, beta, alpha, lam, shape_prior,
                                     rate_prior, k_global)
     S, C = _powercurve_stats_masked(lam, stim, levels, valid)
-    lap_impl = static.get("laplace_impl", "xla")
-    if lap_impl != "xla":  # see the caviar _iteration note above
-        from ..ops.laplace_pallas import (
-            laplace_from_stats_pallas_interpret_v, laplace_from_stats_pallas_v,
-        )
-
-        lap_fn = (laplace_from_stats_pallas_interpret_v
-                  if lap_impl.endswith("interpret")
-                  else laplace_from_stats_pallas_v)
-        phi, phi_cov = lap_fn(S, C, levels, phi_prior, phi_cov_prior)
-    else:
-        phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+    phi, phi_cov = laplace_from_stats_impl(
+        S, C, levels, phi_prior, phi_cov_prior,
+        impl=static.get("laplace_impl", "xla"))
 
     return SnsState(mu, beta, alpha, lam, shape, rate, phi, phi_cov, key)
 
@@ -1102,18 +1093,9 @@ def _iteration(state, it, data, hyper, static):
     # one-launch kernel (ops/laplace_pallas.py) — the vmapped-XLA form
     # is ~0.8 ms/iteration of latency-bound tiny fusions PER DEVICE,
     # which would dominate the sharded iteration on real ICI
-    lap_impl = static.get("laplace_impl", "xla")
-    if lap_impl != "xla":
-        from ..ops.laplace_pallas import (
-            laplace_from_stats_pallas_interpret_v, laplace_from_stats_pallas_v,
-        )
-
-        lap_fn = (laplace_from_stats_pallas_interpret_v
-                  if lap_impl.endswith("interpret")
-                  else laplace_from_stats_pallas_v)
-        phi, phi_cov = lap_fn(S, C, levels, phi_prior, phi_cov_prior)
-    else:
-        phi, phi_cov = laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+    phi, phi_cov = laplace_from_stats_impl(
+        S, C, levels, phi_prior, phi_cov_prior,
+        impl=static.get("laplace_impl", "xla"))
 
     z = _update_spontaneous(
         y, mu, lam, state.z, it, jnp.asarray(static["penalty"], y.dtype), lam_mask,
@@ -1267,12 +1249,14 @@ def _run_sharded(
     )
 
 
-def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh, powers=None):
+def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh, powers=None,
+                  trace_wire=None):
     """Shared host->device preamble for the trial-sharded solvers.
 
     Pads K to a mesh multiple, builds the validity mask, observations,
     lam init, and power-bucket statistics. Returns host metadata plus
     ``device_args`` — the positional prefix every _run_sharded call takes.
+    ``trace_wire`` compresses the trace upload (_common.prepare_traces).
     """
     n_dev = mesh.devices.size
     y_psc = np.asarray(y_psc)
@@ -1286,7 +1270,9 @@ def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh, powers=None):
         )
     valid = np.concatenate([np.ones(K), np.zeros(pad)]).astype(np.float32)
 
-    y_psc = jnp.asarray(y_psc, dtype=dtype)
+    from ..solvers._common import prepare_traces
+
+    y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     # powers come back deduplicated and at the stim matrix's own
     # precision (host comparisons below and the reconnect scan need
     # exact matches; see solvers/_common._levels)
@@ -1352,6 +1338,7 @@ def caviar_sharded(
     track_elbo=False,
     elbo_tol=None,
     update_order="random",
+    trace_wire=None,
     verbose=True,
 ):
     """Fit CAVIaR with the trial axis sharded over ``mesh``.
@@ -1383,7 +1370,7 @@ def caviar_sharded(
     """
     del sweep_impl
     prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
-                         powers=powers)
+                         powers=powers, trace_wire=trace_wire)
     K = prep["K"]
     stim_np = prep["stim_np"]
     powers = prep["powers_np"]

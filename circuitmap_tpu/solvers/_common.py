@@ -66,16 +66,29 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
         return jnp.asarray(np.asarray(y_psc, dtype=np.float16), dtype=dtype)
     if trace_wire == "int8":
         arr = np.asarray(y_psc)
-        scale = (np.abs(arr).max(axis=1) / 127.0).astype(np.float32)
-        if not np.isfinite(scale).all():
-            # same loud failure as the demixer wire: a non-finite peak
-            # would make the unsafe int8 cast wrap silently
-            raise ValueError(
-                "traces contain non-finite samples; the int8 trace wire "
-                "requires finite traces")
-        scale = np.where(scale > 0, scale, np.float32(1.0))
+        K = arr.shape[0]
+        # quantise in row chunks: bounds the fresh f32 temporaries
+        # (abs, arr/scale) to ~15 MB — a full-size temp at the bench
+        # shape costs more in first-touch page faults than the wire
+        # saves (CLAUDE.md host-memory rule; the demixer wire chunks
+        # for the same reason). Only the int8 output (1/4 size) and
+        # the [K] scales are allocated at full height.
         q = np.empty(arr.shape, dtype=np.int8)
-        np.rint(arr / scale[:, None], out=q, casting="unsafe")
+        scale = np.empty(K, dtype=np.float32)
+        step = 4096
+        for k0 in range(0, K, step):
+            part = arr[k0:k0 + step]
+            s = (np.abs(part).max(axis=1) / 127.0).astype(np.float32)
+            if not np.isfinite(s).all():
+                # same loud failure as the demixer wire: a non-finite
+                # peak would make the unsafe int8 cast wrap silently
+                raise ValueError(
+                    "traces contain non-finite samples; the int8 trace "
+                    "wire requires finite traces")
+            s = np.where(s > 0, s, np.float32(1.0))
+            np.rint(part / s[:, None], out=q[k0:k0 + step],
+                    casting="unsafe")
+            scale[k0:k0 + step] = s
         return _dequantise_traces(jnp.asarray(q), jnp.asarray(scale), dtype)
     return jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
 

@@ -183,15 +183,8 @@ def laplace_phi_update(lam, stim, phi_prior, phi_cov_prior, powers=None,
 
         powers = jnp.asarray(np.unique(np.asarray(stim))[1:], dtype=lam.dtype)
     S, C, levels = powercurve_stats(lam, stim, powers, total_trials, counts)
-    if impl != "xla":
-        from ..ops.laplace_pallas import (
-            laplace_from_stats_pallas_v, laplace_from_stats_pallas_interpret_v,
-        )
-
-        fn = (laplace_from_stats_pallas_interpret_v
-              if impl.endswith("interpret") else laplace_from_stats_pallas_v)
-        return fn(S, C, levels, phi_prior, phi_cov_prior)
-    return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
+    return laplace_from_stats_impl(S, C, levels, phi_prior, phi_cov_prior,
+                                   impl=impl)
 
 
 def _resolve_laplace_impl(laplace_impl, dtype):
@@ -204,7 +197,26 @@ def _resolve_laplace_impl(laplace_impl, dtype):
         return laplace_impl
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
-    return "pallas" if on_tpu and dtype == jnp.float32 else "xla"
+    # normalise dtype spellings ('float32', np.float32, jnp.float32)
+    return ("pallas"
+            if on_tpu and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            else "xla")
+
+
+def laplace_from_stats_impl(S, C, levels, phi_prior, phi_cov_prior,
+                            impl="xla"):
+    """Route the Newton recursion by ``impl`` — the ONE switch shared by
+    laplace_phi_update and both sharded iterations (keep routing logic
+    here, not at call sites)."""
+    if impl != "xla":
+        from ..ops.laplace_pallas import (
+            laplace_from_stats_pallas_interpret_v, laplace_from_stats_pallas_v,
+        )
+
+        fn = (laplace_from_stats_pallas_interpret_v
+              if impl.endswith("interpret") else laplace_from_stats_pallas_v)
+        return fn(S, C, levels, phi_prior, phi_cov_prior)
+    return laplace_from_stats(S, C, levels, phi_prior, phi_cov_prior)
 
 
 # Jitted form for EAGER call sites (post-reconnect refits): run op-by-op

@@ -90,9 +90,10 @@ def caviar_resumable(
     execution model) in checkpointed segments — preemptible multi-chip
     fits; the checkpoint stores the gathered global state at the true
     trial count, so a resumed run may even use a different mesh size.
-    ``powers``/``sweep_impl``/``sweep_block_size``/``laplace_impl``
-    match solvers.caviar (the sharded path ignores the sweep/laplace
-    knobs — its sweep is the psum formulation).
+    ``powers``/``sweep_impl``/``sweep_block_size``/``laplace_impl``/
+    ``trace_wire`` match solvers.caviar; the sharded path honours
+    laplace_impl and trace_wire too (like parallel.caviar_sharded) but
+    ignores the sweep knobs — its sweep is the psum formulation.
     """
     if int(checkpoint_every) < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
@@ -113,6 +114,7 @@ def caviar_resumable(
             max_backtrack_iters=max_backtrack_iters, tol=tol,
             spont_orthogonality=spont_orthogonality, fn_scan=fn_scan,
             dtype=dtype, analytic_mc=analytic_mc, powers=powers,
+            laplace_impl=laplace_impl, trace_wire=trace_wire,
             verbose=verbose,
         )
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
@@ -202,7 +204,7 @@ def _caviar_resumable_sharded(
     iters, checkpoint_every, seed, num_mc_samples, y_xcorr_thresh,
     minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
     max_backtrack_iters, tol, spont_orthogonality, fn_scan, dtype,
-    analytic_mc, powers, verbose,
+    analytic_mc, powers, verbose, laplace_impl="auto", trace_wire=None,
 ):
     """Trial-sharded segmented fit with checkpoint/resume.
 
@@ -215,7 +217,7 @@ def _caviar_resumable_sharded(
     from ..parallel.sharded import _prep_sharded, _run_sharded
 
     prep = _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh,
-                         powers=powers)
+                         powers=powers, trace_wire=trace_wire)
     K = prep["K"]
     stim_np = prep["stim_np"]
     powers_np = prep["powers_np"]
@@ -261,6 +263,7 @@ def _caviar_resumable_sharded(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=False,
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
     key = jax.random.PRNGKey(seed)
 
