@@ -31,7 +31,10 @@ from circuitmap_tpu.utils.metrics import r2_score
 def _random_stats(rng, N, P1=4):
     C = rng.integers(0, 300, (N, P1)).astype(np.float32)
     S = (C * rng.uniform(0, 1, (N, P1))).astype(np.float32)
-    levels = np.array([0.0, 45.0, 55.0, 65.0], np.float32)
+    levels = np.concatenate(
+        [[0.0], np.sort(rng.uniform(30.0, 80.0, P1 - 1))]
+    ).astype(np.float32) if P1 != 4 else np.array(
+        [0.0, 45.0, 55.0, 65.0], np.float32)
     phi_prior = np.tile(np.array([0.1, 5.0], np.float32), (N, 1))
     phi_cov = np.tile(
         np.array([[1e-1, 0.0], [0.0, 1e0]], np.float32), (N, 1, 1)
@@ -58,6 +61,16 @@ class TestKernelVsXla:
         assert np.quantile(dphi, 0.99) < 2e-4
         assert dphi.max() < 5e-3
         assert dcov.max() < 5e-3
+
+    @pytest.mark.parametrize("P1", [2, 3, 6, 9])
+    def test_level_table_sizes(self, P1):
+        # single power level up to 8 levels (sublane padding boundary)
+        args = _random_stats(np.random.default_rng(P1), 300, P1=P1)
+        phi_x, _ = laplace_from_stats(*args)
+        phi_p, _ = laplace_from_stats_pallas(*args, interpret=True)
+        dphi = np.abs(np.asarray(phi_x) - np.asarray(phi_p))
+        assert np.quantile(dphi, 0.99) < 2e-4
+        assert dphi.max() < 5e-3
 
     def test_vmap_flattens_through_kernel(self):
         # batched callers flatten [B, N] -> [B*N] lanes through the
