@@ -61,13 +61,13 @@ def _laplace_kernel(P1, levels_ref, S_ref, C_ref, pp_ref, prec_ref,
     p01 = prec_ref[1:2, :]
     p11 = prec_ref[2:3, :]
 
-    steps = [np.float32(_L.BACKTRACK_BETA ** s)
-             for s in range(_L.MAX_BACKTRACK + 1)]
     # [SG, 1] step grid built in-kernel (captured array constants are
-    # not allowed); beta = 0.5 so the powers are exact either way
+    # not allowed); beta = 0.5 so the powers are exact either way. The
+    # give-up fallback is the grid's last entry, beta^MAX.
     steps_col = jnp.float32(_L.BACKTRACK_BETA) ** jax.lax.broadcasted_iota(
         jnp.int32, (_L.MAX_BACKTRACK + 1, 1), 0
     ).astype(jnp.float32)
+    step_min = np.float32(_L.BACKTRACK_BETA ** _L.MAX_BACKTRACK)
 
     def objective(c0, c1):
         # c0/c1: [1, NB] or [SG, NB]; same algebra as the XLA version
@@ -134,7 +134,7 @@ def _laplace_kernel(P1, levels_ref, S_ref, C_ref, pp_ref, prec_ref,
         # beta^MAX fallback when nothing accepts
         sel = jnp.max(jnp.where(ok, steps_col * jnp.ones_like(lhs), 0.0),
                       axis=0, keepdims=True)
-        sel = jnp.where(sel > 0.0, sel, steps[-1])
+        sel = jnp.where(sel > 0.0, sel, step_min)
         phi0 = phi0 + sel * v0
         phi1 = phi1 + sel * v1
 

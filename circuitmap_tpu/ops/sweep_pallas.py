@@ -898,7 +898,12 @@ def sweep_spikes_pallas_dma_blocked_batched(
     P = powers.shape[0]
     dtype = lam.dtype
     B = block_size
-    assert B % 8 == 0
+    if B % 8 != 0:
+        # Mosaic's 8-sublane tiling constraint on the block DMAs; a
+        # ValueError at trace time names the knob (and survives -O,
+        # unlike an assert)
+        raise ValueError(
+            f"blocked sweep requires sweep_block_size % 8 == 0, got {B}")
 
     K128 = -(-K // 128) * 128
     bytes_per_slot = 3 * B * K128 * jnp.dtype(dtype).itemsize

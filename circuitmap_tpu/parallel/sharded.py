@@ -1016,7 +1016,7 @@ def _elbo_sharded(y, stim, state, hyper, k_global):
     with every trial reduction psum'd; replicated scalar out). Padded
     trials are inert (zero y/lam/stim/z), so only the explicit
     trial-count factor uses k_global."""
-    from jax.scipy.special import digamma, gammaln
+    from jax.scipy.special import digamma
     from jax.nn import log_sigmoid
 
     mu_prior, beta_prior, shape_prior, rate_prior, _pp, _pc = hyper
@@ -1049,14 +1049,13 @@ def _elbo_sharded(y, stim, state, hyper, k_global):
     e_sq = red[0] - red[1] + red[2]
     e_loglik = (0.5 * k_global * (e_log_tau - jnp.log(2 * jnp.pi))
                 - 0.5 * e_tau * e_sq)
-    kl_w = jnp.sum(
-        0.5 * (jnp.log(jnp.square(beta_prior) / var)
-               + (var + jnp.square(mu - mu_prior)) / jnp.square(beta_prior)
-               - 1.0))
-    kl_tau = ((a - shape_prior) * digamma(a) - gammaln(a)
-              + gammaln(shape_prior)
-              + shape_prior * (jnp.log(b) - jnp.log(rate_prior))
-              + a * (rate_prior - b) / b)
+    # KL terms are per-neuron / scalar (no trial reduction): reuse the
+    # ONE definition in diagnostics — the bound must not be maintained
+    # in hand-synchronised copies
+    from ..solvers.diagnostics import _gamma_kl, _gauss_kl
+
+    kl_w = jnp.sum(_gauss_kl(mu, var, mu_prior, jnp.square(beta_prior)))
+    kl_tau = _gamma_kl(a, b, shape_prior, rate_prior)
     return e_loglik - kl_w - kl_tau + red[3] + red[4]
 
 

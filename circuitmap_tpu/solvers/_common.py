@@ -57,13 +57,23 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
             f"trace_wire must be None, 'f32', 'f16' or 'int8', "
             f"got {trace_wire!r}")
     if jnp.dtype(dtype).itemsize > 4:
-        if trace_wire in ("f16", "int8"):
+        if trace_wire is not None:
             raise ValueError(
-                "compressed trace_wire is incompatible with dtype=float64 "
+                "trace_wire is incompatible with dtype=float64 "
                 "(parity-oracle fits must keep full mantissa in transit)")
         return jnp.asarray(np.asarray(y_psc, dtype=np.float64), dtype=dtype)
     if trace_wire == "f16":
-        return jnp.asarray(np.asarray(y_psc, dtype=np.float16), dtype=dtype)
+        # ship the NARROW array and widen inside jit — jnp.asarray with
+        # a target dtype would host-cast to a fresh full-size f32 buffer
+        # first (verified against jax's array(): np.asarray(obj, dtype)),
+        # paying the page faults AND uploading full width. Cast into the
+        # half-size f16 buffer in chunks to bound the host temporaries.
+        arr = np.asarray(y_psc)
+        h16 = np.empty(arr.shape, dtype=np.float16)
+        step = 4096
+        for k0 in range(0, arr.shape[0], step):
+            h16[k0:k0 + step] = arr[k0:k0 + step]
+        return _widen_traces(jnp.asarray(h16), dtype)
     if trace_wire == "int8":
         arr = np.asarray(y_psc)
         K = arr.shape[0]
@@ -96,6 +106,11 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
 @partial(jax.jit, static_argnames=("dtype",))
 def _dequantise_traces(q, scale, dtype):
     return q.astype(dtype) * scale[:, None].astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _widen_traces(h, dtype):
+    return h.astype(dtype)
 
 
 def _levels(stim_np, powers=None):

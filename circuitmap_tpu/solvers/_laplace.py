@@ -194,6 +194,10 @@ def _resolve_laplace_impl(laplace_impl, dtype):
     parity-oracle fits (Pallas TPU is f32), and any explicit override.
     """
     if laplace_impl != "auto":
+        if laplace_impl not in _LAPLACE_IMPLS:
+            raise ValueError(
+                f"laplace_impl must be 'auto' or one of {_LAPLACE_IMPLS}, "
+                f"got {laplace_impl!r}")
         return laplace_impl
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
@@ -203,11 +207,19 @@ def _resolve_laplace_impl(laplace_impl, dtype):
             else "xla")
 
 
+_LAPLACE_IMPLS = ("xla", "pallas", "pallas_interpret")
+
+
 def laplace_from_stats_impl(S, C, levels, phi_prior, phi_cov_prior,
                             impl="xla"):
     """Route the Newton recursion by ``impl`` — the ONE switch shared by
     laplace_phi_update and both sharded iterations (keep routing logic
     here, not at call sites)."""
+    if impl not in _LAPLACE_IMPLS:
+        # a typo must not silently select a different implementation
+        # (same rationale as caviar._validate_update_order)
+        raise ValueError(
+            f"laplace impl must be one of {_LAPLACE_IMPLS}, got {impl!r}")
     if impl != "xla":
         from ..ops.laplace_pallas import (
             laplace_from_stats_pallas_interpret_v, laplace_from_stats_pallas_v,

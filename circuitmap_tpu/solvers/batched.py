@@ -164,6 +164,8 @@ def caviar_many(
         jnp.asarray(phi_cov_prior, dtype),
     )
 
+    block_sz = _resolve_sweep_block_size(sweep_block_size)
+
     def one(y, stim, l0, mask, key):
         final, _, _ = _run_caviar(
             y, stim, l0, mask, powers, *priors, key,
@@ -179,9 +181,8 @@ def caviar_many(
             spont_orthogonality=float(spont_orthogonality),
             analytic_mc=bool(analytic_mc),
             save_histories=False,
-            sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
-            sweep_impl=_resolve_sweep_impl(
-                "auto", _resolve_sweep_block_size(sweep_block_size)),
+            sweep_block_size=block_sz,
+            sweep_impl=_resolve_sweep_impl("auto", block_sz),
             # under the experiment vmap the pallas route flattens the
             # B x N Newton solves into one kernel launch (the vmapped
             # XLA recursion is latency-bound at the SAME ~0.8 ms/iter

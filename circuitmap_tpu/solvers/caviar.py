@@ -874,9 +874,13 @@ def _resolve_sweep_impl(sweep_impl, block_size):
     With block_size > 1 on TPU (a multiple of 8), resolves to the
     blocked manual-DMA kernel — block DMAs of the native 2-D layout,
     no per-iteration [N,1,K] relayout, N/B sequential steps.
+
+    An EXPLICIT implementation name is honoured verbatim: a pinned
+    ``sweep_impl="pallas"`` always means the row-DMA kernel (the
+    strictly sequential schedule), never a silent rewrite to the
+    blocked kernel or XLA — pinned implementations exist for
+    apples-to-apples measurements and reference-order fits.
     """
-    if sweep_impl == "pallas" and block_size > 1:
-        sweep_impl = "auto"  # route to the blocked kernel below
     if sweep_impl != "auto":
         return sweep_impl
     platform = jax.devices()[0].platform
@@ -981,6 +985,7 @@ def caviar(
 
     key = jax.random.PRNGKey(seed)
 
+    block_size = _resolve_sweep_block_size(sweep_block_size)
     final, hists, elbo_out = _run_caviar(
         y,
         stim,
@@ -1006,9 +1011,8 @@ def caviar(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
-        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
-        sweep_impl=_resolve_sweep_impl(
-            sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
+        sweep_block_size=block_size,
+        sweep_impl=_resolve_sweep_impl(sweep_impl, block_size),
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
         update_order=_validate_update_order(str(update_order)),
         track_elbo=bool(track_elbo),

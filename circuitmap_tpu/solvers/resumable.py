@@ -138,6 +138,7 @@ def caviar_resumable(
         if verbose:
             print(f"Resuming CAVIaR from iteration {start} ({checkpoint_path}).")
 
+    block_size = _resolve_sweep_block_size(sweep_block_size)
     static = dict(
         num_mc_samples=int(num_mc_samples),
         minimum_spike_count=int(minimum_spike_count),
@@ -150,9 +151,8 @@ def caviar_resumable(
         spont_orthogonality=float(spont_orthogonality),
         analytic_mc=bool(analytic_mc),
         save_histories=False,
-        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
-        sweep_impl=_resolve_sweep_impl(
-            sweep_impl, _resolve_sweep_block_size(sweep_block_size)),
+        sweep_block_size=block_size,
+        sweep_impl=_resolve_sweep_impl(sweep_impl, block_size),
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
     priors = (

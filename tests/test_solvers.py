@@ -468,6 +468,9 @@ class TestTraceWire:
             prepare_traces(np.zeros((2, 4)), jnp.float32, trace_wire="int4")
         with pytest.raises(ValueError, match="float64"):
             prepare_traces(np.zeros((2, 4)), jnp.float64, trace_wire="int8")
+        with pytest.raises(ValueError, match="float64"):
+            # 'f32' must not be silently ignored for f64 fits either
+            prepare_traces(np.zeros((2, 4)), jnp.float64, trace_wire="f32")
         with pytest.raises(ValueError, match="finite"):
             prepare_traces(np.full((2, 4), np.nan), jnp.float32,
                            trace_wire="int8")
