@@ -72,6 +72,7 @@ _LAZY = {
         "circuitmap_tpu.simulation",
         "simulate_continuous_experiment",
     ),
+    "OnlineCaviar": ("circuitmap_tpu.solvers.online", "OnlineCaviar"),
 }
 
 __all__ = list(_LAZY)

@@ -18,3 +18,7 @@ __all__.append("caviar_resumable")
 from .batched import caviar_many  # noqa: E402
 
 __all__.append("caviar_many")
+
+from .online import OnlineCaviar  # noqa: E402
+
+__all__.append("OnlineCaviar")

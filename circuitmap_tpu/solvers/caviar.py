@@ -433,7 +433,9 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         static["spont_orthogonality"],
         static["max_backtrack_iters"],
     )
-    k_true = static.get("k_true") or y.shape[0]
+    k_true = static.get("k_true")
+    if k_true is None:  # not `or`: k_true may be a traced scalar
+        k_true = y.shape[0]
     spont_rate = jnp.sum((z != 0.0).astype(y.dtype)) / k_true
 
     return CaviarState(mu, beta, lam, shape, rate, phi, phi_cov, z, spont_rate, key)
@@ -477,6 +479,7 @@ def _run_caviar(
     phi_cov_prior,
     key,
     init_state=None,
+    k_true=None,
     *,
     iters,
     start_iter=0,
@@ -506,8 +509,16 @@ def _run_caviar(
     # every sum over K is unchanged; the three places that count trials
     # rather than sum them (noise shape term, spontaneous rate,
     # bucket-0 power counts) use k_true instead.
-    k_true = y.shape[0]
-    padk = (-(-k_true // 128) * 128) - k_true
+    #
+    # ``k_true`` (argument): the REAL trial count when the caller's
+    # arrays already carry inert padded columns beyond it (the online
+    # solver's capacity buffers, solvers/online.py). A traced scalar —
+    # NOT static — so a stream growing inside one capacity bucket never
+    # recompiles. None (default) = every input trial is real.
+    k_orig = y.shape[0]
+    if k_true is None:
+        k_true = k_orig  # static int: existing single-shot behaviour
+    padk = (-(-k_orig // 128) * 128) - k_orig
     if padk:
         y = jnp.pad(y, (0, padk))
         lam_mask = jnp.pad(lam_mask, (0, padk))
@@ -613,11 +624,13 @@ def _run_caviar(
         elbo_out = (elbos, stop_at)
 
     if padk:  # strip the alignment padding from everything trial-shaped
-        final = final._replace(lam=final.lam[:, :k_true], z=final.z[:k_true])
+        # (back to the caller's k_orig columns — a traced k_true cannot
+        # slice, and capacity-buffer callers expect their full width)
+        final = final._replace(lam=final.lam[:, :k_orig], z=final.z[:k_orig])
         if save_histories:
             hists = list(hists)
-            hists[2] = hists[2][:, :, :k_true]  # lam snapshots
-            hists[7] = hists[7][:, :k_true]     # z snapshots
+            hists[2] = hists[2][:, :, :k_orig]  # lam snapshots
+            hists[7] = hists[7][:, :k_orig]     # z snapshots
             hists = tuple(hists)
     return final, hists, elbo_out
 
@@ -825,16 +838,23 @@ def _reconnect_scan_device(stim, lam, mu, beta, z, powers, msrmp,
 @jax.jit
 def _reconnect_and_refit_device(stim, lam, mu, beta, z, powers,
                                 phi, phi_cov, phi_prior, phi_cov_prior,
-                                msrmp, minimum_spike_count):
+                                msrmp, minimum_spike_count,
+                                total_trials=None):
     """Fused device program: reconnection scan + conditional power-curve
     refit — replaces the host scan's mid-fit pull + scatter + refit
-    dispatches with ONE dispatch that ends in the final state."""
+    dispatches with ONE dispatch that ends in the final state.
+
+    ``total_trials``: the real trial count when the arrays carry inert
+    padded columns beyond it (the online solver's capacity buffers).
+    The scan itself is padding-proof (padded stim columns match no
+    power, padded z is zero), but the refit's bucket-0 count would
+    otherwise count every padded column as an unstimulated trial."""
     mu, beta, lam, z, n_rec = _reconnect_scan_device(
         stim, lam, mu, beta, z, powers, msrmp, minimum_spike_count)
 
     def refit(_):
         return laplace_phi_update(lam, stim, phi_prior, phi_cov_prior,
-                                  powers=powers)
+                                  powers=powers, total_trials=total_trials)
 
     phi, phi_cov = lax.cond(n_rec > 0, refit, lambda _: (phi, phi_cov),
                             operand=None)

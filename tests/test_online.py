@@ -1,0 +1,185 @@
+"""Streaming CAVIaR (solvers/online.OnlineCaviar).
+
+The core claim: streaming is not an approximation. A single update over
+all trials reproduces the batch solver on the same data (the capacity
+buffers + traced k_true machinery are exact), and a multi-block stream
+reaches the same recovery quality as the offline fit the reference
+would run after the experiment.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import circuitmap_tpu as cm
+from circuitmap_tpu.model import default_priors
+from circuitmap_tpu.solvers import OnlineCaviar, caviar
+from circuitmap_tpu.utils.metrics import r2_score
+
+
+@pytest.fixture(scope="module")
+def sim():
+    np.random.seed(11)
+    return cm.simulate(N=60, trials=384, H=5, connection_prob=0.1,
+                       verbose=False)
+
+
+FIT = dict(iters=15, num_mc_samples=50, msrmp=0.3)
+
+
+def _batch(sim, fn_scan, **kw):
+    pri = default_priors(60)
+    return caviar(
+        sim["psc"], sim["stim_matrix"], pri["mu"], pri["beta"],
+        pri["shape"], pri["rate"], pri["phi"], pri["phi_cov"],
+        iters=FIT["iters"], num_mc_samples=FIT["num_mc_samples"],
+        msrmp=FIT["msrmp"], fn_scan=fn_scan, verbose=False, **kw,
+    )
+
+
+class TestSingleBlockEquivalence:
+    def test_matches_batch_solver(self, sim):
+        """One update over all trials == the batch fit (capacity > K,
+        traced k_true): the streaming machinery adds no approximation."""
+        out = _batch(sim, fn_scan=False)
+        oc = OnlineCaviar(60, num_mc_samples=FIT["num_mc_samples"],
+                          msrmp=FIT["msrmp"])
+        oc.update(sim["psc"], sim["stim_matrix"], iters=FIT["iters"],
+                  fn_scan=False)
+        res = oc.result(fn_scan=False)
+        np.testing.assert_allclose(res["mu"], np.asarray(out[0]),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(res["beta"], np.asarray(out[1]),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(res["lam"], np.asarray(out[2]),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(res["z"], np.asarray(out[7]),
+                                   rtol=0, atol=2e-6)
+        assert res["trial_count"] == 384
+
+    def test_fn_scan_matches_device_reconnect(self, sim):
+        """result(fn_scan=True) applies the same reconnection scan the
+        batch solver runs, at the true trial count."""
+        out = _batch(sim, fn_scan=True)
+        oc = OnlineCaviar(60, num_mc_samples=FIT["num_mc_samples"],
+                          msrmp=FIT["msrmp"])
+        oc.update(sim["psc"], sim["stim_matrix"], iters=FIT["iters"],
+                  fn_scan=False)
+        res = oc.result(fn_scan=True)
+        np.testing.assert_allclose(res["mu"], np.asarray(out[0]),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(res["lam"], np.asarray(out[2]),
+                                   rtol=0, atol=2e-6)
+
+
+class TestStreaming:
+    def test_multi_block_recovery(self, sim):
+        """Four-block stream recovers the connectivity as well as the
+        offline fit; bookkeeping tracks trials and iterations."""
+        oc = OnlineCaviar(60, capacity=128,  # forces capacity growth
+                          num_mc_samples=FIT["num_mc_samples"],
+                          msrmp=FIT["msrmp"])
+        K = sim["psc"].shape[0]
+        edges = [0, 96, 192, 288, K]  # ragged ok; these are 96-wide
+        for a, b in zip(edges[:-1], edges[1:]):
+            oc.update(sim["psc"][a:b], sim["stim_matrix"][:, a:b], iters=6)
+        assert oc.trial_count == K
+        assert oc.iteration == 24
+        res = oc.result()
+        r2 = r2_score(sim["weights"], res["mu"])
+        assert r2 > 0.9, r2
+        assert res["lam"].shape == (60, K)
+        assert np.isfinite(res["mu"]).all()
+
+    def test_posterior_snapshot_and_nondestructive_result(self, sim):
+        oc = OnlineCaviar(60, num_mc_samples=20)
+        oc.update(sim["psc"][:128], sim["stim_matrix"][:, :128], iters=3)
+        post = oc.posterior()
+        assert post["mu"].shape == (60,)
+        assert post["phi"].shape == (60, 2)
+        _ = oc.result()  # mid-experiment readout ...
+        oc.update(sim["psc"][128:256], sim["stim_matrix"][:, 128:256],
+                  iters=3)  # ... must not break further acquisition
+        assert oc.trial_count == 256
+
+    def test_interim_readout_tracks_truth(self, sim):
+        """The closed-loop use case: recovery improves (or holds) as
+        trials accumulate, and the interim posterior is usable."""
+        oc = OnlineCaviar(60, num_mc_samples=FIT["num_mc_samples"])
+        oc.update(sim["psc"][:192], sim["stim_matrix"][:, :192], iters=10)
+        r2_half = r2_score(sim["weights"], oc.posterior()["mu"])
+        oc.update(sim["psc"][192:], sim["stim_matrix"][:, 192:], iters=10)
+        r2_full = r2_score(sim["weights"], oc.posterior()["mu"])
+        # half the trials is genuinely thin data at this config (the
+        # interim estimate is informative but noisy); the per-update
+        # fn-scan is what lets the FULL stream reach batch-grade R2
+        # instead of plateauing at ~0.42 (module docstring)
+        assert r2_half > 0.2, r2_half
+        assert r2_full > 0.9, r2_full
+        assert r2_full > r2_half
+
+
+class TestValidation:
+    def test_unseen_power_level_raises(self, sim):
+        oc = OnlineCaviar(60, powers=[45.0])
+        with pytest.raises(ValueError, match="not covered"):
+            oc.update(sim["psc"][:64], sim["stim_matrix"][:, :64], iters=1)
+
+    def test_requires_trials_before_readout(self):
+        oc = OnlineCaviar(10)
+        with pytest.raises(RuntimeError, match="update"):
+            oc.posterior()
+
+    def test_shape_mismatch_raises(self, sim):
+        oc = OnlineCaviar(60)
+        with pytest.raises(ValueError, match="trials"):
+            oc.update(sim["psc"][:64], sim["stim_matrix"][:, :32], iters=1)
+        with pytest.raises(ValueError, match="neurons"):
+            oc.update(sim["psc"][:64], sim["stim_matrix"][:30, :64], iters=1)
+
+
+class TestTracedKTrue:
+    def test_capacity_padding_is_inert(self, sim):
+        """_run_caviar with capacity-padded buffers + traced k_true is
+        the same fit as exact-width buffers (the invariant OnlineCaviar
+        is built on)."""
+        from circuitmap_tpu.ops.charge import prepare_observations
+        from circuitmap_tpu.solvers._common import (prepare_stim_and_init,
+                                                    prepare_traces)
+        from circuitmap_tpu.solvers.caviar import _run_caviar
+
+        pri = default_priors(60)
+        dt = jnp.float32
+        y_tr = prepare_traces(sim["psc"], dt)
+        y, active = prepare_observations(y_tr, 1e-2)
+        stim, lam_mask, lam0, *_, pdev, _pc = prepare_stim_and_init(
+            sim["stim_matrix"], active, dt)
+        powers = jnp.asarray(pdev, dt)
+        pris = [jnp.asarray(pri[k], dt)
+                for k in ("mu", "beta", "shape", "rate", "phi", "phi_cov")]
+        kw = dict(iters=10, num_mc_samples=30, minimum_spike_count=3,
+                  delay_spont_est=1, msrmp=0.3, scale_factor=0.75,
+                  penalty=5e0, max_backtrack_iters=20, tol=0.05,
+                  spont_orthogonality=0.1, analytic_mc=False,
+                  save_histories=False, sweep_block_size=1,
+                  sweep_impl="xla", laplace_impl="xla",
+                  update_order="random", track_elbo=False, elbo_tol=None)
+        key = jax.random.PRNGKey(0)
+        a, _, _ = _run_caviar(y, stim, lam0, lam_mask, powers, *pris, key,
+                              **kw)
+        K = int(y.shape[0])
+        pad = 256
+        b, _, _ = _run_caviar(
+            jnp.pad(y, (0, pad)), jnp.pad(stim, ((0, 0), (0, pad))),
+            jnp.pad(lam0, ((0, 0), (0, pad))), jnp.pad(lam_mask, (0, pad)),
+            powers, *pris, key, None, jnp.asarray(K, jnp.int32), **kw)
+        np.testing.assert_allclose(np.asarray(a.mu), np.asarray(b.mu),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.lam),
+                                   np.asarray(b.lam)[:, :K],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.shape), np.asarray(b.shape),
+                                   rtol=0, atol=1e-6)
+        assert np.abs(np.asarray(b.lam)[:, K:]).max() == 0.0
+        assert np.abs(np.asarray(b.z)[K:]).max() == 0.0
