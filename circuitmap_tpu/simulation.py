@@ -244,6 +244,7 @@ def simulate(
     kernel=None,
     phi_0=None,
     phi_1=None,
+    stim_matrix=None,
     gp_scale=4e-3,
     gp_lengthscale=50,
     spont_prob=0.05,
@@ -258,6 +259,13 @@ def simulate(
     Signature and returned dict keys mirror reference simulate
     (simulation.py:25-195): weights, phi_0, phi_1, mult_noise, sigma,
     stim_matrix, psc, gp_noise, kernel, spks, spk_times, spont_pscs, I.
+
+    Extensions beyond the reference: ``stim_matrix=`` synthesises
+    trials for a CALLER-SUPPLIED design (the closed-loop case — pair
+    with ``weights=``/``phi_0=``/``phi_1=``/``kernel=`` to hold the
+    circuit fixed across rounds; see examples/demo_closed_loop.py),
+    and the returned ``tau_r``/``tau_d`` feed back as
+    ``kernel=(tau_r, tau_d)`` to reuse the resolved kernel constants.
     """
     assert design in ("random", "blockwise")
     if verbose:
@@ -266,7 +274,18 @@ def simulate(
             f"density={connection_prob} powers={powers} design={design}"
         )
 
-    if design == "blockwise":
+    if stim_matrix is not None:
+        # caller-supplied design: the closed-loop case — synthesise
+        # trials for ensembles CHOSEN from an interim posterior, over a
+        # circuit held fixed via weights=/phi_0=/phi_1=/kernel= (the
+        # reference has no such path; its simulate always draws its own
+        # design, simulation.py:45-77)
+        stim_matrix = np.asarray(stim_matrix, dtype=float)
+        if stim_matrix.ndim != 2 or stim_matrix.shape[0] != N:
+            raise ValueError(
+                f"stim_matrix must be [N={N}, K], got "
+                f"{stim_matrix.shape}")
+    elif design == "blockwise":
         stim_matrix = blockwise_design(N, H, trials, powers, nreps)
     else:
         stim_matrix = random_design(N, H, trials, powers)
@@ -282,10 +301,13 @@ def simulate(
         phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
 
     # spikes: sigmoid power curve, then min-rate padding at max power
+    # (padding anchors at the design's own max power so a supplied
+    # stim_matrix need not cover every level in ``powers``)
     drive = phi_0[:, None] * stim_matrix - phi_1[:, None]
     frates = 1.0 / (1.0 + np.exp(-drive)) * (stim_matrix > 0)
     spks = (np.random.rand(N, K) <= frates).astype(float)
-    spks = _pad_spikes_to_min_rate(spks, stim_matrix, np.max(powers),
+    spks = _pad_spikes_to_min_rate(spks, stim_matrix,
+                                   np.max(stim_matrix) if K else 0.0,
                                    max_power_min_spike_rate)
 
     spk_times = np.zeros((N, K))

@@ -27,3 +27,19 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_compiled_programs():
+    """Drop jit caches between test modules.
+
+    XLA:CPU JIT-compiles every program into the process and never
+    releases the code; after ~200 tests' worth of solver-scale
+    programs the NEXT large compile segfaults inside
+    _cached_compilation (LLVM JIT resource exhaustion — reproduced
+    deterministically at the same test, and moved with the test count).
+    Releasing executables per module keeps the whole suite comfortably
+    under the limit at the cost of some cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()

@@ -24,6 +24,9 @@ def _run_example(script, args, timeout=600):
      ["--N", "40", "--trials", "300"], "weight recovery R2"),
     ("demo_experimental_data.py",
      ["--iters", "8"], "single-vs-ensemble weight R2"),
+    ("demo_closed_loop.py",
+     ["--N", "50", "--rounds", "2", "--block", "120", "--H", "5",
+      "--iters", "4"], "closed-loop demo done"),
 ])
 def test_example_runs(script, args, expect, tmp_path):
     proc = _run_example(script, args)

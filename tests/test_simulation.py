@@ -112,6 +112,30 @@ class TestSimulate:
             simulate(N=20, trials=50, H=4, kernel=(tau_d, tau_r),
                      verbose=False)
 
+    def test_supplied_stim_matrix(self):
+        """Closed-loop extension: trials synthesised for a CHOSEN design
+        over a circuit held fixed via weights/phi/kernel."""
+        np.random.seed(6)
+        pilot = simulate(N=20, trials=80, H=4, connection_prob=0.2,
+                         verbose=False)
+        truth = dict(weights=pilot["weights"], phi_0=pilot["phi_0"],
+                     phi_1=pilot["phi_1"],
+                     kernel=(pilot["tau_r"], pilot["tau_d"]))
+        stim = np.zeros((20, 48))
+        chosen = np.arange(8)  # concentrate on a chosen pool
+        for k in range(48):
+            stim[np.random.choice(chosen, 4, replace=False), k] = 65.0
+        out = simulate(N=20, stim_matrix=stim, verbose=False, **truth)
+        assert out["psc"].shape == (48, 900)
+        np.testing.assert_array_equal(out["stim_matrix"], stim)
+        np.testing.assert_array_equal(out["weights"], pilot["weights"])
+        np.testing.assert_array_equal(out["tau_r"], pilot["tau_r"])
+        # unstimulated neurons never spike; trials only target the pool
+        assert out["spks"][8:].sum() == 0
+        assert np.isfinite(out["psc"]).all()
+        with np.testing.assert_raises(ValueError):
+            simulate(N=20, stim_matrix=np.zeros((10, 5)), verbose=False)
+
 
 class TestContinuous:
     @pytest.fixture(scope="class")
