@@ -243,6 +243,8 @@ class OnlineCaviar:
         scan is one fused device dispatch; disable only for parity runs
         against an unscanned batch fit.
         """
+        if int(iters) < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         psc = np.asarray(psc_block)
         if psc.ndim == 1:
             psc = psc[None]
@@ -258,8 +260,6 @@ class OnlineCaviar:
             raise ValueError(
                 f"psc_block carries {kb} trials but stim_block "
                 f"{stim_np.shape[1]}")
-        if int(iters) < 1:
-            raise ValueError(f"iters must be >= 1, got {iters}")
 
         if self._levels_np is None:
             self._powers_np, self._levels_np = _levels(stim_np, None)
@@ -270,8 +270,11 @@ class OnlineCaviar:
             self._bufs = self._alloc()
 
         # block wire: f32 traces (zero-padded to the 128 bucket) +
-        # int8 power buckets; raises on levels outside the table
-        traces = np.zeros((kb_pad, psc.shape[1]), np.float32)
+        # int8 power buckets; raises on levels outside the table.
+        # An f64 stream keeps full mantissa in transit (the parity
+        # contract prepare_traces enforces for batch fits).
+        wire = np.float64 if self.dtype.itemsize > 4 else np.float32
+        traces = np.zeros((kb_pad, psc.shape[1]), wire)
         traces[:kb] = psc
         bucket = np.zeros((self.N, kb_pad), np.int8)
         bucket[:, :kb] = _bucketise_dense(stim_np, self._levels_np)
