@@ -24,9 +24,10 @@ TPU-native design:
 * **Bounded recompiles.** Block widths are padded to 128-column
   buckets and capacity doubles (128-aligned) when exceeded: a stream of
   B blocks compiles O(log B) programs, not O(B).
-* **Per update**: one small host→device block upload (traces f32 +
-  stimulus as int8 power buckets), one fused insert dispatch, one fit
-  dispatch. Nothing is pulled back until ``posterior()``/``result()``.
+* **Per update**: one small host→device block upload (traces at the
+  fit dtype's width + stimulus as int8 power buckets), one fused
+  insert dispatch, one fit dispatch. Nothing is pulled back until
+  ``posterior()``/``result()``.
 
 Equivalence: the per-trial observation reductions (trapezoid charge +
 energy mask, ops/charge.py) are pointwise in the trial, so streaming
@@ -72,9 +73,9 @@ def _insert_block(y_cap, stim_cap, mask_cap, lam_cap, levels, y_blk,
     Reconstructs the block's stimulus values from the power-bucket wire
     (int8, _common._select_levels — no gather), initialises the block's
     spike posterior to 0.95 on targeted active trials (reference
-    caviar.py:32-34), and writes trials into the donated capacity
-    buffers. ``k0`` is traced: one compiled program per (C, block)
-    shape pair, reused at every offset.
+    caviar.py:32-34), and writes trials into the capacity buffers.
+    ``k0`` is traced: one compiled program per (C, block) shape pair,
+    reused at every offset.
     """
     dtype = y_cap.dtype
     stim_blk = _select_levels(levels, bucket_blk)                  # [N, kb]
@@ -256,6 +257,8 @@ class OnlineCaviar:
                 f"stim_block has {stim_np.shape[0]} neurons, model has "
                 f"{self.N}")
         kb = psc.shape[0]
+        if kb == 0:
+            raise ValueError("empty trial block")
         if stim_np.shape[1] != kb:
             raise ValueError(
                 f"psc_block carries {kb} trials but stim_block "
@@ -263,6 +266,12 @@ class OnlineCaviar:
 
         if self._levels_np is None:
             self._powers_np, self._levels_np = _levels(stim_np, None)
+            if self._levels_np.size < 2:
+                self._powers_np = self._levels_np = None
+                raise ValueError(
+                    "the first block carries no nonzero stimulation, so "
+                    "no power-level table can be derived from it; pass "
+                    "powers= up front")
 
         kb_pad = _ceil128(kb)
         self._ensure_capacity(self.k + kb_pad)
@@ -330,6 +339,11 @@ class OnlineCaviar:
     @property
     def iteration(self):
         return self.it
+
+    @property
+    def last_reconnected(self):
+        """Connections the latest update's fn-scan restored (host pull)."""
+        return int(np.asarray(self._n_reconnected))
 
     def posterior(self):
         """Small-field snapshot (no [N, K] pulls): mu, beta, phi,

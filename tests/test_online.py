@@ -131,6 +131,18 @@ class TestValidation:
         with pytest.raises(RuntimeError, match="update"):
             oc.posterior()
 
+    def test_empty_block_and_zero_stim_raise(self, sim):
+        oc = OnlineCaviar(60)
+        with pytest.raises(ValueError, match="empty"):
+            oc.update(sim["psc"][:0], sim["stim_matrix"][:, :0], iters=1)
+        with pytest.raises(ValueError, match="powers"):
+            oc.update(sim["psc"][:32],
+                      np.zeros_like(sim["stim_matrix"][:, :32]), iters=1)
+        # a later block with real levels recovers cleanly
+        oc.update(sim["psc"][:64], sim["stim_matrix"][:, :64], iters=2)
+        assert oc.trial_count == 64
+        assert oc.last_reconnected >= 0
+
     def test_shape_mismatch_raises(self, sim):
         oc = OnlineCaviar(60)
         with pytest.raises(ValueError, match="trials"):
