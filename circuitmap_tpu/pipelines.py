@@ -165,7 +165,10 @@ def find_patched_cell(stim_matrix, psp, spike_threshold=0.1, window=(100, 240)):
     coincide with the most LP-detected spikes."""
     stim = np.asarray(stim_matrix)
     spikes = detect_lp_spikes(psp, spike_threshold, window)
-    counts = (stim > 0) @ spikes
+    # cast before the matmul: numpy bool @ bool is a LOGICAL dot whose
+    # result caps at 1, which silently turns "most coincident spikes"
+    # into "first cell with ANY coincident spike"
+    counts = (stim > 0).astype(float) @ spikes.astype(float)
     return int(np.argmax(counts))
 
 

@@ -104,6 +104,19 @@ class TestLoosePatch:
         assert spikes[::2].all() and not spikes[1::2].any()
         assert find_patched_cell(stim, psp) == 2
 
+    def test_locate_needs_counts_not_any(self, rng):
+        """Decoy cells share SOME spike-coincident trials; the patched
+        cell must win by count. (bool @ bool caps at 1 and would return
+        the first decoy — the round-2 reconnect-scan bug class.)"""
+        N, K, T = 4, 30, 900
+        stim = np.zeros((N, K))
+        stim[0, :3] = 45.0    # decoy: 3 coincident trials
+        stim[1, 3:6] = 45.0   # decoy: 3 more
+        stim[3, 6:20] = 45.0  # patched: 14 coincident trials
+        psp = 0.01 * rng.normal(size=(K, T))
+        psp[:20, 150:200] += 1.0  # spikes on the first 20 trials
+        assert find_patched_cell(stim, psp) == 3
+
     def test_power_curves(self):
         stim = np.zeros((2, 8))
         stim[0] = [45, 45, 65, 65, 45, 45, 65, 65]
