@@ -443,6 +443,12 @@ def _iteration(state: CaviarState, it, data, hyper, static):
 
 @partial(
     jax.jit,
+    # start_iter is deliberately NOT static: segment offsets vary every
+    # resumable segment and every OnlineCaviar.update, and a static
+    # start_iter recompiled the whole fused scan each time (measured
+    # 4.5 s per online update through the remote compiler — the fit
+    # itself is tens of ms). As a plain-int argument jit traces it
+    # value-independently, so all offsets share one program.
     static_argnames=(
         "iters",
         "num_mc_samples",
@@ -456,7 +462,6 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         "spont_orthogonality",
         "analytic_mc",
         "save_histories",
-        "start_iter",
         "sweep_block_size",
         "sweep_impl",
         "laplace_impl",
@@ -584,8 +589,10 @@ def _run_caviar(
             new = _iteration(state, it, data, hyper, static)
             return new, _snap(new)
 
+        # arange(iters) + offset, not arange(start, stop): start_iter is
+        # traced and only the LENGTH may be shape-determining
         final, hists = lax.scan(
-            step, init, jnp.arange(start_iter, start_iter + iters))
+            step, init, jnp.arange(iters) + start_iter)
         elbo_out = None
     else:
         # per-iteration ELBO as scan ys; with elbo_tol the iteration body
@@ -614,11 +621,11 @@ def _run_caviar(
                 done = done | newly
             return (new, e, done, stop_at), (_snap(new), e)
 
-        its = jnp.arange(start_iter, start_iter + iters)
+        its = jnp.arange(iters) + start_iter
         # stop_at must share the xs dtype: under jax_enable_x64 arange
         # yields int64 and an int32-pinned carry breaks the scan typing
         carry0 = (init, neg_inf, jnp.asarray(False),
-                  jnp.asarray(start_iter + iters, its.dtype))
+                  jnp.asarray(start_iter + iters).astype(its.dtype))
         (final, _, _, stop_at), (hists, elbos) = lax.scan(
             step, carry0, its)
         elbo_out = (elbos, stop_at)
