@@ -388,3 +388,54 @@ class OnlineCaviar:
         if self._state is None:
             raise RuntimeError(
                 "no trials ingested yet — call update() first")
+
+    # -- crash recovery ------------------------------------------------------
+
+    def save(self, path):
+        """Checkpoint the full streaming state (atomic write).
+
+        A closed-loop rig crashing mid-experiment must not lose the
+        stream: the checkpoint carries the capacity buffers, the CAVI
+        state, the level table and the counters. ``load`` restores an
+        OnlineCaviar that continues exactly where this one stopped
+        (same fit options must be passed at construction — they are
+        solver configuration, not state).
+        """
+        from ..utils.checkpoint import save_state
+
+        self._require_state()
+        y, stim, mask = self._bufs
+        s = self._state
+        save_state(path, dict(
+            k=np.asarray(self.k), it=np.asarray(self.it),
+            levels=self._levels_np, powers_host=self._powers_np,
+            y=np.asarray(y), stim=np.asarray(stim), mask=np.asarray(mask),
+            state={f: np.asarray(getattr(s, f)) for f in s._fields},
+        ))
+
+    @classmethod
+    def load(cls, path, N=None, **kwargs):
+        """Restore a stream checkpointed by ``save``. ``kwargs`` are the
+        constructor's fit options (must match the original run)."""
+        from ..utils.checkpoint import load_state
+
+        ck = load_state(path)
+        n = int(ck["stim"].shape[0])
+        if N is not None and int(N) != n:
+            raise ValueError(f"checkpoint carries N={n}, got N={N}")
+        self = cls(n, **kwargs)
+        dt = self.dtype
+        self._levels_np = np.asarray(ck["levels"], np.float32)
+        self._powers_np = np.asarray(ck["powers_host"])
+        self.k = int(ck["k"])
+        self.it = int(ck["it"])
+        self._C = int(ck["stim"].shape[1])
+        self._bufs = (jnp.asarray(ck["y"], dt), jnp.asarray(ck["stim"], dt),
+                      jnp.asarray(ck["mask"], dt))
+        st = ck["state"]
+        self._state = CaviarState(**{
+            f: jnp.asarray(st[f], dt if np.asarray(st[f]).dtype.kind == "f"
+                           else None)
+            for f in CaviarState._fields
+        })
+        return self

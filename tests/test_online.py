@@ -120,6 +120,43 @@ class TestStreaming:
         assert r2_full > r2_half
 
 
+class TestCheckpoint:
+    def test_save_load_resume_is_exact(self, sim, tmp_path):
+        """A crashed stream restored from its checkpoint continues
+        bit-compatibly with an uninterrupted run."""
+        blocks = [(0, 128), (128, 256), (256, 384)]
+
+        full = OnlineCaviar(60, num_mc_samples=30)
+        for a, b in blocks:
+            full.update(sim["psc"][a:b], sim["stim_matrix"][:, a:b], iters=4)
+
+        part = OnlineCaviar(60, num_mc_samples=30)
+        for a, b in blocks[:2]:
+            part.update(sim["psc"][a:b], sim["stim_matrix"][:, a:b], iters=4)
+        ck = tmp_path / "stream.npz"
+        part.save(ck)
+
+        restored = OnlineCaviar.load(ck, num_mc_samples=30)
+        assert restored.trial_count == 256 and restored.iteration == 8
+        a, b = blocks[2]
+        restored.update(sim["psc"][a:b], sim["stim_matrix"][:, a:b], iters=4)
+
+        r_full, r_res = full.result(), restored.result()
+        np.testing.assert_allclose(r_res["mu"], r_full["mu"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(r_res["lam"], r_full["lam"],
+                                   rtol=0, atol=1e-6)
+        assert r_res["trial_count"] == r_full["trial_count"] == 384
+
+    def test_load_rejects_wrong_N(self, sim, tmp_path):
+        oc = OnlineCaviar(60, num_mc_samples=20)
+        oc.update(sim["psc"][:64], sim["stim_matrix"][:, :64], iters=2)
+        ck = tmp_path / "s.npz"
+        oc.save(ck)
+        with pytest.raises(ValueError, match="N="):
+            OnlineCaviar.load(ck, N=61)
+
+
 class TestValidation:
     def test_unseen_power_level_raises(self, sim):
         oc = OnlineCaviar(60, powers=[45.0])
