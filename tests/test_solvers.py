@@ -85,6 +85,32 @@ class TestCaviar:
         assert model.history["lam"].shape == (3, 60, 600)
         assert model.history["phi_cov"].shape == (3, 60, 2, 2)
 
+    def test_trial_permutation_invariance(self, sim):
+        """Posteriors do not depend on trial ORDER (SURVEY §4 property).
+
+        Every trial-axis operation is a sum/count, so permuting the
+        columns must leave mu/phi unchanged and permute lam/z
+        correspondingly. Deterministic config (analytic_mc + identity
+        neuron order) so the only divergence channel is float
+        reassociation of the permuted reductions."""
+        opts = dict(iters=15, verbose=False, analytic_mc=True,
+                    update_order="identity", fn_scan=False)
+        m1 = Model(60)
+        m1.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+               fit_options=dict(opts))
+        perm = np.random.default_rng(3).permutation(600)
+        m2 = Model(60)
+        m2.fit(sim["psc"][perm], sim["stim_matrix"][:, perm],
+               method="caviar", fit_options=dict(opts))
+        np.testing.assert_array_equal(m1.state["mu"] != 0,
+                                      m2.state["mu"] != 0)
+        np.testing.assert_allclose(m2.state["mu"], m1.state["mu"],
+                                   rtol=0, atol=1e-3)
+        np.testing.assert_allclose(m2.state["lam"][:, np.argsort(perm)],
+                                   m1.state["lam"], rtol=0, atol=1e-2)
+        np.testing.assert_allclose(m2.state["phi"], m1.state["phi"],
+                                   rtol=0, atol=1e-2)
+
 
 class TestCaviSns:
     @pytest.fixture(scope="class")
