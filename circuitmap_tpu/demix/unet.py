@@ -82,6 +82,61 @@ def conv1d_fft(x, w, b, padding, dilation):
     return (y + b.astype(jnp.float32)[None, :, None]).astype(x.dtype)
 
 
+def conv1d_toeplitz(x, w, b, padding, dilation, tile=128):
+    """Same op as conv1d (stride 1), as banded-Toeplitz MXU matmuls.
+
+    The FFT head (conv1d_fft) fixed the 1/128-MXU-utilisation problem
+    of an O=1 conv, but on TPU the FFT itself became ~25 ms of the
+    60 ms demixer forward at the bench shape (xplane profile — the
+    [B, C, 2048] rfft stages plus [F, B] pointwise products). Here the
+    output TIME axis supplies the MXU columns instead: out[t] for a
+    128-wide tile of t is one matmul of the input window [B, C*win]
+    against a banded weight matrix [C*win, O*128] whose column u holds
+    the dilated kernel shifted by u. FLOPs ~2x the direct conv but at
+    full MXU utilisation; HIGHEST precision keeps checkpoint parity
+    (bf16-multiply passes would cost ~1e-2 relative on 2.5k-term rows).
+    """
+    B, C, L = x.shape
+    O, _, K = w.shape
+    keff = dilation * (K - 1) + 1
+    out_len = L + 2 * padding - keff + 1
+    n_tiles = -(-out_len // tile)
+    win = tile - 1 + keff
+
+    xpad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (padding, padding)))
+    need = (n_tiles - 1) * tile + win
+    if need > xpad.shape[-1]:
+        xpad = jnp.pad(xpad, ((0, 0), (0, 0), (0, need - xpad.shape[-1])))
+
+    # banded weights: Wb[c, v, o, u] = w[o, c, j] where v = u + dil*j
+    uu = jnp.arange(tile)[None, :]
+    vu_flat = ((uu + dilation * jnp.arange(K)[:, None]) * tile + uu)  # [K,tile]
+    wv = jnp.broadcast_to(
+        jnp.transpose(w, (1, 2, 0)).astype(jnp.float32)[:, :, None, :],
+        (C, K, tile, O),
+    ).reshape(C, K * tile, O)
+    Wb = jnp.zeros((C, win * tile, O), jnp.float32)
+    Wb = Wb.at[:, vu_flat.reshape(-1), :].add(wv)
+    Wb = Wb.reshape(C, win, tile, O)
+
+    y_tiles = []
+    for t in range(n_tiles):
+        xw = lax.dynamic_slice_in_dim(xpad, t * tile, win, axis=2)
+        y_tiles.append(jnp.einsum(
+            "bcv,cvuo->bou", xw, Wb, precision=lax.Precision.HIGHEST))
+    y = jnp.concatenate(y_tiles, axis=-1)[..., :out_len]
+    return (y + b.astype(jnp.float32)[None, :, None]).astype(x.dtype)
+
+
+def _head_conv(x, w, b, padding, dilation):
+    """Output-head conv: Toeplitz matmuls on the MXU, rFFT elsewhere
+    (XLA:CPU's pocketfft path is already good there and the training
+    benchmarks were measured on it)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return conv1d_toeplitz(x, w, b, padding, dilation)
+    return conv1d_fft(x, w, b, padding, dilation)
+
+
 from functools import partial as _partial
 
 
@@ -281,7 +336,7 @@ def nwd_unet_forward(params, x, train=False):
         stats.append(s)
 
     p = params["conv"]
-    h = conv1d_fft(h, p["conv"]["w"], p["conv"]["b"],
+    h = _head_conv(h, p["conv"]["w"], p["conv"]["b"],
                    padding=OUT_SPEC["padding"], dilation=OUT_SPEC["dilation"])
     h, s = batch_norm(h, p["bn"], train)
     stats.append(s)

@@ -402,3 +402,50 @@ class TestConvTransposeVJP:
             transpose_kernel=True) + b[None, :, None]
         np.testing.assert_array_equal(
             np.asarray(conv_transpose1d(x, w, b, 2)), np.asarray(want))
+
+
+class TestToeplitzHead:
+    """conv1d_toeplitz — the MXU formulation of the output head that is
+    the accelerator default (_head_conv). Must match the direct conv
+    exactly (HIGHEST-precision matmuls) in value and gradient."""
+
+    CASES = [
+        (7, 4, 900, 1, 256, 255, 2),   # the NWD output head shape
+        (3, 2, 130, 2, 5, 3, 1),       # multi-output-channel, odd tile tail
+        (2, 1, 64, 1, 9, 8, 3),        # dilation 3, tiny length
+    ]
+
+    def test_matches_direct_conv(self):
+        import jax.numpy as jnp
+        from circuitmap_tpu.demix.unet import conv1d, conv1d_toeplitz
+
+        rng = np.random.default_rng(0)
+        for (B, C, L, O, K, pad, dil) in self.CASES:
+            x = jnp.asarray(rng.normal(size=(B, C, L)), jnp.float32)
+            w = jnp.asarray(rng.normal(size=(O, C, K)), jnp.float32)
+            b = jnp.asarray(rng.normal(size=O), jnp.float32)
+            want = np.asarray(conv1d(x, w, b, padding=pad, dilation=dil))
+            got = np.asarray(conv1d_toeplitz(x, w, b, pad, dil))
+            assert got.shape == want.shape
+            scale = max(np.abs(want).max(), 1.0)
+            assert np.abs(got - want).max() < 1e-5 * scale
+
+    def test_gradients_match(self):
+        import jax
+        import jax.numpy as jnp
+        from circuitmap_tpu.demix.unet import conv1d, conv1d_toeplitz
+
+        rng = np.random.default_rng(1)
+        B, C, L, O, K, pad, dil = 3, 4, 240, 1, 64, 63, 2
+        x = jnp.asarray(rng.normal(size=(B, C, L)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(O, C, K)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=O) * 0.1, jnp.float32)
+        g1 = jax.grad(lambda x, w, b: jnp.sum(jnp.sin(
+            conv1d_toeplitz(x, w, b, pad, dil))), argnums=(0, 1, 2))(x, w, b)
+        g2 = jax.grad(lambda x, w, b: jnp.sum(jnp.sin(
+            conv1d(x, w, b, padding=pad, dilation=dil))),
+            argnums=(0, 1, 2))(x, w, b)
+        for a, want in zip(g1, g2):
+            a, want = np.asarray(a), np.asarray(want)
+            scale = max(np.abs(want).max(), 1.0)
+            assert np.abs(a - want).max() < 1e-4 * scale
