@@ -73,6 +73,8 @@ _LAZY = {
         "simulate_continuous_experiment",
     ),
     "OnlineCaviar": ("circuitmap_tpu.solvers.online", "OnlineCaviar"),
+    "AdaptiveDesigner": ("circuitmap_tpu.design", "AdaptiveDesigner"),
+    "closed_loop_map": ("circuitmap_tpu.design", "closed_loop_map"),
 }
 
 __all__ = list(_LAZY)

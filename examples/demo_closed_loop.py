@@ -28,6 +28,7 @@ import argparse
 import numpy as np
 
 import circuitmap_tpu as cm
+from circuitmap_tpu.design import AdaptiveDesigner
 from circuitmap_tpu.simulation import blockwise_design
 from circuitmap_tpu.utils.metrics import (precision_recall_connections,
                                           r2_score)
@@ -45,72 +46,32 @@ def synth_block(truth, stim):
     )["psc"]
 
 
-def pool_design(pool, N, H, trials):
-    """Random ensembles biased to the unresolved pool.
-
-    When the pool is small, each hologram takes a VARYING random
-    subset of it plus random resolved fillers — co-stimulating the
-    whole pool on every trial would make the design columns collinear
-    and the pool's weights unidentifiable (compressed sensing needs
-    incoherent ensembles), which measurably DROPPED recovery when this
-    demo first drew all-pool holograms.
-    """
-    pool = np.asarray(pool)
-    rest = np.setdiff1d(np.arange(N), pool)
-    n_pool = (min(H, len(pool)) if len(pool) >= 3 * H or not len(rest)
-              else min(len(pool), max(1, H // 2)))
-    # blockwise over the pool, not random draws: uniform per-sweep
-    # coverage measurably beats random ensembles early (blockwise
-    # round-1 precision 0.89 vs random 0.27 at this config)
-    sub = blockwise_design(len(pool), n_pool, trials, POWERS)
-    stim = np.zeros((N, trials))
-    stim[pool] = sub
-    n_fill = H - n_pool
-    if n_fill > 0 and len(rest):
-        power = sub.max(axis=0)
-        for k in np.flatnonzero(power > 0):
-            stim[np.random.choice(rest, n_fill, replace=False), k] = power[k]
-    return stim
-
-
 def run_arm(truth, designs, iters_per_round, adaptive, H,
             null_trials=18, conn_trials=30):
     """Stream rounds; the adaptive arm redraws each round's design over
-    the unresolved pool and STOPS once every neuron is resolved.
-
-    Resolution is evidence-count based: an undetected neuron is a
-    resolved null after ``null_trials`` max-power stimulations without
-    a connection call; a detected connection is resolved once
-    ``conn_trials`` max-power stimulations have pinned its weight.
+    the unresolved pool (``AdaptiveDesigner`` — the library's design
+    policy, see circuitmap_tpu/design.py) and STOPS once every neuron
+    is resolved. Round 0's design is shared between arms so the two
+    trajectories start from identical data.
     """
     N = truth["weights"].size
     oc = cm.OnlineCaviar(N, powers=POWERS)
-    maxpow_count = np.zeros(N)
-    pool = np.arange(N)
-    prev_detected = np.zeros(N, dtype=bool)
+    designer = AdaptiveDesigner(N, H, POWERS, null_trials=null_trials,
+                                conn_trials=conn_trials)
     history = []
     for r, stim in enumerate(designs):
         if adaptive and r > 0:
-            stim = pool_design(pool, N, H, stim.shape[1])
+            stim = designer.next_design(stim.shape[1])
         psc = synth_block(truth, stim)
         oc.update(psc, stim, iters=iters_per_round)
-        maxpow_count += (stim == max(POWERS)).sum(axis=1)
         post = oc.posterior()
-        detected = post["mu"] != 0
-        # persistence: detection status flickers round to round (the
-        # sweep gate re-decides every iteration), so a null resolves
-        # only after two consecutive undetected readouts
-        ever_recent = detected | prev_detected
-        unresolved = np.where(ever_recent, maxpow_count < conn_trials,
-                              maxpow_count < null_trials)
-        pool = np.flatnonzero(unresolved)
-        prev_detected = detected
+        designer.observe(stim, post)
         r2 = r2_score(truth["weights"], post["mu"])
         prec, rec = precision_recall_connections(truth["weights"],
                                                  post["mu"])
         history.append((oc.trial_count, float(r2), float(prec),
-                        float(rec), len(pool)))
-        if adaptive and len(pool) == 0:
+                        float(rec), int(designer.pool.size)))
+        if adaptive and designer.resolved:
             break  # every neuron resolved: the experiment can end
     return history
 
