@@ -159,6 +159,42 @@ class TestClosedLoopMap:
         assert pools[-1] <= pools[0] <= N
         assert r2_score(truth["weights"], post["mu"]) > 0.8
 
+    def test_demixer_path(self):
+        """closed_loop_map routes raw traces through the demixer before
+        the solver sees them (the rig use case)."""
+        from circuitmap_tpu.demix import NeuralDemixer
+
+        np.random.seed(5)
+        N = 20
+        pilot = cm.simulate(N=N, trials=60, H=4, connection_prob=0.1,
+                            powers=POWERS, verbose=False)
+        truth = {k: pilot[k] for k in
+                 ("weights", "phi_0", "phi_1", "tau_r", "tau_d")}
+
+        def acquire(stim):
+            return cm.simulate(
+                N=N, stim_matrix=stim, weights=truth["weights"],
+                phi_0=truth["phi_0"], phi_1=truth["phi_1"],
+                kernel=(truth["tau_r"], truth["tau_d"]),
+                powers=POWERS, verbose=False)["psc"]
+
+        inner = NeuralDemixer(path="demixers/nwd_ie_ChroME2f.npz")
+        calls = []
+
+        class CountingDemixer:
+            def __call__(self, psc, **kw):
+                calls.append(np.asarray(psc).shape)
+                return inner(psc, **kw)
+
+        seen = []
+        post, designer, solver = closed_loop_map(
+            acquire, N=N, H=4, powers=POWERS, block_trials=60,
+            max_rounds=2, iters_per_round=5, demixer=CountingDemixer(),
+            callback=lambda r, d, p: seen.append(r))
+        assert len(seen) >= 1
+        assert len(calls) == len(seen) and calls[0] == (60, 900)
+        assert post["mu"].shape == (N,)
+
     def test_solver_kwargs_conflict(self):
         oc = cm.OnlineCaviar(10, powers=POWERS)
         with pytest.raises(ValueError):
