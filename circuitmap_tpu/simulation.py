@@ -179,7 +179,14 @@ def random_design(N, H, trials, powers):
 
 def _pad_spikes_to_min_rate(spks, stim, max_power, min_rate):
     """Force each neuron's spike rate at max power up to ``min_rate`` by
-    flipping zero trials (reference simulation.py:98-108)."""
+    flipping zero trials (reference simulation.py:98-108).
+
+    ``max_power == 0`` means the design never stimulates (e.g. a
+    closed-loop no-stim control block supplied via ``stim_matrix=``):
+    matching ``stim[n] == 0`` would treat every unstimulated trial as a
+    max-power trial and flip ~min_rate of them to phantom spikes."""
+    if max_power <= 0:
+        return spks
     N = spks.shape[0]
     for n in range(N):
         locs = np.flatnonzero(stim[n] == max_power)

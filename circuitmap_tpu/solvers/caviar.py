@@ -330,7 +330,8 @@ def update_spontaneous(
 
 
 def _iteration(state: CaviarState, it, data, hyper, static):
-    y, stim, lam_mask, powers, _power_counts = data
+    y, stim, lam_mask, powers, _power_counts, spont_seed_cap = data
+    spont_it = it if spont_seed_cap is None else jnp.minimum(it, spont_seed_cap)
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior = hyper
 
     mu, beta = update_weights(y, state.lam, state.shape, state.rate, mu_prior, beta_prior)
@@ -425,7 +426,7 @@ def _iteration(state: CaviarState, it, data, hyper, static):
         mu,
         lam,
         state.z,
-        it,
+        spont_it,
         jnp.asarray(static["penalty"], y.dtype),
         lam_mask,
         static["scale_factor"],
@@ -485,6 +486,7 @@ def _run_caviar(
     key,
     init_state=None,
     k_true=None,
+    spont_seed_cap=None,
     *,
     iters,
     start_iter=0,
@@ -540,7 +542,17 @@ def _run_caviar(
     power_counts = jnp.sum(
         stim[:, None, :] == powers[None, :, None], axis=-1
     ).astype(y.dtype)
-    data = (y, stim, lam_mask, powers, power_counts)
+    # ``spont_seed_cap``: optional ceiling on the iteration index that
+    # seeds the spontaneous soft-threshold counter (update_spontaneous
+    # seeds with the iteration index — reference quirk, so iterations
+    # past max_backtrack_iters run ZERO soft-threshold steps). Batch and
+    # resumable fits leave it None — the GLOBAL index, matching the
+    # reference exactly and keeping segmented fits bit-exact vs one
+    # scan. Streaming warm starts cap it at max_backtrack_iters-1 so a
+    # mature stream keeps the schedule's LATE regime (one coarse step at
+    # the unshrunk penalty per iteration) instead of freezing z for all
+    # trials ingested after the cumulative counter passes the bound.
+    data = (y, stim, lam_mask, powers, power_counts, spont_seed_cap)
     hyper = (mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior)
     static = dict(
         num_mc_samples=num_mc_samples,

@@ -92,6 +92,32 @@ class TestStreaming:
         assert res["lam"].shape == (60, K)
         assert np.isfinite(res["mu"]).all()
 
+    def test_spontaneous_estimated_after_many_iterations(self, sim):
+        """The spontaneous soft-threshold counter re-seeds per update:
+        trials ingested after cumulative iterations pass
+        max_backtrack_iters (default 20) must still get z estimated.
+        (Seeded with the GLOBAL index, the update_spontaneous while_loop
+        would never run once it >= 20 and z for late blocks would stay
+        frozen at its insert value of zero.)"""
+        K = sim["psc"].shape[0]
+        half = K // 2
+        oc = OnlineCaviar(60, num_mc_samples=FIT["num_mc_samples"],
+                          msrmp=FIT["msrmp"])
+        # burn past max_backtrack_iters on the first half...
+        oc.update(sim["psc"][:half], sim["stim_matrix"][:, :half], iters=25)
+        # ...then ingest the second half: its spontaneous trials must
+        # still be soft-thresholded into z
+        oc.update(sim["psc"][half:], sim["stim_matrix"][:, half:], iters=8)
+        res = oc.result(fn_scan=False)
+        z_late = res["z"][half:]
+        # the batch fit finds spontaneous activity in this half — the
+        # stream must too (exact values differ: different schedules)
+        batch = _batch(sim, fn_scan=False)
+        z_batch_late = np.asarray(batch[7])[half:]
+        assert (z_batch_late > 0).any(), "fixture has no spont in half 2"
+        assert (z_late > 0).any(), \
+            "z frozen for trials ingested after iteration 20"
+
     def test_posterior_snapshot_and_nondestructive_result(self, sim):
         oc = OnlineCaviar(60, num_mc_samples=20)
         oc.update(sim["psc"][:128], sim["stim_matrix"][:, :128], iters=3)

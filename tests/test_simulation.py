@@ -136,6 +136,22 @@ class TestSimulate:
         with np.testing.assert_raises(ValueError):
             simulate(N=20, stim_matrix=np.zeros((10, 5)), verbose=False)
 
+    def test_all_zero_design_has_no_evoked_spikes(self):
+        """A no-stim control block (all-zero supplied design) must not
+        spike: with max_power == 0 the min-rate padding used to treat
+        every unstimulated trial as a max-power trial and flip ~40% of
+        them to phantom spikes with t=0 PSCs."""
+        np.random.seed(6)
+        pilot = simulate(N=15, trials=40, H=3, connection_prob=0.3,
+                         verbose=False)
+        truth = dict(weights=pilot["weights"], phi_0=pilot["phi_0"],
+                     phi_1=pilot["phi_1"],
+                     kernel=(pilot["tau_r"], pilot["tau_d"]))
+        out = simulate(N=15, stim_matrix=np.zeros((15, 24)),
+                       verbose=False, **truth)
+        assert out["spks"].sum() == 0
+        assert np.isfinite(out["psc"]).all()
+
 
 class TestContinuous:
     @pytest.fixture(scope="class")
