@@ -84,13 +84,26 @@ def generate_psc_dataset(
     templates=None,
     template_prob=0.075,
     seed=None,
+    lp_cutoff=500,
+    srate=20000,
+    observed_amplitude_lower=0.75,
+    observed_amplitude_upper=1.25,
+    prob_zero_event=0.001,
 ):
     """Returns ((train_in, train_tgt), (test_in, test_tgt)).
 
     Mirrors reference generate_training_data kwargs
     (neural_waveform_demixing.py:96-104). ``templates`` mixes in real
     negative examples (e.g. direct photocurrents) with zero targets.
+
+    ``lp_cutoff``/``srate``/``observed_amplitude_*``/``prob_zero_event``
+    are accepted for call compatibility but have no effect — the
+    reference accepts them too and never uses them (its low-pass
+    filtfilt is commented out, neural_waveform_demixing.py:142-144, and
+    the amplitude/zero-event knobs appear only in its signature).
     """
+    del lp_cutoff, srate, observed_amplitude_lower
+    del observed_amplitude_upper, prob_zero_event
     rng = np.random.default_rng(seed)
 
     counts = rng.choice(max_modes, size, p=np.asarray(mode_probs))

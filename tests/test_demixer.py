@@ -210,6 +210,20 @@ class TestTraining:
         assert yi.min() >= 0.0
         assert yi.max() <= 1.5
 
+    def test_reference_signature_compat(self):
+        """The reference's full kwarg surface is accepted — incl. the
+        four knobs it declares but never uses (lp_cutoff/srate/
+        observed_amplitude_*/prob_zero_event): a reference user's call
+        must not TypeError, and the unused knobs must not change data."""
+        np.random.seed(3)  # sample_gp draws from the global stream
+        a = generate_psc_dataset(size=20, seed=3)
+        np.random.seed(3)
+        b = generate_psc_dataset(size=20, seed=3, lp_cutoff=250,
+                                 srate=10000, observed_amplitude_lower=0.5,
+                                 observed_amplitude_upper=2.0,
+                                 prob_zero_event=0.5)
+        np.testing.assert_array_equal(a[0][0], b[0][0])
+
     def test_loss_decreases(self):
         demix = NeuralDemixer(seed=0)
         demix.generate_training_data(size=256, seed=1)
