@@ -124,6 +124,38 @@ def sample_spike_time(power, gamma_beta=1.5e1, min_latency=160):
     return min_latency + np.random.gamma(_latency_shape(power), gamma_beta)
 
 
+def alpha(power, scale=1e4):
+    """Reference-named alias of the latency gamma shape
+    (reference simulation.py:197-198)."""
+    return _latency_shape(power, scale)
+
+
+def get_kernel(tau_r, tau_d):
+    """Bi-exponential PSC kernel closure (reference simulation.py:200-203)."""
+    def func(t, delta):
+        t = np.asarray(t, dtype=float)
+        return (np.exp(-(t - delta) / tau_d)
+                - np.exp(-(t - delta) / tau_r)) * (t > delta)
+    return func
+
+
+def get_kernels(tau_r, tau_d):
+    """One kernel closure per (tau_r, tau_d) pair (reference
+    simulation.py:205-206)."""
+    return [get_kernel(tr, td) for tr, td in zip(tau_r, tau_d)]
+
+
+def _eval_kernel_one(trange, tau_r, tau_d, delta, eps=1e-8):
+    ke = (jnp.exp(-(trange - delta) / tau_d)
+          - jnp.exp(-(trange - delta) / tau_r)) * (trange > delta)
+    return ke / (jnp.max(ke) + eps)
+
+
+# peak-normalised delayed kernels, batched over neurons — the jitted
+# helper the reference exports under this name (simulation.py:217-220)
+eval_kernel = jax.jit(jax.vmap(_eval_kernel_one, in_axes=(None, 0, 0, 0)))
+
+
 def sample_gp(trial_dur=900, gp_lengthscale=25, gp_scale=0.01, n_samples=1):
     """Squared-exponential GP noise via spectral factorisation.
 

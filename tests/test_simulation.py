@@ -136,6 +136,31 @@ class TestSimulate:
         with np.testing.assert_raises(ValueError):
             simulate(N=20, stim_matrix=np.zeros((10, 5)), verbose=False)
 
+    def test_reference_helper_parity(self):
+        """The reference's small public helpers exist and agree:
+        alpha / get_kernel(s) / eval_kernel (simulation.py:197-220)."""
+        from circuitmap_tpu.simulation import (alpha, eval_kernel,
+                                               get_kernel, get_kernels)
+
+        assert alpha(50.0) == 1e4 / 2500.0
+        k = get_kernel(30.0, 120.0)
+        t = np.arange(900, dtype=float)
+        vals = k(t, 200.0)
+        assert vals[:201].sum() == 0 and vals[250] > 0
+        ks = get_kernels([30.0, 40.0], [120.0, 150.0])
+        assert len(ks) == 2
+        # eval_kernel: peak-normalised, batched over neurons
+        ev = np.asarray(eval_kernel(
+            np.arange(900, dtype=np.float32),
+            np.array([30.0, 40.0], np.float32),
+            np.array([120.0, 150.0], np.float32),
+            np.array([200.0, 300.0], np.float32)))
+        assert ev.shape == (2, 900)
+        np.testing.assert_allclose(ev.max(axis=1), 1.0, atol=1e-3)
+        # matches the unnormalised closure up to its own peak
+        np.testing.assert_allclose(ev[0], vals / vals.max(),
+                                   rtol=2e-3, atol=2e-5)
+
     def test_all_zero_design_has_no_evoked_spikes(self):
         """A no-stim control block (all-zero supplied design) must not
         spike: with max_power == 0 the min-rate padding used to treat
