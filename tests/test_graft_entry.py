@@ -46,6 +46,22 @@ def test_dryrun_multichip_reexecs_when_backend_wrong():
     assert "sharded CAVIaR ok" in res.stdout
 
 
+def test_entry_compiles_and_runs():
+    """The driver's single-chip compile check must never break: jit
+    entry()'s step end-to-end (CPU falls back to the XLA kernels; the
+    caviar data-tuple change once broke only this path because nothing
+    exercised it)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    leaves = jax.tree_util.tree_leaves(out)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_trial_mesh_rejects_too_few_devices():
     from circuitmap_tpu.parallel import trial_mesh
 
