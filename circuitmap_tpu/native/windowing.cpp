@@ -16,7 +16,9 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -130,6 +132,7 @@ namespace {
 
 template <typename T>
 int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
+                      int64_t f_layout,
                       const float* levels, int64_t L, int64_t h_cap,
                       int16_t* targets, int8_t* tbucket,
                       double* power_counts) {
@@ -157,32 +160,115 @@ int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
             if (k0 >= k1) return;
             std::vector<int32_t> cnt(k1 - k0, 0);
             double* my_pc = pc[w].data();
+            // unsigned type with T's width, for the zero-run fast path
+            using bits_t = typename std::conditional<
+                sizeof(T) == 8, uint64_t, uint32_t>::type;
+            if (f_layout) {
+                // Fortran layout: element (n, k) lives at stim[k*N+n],
+                // so each trial COLUMN is contiguous — iterate k outer
+                // / n inner (sequential memory) instead of copying the
+                // whole matrix to C order (the old ascontiguousarray
+                // fallback cost ~180 ms for the 160 MB bench stim —
+                // simulate() returns its design F-contiguous). Within-
+                // column ascending n is exactly the wire's fill order.
+                for (int64_t k = k0;
+                     k < k1 && !overflow.load() && !mismatch.load(); ++k) {
+                    const T* col = stim + k * N;
+                    int32_t c = 0;
+                    int64_t n = 0;
+                    bool stop = false;
+                    while (n < N && !stop) {
+                        int64_t ne = (n + 8 <= N) ? n + 8 : N;
+                        if (ne - n == 8) {
+                            bits_t chunk[8];
+                            std::memcpy(chunk, col + n, sizeof(chunk));
+                            bits_t acc = chunk[0];
+                            for (int j = 1; j < 8; ++j) acc |= chunk[j];
+                            if (acc == 0) {
+                                n = ne;
+                                continue;
+                            }
+                        }
+                        for (; n < ne; ++n) {
+                            const T v = col[n];
+                            if (v == static_cast<T>(0)) continue;
+                            const int32_t slot = c++;
+                            if (slot >= h_cap) {
+                                overflow.store(true);
+                                stop = true;
+                                break;
+                            }
+                            const float vf = static_cast<float>(v);
+                            int64_t b = 0;
+                            while (b < L && levels[b] < vf) ++b;
+                            if (b >= L || levels[b] != vf) {
+                                mismatch.store(true);
+                                stop = true;
+                                break;
+                            }
+                            targets[slot * K + k] = static_cast<int16_t>(n);
+                            tbucket[slot * K + k] = static_cast<int8_t>(b);
+                            my_pc[n * P + (b - 1)] += 1.0;
+                        }
+                    }
+                    cnt[k - k0] = c;
+                }
+                int64_t hm = 0;
+                for (int32_t c : cnt) hm = std::max<int64_t>(hm, c);
+                h_max[w] = hm;
+                return;
+            }
             for (int64_t n = 0;
                  n < N && !overflow.load() && !mismatch.load(); ++n) {
                 const T* row = stim + n * K;
-                for (int64_t k = k0; k < k1; ++k) {
-                    const T v = row[k];
-                    if (v == static_cast<T>(0)) continue;
-                    const int32_t slot = cnt[k - k0]++;
-                    if (slot >= h_cap) {
-                        overflow.store(true);
-                        break;
+                bool stop = false;
+                int64_t k = k0;
+                while (k < k1 && !stop) {
+                    // Zero-run fast path: stim is typically >90% zeros
+                    // and +0.0 is the all-zero bit pattern, so one
+                    // 8-wide bitwise OR of the raw element bits skips
+                    // a whole chunk (vectorisable; the scalar loop ran
+                    // ~11 ns/element on this host — 220 ms for the
+                    // 160 MB bench stim). -0.0 / nonzero chunks fall
+                    // through to the exact scalar path below.
+                    int64_t ke = (k + 8 <= k1) ? k + 8 : k1;
+                    if (ke - k == 8) {
+                        bits_t chunk[8];
+                        std::memcpy(chunk, row + k, sizeof(chunk));
+                        bits_t acc = chunk[0];
+                        for (int j = 1; j < 8; ++j) acc |= chunk[j];
+                        if (acc == 0) {
+                            k = ke;
+                            continue;
+                        }
                     }
-                    // searchsorted(levels, v) on the tiny level table,
-                    // comparing in f32 exactly as the numpy path does
-                    const float vf = static_cast<float>(v);
-                    int64_t b = 0;
-                    while (b < L && levels[b] < vf) ++b;
-                    if (b >= L || levels[b] != vf) {
-                        // value not in the level table: a mismatched
-                        // powers= argument — report instead of
-                        // silently mis-bucketing
-                        mismatch.store(true);
-                        break;
+                    for (; k < ke; ++k) {
+                        const T v = row[k];
+                        if (v == static_cast<T>(0)) continue;
+                        const int32_t slot = cnt[k - k0]++;
+                        if (slot >= h_cap) {
+                            overflow.store(true);
+                            stop = true;
+                            break;
+                        }
+                        // searchsorted(levels, v) on the tiny level
+                        // table, comparing in f32 exactly as the numpy
+                        // path does
+                        const float vf = static_cast<float>(v);
+                        int64_t b = 0;
+                        while (b < L && levels[b] < vf) ++b;
+                        if (b >= L || levels[b] != vf) {
+                            // value not in the level table: a
+                            // mismatched powers= argument — report
+                            // instead of silently mis-bucketing
+                            mismatch.store(true);
+                            stop = true;
+                            break;
+                        }
+                        targets[slot * K + k] = static_cast<int16_t>(n);
+                        tbucket[slot * K + k] = static_cast<int8_t>(b);
+                        my_pc[n * P + (b - 1)] += 1.0;
                     }
-                    targets[slot * K + k] = static_cast<int16_t>(n);
-                    tbucket[slot * K + k] = static_cast<int8_t>(b);
-                    my_pc[n * P + (b - 1)] += 1.0;
                 }
             }
             int64_t hm = 0;
@@ -207,20 +293,26 @@ int64_t sparsify_impl(const T* stim, int64_t N, int64_t K,
 
 extern "C" {
 
-int64_t cm_sparsify_stim_f64(const double* stim, int64_t N, int64_t K,
-                             const float* levels, int64_t L, int64_t h_cap,
-                             int16_t* targets, int8_t* tbucket,
-                             double* power_counts) {
-    return sparsify_impl(stim, N, K, levels, L, h_cap, targets, tbucket,
-                         power_counts);
+// v2: adds f_layout (0 = C-contiguous rows, 1 = Fortran-contiguous
+// columns) so neither layout needs a 160 MB relayout copy. New symbol
+// names on purpose: a stale prebuilt .so lacking them makes the Python
+// wrapper fall back to numpy instead of mis-calling the old ABI.
+int64_t cm_sparsify_stim2_f64(const double* stim, int64_t N, int64_t K,
+                              int64_t f_layout,
+                              const float* levels, int64_t L, int64_t h_cap,
+                              int16_t* targets, int8_t* tbucket,
+                              double* power_counts) {
+    return sparsify_impl(stim, N, K, f_layout, levels, L, h_cap, targets,
+                         tbucket, power_counts);
 }
 
-int64_t cm_sparsify_stim_f32(const float* stim, int64_t N, int64_t K,
-                             const float* levels, int64_t L, int64_t h_cap,
-                             int16_t* targets, int8_t* tbucket,
-                             double* power_counts) {
-    return sparsify_impl(stim, N, K, levels, L, h_cap, targets, tbucket,
-                         power_counts);
+int64_t cm_sparsify_stim2_f32(const float* stim, int64_t N, int64_t K,
+                              int64_t f_layout,
+                              const float* levels, int64_t L, int64_t h_cap,
+                              int16_t* targets, int8_t* tbucket,
+                              double* power_counts) {
+    return sparsify_impl(stim, N, K, f_layout, levels, L, h_cap, targets,
+                         tbucket, power_counts);
 }
 
 }  // extern "C"

@@ -64,14 +64,14 @@ def _get_lib():
         # library — only sparsify_stim falls back
         i16p = ctypes.POINTER(ctypes.c_int16)
         i8p = ctypes.POINTER(ctypes.c_int8)
-        for name, stim_p in (("cm_sparsify_stim_f64", f64p),
-                             ("cm_sparsify_stim_f32", f32p)):
+        for name, stim_p in (("cm_sparsify_stim2_f64", f64p),
+                             ("cm_sparsify_stim2_f32", f32p)):
             try:
                 fn = getattr(lib, name)
             except AttributeError:
                 continue
             fn.argtypes = [
-                stim_p, ctypes.c_int64, ctypes.c_int64,
+                stim_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 f32p, ctypes.c_int64, ctypes.c_int64,
                 i16p, i8p, f64p,
             ]
@@ -153,13 +153,23 @@ def sparsify_stim(stim_np, levels_np, h_cap):
     contract as solvers/_common._sparsify.
     """
     lib = _get_lib()
-    if lib is None or not hasattr(lib, "cm_sparsify_stim_f64"):
+    if lib is None or not hasattr(lib, "cm_sparsify_stim2_f64"):
         return None
-    stim_np = np.ascontiguousarray(stim_np)
+    # both memory layouts are handled natively: simulate() hands its
+    # design back F-contiguous (a transposed build), and copying it to
+    # C order cost ~180 ms for the 160 MB bench stim — more than the
+    # sparsify pass itself
+    if stim_np.flags["C_CONTIGUOUS"]:
+        f_layout = 0
+    elif stim_np.flags["F_CONTIGUOUS"]:
+        f_layout = 1
+    else:
+        stim_np = np.ascontiguousarray(stim_np)
+        f_layout = 0
     if stim_np.dtype == np.float64:
-        fn, cptr = lib.cm_sparsify_stim_f64, ctypes.c_double
+        fn, cptr = lib.cm_sparsify_stim2_f64, ctypes.c_double
     elif stim_np.dtype == np.float32:
-        fn, cptr = lib.cm_sparsify_stim_f32, ctypes.c_float
+        fn, cptr = lib.cm_sparsify_stim2_f32, ctypes.c_float
     else:
         return None
     N, K = stim_np.shape
@@ -172,7 +182,7 @@ def sparsify_stim(stim_np, levels_np, h_cap):
     tbucket = np.zeros((h_cap, K), dtype=np.int8)
     power_counts = np.zeros((N, P), dtype=np.float64)
     H = fn(
-        _ptr(stim_np, cptr), N, K,
+        _ptr(stim_np, cptr), N, K, f_layout,
         _ptr(levels, ctypes.c_float), levels.size, h_cap,
         _ptr(targets, ctypes.c_int16), _ptr(tbucket, ctypes.c_int8),
         _ptr(power_counts, ctypes.c_double),

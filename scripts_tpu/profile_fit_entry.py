@@ -25,7 +25,8 @@ from circuitmap_tpu.solvers import caviar
 from circuitmap_tpu.solvers._common import (
     prepare_stim_and_init, prepare_traces)
 from circuitmap_tpu.solvers.caviar import (
-    _run_caviar, _reconnect_and_refit_device, _resolve_laplace_impl)
+    _run_caviar, _reconnect_and_refit_device, _resolve_laplace_impl,
+    _resolve_sweep_impl)
 
 
 def settle(x):
@@ -88,7 +89,13 @@ def main():
             delay_spont_est=1, msrmp=0.3, scale_factor=0.75, penalty=5e0,
             max_backtrack_iters=20, tol=0.05, spont_orthogonality=0.1,
             analytic_mc=False, save_histories=False, sweep_block_size=8,
-            sweep_impl="pallas", laplace_impl=_resolve_laplace_impl("auto", dtype),
+            # resolve like the public entry does: "auto" + block 8 ->
+            # the BLOCKED kernel. Pinning sweep_impl="pallas" here once
+            # silently measured the row-DMA kernel instead (an honoured
+            # explicit override, +125 ms/fit of relayout + T(1,128)
+            # reduces) and misattributed the bench's fit_scan stage.
+            sweep_impl=_resolve_sweep_impl("auto", 8),
+            laplace_impl=_resolve_laplace_impl("auto", dtype),
             update_order="random", track_elbo=False, elbo_tol=None,
         )
         settle(final.mu)
