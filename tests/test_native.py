@@ -93,6 +93,31 @@ class TestSparsifyStim:
         np.testing.assert_array_equal(nat[1], ref[1])
         np.testing.assert_array_equal(nat[2], ref[2])
 
+    def test_fortran_layout_matches_c_layout(self):
+        """Both memory layouts are handled natively (simulate() hands
+        its design back F-contiguous; copying it to C order cost more
+        than the sparsify pass itself). The wire arrays must be
+        identical bit for bit across layout and dtype."""
+        stim_c = np.ascontiguousarray(self._stim(N=64, K=300, H=4, seed=2))
+        stim_f = np.asfortranarray(stim_c)
+        assert stim_f.flags["F_CONTIGUOUS"] and not stim_f.flags["C_CONTIGUOUS"]
+        levels = np.asarray([0.0, 45.0, 55.0, 65.0], np.float32)
+        a = native.sparsify_stim(stim_c, levels, h_cap=8)
+        if a is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        for other in (stim_f, np.asfortranarray(stim_c.astype(np.float32))):
+            b = native.sparsify_stim(other, levels, h_cap=8)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
+        # overflow and level-mismatch report identically from the F path
+        assert native.sparsify_stim(stim_f, levels, h_cap=1) == "overflow"
+        bad = stim_f.copy(order="F")
+        bad[3, 7] = 99.0
+        import pytest
+        with pytest.raises(ValueError):
+            native.sparsify_stim(bad, levels, h_cap=8)
+
     def test_f32_input_and_overflow(self):
         stim = self._stim(N=64, K=300, H=4, seed=1)
         levels = np.asarray([0.0, 45.0, 55.0, 65.0], np.float32)
