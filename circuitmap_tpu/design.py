@@ -101,6 +101,7 @@ class AdaptiveDesigner:
         self.conn_trials = int(conn_trials)
         self.maxpow_count = np.zeros(self.N)
         self._prev_detected = np.zeros(self.N, dtype=bool)
+        self._resolved = np.zeros(self.N, dtype=bool)
         self._pool = np.arange(self.N)
         self.rounds = 0
 
@@ -148,7 +149,17 @@ class AdaptiveDesigner:
         unresolved = np.where(ever_recent,
                               self.maxpow_count < self.conn_trials,
                               self.maxpow_count < self.null_trials)
-        self._pool = np.flatnonzero(unresolved)
+        # Resolution is STICKY: the pool only ever shrinks. Without
+        # this, a neuron resolved as a null re-enters the pool if the
+        # detection gate flickers on in a later round (ever_recent
+        # raises its threshold to conn_trials), `resolved` can
+        # oscillate back to False, and an experiment loop that stopped
+        # designing on an earlier resolved=True would crash in
+        # next_design. The cost is deliberate: a null that only shows
+        # evidence AFTER its null_trials budget stays resolved — the
+        # budget is the policy's detection deadline, not a lower bound.
+        self._resolved |= ~unresolved
+        self._pool = np.flatnonzero(~self._resolved)
         self._prev_detected = detected
         self.rounds += 1
         return int(self._pool.size)

@@ -296,6 +296,11 @@ class OnlineCaviar:
         y_blk, active_blk = prepare_observations(
             jnp.asarray(traces, self.dtype), self._y_xcorr_thresh)
 
+        # Everything below is staged in locals and only committed to
+        # self after the fit (and optional fn-scan) succeeds — a raised
+        # update() must leave the stream exactly as it was (capacity
+        # growth above is the one earlier mutation, and it is
+        # semantics-preserving either way).
         y, stim, mask = self._bufs
         lam = (self._state.lam if self._state is not None
                else jnp.zeros((self.N, self._C), self.dtype))
@@ -305,14 +310,13 @@ class OnlineCaviar:
             jnp.asarray(bucket), active_blk,
             jnp.asarray(self.k, jnp.int32),
         )
-        self._bufs = (y, stim, mask)
         state = (self._init_state(lam) if self._state is None
                  else self._state._replace(lam=lam))
-        self.k += kb
+        k_new = self.k + kb
 
         state, _, _ = _run_caviar(
             y, stim, state.lam, mask, self._powers_dev(), *self._priors,
-            self._key, state, jnp.asarray(self.k, jnp.int32),
+            self._key, state, jnp.asarray(k_new, jnp.int32),
             # Cap the spontaneous soft-threshold seed at
             # max_backtrack_iters-1: with the raw global index, z would
             # FREEZE once cumulative iterations passed
@@ -332,24 +336,29 @@ class OnlineCaviar:
                 self._static["max_backtrack_iters"] - 1, jnp.int32),
             iters=int(iters), start_iter=self.it, **self._static,
         )
+        n_rec = self._n_reconnected
         if fn_scan:
-            mu, beta, lam, z, phi, phi_cov, n_rec = self._reconnect(state)
+            mu, beta, lam, z, phi, phi_cov, n_rec = self._reconnect(
+                state, stim, k_new)
             state = state._replace(mu=mu, beta=beta, lam=lam, z=z,
                                    phi=phi, phi_cov=phi_cov)
-            self._n_reconnected = n_rec
+        # Commit: the fit (and scan) succeeded, so the new trials are in.
+        self._bufs = (y, stim, mask)
+        self.k = k_new
+        self._n_reconnected = n_rec
         self._state = state
         self.it += int(iters)
         return self
 
-    def _reconnect(self, state):
+    def _reconnect(self, state, stim, k):
         dt = self.dtype
         return _reconnect_and_refit_device(
-            self._bufs[1], state.lam, state.mu, state.beta, state.z,
+            stim, state.lam, state.mu, state.beta, state.z,
             self._powers_dev(), state.phi, state.phi_cov,
             self._priors[4], self._priors[5],
             jnp.asarray(self._msrmp, dt),
             jnp.asarray(self._min_spike_count, dt),
-            jnp.asarray(self.k, jnp.int32),
+            jnp.asarray(k, jnp.int32),
         )
 
     def _levels_dev(self):
@@ -407,7 +416,8 @@ class OnlineCaviar:
         phi, phi_cov = s.phi, s.phi_cov
         n_rec = 0
         if fn_scan:
-            mu, beta, lam, z, phi, phi_cov, n_rec = self._reconnect(s)
+            mu, beta, lam, z, phi, phi_cov, n_rec = self._reconnect(
+                s, self._bufs[1], self.k)
         k = self.k
         return dict(
             mu=np.asarray(mu), beta=np.asarray(beta),

@@ -113,6 +113,22 @@ class TestAdaptiveDesigner:
         with pytest.raises(ValueError):
             d.next_design(10)
 
+    def test_resolution_is_sticky_under_detection_flicker(self):
+        """A resolved null must NOT re-enter the pool if the detection
+        gate flickers on in a later round (ADVICE r3: resolved could
+        oscillate False after True and crash a loop keyed on it)."""
+        d = AdaptiveDesigner(2, 1, POWERS, null_trials=4, conn_trials=20)
+        # round 1: both quiet, 4 hits each -> neuron 1 & 0 resolve null
+        d.observe(self._block(d, [0, 1], 4), {"mu": np.zeros(2)})
+        assert d.resolved
+        # round 2: gate flickers on for neuron 1 — with only 4 < 20
+        # max-power hits it would re-enter a non-sticky pool
+        d.observe(np.zeros((2, 3)), {"mu": np.array([0.0, 1.0])})
+        assert d.resolved
+        assert d.pool.size == 0
+        with pytest.raises(ValueError):
+            d.next_design(10)
+
     def test_validation(self):
         with pytest.raises(ValueError):
             AdaptiveDesigner(0, 2, POWERS)

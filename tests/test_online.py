@@ -183,6 +183,42 @@ class TestCheckpoint:
             OnlineCaviar.load(ck, N=61)
 
 
+class TestFailedUpdateLeavesStreamIntact:
+    def test_raise_mid_update_rolls_back(self, sim, monkeypatch):
+        """A raised fit must not commit the staged buffers/counters
+        (ADVICE r3: k advanced before the fit ran, so a crash left the
+        stream counting trials whose lam init was discarded)."""
+        import circuitmap_tpu.solvers.online as online_mod
+
+        oc = OnlineCaviar(60, num_mc_samples=20)
+        oc.update(sim["psc"][:128], sim["stim_matrix"][:, :128], iters=3)
+        k0, it0 = oc.k, oc.it
+        state0, bufs0 = oc._state, oc._bufs
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected fit failure")
+
+        monkeypatch.setattr(online_mod, "_run_caviar", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            oc.update(sim["psc"][128:256], sim["stim_matrix"][:, 128:256],
+                      iters=3)
+        assert oc.k == k0 and oc.it == it0
+        assert oc._state is state0 and oc._bufs is bufs0
+        monkeypatch.undo()
+
+        # the stream still works and matches a fresh one fed the same
+        # blocks — the failed call left no hidden residue
+        oc.update(sim["psc"][128:256], sim["stim_matrix"][:, 128:256],
+                  iters=3)
+        ref = OnlineCaviar(60, num_mc_samples=20)
+        ref.update(sim["psc"][:128], sim["stim_matrix"][:, :128], iters=3)
+        ref.update(sim["psc"][128:256], sim["stim_matrix"][:, 128:256],
+                   iters=3)
+        a, b = oc.result(fn_scan=False), ref.result(fn_scan=False)
+        np.testing.assert_allclose(a["mu"], b["mu"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(a["lam"], b["lam"], rtol=0, atol=1e-6)
+
+
 class TestValidation:
     def test_unseen_power_level_raises(self, sim):
         oc = OnlineCaviar(60, powers=[45.0])
