@@ -12,9 +12,69 @@ from pathlib import Path
 import numpy as np
 
 
+# HDF5 file signature (the first 8 bytes of every HDF5 file, which is
+# what a MATLAB "-v7.3" .mat actually is — scipy.io.loadmat rejects
+# those with NotImplementedError, but real rigs export them routinely).
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _is_hdf5(path):
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(len(_HDF5_MAGIC)) == _HDF5_MAGIC
+    except OSError:
+        return False
+
+
+def _reconcile_orientation(psc, stim):
+    """Fix transposed layouts so psc is [K, T] and stim is [N, K].
+
+    MATLAB stores arrays column-major, so a v7.3 dataset read through
+    h5py arrives transposed relative to the loadmat convention; a file
+    written directly by h5py (row-major) does not. Rather than guess
+    the writer, reconcile against the one hard invariant the pair must
+    satisfy: psc's trial axis (rows) == stim's trial axis (columns).
+    """
+    if psc.ndim != 2 or stim.ndim != 2:
+        raise ValueError(
+            f"expected 2-D psc and stim arrays, got shapes "
+            f"{psc.shape} and {stim.shape}")
+    if psc.shape[0] == stim.shape[1]:
+        return psc, stim
+    if psc.shape[1] == stim.shape[0]:  # both transposed (MATLAB layout)
+        return psc.T, stim.T
+    if psc.shape[1] == stim.shape[1]:  # only psc transposed
+        return psc.T, stim
+    if psc.shape[0] == stim.shape[0]:  # only stim transposed
+        return psc, stim.T
+    raise ValueError(
+        f"cannot reconcile trial axes: psc {psc.shape} vs stim "
+        f"{stim.shape} share no common trial count")
+
+
 def load_experiment(path, psc_key="psc", stim_key="stimulus_matrix"):
-    """Load (psc [K, T], stim_matrix [N, K]) from .mat/.npy/.npz."""
+    """Load (psc [K, T], stim_matrix [N, K]) from .mat/.npy/.npz/.h5.
+
+    Reference contract: scripts/run_circuitmap_main.py:22-32 loads
+    ``psc`` + ``stimulus_matrix`` from a .mat or .npy. The format is
+    detected by MAGIC BYTES, not extension: MATLAB v7.3 files are HDF5
+    containers that scipy's loadmat cannot read, so any .mat (or
+    .h5/.hdf5) with the HDF5 signature routes through h5py, with
+    orientation reconciled for MATLAB's column-major storage.
+    """
     p = str(path)
+    if _is_hdf5(p):
+        import h5py
+
+        with h5py.File(p, "r") as f:
+            for key in (psc_key, stim_key):
+                if key not in f:
+                    raise KeyError(
+                        f"{p!r} has no dataset {key!r}; found: "
+                        f"{sorted(f.keys())}")
+            psc = np.asarray(f[psc_key], dtype=float)
+            stim = np.asarray(f[stim_key], dtype=float)
+        return _reconcile_orientation(psc, stim)
     if p.endswith(".mat"):
         from scipy.io import loadmat
 
