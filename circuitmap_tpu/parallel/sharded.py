@@ -569,6 +569,10 @@ def cavi_sns_sharded(
         h = list(hists)
         h[3] = h[3][:, :, :K]  # lam history: trim trial padding
         hist_arrs = [np.asarray(x) for x in h]
+        # reference contract: shape/rate histories are (iters, K)
+        # broadcasts of the scalar posteriors (cavi_sns.py:54-55)
+        for i in (4, 5):
+            hist_arrs[i] = np.repeat(hist_arrs[i][:, None], K, axis=1)
     else:
         hist_arrs = [None] * 8
 
@@ -1428,11 +1432,15 @@ def caviar_sharded(
             )
 
     if save_histories:
-        # same 8-slot layout as solvers.caviar; trim trial padding
+        # same 8-slot layout as solvers.caviar; trim trial padding.
+        # shape/rate histories are broadcast to (iters, K) to match the
+        # reference history contract (caviar.py:58-59).
         h_mu, h_beta, h_lam, h_shape, h_rate, h_phi, h_phi_cov, h_z = hists
         hist_arrs = [
             np.asarray(h_mu), np.asarray(h_beta), np.asarray(h_lam[:, :, :K]),
-            np.asarray(h_shape), np.asarray(h_rate), np.asarray(h_phi),
+            np.repeat(np.asarray(h_shape)[:, None], K, axis=1),
+            np.repeat(np.asarray(h_rate)[:, None], K, axis=1),
+            np.asarray(h_phi),
             np.asarray(h_phi_cov), np.asarray(h_z[:, :K]),
         ]
     else:

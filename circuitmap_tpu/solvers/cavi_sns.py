@@ -297,7 +297,17 @@ def cavi_sns(
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
 
-    hist_arrs = [np.asarray(h) for h in hists] if save_histories else [None] * 8
+    if save_histories:
+        hist_arrs = [np.asarray(h) for h in hists]
+        # Reference history-shape contract (cavi_sns.py:54-55):
+        # shape/rate histories are stored broadcast to (iters, K)
+        # though the posteriors are scalars.
+        k_hist = hist_arrs[3].shape[-1]  # lam history carries K
+        for i in (4, 5):
+            hist_arrs[i] = np.repeat(
+                hist_arrs[i][:, None], k_hist, axis=1)
+    else:
+        hist_arrs = [None] * 8
 
     return (
         final.mu, final.beta, final.alpha, final.lam, final.shape, final.rate,

@@ -1112,6 +1112,15 @@ def caviar(
 
     if save_histories:
         hist_arrs = [np.asarray(h) for h in hists]
+        # Reference history-shape contract (caviar.py:58-59): shape and
+        # rate are scalar posteriors, but their histories are stored
+        # broadcast to (iters, K). Our scan snapshots them as scalars
+        # ((iters,) ys); widen here so downstream history consumers see
+        # the reference layout exactly.
+        k_hist = hist_arrs[7].shape[1]  # z history carries the true K
+        for i in (3, 4):
+            hist_arrs[i] = np.repeat(
+                hist_arrs[i][:, None], k_hist, axis=1)
     else:
         hist_arrs = [None] * 8
 

@@ -154,6 +154,11 @@ def elbo_trajectory(y, stim, history, priors):
     for it in range(iters):
         state = {k: history[k][it] for k in
                  ("mu", "beta", "lam", "shape", "rate", "phi")}
+        # shape/rate histories follow the reference's (iters, K)
+        # broadcast layout (caviar.py:58-59); the bound wants scalars
+        for k in ("shape", "rate"):
+            if np.ndim(state[k]) > 0:
+                state[k] = np.asarray(state[k]).ravel()[0]
         state["z"] = history["z"][it] if "z" in history and history["z"] is not None \
             else np.zeros(np.asarray(y).shape[0])
         out.append(elbo_components(y, stim, state, priors))

@@ -64,6 +64,9 @@ def test_elbo_matches_host_diagnostics(sim):
     it = 10
     state = {k: m.history[k][it]
              for k in ("mu", "beta", "lam", "shape", "rate", "phi")}
+    # shape/rate histories are (iters, K) broadcasts (reference layout)
+    state["shape"] = np.asarray(state["shape"]).ravel()[0]
+    state["rate"] = np.asarray(state["rate"]).ravel()[0]
     state["z"] = m.history["z"][it]
     host = elbo_components(y, np.asarray(sim["stim_matrix"]), state, priors)
     np.testing.assert_allclose(m.elbo[it], host["elbo"], rtol=2e-4)

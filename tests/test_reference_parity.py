@@ -146,6 +146,128 @@ class TestCaviarParity:
         assert float(ref_out[4]) == pytest.approx(float(our_out[4]), rel=0.05)
 
 
+class TestHistoryContractParity:
+    def test_history_shapes_match_reference(self, ref_pkg, sim):
+        """Pin the history-array layout against the reference's quirky
+        contract (caviar.py:54-70): shape/rate posteriors are scalars
+        but their histories are stored broadcast to (iters, K)."""
+        import importlib
+
+        ref_caviar = importlib.import_module(f"{ref_pkg}.caviar")
+        from circuitmap_tpu.solvers import caviar
+
+        p = default_priors(30)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        it = 3
+        ref_out = ref_caviar.caviar(*args, iters=it, fn_scan=False, seed=0,
+                                    save_histories=True)
+        our_out = caviar(*args, iters=it, fn_scan=False, seed=0,
+                         save_histories=True, verbose=False)
+        # slots 9..16: mu, beta, lam, shape, rate, phi, phi_cov, z
+        names = ("mu", "beta", "lam", "shape", "rate", "phi", "phi_cov", "z")
+        for name, r, o in zip(names, ref_out[9:17], our_out[9:17]):
+            r, o = np.asarray(r), np.asarray(o)
+            assert o.shape == r.shape, (
+                f"{name} history: ours {o.shape} vs reference {r.shape}")
+            assert o.dtype.kind == r.dtype.kind == "f"
+        # the broadcast rows really are constant per iteration
+        sh = np.asarray(our_out[12])
+        assert sh.shape == (it, sim["psc"].shape[0])
+        assert (sh == sh[:, :1]).all()
+
+    def test_sns_history_shapes_match_reference(self, ref_pkg, sim):
+        import importlib
+
+        ref_sns = importlib.import_module(f"{ref_pkg}.cavi_sns")
+        from circuitmap_tpu.solvers import cavi_sns
+
+        p = default_priors(30)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["alpha"], p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        ref_out = ref_sns.cavi_sns(*args, iters=3, seed=1,
+                                   save_histories=True)
+        our_out = cavi_sns(*args, iters=3, seed=1, save_histories=True,
+                           verbose=False)
+        # slots 8..15: mu, beta, alpha, lam, shape, rate, phi, phi_cov
+        for i, name in enumerate(
+                ("mu", "beta", "alpha", "lam", "shape", "rate", "phi",
+                 "phi_cov")):
+            r, o = np.asarray(ref_out[8 + i]), np.asarray(our_out[8 + i])
+            assert o.shape == r.shape, (
+                f"{name} history: ours {o.shape} vs reference {r.shape}")
+
+
+class TestDeterministicParity:
+    """Variance-reduced near-exact parity, promoted into CI (VERDICT r3
+    weak #5): both sides use the exact truncated-normal mean (the MC
+    estimator's own limit — the reference integrand logit(sigmoid(x))
+    is identically x), identity coordinate order, and f64, making BOTH
+    fits fully deterministic. Any disagreement is genuine update-math
+    divergence, and the test fails on it — the offline PARITY_VR.json
+    evidence now has an in-suite guard."""
+
+    @pytest.fixture(scope="class")
+    def ref_vr(self, tmp_path_factory):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "parity_vr_script",
+            "/root/repo/scripts_tpu/parity_variance_reduced.py")
+        script = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(script)
+
+        root = tmp_path_factory.mktemp("refshim_vr_ci")
+        pkg = root / "ref_optimise_vr_ci"
+        pkg.mkdir()
+        (pkg / "__init__.py").write_text("")
+        for f in ("caviar.py", "pava.py"):
+            shutil.copy(os.path.join(REF, f), pkg / f)
+        src = (pkg / "caviar.py").read_text()
+        assert script._MC_BLOCK in src, "reference MC block moved"
+        assert script._ORDER_LINE in src, "reference order line moved"
+        src = src.replace(script._MC_BLOCK, script._ANALYTIC_BLOCK)
+        src = src.replace(script._ORDER_LINE, script._ORDER_FIXED)
+        (pkg / "caviar.py").write_text(src)
+        sys.path.insert(0, str(root))
+        import jax
+
+        x64_before = jax.config.jax_enable_x64
+        import importlib
+
+        yield importlib.import_module("ref_optimise_vr_ci.caviar")
+        sys.path.remove(str(root))
+        jax.config.update("jax_enable_x64", x64_before)
+
+    def test_weights_near_exact(self, ref_vr):
+        import jax.numpy as jnp
+        from circuitmap_tpu.solvers import caviar
+
+        np.random.seed(5)
+        vr_sim = simulate(N=100, trials=2000, H=10, connection_prob=0.05,
+                          spont_prob=0.01, gp_scale=1e-3, verbose=False)
+        p = default_priors(100)
+        args = (vr_sim["psc"], vr_sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        ref_out = ref_vr.caviar(*args, iters=20, msrmp=0.3, seed=0,
+                                fn_scan=False)
+        our_out = caviar(*args, iters=20, msrmp=0.3, seed=0, fn_scan=False,
+                         verbose=False, analytic_mc=True,
+                         update_order="identity", dtype=jnp.float64)
+        mu_ref, mu_ours = np.asarray(ref_out[0]), np.asarray(our_out[0])
+        lam_ref, lam_ours = np.asarray(ref_out[2]), np.asarray(our_out[2])
+
+        np.testing.assert_array_equal(mu_ref != 0, mu_ours != 0)
+        support = mu_ref != 0
+        np.testing.assert_allclose(mu_ours[support], mu_ref[support],
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(lam_ours, lam_ref, rtol=0, atol=1e-6)
+        # noise posterior: shape deterministic, rate near-exact
+        assert float(ref_out[3]) == pytest.approx(float(our_out[3]))
+        np.testing.assert_allclose(float(our_out[4]), float(ref_out[4]),
+                                   rtol=1e-6)
+
+
 class TestSnsParity:
     def test_posterior_agreement(self, ref_pkg, sim):
         import importlib
