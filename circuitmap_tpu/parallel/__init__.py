@@ -11,6 +11,12 @@ reductions ride ``psum`` over ICI (SURVEY.md §5 "long-context" note).
 from .mesh import trial_mesh
 from .sharded import caviar_sharded, cavi_sns_sharded, mbcs_sharded
 from .sweep import run_sweep
+from .distributed import (
+    initialize as initialize_distributed,
+    global_trial_mesh,
+    caviar_sharded_distributed,
+)
 
 __all__ = ["trial_mesh", "caviar_sharded", "cavi_sns_sharded",
-           "mbcs_sharded", "run_sweep"]
+           "mbcs_sharded", "run_sweep", "initialize_distributed",
+           "global_trial_mesh", "caviar_sharded_distributed"]

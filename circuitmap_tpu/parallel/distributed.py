@@ -1,0 +1,288 @@
+"""Multi-process (multi-host) bootstrap for the sharded solver family.
+
+The trial-sharded solvers (parallel/sharded.py) express every update as
+per-shard compute plus a ``psum`` over the ``trial`` mesh axis — a
+design that is process-count agnostic. What a pod slice larger than one
+host additionally needs is the bootstrap layer this module supplies:
+
+  * :func:`initialize` — ``jax.distributed.initialize`` wrapper
+    (idempotent) so every process sees the global device set,
+  * :func:`global_trial_mesh` — a 1-D ``trial`` mesh over every global
+    device (ICI-contiguous order on real slices),
+  * :func:`caviar_sharded_distributed` — per-host trial feeding: each
+    process passes only the trials it recorded; global arrays are
+    assembled with ``jax.make_array_from_process_local_data`` and the
+    existing ``shard_map`` program runs unchanged, its psums now
+    crossing hosts.
+
+The reference scales out with zero-communication SLURM job arrays
+(reference scripts/generate_loho_cv_slurm_scripts.py:8-36); a single
+fit there can never exceed one process. Here one fit spans the slice.
+
+Proven on this rig with 2 processes x 4 virtual CPU devices over gloo
+collectives (tests/test_distributed.py), equality-checked against the
+single-process mesh solver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import TRIAL_AXIS
+from .sharded import _run_sharded
+from ..solvers._laplace import _resolve_laplace_impl
+from ..solvers.caviar import (
+    _resolve_sweep_block_size,
+    _validate_update_order,
+)
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               local_device_ids=None):
+    """Join (or bootstrap) a multi-process JAX cluster. Idempotent.
+
+    On a real TPU pod slice all arguments auto-detect from the TPU
+    metadata and this is a bare ``initialize()``. For CPU/GPU clusters
+    (and the 2-process gloo proof in tests/test_distributed.py) pass
+    ``coordinator_address="host:port"``, ``num_processes`` and this
+    process's ``process_id`` explicitly.
+    """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialised — jax.distributed forbids a second init
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def global_trial_mesh() -> Mesh:
+    """A 1-D ``trial`` mesh over every device in the cluster.
+
+    ``jax.devices()`` returns the global device list in ICI-contiguous
+    order on TPU slices, so neighbouring trial shards are ICI
+    neighbours and the solver psums ride ICI before DCN.
+    """
+    return Mesh(np.array(jax.devices()), (TRIAL_AXIS,))
+
+
+def _local_device_count(mesh: Mesh) -> int:
+    pidx = jax.process_index()
+    n = sum(1 for d in mesh.devices.ravel() if d.process_index == pidx)
+    if n == 0:
+        raise ValueError(
+            "this process owns no devices in the mesh — every "
+            "participating process must contribute devices")
+    return n
+
+
+def _allgather_host(x):
+    """Host-side all-gather of a (same-shaped-everywhere) numpy array.
+
+    Returns [num_processes, *x.shape]. Uses the global device mesh via
+    one replicated-out jit — no separate host RPC channel needed.
+    """
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def caviar_sharded_distributed(
+    psc_local,
+    stim_local,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    mesh=None,
+    iters=50,
+    num_mc_samples=100,
+    seed=0,
+    y_xcorr_thresh=1e-2,
+    minimum_spike_count=3,
+    delay_spont_est=1,
+    msrmp=0.3,
+    scale_factor=0.75,
+    penalty=5e0,
+    max_backtrack_iters=20,
+    tol=0.05,
+    spont_orthogonality=0.1,
+    dtype=jnp.float32,
+    analytic_mc=False,
+    powers=None,
+    sweep_block_size=1,
+    laplace_impl="auto",
+    update_order="random",
+    gather_output=True,
+    verbose=True,
+):
+    """Fit CAVIaR across processes, each feeding its own trials.
+
+    ``psc_local`` [K_local, T] and ``stim_local`` [N, K_local] are the
+    trials *this process* holds; different processes may hold different
+    counts. Global trial order is process order (process 0's trials
+    first). Posterior contract matches ``caviar_sharded`` with
+    ``fn_scan=False, save_histories=False``: returns ``(mu, beta, lam,
+    shape, rate, phi, phi_cov, z, None)``. With ``gather_output=True``
+    (default) ``lam``/``z`` are all-gathered and padding-trimmed so
+    every process returns the full [N, K_global] posterior; with False
+    they stay as global sharded ``jax.Array``s (pull shards with
+    ``jax.experimental.multihost_utils``).
+
+    Host-side prep (observations, activity mask, power counts) runs on
+    each process's own trials only — the per-host feeding contract —
+    then three tiny metadata all-gathers agree on the global trial
+    count, power set, and power-bucket counts.
+    """
+    if mesh is None:
+        mesh = global_trial_mesh()
+    psc_local = np.asarray(psc_local)
+    stim_local = np.asarray(stim_local)
+    K_loc = psc_local.shape[0]
+    N = stim_local.shape[0]
+    np_dtype = np.dtype(dtype)
+
+    n_local = _local_device_count(mesh)
+    # agree on a common per-device shard size (processes may hold
+    # different trial counts; make_array_from_process_local_data needs
+    # equal per-device shards)
+    k_all = _allgather_host(np.asarray([K_loc, n_local], np.int64))
+    if not (k_all[:, 1] == n_local).all():
+        raise ValueError(
+            "unequal local device counts across processes: "
+            f"{k_all[:, 1].tolist()}")
+    rows = int(max(-(-int(k) // n_local) for k in k_all[:, 0]))
+    K_pad_loc = rows * n_local
+    K_global = int(k_all[:, 0].sum())
+
+    # global power set: union of per-process stim levels
+    if powers is None:
+        max_levels = 64
+        loc = np.unique(stim_local[stim_local > 0]).astype(np.float64)
+        if loc.size > max_levels:
+            raise ValueError(
+                f"{loc.size} distinct stim levels on this process; pass "
+                "powers= explicitly for continuously-varying designs")
+        buf = np.zeros(max_levels)
+        buf[:loc.size] = loc
+        gathered = _allgather_host(buf).ravel()
+        powers = np.unique(gathered[gathered > 0])
+    else:
+        powers = np.unique(np.asarray(powers, np.float64))
+    # device tables hold the values as the fit dtype represents them
+    # (the f64 contract of solvers/_common: levels compared on device
+    # must match the uploaded stim's precision); distinct f64 powers
+    # that collapse to one value at the fit dtype count as one level
+    powers_dev = np.unique(powers.astype(np_dtype)).astype(np.float64)
+    levels = np.concatenate([[0.0], powers_dev])
+
+    # local padding + validity
+    pad = K_pad_loc - K_loc
+    if pad:
+        psc_local = np.concatenate(
+            [psc_local, np.zeros((pad, psc_local.shape[1]), psc_local.dtype)])
+        stim_local = np.concatenate(
+            [stim_local, np.zeros((N, pad), stim_local.dtype)], axis=1)
+    valid_loc = np.zeros(K_pad_loc, np.float32)
+    valid_loc[:K_loc] = 1.0
+
+    # per-host observation prep: local device compute, host-resident out
+    from ..ops.charge import prepare_observations
+
+    y_loc, active_loc = prepare_observations(
+        jnp.asarray(psc_local.astype(np_dtype, copy=False)), y_xcorr_thresh)
+    y_loc = np.asarray(y_loc)
+    lam_mask_loc = np.asarray(active_loc).astype(np.float32) * valid_loc
+    lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
+        * lam_mask_loc[None, :]
+
+    # global power-bucket counts: sum of per-process local counts
+    pc_loc = (
+        stim_local[:, :K_loc, None].astype(np.float32)
+        == powers_dev[None, None, :].astype(np.float32)
+    ).sum(axis=1).astype(np.float64)
+    power_counts = _allgather_host(pc_loc).sum(axis=0)
+
+    if verbose and jax.process_index() == 0:
+        print(f"Running CAVIaR over {jax.process_count()} processes / "
+              f"{mesh.devices.size} devices (K_global={K_global}, "
+              f"rows/device={rows}).")
+
+    # assemble global arrays from the per-process shards
+    sh_t = NamedSharding(mesh, P(TRIAL_AXIS))
+    sh_nt = NamedSharding(mesh, P(None, TRIAL_AXIS))
+    sh_r = NamedSharding(mesh, P())
+    mk = jax.make_array_from_process_local_data
+
+    def cast(a):
+        return np.asarray(a, dtype=np_dtype)
+
+    y_g = mk(sh_t, cast(y_loc))
+    stim_g = mk(sh_nt, cast(stim_local))
+    lam0_g = mk(sh_nt, cast(lam0_loc))
+    lam_mask_g = mk(sh_t, cast(lam_mask_loc))
+    valid_g = mk(sh_t, cast(valid_loc))
+
+    def rep(a):
+        return mk(sh_r, cast(a))
+
+    key = np.asarray(jax.random.PRNGKey(seed))
+    final, _ = _run_sharded(
+        y_g, stim_g, lam0_g, lam_mask_g, valid_g,
+        rep(powers_dev), rep(levels), rep(power_counts),
+        rep(np.float64(K_global)),
+        rep(mu_prior), rep(beta_prior), rep(shape_prior), rep(rate_prior),
+        rep(phi_prior), rep(phi_cov_prior),
+        mk(sh_r, key),
+        mesh=mesh,
+        iters=int(iters),
+        num_mc_samples=int(num_mc_samples),
+        minimum_spike_count=int(minimum_spike_count),
+        delay_spont_est=int(delay_spont_est),
+        msrmp=float(msrmp),
+        scale_factor=float(scale_factor),
+        penalty=float(penalty),
+        max_backtrack_iters=int(max_backtrack_iters),
+        tol=float(tol),
+        spont_orthogonality=float(spont_orthogonality),
+        analytic_mc=bool(analytic_mc),
+        save_histories=False,
+        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
+        update_order=_validate_update_order(str(update_order)),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
+    )
+
+    mu = np.asarray(final.mu)  # replicated outputs: addressable everywhere
+    beta = np.asarray(final.beta)
+    shape = np.asarray(final.shape)
+    rate = np.asarray(final.rate)
+    phi = np.asarray(final.phi)
+    phi_cov = np.asarray(final.phi_cov)
+
+    if not gather_output:
+        return (mu, beta, final.lam, shape, rate, phi, phi_cov, final.z,
+                None)
+
+    # all-gather the trial-sharded posteriors, then drop padding columns
+    gather = jax.jit(lambda x: x, out_shardings=sh_r)
+    lam_full = np.asarray(gather(final.lam))
+    z_full = np.asarray(gather(final.z))
+    keep = np.concatenate([
+        (np.arange(K_pad_loc) < int(k)) for k in k_all[:, 0]
+    ]) if (K_pad_loc * jax.process_count() != K_global) else \
+        np.ones(K_global, bool)
+    lam = lam_full[:, keep]
+    z = z_full[keep]
+    return (mu, beta, lam, shape, rate, phi, phi_cov, z, None)
