@@ -39,21 +39,28 @@ def main():
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # int4 wire + the quantisation-aware-trained checkpoint: half the
+    # int8 transfer at BETTER fidelity (WIRE_STUDY.json round-4: int4+QAT
+    # mean R2 0.9881 vs int8+stock 0.9817 over 3 seeds; the QAT
+    # fine-tune is scripts_tpu/train_qat_demixer.py, 7.2 min on-chip)
+    qat = os.path.join(here, "demixers", "nwd_ie_ChroME2f_int4qat.npz")
     candidates = [
+        qat,
         os.path.join(here, "demixers", "nwd_ie_ChroME2f.npz"),  # repo zoo
         "/root/reference/demixers/nwd_ie_ChroME2f.ckpt",
     ]
     ckpt = next((c for c in candidates if os.path.exists(c)), None)
     demixer = NeuralDemixer(path=ckpt) if ckpt else NeuralDemixer()
+    wire = "int4" if ckpt == qat else np.int8
 
     priors = default_priors(N)
 
     def pipeline(psc, stim):
-        # int8 wire format quarters the host->TPU trace upload
-        # (per-trace peak scale, ~0.9% of peak quantisation — below
-        # recording noise; measured R2 0.9888 vs 0.9889 with f16)
+        # compressed wire format shrinks the host->TPU trace upload —
+        # int4 (two codes per byte, per-trace peak scale) with the QAT
+        # checkpoint, int8 fallback with the stock one
         dem = demixer(psc, verbose=False, keep_on_device=True,
-                      transfer_dtype=np.int8)
+                      transfer_dtype=wire)
         out = caviar(
             dem, stim, priors["mu"], priors["beta"], priors["shape"],
             priors["rate"], priors["phi"], priors["phi_cov"], iters=iters,
@@ -93,7 +100,7 @@ def main():
     # from the host->TPU trace wire, which dominates the end-to-end
     # number through the tunnel
     dem = demixer(sim["psc"], verbose=False, keep_on_device=True,
-                  transfer_dtype=np.int8)
+                  transfer_dtype=wire)
     np.asarray(dem[0, :1])  # settle the demixer before the fit clock
     fit_only = float("inf")
     for _ in range(5):
@@ -118,6 +125,7 @@ def main():
         "device": str(jax.devices()[0]),
         "block_until_ready_seconds": round(elapsed_block, 3),
         "fit_only_seconds": round(fit_only, 3),
+        "trace_wire": "int4" if ckpt == qat else "int8",
     }
     # measured-reference comparison, when the committed artifact exists
     # (scripts_tpu/measure_reference_baseline.py — reference end-to-end

@@ -1,28 +1,25 @@
-"""Trace-wire quantisation fidelity study (round-2 verdict #10).
+"""Trace-wire quantisation fidelity study (round-2 verdict #10 + QAT).
 
 Question: would a 4-bit trace wire (halving the remaining host->TPU
 transfer versus the int8 wire the bench uses) preserve weight-recovery
 R^2? Protocol: quantise simulated N=200/K=2000 PSC blocks to each wire
 format host-side (per-trace peak scale, exactly as the demixer's
-transfer_dtype path does), demix with the shipped ChroME2f checkpoint,
-fit CAVIaR (50 iters, msrmp 0.3), compare truth-R^2 across seeds.
+transfer_dtype path does), demix, fit CAVIaR (50 iters, msrmp 0.3),
+compare truth-R^2 across seeds.
 
-Committed verdict (WIRE_STUDY.json, 2026-08-17, 3 seeds):
+Round-3 verdict (stock checkpoint only): int8 lossless, linear int4
+-0.028 mean R2 (rejected), mu-law int4 catastrophic (demixer OOD).
 
-  f32        mean R2 0.9816  (min 0.9739)
-  int8       mean R2 0.9817  (min 0.9739)   <- current wire: lossless
-  int4       mean R2 0.9538  (min 0.9348)   <- REJECTED: -0.028 mean,
-                                               far beyond seed noise
-  int4-mulaw mean R2 0.6552  (min 0.6218)   <- REJECTED: the NWD was
-                                               trained on linear-noise
-                                               traces; companded
-                                               quantisation error is
-                                               out-of-distribution
+Round-4 revision: the int4 step noise (~7% of peak) is *in magnitude
+range* of the demixer's training noise — the stock network had just
+never seen its staircase structure. A quantisation-aware fine-tune
+(scripts_tpu/train_qat_demixer.py: 150 epochs on 50k pairs with
+int4-quantised inputs, clean targets, 7.2 min on the chip) recovers —
+and beats — int8 fidelity at half the wire:
 
-Conclusion: int8 (0.4% of per-trace peak) sits below recording noise;
-int4's 7%-of-peak step does not. The 4-bit leftover is closed as
-rejected — further bench wins must come from elsewhere (the transfer is
-~0.3 s of the 0.84 s bench; fit ~0.3 s; the rest is tunnel latency).
+  int8 + stock ckpt   mean R2 0.9817
+  int4 + stock ckpt   mean R2 0.9538   <- still rejected
+  int4 + QAT ckpt     mean R2 0.9881   <- SHIPPED: bench default wire
 
 Usage: python scripts_tpu/wire_fidelity_study.py [--seeds 0 1 2]
 """
@@ -72,19 +69,24 @@ def main():
     from circuitmap_tpu.utils.metrics import r2_score
 
     ck = os.path.join(REPO, "demixers", "nwd_ie_ChroME2f.npz")
+    ck_qat = os.path.join(REPO, "demixers", "nwd_ie_ChroME2f_int4qat.npz")
     rows = []
     for seed in args.seeds:
         np.random.seed(seed)
         sim = simulate(N=200, trials=2000, H=10, connection_prob=0.05,
                        verbose=False)
         dem = NeuralDemixer(ck)
-        for tag, psc_in in [
-            ("f32", sim["psc"]),
-            ("int8", quantise(sim["psc"], 8)),
-            ("int4", quantise(sim["psc"], 4)),
-            ("int4-mulaw", quantise(sim["psc"], 4, mulaw=True)),
-        ]:
-            d = dem(psc_in, verbose=False)
+        dem_qat = NeuralDemixer(ck_qat) if os.path.exists(ck_qat) else None
+        configs = [
+            ("f32", dem, sim["psc"]),
+            ("int8", dem, quantise(sim["psc"], 8)),
+            ("int4", dem, quantise(sim["psc"], 4)),
+            ("int4-mulaw", dem, quantise(sim["psc"], 4, mulaw=True)),
+        ]
+        if dem_qat is not None:
+            configs.append(("int4-qat", dem_qat, quantise(sim["psc"], 4)))
+        for tag, net, psc_in in configs:
+            d = net(psc_in, verbose=False)
             m = Model(200)
             m.fit(d, sim["stim_matrix"], method="caviar",
                   fit_options={"iters": 50, "msrmp": 0.3, "verbose": False,
@@ -94,18 +96,22 @@ def main():
             print(rows[-1], flush=True)
 
     summary = {}
-    for tag in ("f32", "int8", "int4", "int4-mulaw"):
+    for tag in ("f32", "int8", "int4", "int4-mulaw", "int4-qat"):
         vals = [r["truth_r2"] for r in rows if r["wire"] == tag]
-        summary[tag] = {"mean_r2": round(float(np.mean(vals)), 4),
-                        "min_r2": min(vals)}
+        if vals:
+            summary[tag] = {"mean_r2": round(float(np.mean(vals)), 4),
+                            "min_r2": min(vals)}
     verdict = {
         "protocol": "per-trace-peak quantisation -> NWD demix -> CAVIaR "
                     "(N=200 K=2000, 50 iters, msrmp 0.3), truth-R2",
         "rows": rows,
         "summary": summary,
-        "conclusion": "int8 lossless vs f32; int4 rejected (mean R2 drop "
-                      "~0.03, beyond seed noise); mu-law int4 rejected "
-                      "(demixer OOD). 4-bit wire leftover closed.",
+        "conclusion": "int8 lossless vs f32; int4 on the stock checkpoint "
+                      "rejected (mean R2 -0.03); mu-law int4 rejected "
+                      "(demixer OOD); int4 with the QAT-fine-tuned "
+                      "checkpoint (train_qat_demixer.py) beats int8 "
+                      "fidelity at half the wire — shipped as the bench "
+                      "default.",
     }
     json.dump(verdict, open(args.out, "w"), indent=2)
     print("wrote", args.out)

@@ -176,6 +176,32 @@ class TestFacade:
         np.testing.assert_allclose(half, ref, atol=2e-3 * scale)
         np.testing.assert_allclose(quant, ref, atol=4.0 / 127.0 * scale)
 
+    def test_int4_wire_packing_exact(self, state_dict, rng):
+        """The packed int4 path must EXACTLY reproduce demixing the
+        host-dequantised int4 traces through the f32 path — i.e. the
+        device nibble unpack is bit-exact, the only loss is the
+        quantisation itself."""
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        for T in (900, 899):  # even and odd trace lengths
+            traces = np.abs(rng.normal(size=(6, T))).astype(np.float32)
+            traces[2] = 0.0  # all-zero trace: scale guard path
+            out4 = demix(traces, verbose=False, transfer_dtype="int4")
+            # host-side reference dequantisation (same rule)
+            scale = np.abs(traces).max(axis=1, keepdims=True) / 7.0
+            scale = np.where(scale > 0, scale, 1.0)
+            deq = np.clip(np.rint(traces / scale), -7, 7) * scale
+            ref = demix(deq.astype(np.float32), verbose=False)
+            np.testing.assert_allclose(out4, ref, rtol=0, atol=1e-6)
+
+    def test_int4_wire_rejects_non_finite(self, state_dict):
+        import pytest
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        t = np.abs(np.random.default_rng(0).normal(size=(4, 900)))
+        t = t.astype(np.float32)
+        t[3, 5] = np.inf
+        with pytest.raises(ValueError, match="int4"):
+            demix(t, verbose=False, transfer_dtype="int4")
+
     def test_scaling_equivariance(self, state_dict):
         # peak-normalise -> forward -> rescale makes the demixer
         # scale-equivariant by construction
