@@ -1064,7 +1064,8 @@ def _elbo_sharded(y, stim, state, hyper, k_global):
 
 
 def _iteration(state, it, data, hyper, static):
-    (y, stim, lam_mask, valid, powers, levels, power_counts, k_global) = data
+    (y, stim, lam_mask, valid, powers, levels, power_counts, k_global,
+     spont_seed_cap) = data
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior = hyper
 
     mu, beta = _update_weights(y, state.lam, state.shape, state.rate,
@@ -1100,8 +1101,14 @@ def _iteration(state, it, data, hyper, static):
         S, C, levels, phi_prior, phi_cov_prior,
         impl=static.get("laplace_impl", "xla"))
 
+    # streaming warm starts cap the soft-threshold seed (see
+    # solvers/caviar._iteration: the raw global index would freeze z
+    # once cumulative iterations pass max_backtrack_iters)
+    spont_it = it if spont_seed_cap is None else jnp.minimum(
+        it, spont_seed_cap)
     z = _update_spontaneous(
-        y, mu, lam, state.z, it, jnp.asarray(static["penalty"], y.dtype), lam_mask,
+        y, mu, lam, state.z, spont_it,
+        jnp.asarray(static["penalty"], y.dtype), lam_mask,
         static["scale_factor"], static["tol"], static["spont_orthogonality"],
         static["max_backtrack_iters"],
     )
@@ -1116,20 +1123,29 @@ def _iteration(state, it, data, hyper, static):
         "mesh", "iters", "num_mc_samples", "minimum_spike_count",
         "delay_spont_est", "msrmp", "scale_factor", "penalty",
         "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
-        "save_histories", "start_iter", "sweep_block_size",
+        "save_histories", "sweep_block_size",
         "track_elbo", "elbo_tol", "update_order", "laplace_impl",
     ),
 )
 def _run_sharded(
     y, stim, lam0, lam_mask, valid, powers, levels, power_counts, k_global,
     mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
-    key, init_state=None, *, mesh, iters, num_mc_samples,
+    key, init_state=None, spont_seed_cap=None, *, mesh, iters,
+    num_mc_samples,
     minimum_spike_count, delay_spont_est, msrmp, scale_factor, penalty,
     max_backtrack_iters, tol, spont_orthogonality, analytic_mc,
     save_histories=False, start_iter=0, sweep_block_size=1,
     track_elbo=False, elbo_tol=None, update_order="random",
     laplace_impl="xla",
 ):
+    # ``start_iter`` is traced (solvers/caviar._run_caviar rationale:
+    # a static offset recompiled the whole program for every resumable
+    # segment / online update — 4.5 s each through the remote
+    # compiler). It enters the shard_map body as an explicit replicated
+    # argument rather than a closure, so the body stays closure-free.
+    start_iter = jnp.asarray(start_iter, jnp.int32)
+    if spont_seed_cap is not None:
+        spont_seed_cap = jnp.asarray(spont_seed_cap, jnp.int32)
     static = dict(
         num_mc_samples=num_mc_samples,
         minimum_spike_count=minimum_spike_count,
@@ -1149,8 +1165,10 @@ def _run_sharded(
 
     def body(y, stim, lam0, lam_mask, valid, powers, levels, power_counts,
              k_global, mu_prior, beta_prior, shape_prior, rate_prior,
-             phi_prior, phi_cov_prior, key, init_state):
-        data = (y, stim, lam_mask, valid, powers, levels, power_counts, k_global)
+             phi_prior, phi_cov_prior, key, init_state, start_iter,
+             spont_seed_cap):
+        data = (y, stim, lam_mask, valid, powers, levels, power_counts,
+                k_global, spont_seed_cap)
         hyper = (mu_prior, beta_prior, shape_prior, rate_prior, phi_prior,
                  phi_cov_prior)
         K_loc = y.shape[0]
@@ -1178,7 +1196,8 @@ def _run_sharded(
                 return new, (_snap(new), None)
 
             final, ys = lax.scan(
-                step, init, jnp.arange(start_iter, start_iter + iters))
+                step, init,
+                jnp.arange(iters, dtype=start_iter.dtype) + start_iter)
             return final, (ys, None)
 
         # per-iteration psum'd ELBO as scan ys; with elbo_tol the
@@ -1203,10 +1222,10 @@ def _run_sharded(
                 done = done | newly
             return (new, e, done, stop_at), ((_snap(new), e))
 
-        its = jnp.arange(start_iter, start_iter + iters)
-        # stop_at shares the xs dtype (int64 under jax_enable_x64)
+        its = jnp.arange(iters, dtype=start_iter.dtype) + start_iter
+        # stop_at shares the xs dtype
         carry0 = (init, neg_inf, jnp.asarray(False),
-                  jnp.asarray(start_iter + iters, its.dtype))
+                  (start_iter + iters).astype(its.dtype))
         (final, _, _, stop_at), (hists, elbos) = lax.scan(
             step, carry0, its)
         return final, ((hists, elbos), stop_at)
@@ -1228,6 +1247,7 @@ def _run_sharded(
     hist_spec = ((hist_spec, P() if track_elbo else None),
                  P() if track_elbo else None)
     init_spec = None if init_state is None else state_spec
+    cap_spec = None if spont_seed_cap is None else P()
     sharded = jax.shard_map(
         body,
         mesh=mesh,
@@ -1241,6 +1261,8 @@ def _run_sharded(
             *hyper_specs,
             P(),                      # key
             init_spec,                # resumed state (or None)
+            P(),                      # start_iter (traced offset)
+            cap_spec,                 # spont_seed_cap (or None)
         ),
         out_specs=(state_spec, hist_spec),
         check_vma=False,
@@ -1248,7 +1270,7 @@ def _run_sharded(
     return sharded(
         y, stim, lam0, lam_mask, valid, powers, levels, power_counts, k_global,
         mu_prior, beta_prior, shape_prior, rate_prior, phi_prior, phi_cov_prior,
-        key, init_state,
+        key, init_state, start_iter, spont_seed_cap,
     )
 
 

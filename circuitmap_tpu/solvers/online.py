@@ -70,9 +70,8 @@ def _ceil128(n):
     return -(-int(n) // 128) * 128
 
 
-@jax.jit
-def _insert_block(y_cap, stim_cap, mask_cap, lam_cap, levels, y_blk,
-                  bucket_blk, active_blk, k0):
+def _insert_block_impl(y_cap, stim_cap, mask_cap, lam_cap, levels, y_blk,
+                       bucket_blk, active_blk, k0):
     """Fused insert of one trial block at column offset ``k0``.
 
     Reconstructs the block's stimulus values from the power-bucket wire
@@ -98,8 +97,10 @@ def _insert_block(y_cap, stim_cap, mask_cap, lam_cap, levels, y_blk,
     )
 
 
-@partial(jax.jit, static_argnames=("pad",))
-def _grow_buffers(y, stim, mask, lam, z, pad):
+_insert_block = jax.jit(_insert_block_impl)
+
+
+def _grow_buffers_impl(y, stim, mask, lam, z, pad):
     """Capacity growth: one dispatch. New columns are zero — inert
     until an insert writes them. (No buffer donation here or in
     _insert_block: it saves only an on-device copy — ~0.1 ms at the
@@ -112,6 +113,16 @@ def _grow_buffers(y, stim, mask, lam, z, pad):
         jnp.pad(lam, ((0, 0), (0, pad))),
         jnp.pad(z, (0, pad)),
     )
+
+
+_grow_buffers = jax.jit(_grow_buffers_impl, static_argnames=("pad",))
+
+
+@jax.jit
+def _valid_mask(k, like):
+    """[C] validity: 1 for the first ``k`` columns (true trials), 0 for
+    inert capacity columns. Shape/dtype follow ``like``."""
+    return (jnp.arange(like.shape[0]) < k).astype(like.dtype)
 
 
 class OnlineCaviar:
@@ -141,10 +152,42 @@ class OnlineCaviar:
                  max_backtrack_iters=20, tol=0.05, spont_orthogonality=0.1,
                  analytic_mc=False, sweep_impl="auto",
                  sweep_block_size="auto", laplace_impl="auto",
-                 update_order="random"):
+                 update_order="random", mesh=None):
         from .. import _ensure_compile_cache
 
         _ensure_compile_cache()
+        # ``mesh``: shard the stream over a jax mesh. The capacity
+        # buffers partition on the trial axis, each warm-start fit runs
+        # the trial-sharded program (parallel/sharded._run_sharded —
+        # psum'd updates, traced start_iter/k/spont-seed-cap so a
+        # growing stream never recompiles), and inserts/growth carry
+        # pinned output shardings so the big arrays never leave their
+        # shards between updates. The single-chip path is unchanged
+        # (mesh=None, default); equality tested on the virtual 8-device
+        # mesh (tests/test_online.py::TestMeshStream).
+        self.mesh = mesh
+        if mesh is not None:
+            import math
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import TRIAL_AXIS
+
+            self._align = math.lcm(128, int(mesh.devices.size))
+            sh_t = NamedSharding(mesh, P(TRIAL_AXIS))
+            sh_nt = NamedSharding(mesh, P(None, TRIAL_AXIS))
+            self._sh_t, self._sh_nt = sh_t, sh_nt
+            self._insert_jit = jax.jit(
+                _insert_block_impl, out_shardings=(sh_t, sh_nt, sh_t, sh_nt))
+            self._grow_jit = jax.jit(
+                _grow_buffers_impl, static_argnames=("pad",),
+                out_shardings=(sh_t, sh_nt, sh_t, sh_nt, sh_t))
+            self._valid_jit = jax.jit(_valid_mask, out_shardings=sh_t)
+        else:
+            self._align = 128
+            self._insert_jit = _insert_block
+            self._grow_jit = _grow_buffers
+            self._valid_jit = _valid_mask
         if priors is None:
             from ..model import default_priors
 
@@ -191,40 +234,52 @@ class OnlineCaviar:
         self.k = 0          # true trials seen
         self.it = 0         # cumulative CAVI iterations
         self._n_reconnected = 0  # by the latest update's fn-scan
-        self._C = _ceil128(max(int(capacity), 128))
+        self._C = self._ceil(max(int(capacity), 128))
         self._bufs = None   # (y, stim, mask) at capacity, lazy dtype init
         self._state = None  # CaviarState at capacity
+        self._counts_np = None  # [N, P] power-bucket counts (true trials)
 
     # -- internals ---------------------------------------------------------
 
+    def _ceil(self, n):
+        return -(-int(n) // self._align) * self._align
+
+    def _shard(self, a):
+        """Pin a fresh buffer to its mesh sharding (no-op single-chip)."""
+        if self.mesh is None:
+            return a
+        return jax.device_put(
+            a, self._sh_t if a.ndim == 1 else self._sh_nt)
+
     def _alloc(self):
         C, dt = self._C, self.dtype
-        return (jnp.zeros(C, dt), jnp.zeros((self.N, C), dt),
-                jnp.zeros(C, dt))
+        return (self._shard(jnp.zeros(C, dt)),
+                self._shard(jnp.zeros((self.N, C), dt)),
+                self._shard(jnp.zeros(C, dt)))
 
     def _init_state(self, lam_cap):
         mu_p, beta_p, shape_p, rate_p, phi_p, phi_cov_p = self._priors
         return CaviarState(
             mu=mu_p, beta=beta_p, lam=lam_cap, shape=shape_p, rate=rate_p,
             phi=phi_p, phi_cov=phi_cov_p,
-            z=jnp.zeros(self._C, self.dtype),
+            z=self._shard(jnp.zeros(self._C, self.dtype)),
             spont_rate=jnp.zeros((), self.dtype), key=self._key,
         )
 
     def _ensure_capacity(self, k_needed):
         if k_needed <= self._C:
             return
-        new_c = _ceil128(max(2 * self._C, k_needed))
+        new_c = self._ceil(max(2 * self._C, k_needed))
         pad = new_c - self._C
         if self._bufs is None:
             self._C = new_c
             return
         y, stim, mask = self._bufs
-        lam = self._state.lam if self._state is not None else jnp.zeros(
-            (self.N, self._C), self.dtype)
-        z = self._state.z if self._state is not None else jnp.zeros(
-            self._C, self.dtype)
-        y, stim, mask, lam, z = _grow_buffers(y, stim, mask, lam, z, pad)
+        lam = self._state.lam if self._state is not None else self._shard(
+            jnp.zeros((self.N, self._C), self.dtype))
+        z = self._state.z if self._state is not None else self._shard(
+            jnp.zeros(self._C, self.dtype))
+        y, stim, mask, lam, z = self._grow_jit(y, stim, mask, lam, z, pad)
         self._bufs = (y, stim, mask)
         if self._state is not None:
             self._state = self._state._replace(lam=lam, z=z)
@@ -303,8 +358,8 @@ class OnlineCaviar:
         # semantics-preserving either way).
         y, stim, mask = self._bufs
         lam = (self._state.lam if self._state is not None
-               else jnp.zeros((self.N, self._C), self.dtype))
-        y, stim, mask, lam = _insert_block(
+               else self._shard(jnp.zeros((self.N, self._C), self.dtype)))
+        y, stim, mask, lam = self._insert_jit(
             y, stim, mask, lam,
             self._levels_dev(), y_blk,
             jnp.asarray(bucket), active_blk,
@@ -314,28 +369,59 @@ class OnlineCaviar:
                  else self._state._replace(lam=lam))
         k_new = self.k + kb
 
-        state, _, _ = _run_caviar(
-            y, stim, state.lam, mask, self._powers_dev(), *self._priors,
-            self._key, state, jnp.asarray(k_new, jnp.int32),
-            # Cap the spontaneous soft-threshold seed at
-            # max_backtrack_iters-1: with the raw global index, z would
-            # FREEZE once cumulative iterations passed
-            # max_backtrack_iters and trials ingested after that point
-            # would never get spontaneous activity estimated. Capped, a
-            # mature stream keeps running the schedule's LATE regime —
-            # one coarse step at the unshrunk penalty per iteration,
-            # exactly how a long batch fit's last live iteration
-            # behaves. (Re-seeding from zero each update is WRONG the
-            # other way: the deep-shrink early regime re-runs on
-            # immature lam for every new block and absorbs evoked
-            # charge into z — measured multi-block recovery R2
-            # 0.9 -> 0.45.) Gate delays stay global; updates are
-            # bit-identical to a batch fit while the cap is inactive
-            # (cumulative iterations < max_backtrack_iters).
-            spont_seed_cap=jnp.asarray(
-                self._static["max_backtrack_iters"] - 1, jnp.int32),
-            iters=int(iters), start_iter=self.it, **self._static,
-        )
+        # Cap the spontaneous soft-threshold seed at
+        # max_backtrack_iters-1: with the raw global index, z would
+        # FREEZE once cumulative iterations passed
+        # max_backtrack_iters and trials ingested after that point
+        # would never get spontaneous activity estimated. Capped, a
+        # mature stream keeps running the schedule's LATE regime —
+        # one coarse step at the unshrunk penalty per iteration,
+        # exactly how a long batch fit's last live iteration
+        # behaves. (Re-seeding from zero each update is WRONG the
+        # other way: the deep-shrink early regime re-runs on
+        # immature lam for every new block and absorbs evoked
+        # charge into z — measured multi-block recovery R2
+        # 0.9 -> 0.45.) Gate delays stay global; updates are
+        # bit-identical to a batch fit while the cap is inactive
+        # (cumulative iterations < max_backtrack_iters).
+        seed_cap = jnp.asarray(
+            self._static["max_backtrack_iters"] - 1, jnp.int32)
+        if self.mesh is None:
+            state, _, _ = _run_caviar(
+                y, stim, state.lam, mask, self._powers_dev(), *self._priors,
+                self._key, state, jnp.asarray(k_new, jnp.int32),
+                spont_seed_cap=seed_cap,
+                iters=int(iters), start_iter=self.it, **self._static,
+            )
+            counts_new = self._counts_np
+        else:
+            # trial-sharded warm start: the capacity buffers stay in
+            # their shards; every reduction psums over the mesh. The
+            # sharded program takes the loop-invariant power-bucket
+            # counts as an input — accumulate them host-side from the
+            # int8 bucket wire (exact: the device stim IS these buckets)
+            from ..parallel.sharded import _run_sharded
+
+            n_p = self._levels_np.size - 1
+            if self._counts_np is None:
+                self._counts_np = np.zeros((self.N, n_p), np.float64)
+            blk_counts = (
+                bucket[:, :kb, None] == np.arange(1, n_p + 1)[None, None, :]
+            ).sum(axis=1).astype(np.float64)
+            counts_new = self._counts_np + blk_counts
+            sh_static = {k: v for k, v in self._static.items()
+                         if k != "sweep_impl"}
+            state, _ = _run_sharded(
+                y, stim, state.lam, mask,
+                self._valid_jit(jnp.asarray(k_new, jnp.int32), y),
+                self._powers_dev(), self._levels_dev(),
+                jnp.asarray(counts_new, self.dtype),
+                jnp.asarray(float(k_new), self.dtype),
+                *self._priors, self._key, state,
+                spont_seed_cap=seed_cap,
+                mesh=self.mesh, iters=int(iters), start_iter=self.it,
+                **sh_static,
+            )
         n_rec = self._n_reconnected
         if fn_scan:
             mu, beta, lam, z, phi, phi_cov, n_rec = self._reconnect(
@@ -347,6 +433,7 @@ class OnlineCaviar:
         self.k = k_new
         self._n_reconnected = n_rec
         self._state = state
+        self._counts_np = counts_new
         self.it += int(iters)
         return self
 
@@ -484,4 +571,25 @@ class OnlineCaviar:
                            else None)
             for f in CaviarState._fields
         })
+        if self.mesh is not None:
+            # a single-chip checkpoint's capacity may not divide the
+            # mesh: grow to the mesh alignment (inert columns)
+            aligned = self._ceil(self._C)
+            if aligned != self._C:
+                pad = aligned - self._C
+                y, stim, mask = self._bufs
+                y, stim, mask, lam, z = self._grow_jit(
+                    y, stim, mask, self._state.lam, self._state.z, pad)
+                self._bufs = (y, stim, mask)
+                self._state = self._state._replace(lam=lam, z=z)
+                self._C = aligned
+            if self.k:
+                # rebuild the loop-invariant bucket counts the sharded
+                # program takes as input (the buffer holds stim VALUES)
+                pw = self._levels_np[1:]
+                stim_vals = np.asarray(ck["stim"])[:, :self.k]
+                self._counts_np = (
+                    stim_vals[:, :, None].astype(np.float32)
+                    == pw[None, None, :].astype(np.float32)
+                ).sum(axis=1).astype(np.float64)
         return self

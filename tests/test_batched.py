@@ -56,6 +56,42 @@ def test_recovery_per_map(sims):
         assert r2_score(s["weights"], batch[b]["mu"]) > 0.7
 
 
+def test_compile_modes_agree(sims):
+    """sequential (single-fit-program reuse, the no-mesh default) and
+    batched (one vmapped program) must produce the same posteriors."""
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+    stack = (np.stack([s["psc"] for s in sims]),
+             np.stack([s["stim_matrix"] for s in sims]))
+    kw = dict(iters=8, fn_scan=False, analytic_mc=True, seeds=[0, 1, 2],
+              verbose=False)
+    seq = caviar_many(*stack, *prior_args, compile_mode="sequential", **kw)
+    bat = caviar_many(*stack, *prior_args, compile_mode="batched", **kw)
+    for b in range(3):
+        np.testing.assert_allclose(seq[b]["mu"], bat[b]["mu"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(seq[b]["lam"], bat[b]["lam"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(seq[b]["phi"], bat[b]["phi"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_compile_mode_validation(sims):
+    p = default_priors(24)
+    stack = (np.stack([s["psc"] for s in sims]),
+             np.stack([s["stim_matrix"] for s in sims]))
+    args = (*stack, p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+            p["phi_cov"])
+    with pytest.raises(ValueError, match="compile_mode"):
+        caviar_many(*args, compile_mode="bogus", verbose=False)
+    from circuitmap_tpu.parallel import trial_mesh
+
+    with pytest.raises(ValueError, match="sequential"):
+        caviar_many(*args, compile_mode="sequential", mesh=trial_mesh(2),
+                    verbose=False)
+
+
 def test_mismatched_power_levels_rejected(sims):
     p = default_priors(24)
     stims = np.stack([s["stim_matrix"] for s in sims])
