@@ -15,8 +15,11 @@ from .distributed import (
     initialize as initialize_distributed,
     global_trial_mesh,
     caviar_sharded_distributed,
+    cavi_sns_sharded_distributed,
+    mbcs_sharded_distributed,
 )
 
 __all__ = ["trial_mesh", "caviar_sharded", "cavi_sns_sharded",
            "mbcs_sharded", "run_sweep", "initialize_distributed",
-           "global_trial_mesh", "caviar_sharded_distributed"]
+           "global_trial_mesh", "caviar_sharded_distributed",
+           "cavi_sns_sharded_distributed", "mbcs_sharded_distributed"]

@@ -97,6 +97,76 @@ def _allgather_host(x):
     return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
 
 
+def _plan_shards(K_loc, mesh):
+    """Agree on a common per-device shard size across processes.
+
+    Returns (rows_per_device, K_pad_local, K_global, k_all) where
+    ``k_all`` is the per-process true trial counts in process order.
+    """
+    n_local = _local_device_count(mesh)
+    k_all = _allgather_host(np.asarray([K_loc, n_local], np.int64))
+    if not (k_all[:, 1] == n_local).all():
+        raise ValueError(
+            "unequal local device counts across processes: "
+            f"{k_all[:, 1].tolist()}")
+    rows = int(max(-(-int(k) // n_local) for k in k_all[:, 0]))
+    return rows, rows * n_local, int(k_all[:, 0].sum()), k_all[:, 0]
+
+
+def _global_powers(stim_local, powers, np_dtype):
+    """Union of per-process stim levels, deduplicated at the fit dtype
+    (the f64 device-table contract of solvers/_common)."""
+    if powers is None:
+        max_levels = 64
+        loc = np.unique(stim_local[stim_local > 0]).astype(np.float64)
+        if loc.size > max_levels:
+            raise ValueError(
+                f"{loc.size} distinct stim levels on this process; pass "
+                "powers= explicitly for continuously-varying designs")
+        buf = np.zeros(max_levels)
+        buf[:loc.size] = loc
+        gathered = _allgather_host(buf).ravel()
+        powers = np.unique(gathered[gathered > 0])
+    else:
+        powers = np.unique(np.asarray(powers, np.float64))
+    return np.unique(powers.astype(np_dtype)).astype(np.float64)
+
+
+def _pad_local(psc_local, stim_local, K_pad_loc):
+    """Zero-pad this process's shard to the agreed width; returns the
+    padded pair plus the [K_pad_loc] validity mask."""
+    K_loc = psc_local.shape[0]
+    pad = K_pad_loc - K_loc
+    if pad:
+        psc_local = np.concatenate(
+            [psc_local, np.zeros((pad, psc_local.shape[1]),
+                                 psc_local.dtype)])
+        stim_local = np.concatenate(
+            [stim_local,
+             np.zeros((stim_local.shape[0], pad), stim_local.dtype)],
+            axis=1)
+    valid = np.zeros(K_pad_loc, np.float32)
+    valid[:K_loc] = 1.0
+    return psc_local, stim_local, valid
+
+
+def _keep_mask(k_all, K_pad_loc):
+    """Boolean mask over the gathered [.., K_pad_global] axis selecting
+    real (non-padding) trials, in process order."""
+    if K_pad_loc * len(k_all) == int(k_all.sum()):
+        return np.ones(int(k_all.sum()), bool)
+    return np.concatenate(
+        [np.arange(K_pad_loc) < int(k) for k in k_all])
+
+
+def _gather_full(mesh, *arrays):
+    """All-gather sharded global arrays to replicated, pull to host."""
+    sh_r = NamedSharding(mesh, P())
+    gather = jax.jit(lambda *xs: xs,
+                     out_shardings=(sh_r,) * len(arrays))
+    return [np.asarray(a) for a in gather(*arrays)]
+
+
 def caviar_sharded_distributed(
     psc_local,
     stim_local,
@@ -154,49 +224,11 @@ def caviar_sharded_distributed(
     N = stim_local.shape[0]
     np_dtype = np.dtype(dtype)
 
-    n_local = _local_device_count(mesh)
-    # agree on a common per-device shard size (processes may hold
-    # different trial counts; make_array_from_process_local_data needs
-    # equal per-device shards)
-    k_all = _allgather_host(np.asarray([K_loc, n_local], np.int64))
-    if not (k_all[:, 1] == n_local).all():
-        raise ValueError(
-            "unequal local device counts across processes: "
-            f"{k_all[:, 1].tolist()}")
-    rows = int(max(-(-int(k) // n_local) for k in k_all[:, 0]))
-    K_pad_loc = rows * n_local
-    K_global = int(k_all[:, 0].sum())
-
-    # global power set: union of per-process stim levels
-    if powers is None:
-        max_levels = 64
-        loc = np.unique(stim_local[stim_local > 0]).astype(np.float64)
-        if loc.size > max_levels:
-            raise ValueError(
-                f"{loc.size} distinct stim levels on this process; pass "
-                "powers= explicitly for continuously-varying designs")
-        buf = np.zeros(max_levels)
-        buf[:loc.size] = loc
-        gathered = _allgather_host(buf).ravel()
-        powers = np.unique(gathered[gathered > 0])
-    else:
-        powers = np.unique(np.asarray(powers, np.float64))
-    # device tables hold the values as the fit dtype represents them
-    # (the f64 contract of solvers/_common: levels compared on device
-    # must match the uploaded stim's precision); distinct f64 powers
-    # that collapse to one value at the fit dtype count as one level
-    powers_dev = np.unique(powers.astype(np_dtype)).astype(np.float64)
+    rows, K_pad_loc, K_global, k_all = _plan_shards(K_loc, mesh)
+    powers_dev = _global_powers(stim_local, powers, np_dtype)
     levels = np.concatenate([[0.0], powers_dev])
-
-    # local padding + validity
-    pad = K_pad_loc - K_loc
-    if pad:
-        psc_local = np.concatenate(
-            [psc_local, np.zeros((pad, psc_local.shape[1]), psc_local.dtype)])
-        stim_local = np.concatenate(
-            [stim_local, np.zeros((N, pad), stim_local.dtype)], axis=1)
-    valid_loc = np.zeros(K_pad_loc, np.float32)
-    valid_loc[:K_loc] = 1.0
+    psc_local, stim_local, valid_loc = _pad_local(
+        psc_local, stim_local, K_pad_loc)
 
     # per-host observation prep: local device compute, host-resident out
     from ..ops.charge import prepare_observations
@@ -276,13 +308,243 @@ def caviar_sharded_distributed(
                 None)
 
     # all-gather the trial-sharded posteriors, then drop padding columns
-    gather = jax.jit(lambda x: x, out_shardings=sh_r)
-    lam_full = np.asarray(gather(final.lam))
-    z_full = np.asarray(gather(final.z))
-    keep = np.concatenate([
-        (np.arange(K_pad_loc) < int(k)) for k in k_all[:, 0]
-    ]) if (K_pad_loc * jax.process_count() != K_global) else \
-        np.ones(K_global, bool)
-    lam = lam_full[:, keep]
-    z = z_full[keep]
-    return (mu, beta, lam, shape, rate, phi, phi_cov, z, None)
+    lam_full, z_full = _gather_full(mesh, final.lam, final.z)
+    keep = _keep_mask(k_all, K_pad_loc)
+    return (mu, beta, lam_full[:, keep], shape, rate, phi, phi_cov,
+            z_full[keep], None)
+
+
+def cavi_sns_sharded_distributed(
+    psc_local,
+    stim_local,
+    mu_prior,
+    beta_prior,
+    alpha_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    mesh=None,
+    iters=50,
+    num_mc_samples=100,
+    seed=1,
+    minimum_spike_count=3,
+    dtype=jnp.float32,
+    analytic_mc=False,
+    powers=None,
+    laplace_impl="auto",
+    gather_output=True,
+    verbose=True,
+):
+    """CAVI-SnS across processes, each feeding its own trials.
+
+    Per-host contract as :func:`caviar_sharded_distributed`; posterior
+    contract as ``cavi_sns_sharded`` with ``save_histories=False``:
+    returns ``(mu, beta, alpha, lam, shape, rate, phi, phi_cov)``.
+    As in the single-device solver no trial-activity mask is applied
+    (reference cavi_sns.py:24-25) — validity only excludes padding.
+    """
+    from .sharded import _run_sns_sharded
+    from ..ops.charge import integrated_charge
+    from ..solvers._laplace import _resolve_laplace_impl as _res_lap
+
+    if mesh is None:
+        mesh = global_trial_mesh()
+    psc_local = np.asarray(psc_local)
+    stim_local = np.asarray(stim_local)
+    K_loc = psc_local.shape[0]
+    np_dtype = np.dtype(dtype)
+
+    rows, K_pad_loc, K_global, k_all = _plan_shards(K_loc, mesh)
+    powers_dev = _global_powers(stim_local, powers, np_dtype)
+    levels = np.concatenate([[0.0], powers_dev])
+    psc_local, stim_local, valid_loc = _pad_local(
+        psc_local, stim_local, K_pad_loc)
+
+    y_loc = np.asarray(integrated_charge(
+        jnp.asarray(psc_local.astype(np_dtype, copy=False))))
+    lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
+        * valid_loc[None, :]
+
+    if verbose and jax.process_index() == 0:
+        print(f"Running CAVI-SnS over {jax.process_count()} processes / "
+              f"{mesh.devices.size} devices (K_global={K_global}).")
+
+    sh_t = NamedSharding(mesh, P(TRIAL_AXIS))
+    sh_nt = NamedSharding(mesh, P(None, TRIAL_AXIS))
+    sh_r = NamedSharding(mesh, P())
+    mk = jax.make_array_from_process_local_data
+
+    def cast(a):
+        return np.asarray(a, dtype=np_dtype)
+
+    def rep(a):
+        return mk(sh_r, cast(a))
+
+    final, _ = _run_sns_sharded(
+        mk(sh_t, cast(y_loc)),
+        mk(sh_nt, cast(stim_local)),
+        mk(sh_nt, cast(lam0_loc)),
+        mk(sh_t, cast(valid_loc)),   # lam_mask == validity for SnS
+        mk(sh_t, cast(valid_loc)),
+        rep(levels),
+        rep(np.float64(K_global)),
+        rep(mu_prior), rep(beta_prior), rep(alpha_prior),
+        rep(shape_prior), rep(rate_prior), rep(phi_prior),
+        rep(phi_cov_prior),
+        mk(sh_r, np.asarray(jax.random.PRNGKey(seed))),
+        mesh=mesh,
+        iters=int(iters),
+        num_mc_samples=int(num_mc_samples),
+        minimum_spike_count=int(minimum_spike_count),
+        analytic_mc=bool(analytic_mc),
+        save_histories=False,
+        laplace_impl=_res_lap(laplace_impl, dtype),
+    )
+    mu, beta, alpha = (np.asarray(final.mu), np.asarray(final.beta),
+                       np.asarray(final.alpha))
+    shape, rate = np.asarray(final.shape), np.asarray(final.rate)
+    phi, phi_cov = np.asarray(final.phi), np.asarray(final.phi_cov)
+    if not gather_output:
+        return (mu, beta, alpha, final.lam, shape, rate, phi, phi_cov)
+    (lam_full,) = _gather_full(mesh, final.lam)
+    keep = _keep_mask(k_all, K_pad_loc)
+    return (mu, beta, alpha, lam_full[:, keep], shape, rate, phi, phi_cov)
+
+
+def mbcs_sharded_distributed(
+    psc_local,
+    stim_local,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    mesh=None,
+    iters=50,
+    seed=0,
+    y_xcorr_thresh=0.05,
+    penalty=5e0,
+    scale_factor=0.5,
+    max_penalty_iters=10,
+    max_lasso_iters=100,
+    constrain_weights="positive",
+    learn_lam=True,
+    delay_spont_estimation=1,
+    minimum_spike_count=1,
+    noise_scale=0.5,
+    num_mc_samples_noise_model=10,
+    minimum_maximal_spike_prob=0.2,
+    orthogonal_outliers=True,
+    outlier_penalty=5e1,
+    init_spike_prior=0.75,
+    outlier_tol=0.05,
+    spont_rate=0,
+    lam_mask_fraction=0.05,
+    dtype=jnp.float32,
+    analytic_noise=False,
+    powers=None,
+    gather_output=True,
+    verbose=True,
+):
+    """MBCS across processes, each feeding its own trials.
+
+    Per-host contract as :func:`caviar_sharded_distributed`; posterior
+    contract as ``mbcs_sharded`` with ``save_histories=False``:
+    returns ``(mu, beta, lam, shape, rate, z, receptive_fields)``.
+    The activity mask's relative-peak cut uses the GLOBAL trace peak
+    (one scalar all-gather); everything else preps per-host.
+    """
+    from .sharded import _run_mbcs_sharded
+
+    if mesh is None:
+        mesh = global_trial_mesh()
+    psc_local = np.asarray(psc_local)
+    stim_local = np.asarray(stim_local)
+    K_loc = psc_local.shape[0]
+    N = stim_local.shape[0]
+    np_dtype = np.dtype(dtype)
+
+    rows, K_pad_loc, K_global, k_all = _plan_shards(K_loc, mesh)
+    powers_dev = _global_powers(stim_local, powers, np_dtype)
+    pw = np.concatenate([[0.0], powers_dev])
+
+    # host activity mask on the REAL local trials (mbcs.py:41-42
+    # analogue); the relative-peak term compares against the global max
+    energy = np.sum(psc_local * psc_local, axis=-1)
+    local_max = psc_local.max() if K_loc else 0.0
+    global_max = float(_allgather_host(
+        np.asarray([local_max], np.float64)).max())
+    lam_mask_loc = (energy > y_xcorr_thresh).astype(np.float32)
+    lam_mask_loc[np.max(psc_local, axis=1)
+                 < lam_mask_fraction * global_max] = 0.0
+
+    psc_local, stim_local, valid_loc = _pad_local(
+        psc_local, stim_local, K_pad_loc)
+    lam_mask_loc = np.concatenate(
+        [lam_mask_loc, np.zeros(K_pad_loc - K_loc, np.float32)])
+
+    from ..ops.charge import integrated_charge
+
+    y_loc = np.asarray(integrated_charge(
+        jnp.asarray(psc_local.astype(np_dtype, copy=False))))
+    lam0_loc = np.where(stim_local > 0, float(init_spike_prior),
+                        0.0).astype(np.float32) * lam_mask_loc[None, :]
+
+    rng = np.random.default_rng(seed)  # same seed everywhere: replicated
+    mu0 = rng.lognormal(1.0, 1.0, N)
+
+    if verbose and jax.process_index() == 0:
+        print(f"Running MBCS over {jax.process_count()} processes / "
+              f"{mesh.devices.size} devices (K_global={K_global}).")
+
+    sh_t = NamedSharding(mesh, P(TRIAL_AXIS))
+    sh_nt = NamedSharding(mesh, P(None, TRIAL_AXIS))
+    sh_r = NamedSharding(mesh, P())
+    mk = jax.make_array_from_process_local_data
+
+    def cast(a):
+        return np.asarray(a, dtype=np_dtype)
+
+    def rep(a):
+        return mk(sh_r, cast(a))
+
+    final, _ = _run_mbcs_sharded(
+        mk(sh_t, cast(y_loc)),
+        mk(sh_nt, cast(stim_local)),
+        mk(sh_nt, cast(lam0_loc)),
+        mk(sh_t, cast(lam_mask_loc)),
+        mk(sh_t, cast(valid_loc)),
+        rep(pw),
+        rep(np.float64(K_global)),
+        rep(mu0),
+        rep(beta_prior),
+        mk(sh_t, np.full(K_pad_loc, float(shape_prior), np_dtype)),
+        mk(sh_t, np.full(K_pad_loc, float(rate_prior), np_dtype)),
+        mk(sh_r, np.asarray(jax.random.PRNGKey(seed))),
+        rep(penalty), rep(scale_factor), rep(outlier_penalty),
+        rep(minimum_maximal_spike_prob), rep(spont_rate),
+        rep(outlier_tol), rep(noise_scale),
+        mesh=mesh,
+        iters=int(iters),
+        max_penalty_iters=int(max_penalty_iters),
+        max_lasso_iters=int(max_lasso_iters),
+        constrain_weights=str(constrain_weights),
+        learn_lam=bool(learn_lam),
+        delay_spont_estimation=int(delay_spont_estimation),
+        minimum_spike_count=int(minimum_spike_count),
+        num_mc_samples_noise_model=int(num_mc_samples_noise_model),
+        orthogonal_outliers=bool(orthogonal_outliers),
+        save_histories=False,
+        analytic_noise=bool(analytic_noise),
+    )
+    (mu_f, beta_f, lam, shape_f, rate_f, z, _spont, _prior, rf,
+     _key) = final
+    mu_f, beta_f, rf = (np.asarray(mu_f), np.asarray(beta_f),
+                        np.asarray(rf))
+    if not gather_output:
+        return (mu_f, beta_f, lam, shape_f, rate_f, z, rf)
+    lam_full, shape_full, rate_full, z_full = _gather_full(
+        mesh, lam, shape_f, rate_f, z)
+    keep = _keep_mask(k_all, K_pad_loc)
+    return (mu_f, beta_f, lam_full[:, keep], shape_full[keep],
+            rate_full[keep], z_full[keep], rf)

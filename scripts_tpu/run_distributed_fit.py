@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--powers", type=float, nargs="*", default=None)
     ap.add_argument("--analytic-mc", action="store_true")
     ap.add_argument("--sweep-block-size", type=int, default=1)
+    ap.add_argument("--solver", choices=("caviar", "sns", "mbcs"),
+                    default="caviar")
     args = ap.parse_args()
 
     if args.cpu_devices:
@@ -77,18 +79,40 @@ def main():
     p = default_priors(N)
 
     mesh = dist.global_trial_mesh()
-    out = dist.caviar_sharded_distributed(
-        psc, stim, p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
-        p["phi_cov"], mesh=mesh, iters=args.iters, seed=args.seed,
-        msrmp=args.msrmp, powers=args.powers,
-        analytic_mc=args.analytic_mc,
-        sweep_block_size=args.sweep_block_size,
-        verbose=jax.process_index() == 0,
-    )
-    mu, beta, lam, shape, rate, phi, phi_cov, z, _ = out
+    verbose = jax.process_index() == 0
+    if args.solver == "caviar":
+        out = dist.caviar_sharded_distributed(
+            psc, stim, p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+            p["phi_cov"], mesh=mesh, iters=args.iters, seed=args.seed,
+            msrmp=args.msrmp, powers=args.powers,
+            analytic_mc=args.analytic_mc,
+            sweep_block_size=args.sweep_block_size,
+            verbose=verbose,
+        )
+        mu, beta, lam, shape, rate, phi, phi_cov, z, _ = out
+        payload = dict(mu=mu, beta=beta, lam=lam, shape=shape, rate=rate,
+                       phi=phi, phi_cov=phi_cov, z=z)
+    elif args.solver == "sns":
+        out = dist.cavi_sns_sharded_distributed(
+            psc, stim, p["mu"], p["beta"], p["alpha"], p["shape"],
+            p["rate"], p["phi"], p["phi_cov"], mesh=mesh, iters=args.iters,
+            seed=args.seed, powers=args.powers,
+            analytic_mc=args.analytic_mc, verbose=verbose,
+        )
+        mu, beta, alpha, lam, shape, rate, phi, phi_cov = out
+        payload = dict(mu=mu, beta=beta, alpha=alpha, lam=lam, shape=shape,
+                       rate=rate, phi=phi, phi_cov=phi_cov)
+    else:
+        out = dist.mbcs_sharded_distributed(
+            psc, stim, p["mu"], p["beta"], p["shape"], p["rate"],
+            mesh=mesh, iters=args.iters, seed=args.seed,
+            powers=args.powers, analytic_noise=True, verbose=verbose,
+        )
+        mu, beta, lam, shape, rate, z, rf = out
+        payload = dict(mu=mu, beta=beta, lam=lam, shape=shape, rate=rate,
+                       z=z)
     if args.out:
-        np.savez(args.out, mu=mu, beta=beta, lam=lam, shape=shape,
-                 rate=rate, phi=phi, phi_cov=phi_cov, z=z)
+        np.savez(args.out, **payload)
     print(json.dumps({
         "process": jax.process_index(),
         "processes": jax.process_count(),

@@ -44,10 +44,17 @@ def main():
         [(100, 5000), (300, 20000)]
         if args.quick
         else [(100, 5000), (300, 5000), (300, 20000), (1000, 20000),
-              (2000, 20000), (1000, 50000)]
+              (2000, 20000), (1000, 50000), (5000, 20000),
+              (1000, 100000)]
     )
 
-    demixer = NeuralDemixer(path="demixers/nwd_ie_ChroME2f.npz")
+    # the bench-default wire: int4 + the QAT checkpoint (WIRE_STUDY)
+    import os
+    qat = "demixers/nwd_ie_ChroME2f_int4qat.npz"
+    use_qat = os.path.exists(qat)
+    demixer = NeuralDemixer(path=qat if use_qat
+                            else "demixers/nwd_ie_ChroME2f.npz")
+    wire = "int4" if use_qat else np.int8
     device = str(jax.devices()[0].device_kind)
     results = []
     for N, K in grid:
@@ -60,7 +67,7 @@ def main():
 
         def run():
             dem = demixer(sim["psc"], verbose=False, keep_on_device=True,
-                          transfer_dtype=np.int8)
+                          transfer_dtype=wire)
             return caviar(
                 dem, sim["stim_matrix"], priors["mu"], priors["beta"],
                 priors["shape"], priors["rate"], priors["phi"],
@@ -87,7 +94,8 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    payload = dict(device=device, iters=50, wire="int8",
+    payload = dict(device=device, iters=50,
+                   wire="int4" if use_qat else "int8",
                    results=results)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

@@ -113,3 +113,46 @@ class TestTwoProcessGloo:
         # equality, not bit equality, is the contract here
         np.testing.assert_array_equal(a["mu"] != 0, mu_ref != 0)
         np.testing.assert_allclose(a["mu"], mu_ref, rtol=1e-3, atol=1e-5)
+
+
+class TestOtherSolversTwoProcess:
+    def test_sns_matches_single_process(self, sim, tmp_path):
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.parallel import cavi_sns_sharded, trial_mesh
+
+        a, b = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=3, port=29543,
+                            extra=("--solver", "sns"))
+        np.testing.assert_array_equal(a["mu"], b["mu"])
+        p = default_priors(16)
+        ref = cavi_sns_sharded(
+            sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["alpha"],
+            p["shape"], p["rate"], p["phi"], p["phi_cov"],
+            mesh=trial_mesh(8), iters=3, seed=0, analytic_mc=True,
+            save_histories=False, verbose=False,
+        )
+        np.testing.assert_allclose(a["mu"], np.asarray(ref[0]), rtol=1e-3,
+                                   atol=1e-5)
+        np.testing.assert_allclose(a["alpha"], np.asarray(ref[2]),
+                                   rtol=1e-3, atol=1e-4)
+        assert a["lam"].shape == (16, 48)
+
+    def test_mbcs_matches_single_process(self, sim, tmp_path):
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.parallel import mbcs_sharded, trial_mesh
+
+        a, b = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=3, port=29547,
+                            extra=("--solver", "mbcs"))
+        np.testing.assert_array_equal(a["mu"], b["mu"])
+        p = default_priors(16)
+        ref = mbcs_sharded(
+            sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], mesh=trial_mesh(8), iters=3, seed=0,
+            analytic_noise=True, save_histories=False, verbose=False,
+        )
+        np.testing.assert_allclose(a["mu"], np.asarray(ref[0]), rtol=1e-3,
+                                   atol=1e-5)
+        np.testing.assert_allclose(a["lam"], np.asarray(ref[2]), rtol=1e-3,
+                                   atol=1e-4)
+        assert a["z"].shape == (48,)
