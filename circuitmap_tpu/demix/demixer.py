@@ -65,6 +65,49 @@ def _demix_and_filter_quantised(params, wire, scale, start):
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
 
+def wire_transform(traces, bits=4, decimate=1):
+    """Host-side reference of the quantised trace wire: what the device
+    reconstructs from a ``transfer_dtype`` upload, as f32 traces.
+
+    This is the SINGLE source of truth for the wire semantics — the
+    QAT trainer (scripts_tpu/train_qat_demixer.py) corrupts its
+    training inputs with exactly this function, and the device unpack
+    paths are equality-tested against it, so train-time and serve-time
+    quantisation can never drift apart.
+
+    ``decimate=2`` is the int4d2 wire: antialias mean-pool by 2 (odd
+    tails keep the raw last sample), quantise the pooled trace with a
+    per-trace peak/(2^{bits-1}-1) scale, then linearly upsample back —
+    even sample ``0.75*p[i] + 0.25*p[i-1]``, odd ``0.75*p[i] +
+    0.25*p[i+1]`` (clamped edges), the exact interpolation the device
+    applies.
+    """
+    x = np.asarray(traces, dtype=np.float32)
+    T = x.shape[-1]
+    if decimate not in (1, 2):
+        raise ValueError(f"decimate must be 1 or 2, got {decimate!r}")
+    if decimate == 2:
+        T2 = T // 2
+        p = 0.5 * (x[..., : 2 * T2 : 2] + x[..., 1 : 2 * T2 : 2])
+        if T % 2:
+            p = np.concatenate([p, x[..., -1:]], axis=-1)
+    else:
+        p = x
+    qmax = 2 ** (bits - 1) - 1
+    peak = np.abs(p).max(axis=-1, keepdims=True)
+    scale = np.where(peak > 0, peak / qmax, 1.0).astype(np.float32)
+    q = (np.clip(np.rint(p / scale), -qmax, qmax).astype(np.float32)
+         * scale)
+    if decimate == 1:
+        return q
+    prev = np.concatenate([q[..., :1], q[..., :-1]], axis=-1)
+    nxt = np.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
+    even = 0.75 * q + 0.25 * prev
+    odd = 0.75 * q + 0.25 * nxt
+    up = np.stack([even, odd], axis=-1).reshape(*q.shape[:-1], -1)
+    return np.ascontiguousarray(up[..., :T], dtype=np.float32)
+
+
 @partial(jax.jit, static_argnames=("start", "t_true"))
 def _demix_and_filter_int4(params, packed, scale, start, t_true):
     """int4-wire variant: two 4-bit codes per byte, unpacked on device.
@@ -83,6 +126,31 @@ def _demix_and_filter_int4(params, packed, scale, start, t_true):
     high = high - ((high > 7) << 4)
     codes = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :t_true]
     traces = codes.astype(jnp.float32) * scale[:, None]
+    return monotone_decay_filter(_demix_batch(params, traces), start=start)
+
+
+@partial(jax.jit, static_argnames=("start", "t_true"))
+def _demix_and_filter_int4d2(params, packed, scale, start, t_true):
+    """int4d2-wire variant: the codes are 2x mean-pooled samples; after
+    the int4 unpack + dequantise, linearly upsample back to ``t_true``
+    on device (even sample = 0.75*p[i] + 0.25*p[i-1], odd = 0.75*p[i]
+    + 0.25*p[i+1], clamped edges — the exact host-reference transform,
+    demixer.wire_transform(decimate=2)). Quarter of the int8 wire's
+    bytes; pair with a *_int4d2qat.npz checkpoint."""
+    w = packed.astype(jnp.int32)
+    low = w & 0xF
+    high = (w >> 4) & 0xF
+    low = low - ((low > 7) << 4)
+    high = high - ((high > 7) << 4)
+    th = (t_true + 1) // 2
+    p = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :th]
+    p = p.astype(jnp.float32) * scale[:, None]
+    prev = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    nxt = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    even = 0.75 * p + 0.25 * prev
+    odd = 0.75 * p + 0.25 * nxt
+    traces = jnp.stack([even, odd],
+                       axis=-1).reshape(w.shape[0], -1)[:, :t_true]
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
 
@@ -209,15 +277,33 @@ class NeuralDemixer:
         if squeeze:
             traces = traces[None]
         K, T = traces.shape
-        is_int4 = isinstance(transfer_dtype, str) \
-            and transfer_dtype.lower() == "int4"
-        wire = np.float32 if (transfer_dtype is None or is_int4) \
+        tok = transfer_dtype.lower() \
+            if isinstance(transfer_dtype, str) else None
+        int4_dec = {"int4": 1, "int4d2": 2}.get(tok, 0)
+        if tok == "f16":  # convenience alias (np.dtype rejects "f16")
+            transfer_dtype = np.float16
+        wire = np.float32 if (transfer_dtype is None or int4_dec) \
             else np.dtype(transfer_dtype)
 
         def _one(part):
             bucket = _bucket(part.shape[0])
-            if is_int4:
-                scale = (np.abs(part).max(axis=1) / 7.0).astype(np.float32)
+            if int4_dec:
+                if int4_dec == 2:
+                    # antialias mean-pool by 2 host-side (one pass over
+                    # the chunk; the wire then carries half the codes);
+                    # odd tails keep the raw last sample. Must match
+                    # wire_transform(decimate=2) exactly.
+                    t2 = T // 2
+                    src = 0.5 * (part[:, : 2 * t2 : 2].astype(np.float32)
+                                 + part[:, 1 : 2 * t2 : 2])
+                    if T % 2:
+                        src = np.concatenate(
+                            [src, part[:, -1:].astype(np.float32)],
+                            axis=1)
+                else:
+                    src = part
+                tw = src.shape[1]
+                scale = (np.abs(src).max(axis=1) / 7.0).astype(np.float32)
                 if not np.isfinite(scale).all():
                     raise ValueError(
                         "traces contain non-finite samples (or peaks "
@@ -225,16 +311,18 @@ class NeuralDemixer:
                         "requires finite traces"
                     )
                 scale_safe = np.where(scale > 0, scale, np.float32(1.0))
-                t_pad = -(-T // 2) * 2
+                t_pad = -(-tw // 2) * 2
                 q = np.zeros((bucket, t_pad), dtype=np.int8)
-                np.rint(part / scale_safe[:, None],
-                        out=q[:part.shape[0], :T], casting="unsafe")
+                np.rint(src / scale_safe[:, None],
+                        out=q[:part.shape[0], :tw], casting="unsafe")
                 np.clip(q, -7, 7, out=q)
                 qu = q.view(np.uint8)
                 packed = (qu[:, 0::2] & 0x0F) | ((qu[:, 1::2] & 0x0F) << 4)
                 pscale = np.ones(bucket, dtype=np.float32)
                 pscale[:part.shape[0]] = scale_safe
-                return _demix_and_filter_int4(
+                fn = (_demix_and_filter_int4d2 if int4_dec == 2
+                      else _demix_and_filter_int4)
+                return fn(
                     self.params, jnp.asarray(packed), jnp.asarray(pscale),
                     int(monotone_filter_start), T)[:part.shape[0]]
             if wire == np.int8:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..ops.charge import prepare_observations
 from ._common import _levels, prepare_stim
 from ._laplace import _resolve_laplace_impl, laplace_phi_update
-from .caviar import (_resolve_sweep_block_size, _resolve_sweep_impl,
+from .caviar import (_resolve_sweep,
                      _run_caviar, reconnect_from_spontaneous)
 
 # one compiled program refitting the power curves of every reconnected
@@ -193,7 +193,8 @@ def caviar_many(
         jnp.asarray(phi_cov_prior, dtype),
     )
 
-    block_sz = _resolve_sweep_block_size(sweep_block_size)
+    block_sz, sweep_impl_res = _resolve_sweep(
+        "auto", sweep_block_size, k=stim_dev.shape[-1])
 
     def one(y, stim, l0, mask, key):
         final, _, _ = _run_caviar(
@@ -211,7 +212,7 @@ def caviar_many(
             analytic_mc=bool(analytic_mc),
             save_histories=False,
             sweep_block_size=block_sz,
-            sweep_impl=_resolve_sweep_impl("auto", block_sz),
+            sweep_impl=sweep_impl_res,
             # under the experiment vmap the pallas route flattens the
             # B x N Newton solves into one kernel launch (the vmapped
             # XLA recursion is latency-bound at the SAME ~0.8 ms/iter
@@ -236,7 +237,7 @@ def caviar_many(
         # reuse the single-fit executable: one compile (shared with any
         # public caviar() fit at this shape via the global jit cache),
         # B async dispatches that pipeline on device
-        single_impl = _resolve_sweep_impl("auto", block_sz)
+        single_impl = sweep_impl_res
         lap_impl = _resolve_laplace_impl(laplace_impl, dtype)
         finals_list = []
         for b in range(B):

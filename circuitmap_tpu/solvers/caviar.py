@@ -907,18 +907,46 @@ def _resolve_sweep_block_size(block_size):
     return int(block_size)
 
 
-def _resolve_sweep_impl(sweep_impl, block_size):
+# VMEM bytes the sweep kernels' rings may claim of the ~16 MB scoped
+# budget (headroom left for semaphores/layout padding). The blocked
+# kernel streams 3 ring buffers x depth (floored at 2) x block rows of
+# [K128] f32, plus 4 more [K128] vectors (r scratch + y/mask/r_init
+# blocks); past this the Mosaic lowering fails with a scoped-vmem OOM
+# at compile time (observed at N=1000/K=100096: 18.75M vs the 16M
+# limit), so the auto routing below falls back to the XLA sweep —
+# identical blocked semantics, any K.
+_VMEM_SWEEP_BUDGET = 14e6
+
+
+def _k128(k):
+    return -(-int(k) // 128) * 128
+
+
+def _blocked_sweep_fits(k, block_size):
+    return (2 * 3 * block_size * 4 + 16) * _k128(k) <= _VMEM_SWEEP_BUDGET
+
+
+def _row_sweep_fits(k):
+    return (4 * 3 * 4 + 16) * _k128(k) <= _VMEM_SWEEP_BUDGET
+
+
+def _resolve_sweep_impl(sweep_impl, block_size, k=None):
     """'auto' -> the Pallas kernel on TPU-class backends, XLA elsewhere.
 
     With block_size > 1 on TPU (a multiple of 8), resolves to the
     blocked manual-DMA kernel — block DMAs of the native 2-D layout,
-    no per-iteration [N,1,K] relayout, N/B sequential steps.
+    no per-iteration [N,1,K] relayout, N/B sequential steps. When the
+    trial count ``k`` is given and the kernel's VMEM ring would exceed
+    the chip's scoped budget (K128 ≳ 67k at block 8), auto falls back
+    to the XLA sweep with the SAME block schedule — bit-compatible
+    semantics at any K.
 
     An EXPLICIT implementation name is honoured verbatim: a pinned
     ``sweep_impl="pallas"`` always means the row-DMA kernel (the
     strictly sequential schedule), never a silent rewrite to the
     blocked kernel or XLA — pinned implementations exist for
-    apples-to-apples measurements and reference-order fits.
+    apples-to-apples measurements and reference-order fits (past the
+    VMEM budget they fail loudly in the Mosaic lowering).
     """
     if sweep_impl != "auto":
         return sweep_impl
@@ -926,8 +954,40 @@ def _resolve_sweep_impl(sweep_impl, block_size):
     on_tpu = platform in ("tpu", "axon")
     if block_size != 1:
         return ("pallas_blocked"
-                if on_tpu and block_size % 8 == 0 else "xla")
-    return "pallas" if on_tpu else "xla"
+                if on_tpu and block_size % 8 == 0
+                and (k is None or _blocked_sweep_fits(k, block_size))
+                else "xla")
+    return ("pallas" if on_tpu and (k is None or _row_sweep_fits(k))
+            else "xla")
+
+
+def _resolve_sweep(sweep_impl, sweep_block_size, k=None):
+    """Jointly resolve ``(block_size, impl)`` for a trial count ``k``.
+
+    The auto schedule degrades gracefully with K: blocked-8 manual-DMA
+    kernel while its VMEM ring fits (K128 ≲ 67k), then the row-DMA
+    kernel at block 1 (strictly sequential — the reference's exact
+    schedule; measured 0.82 s vs the XLA fallback's 12.7 s for a
+    50-iteration N=1000/K=100000 fit), then the XLA sweep. An
+    EXPLICITLY pinned block size or impl is honoured verbatim — auto
+    never rewrites a pinned schedule, only its own.
+    """
+    block_auto = sweep_block_size == "auto"
+    block = _resolve_sweep_block_size(sweep_block_size)
+    if sweep_impl != "auto":
+        return block, sweep_impl
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    if not on_tpu:
+        return block, "xla"
+    if block != 1:
+        if block % 8 == 0 and (k is None or _blocked_sweep_fits(k, block)):
+            return block, "pallas_blocked"
+        if block_auto and k is not None and _row_sweep_fits(k):
+            return 1, "pallas"
+        return block, "xla"
+    return block, ("pallas" if (k is None or _row_sweep_fits(k))
+                   else "xla")
 
 
 def caviar(
@@ -1024,7 +1084,8 @@ def caviar(
 
     key = jax.random.PRNGKey(seed)
 
-    block_size = _resolve_sweep_block_size(sweep_block_size)
+    block_size, sweep_impl_res = _resolve_sweep(
+        sweep_impl, sweep_block_size, k=stim.shape[1])
     final, hists, elbo_out = _run_caviar(
         y,
         stim,
@@ -1051,7 +1112,7 @@ def caviar(
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
         sweep_block_size=block_size,
-        sweep_impl=_resolve_sweep_impl(sweep_impl, block_size),
+        sweep_impl=sweep_impl_res,
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
         update_order=_validate_update_order(str(update_order)),
         track_elbo=bool(track_elbo),

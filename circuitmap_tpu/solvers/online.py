@@ -62,8 +62,8 @@ import jax.numpy as jnp
 from ..ops.charge import prepare_observations
 from ._common import _bucketise_dense, _levels, _select_levels
 from .caviar import (CaviarState, _reconnect_and_refit_device, _run_caviar,
-                     _resolve_laplace_impl, _resolve_sweep_block_size,
-                     _resolve_sweep_impl, _validate_update_order)
+                     _resolve_laplace_impl, _resolve_sweep,
+                     _resolve_sweep_block_size, _validate_update_order)
 
 
 def _ceil128(n):
@@ -202,6 +202,7 @@ class OnlineCaviar:
         self._msrmp = float(msrmp)
         self._min_spike_count = int(minimum_spike_count)
         block = _resolve_sweep_block_size(sweep_block_size)
+        self._sweep_block_req = sweep_block_size
         self._static = dict(
             num_mc_samples=int(num_mc_samples),
             minimum_spike_count=int(minimum_spike_count),
@@ -215,12 +216,16 @@ class OnlineCaviar:
             analytic_mc=bool(analytic_mc),
             save_histories=False,
             sweep_block_size=block,
-            sweep_impl=_resolve_sweep_impl(sweep_impl, block),
+            # placeholder — re-resolved each update() against the LIVE
+            # capacity (a growing stream can cross the Pallas kernels'
+            # VMEM budget; auto falls back to the XLA blocked sweep)
+            sweep_impl=_resolve_sweep(sweep_impl, sweep_block_size)[1],
             laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
             update_order=_validate_update_order(update_order),
             track_elbo=False,
             elbo_tol=None,
         )
+        self._sweep_impl_req = sweep_impl  # re-resolved per update
         self._key = jax.random.PRNGKey(seed)
 
         # level table: fixed by powers= now, or by the first block
@@ -387,6 +392,12 @@ class OnlineCaviar:
         seed_cap = jnp.asarray(
             self._static["max_backtrack_iters"] - 1, jnp.int32)
         if self.mesh is None:
+            # re-resolve the sweep against the LIVE capacity: a grown
+            # stream can cross the Pallas ring's VMEM budget, where
+            # auto routes to the XLA sweep (same blocked schedule)
+            (self._static["sweep_block_size"],
+             self._static["sweep_impl"]) = _resolve_sweep(
+                self._sweep_impl_req, self._sweep_block_req, k=self._C)
             state, _, _ = _run_caviar(
                 y, stim, state.lam, mask, self._powers_dev(), *self._priors,
                 self._key, state, jnp.asarray(k_new, jnp.int32),

@@ -22,7 +22,7 @@ from ..utils.checkpoint import load_state, save_state
 from ._common import prepare_stim_and_init, prepare_traces
 from ._laplace import laplace_phi_update_jit
 from .caviar import (CaviarState, _run_caviar, _resolve_laplace_impl,
-                     _resolve_sweep_block_size, _resolve_sweep_impl,
+                     _resolve_sweep,
                      reconnect_from_spontaneous)
 
 
@@ -138,7 +138,8 @@ def caviar_resumable(
         if verbose:
             print(f"Resuming CAVIaR from iteration {start} ({checkpoint_path}).")
 
-    block_size = _resolve_sweep_block_size(sweep_block_size)
+    block_size, sweep_impl_res = _resolve_sweep(
+        sweep_impl, sweep_block_size, k=stim.shape[1])
     static = dict(
         num_mc_samples=int(num_mc_samples),
         minimum_spike_count=int(minimum_spike_count),
@@ -152,7 +153,7 @@ def caviar_resumable(
         analytic_mc=bool(analytic_mc),
         save_histories=False,
         sweep_block_size=block_size,
-        sweep_impl=_resolve_sweep_impl(sweep_impl, block_size),
+        sweep_impl=sweep_impl_res,
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
     )
     priors = (

@@ -30,6 +30,10 @@ def main():
                     help="small grid for smoke-testing the harness")
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--only", action="append", default=None,
+                    metavar="N,K",
+                    help="run only these N,K rows (repeatable); merged "
+                         "into an existing --out file by (N, K)")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,8 @@ def main():
               (2000, 20000), (1000, 50000), (5000, 20000),
               (1000, 100000)]
     )
+    if args.only:
+        grid = [tuple(int(v) for v in spec.split(",")) for spec in args.only]
 
     # the bench-default wire: int4 + the QAT checkpoint (WIRE_STUDY)
     import os
@@ -56,7 +62,22 @@ def main():
                             else "demixers/nwd_ie_ChroME2f.npz")
     wire = "int4" if use_qat else np.int8
     device = str(jax.devices()[0].device_kind)
-    results = []
+    # merge-by-(N,K) into any existing file, and write INCREMENTALLY
+    # after every row — a crash on a late row must not discard the
+    # earlier measurements
+    try:
+        with open(args.out) as f:
+            results = json.load(f).get("results", [])
+    except (OSError, ValueError):
+        results = []
+
+    def _write():
+        payload = dict(device=device, iters=50,
+                       wire="int4" if use_qat else "int8",
+                       results=results)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+
     for N, K in grid:
         np.random.seed(0)
         t0 = time.time()
@@ -91,14 +112,10 @@ def main():
         row = dict(N=N, K=K, seconds=round(best, 3),
                    cold_seconds=round(t_cold, 1), r2=round(r2, 4),
                    sim_gen_seconds=round(t_sim, 1))
-        results.append(row)
+        results = [r for r in results
+                   if (r["N"], r["K"]) != (N, K)] + [row]
+        _write()
         print(json.dumps(row), flush=True)
-
-    payload = dict(device=device, iters=50,
-                   wire="int4" if use_qat else "int8",
-                   results=results)
-    with open(args.out, "w") as f:
-        json.dump(payload, f, indent=1)
 
     print("\n| N | K | demix+fit (s) | truth R² |")
     print("|---|---|---|---|")

@@ -33,15 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def wire_quantise(traces, bits=4):
-    """Apply the trace-wire quantisation rule host-side (the exact
-    transform demixer.__call__ transfer_dtype applies: per-trace
-    abs-peak scale, round-to-nearest, symmetric clip)."""
-    qmax = 2 ** (bits - 1) - 1
-    peak = np.abs(traces).max(axis=-1, keepdims=True)
-    scale = np.where(peak > 0, peak / qmax, 1.0)
-    q = np.clip(np.rint(traces / scale), -qmax, qmax)
-    return (q * scale).astype(np.float32)
+def wire_quantise(traces, bits=4, decimate=1):
+    """Apply the trace-wire transform host-side — delegated to the
+    single source of truth in demix/demixer.py (wire_transform), so the
+    corruption the network trains on IS the transform the device
+    reconstructs at serve time (incl. the int4d2 mean-pool + linear
+    upsample when ``decimate=2``)."""
+    from circuitmap_tpu.demix.demixer import wire_transform
+
+    return wire_transform(traces, bits=bits, decimate=decimate)
 
 
 def main():
@@ -49,6 +49,10 @@ def main():
     parser.add_argument("--size", type=int, default=50000)
     parser.add_argument("--epochs", type=int, default=150)
     parser.add_argument("--bits", type=int, default=4)
+    parser.add_argument("--decimate", type=int, default=1,
+                        help="2 = the int4d2 wire (mean-pool 2x + "
+                             "device upsample): quarter of the int8 "
+                             "bytes")
     parser.add_argument("--learning_rate", type=float, default=2e-3)
     parser.add_argument("--pretrained",
                         default=os.path.join(REPO, "demixers",
@@ -93,8 +97,10 @@ def main():
     # quantise inputs with the wire rule; supervision targets stay clean
     tr_in, tr_tgt = demixer.training_data
     te_in, te_tgt = demixer.test_data
-    demixer.training_data = (wire_quantise(tr_in, args.bits), tr_tgt)
-    demixer.test_data = (wire_quantise(te_in, args.bits), te_tgt)
+    demixer.training_data = (
+        wire_quantise(tr_in, args.bits, args.decimate), tr_tgt)
+    demixer.test_data = (
+        wire_quantise(te_in, args.bits, args.decimate), te_tgt)
 
     t0 = time.time()
     history = demixer.train(
@@ -107,6 +113,7 @@ def main():
     meta = {
         "pretrained": args.pretrained,
         "bits": args.bits,
+        "decimate": args.decimate,
         "epochs": args.epochs,
         "size": args.size,
         "learning_rate": args.learning_rate,

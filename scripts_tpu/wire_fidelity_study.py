@@ -68,8 +68,12 @@ def main():
     from circuitmap_tpu.simulation import simulate
     from circuitmap_tpu.utils.metrics import r2_score
 
+    from circuitmap_tpu.demix.demixer import wire_transform
+
     ck = os.path.join(REPO, "demixers", "nwd_ie_ChroME2f.npz")
     ck_qat = os.path.join(REPO, "demixers", "nwd_ie_ChroME2f_int4qat.npz")
+    ck_d2 = os.path.join(REPO, "demixers",
+                         "nwd_ie_ChroME2f_int4d2qat.npz")
     rows = []
     for seed in args.seeds:
         np.random.seed(seed)
@@ -77,14 +81,20 @@ def main():
                        verbose=False)
         dem = NeuralDemixer(ck)
         dem_qat = NeuralDemixer(ck_qat) if os.path.exists(ck_qat) else None
+        dem_d2 = NeuralDemixer(ck_d2) if os.path.exists(ck_d2) else None
         configs = [
             ("f32", dem, sim["psc"]),
             ("int8", dem, quantise(sim["psc"], 8)),
             ("int4", dem, quantise(sim["psc"], 4)),
             ("int4-mulaw", dem, quantise(sim["psc"], 4, mulaw=True)),
+            ("int4d2", dem, wire_transform(sim["psc"], 4, decimate=2)),
         ]
         if dem_qat is not None:
             configs.append(("int4-qat", dem_qat, quantise(sim["psc"], 4)))
+        if dem_d2 is not None:
+            configs.append(
+                ("int4d2-qat", dem_d2,
+                 wire_transform(sim["psc"], 4, decimate=2)))
         for tag, net, psc_in in configs:
             d = net(psc_in, verbose=False)
             m = Model(200)
@@ -96,7 +106,8 @@ def main():
             print(rows[-1], flush=True)
 
     summary = {}
-    for tag in ("f32", "int8", "int4", "int4-mulaw", "int4-qat"):
+    for tag in ("f32", "int8", "int4", "int4-mulaw", "int4-qat",
+                "int4d2", "int4d2-qat"):
         vals = [r["truth_r2"] for r in rows if r["wire"] == tag]
         if vals:
             summary[tag] = {"mean_r2": round(float(np.mean(vals)), 4),

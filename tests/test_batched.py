@@ -184,13 +184,14 @@ def test_blocked_kernel_matches_grid_path(sims):
               verbose=False)
 
     default = mod.caviar_many(*stack, *prior_args, **kw)
-    real_resolve = mod._resolve_sweep_impl
-    mod._resolve_sweep_impl = lambda *a, **k: "pallas_blocked_interpret"
+    real_resolve = mod._resolve_sweep
+    mod._resolve_sweep = lambda impl, block, k=None: (
+        8, "pallas_blocked_interpret")
     try:
         blocked = mod.caviar_many(*stack, *prior_args,
                                   sweep_block_size=8, **kw)
     finally:
-        mod._resolve_sweep_impl = real_resolve
+        mod._resolve_sweep = real_resolve
     for b in range(len(sims)):
         np.testing.assert_array_equal(default[b]["mu"] != 0,
                                       blocked[b]["mu"] != 0)

@@ -193,6 +193,30 @@ class TestFacade:
             ref = demix(deq.astype(np.float32), verbose=False)
             np.testing.assert_allclose(out4, ref, rtol=0, atol=1e-6)
 
+    def test_int4d2_wire_matches_host_reference(self, state_dict, rng):
+        """The int4d2 path (mean-pool 2x -> int4 pack -> device unpack
+        + linear upsample) must reproduce demixing wire_transform's
+        host-reference output through the f32 path — train-time
+        corruption (QAT) and serve-time reconstruction are the same
+        transform by construction."""
+        from circuitmap_tpu.demix.demixer import wire_transform
+
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        for T in (900, 899):  # even and odd trace lengths
+            traces = np.abs(rng.normal(size=(6, T))).astype(np.float32)
+            traces[2] = 0.0  # all-zero trace: scale guard path
+            out = demix(traces, verbose=False, transfer_dtype="int4d2")
+            ref = demix(wire_transform(traces, 4, decimate=2),
+                        verbose=False)
+            np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
+
+    def test_unknown_transfer_token_rejected(self, state_dict):
+        import pytest
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        t = np.zeros((2, 900), np.float32)
+        with pytest.raises(TypeError):
+            demix(t, verbose=False, transfer_dtype="int3")
+
     def test_int4_wire_rejects_non_finite(self, state_dict):
         import pytest
         demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))

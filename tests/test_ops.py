@@ -318,3 +318,48 @@ class TestBlockedDmaFullFit:
                                    rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
                                    rtol=2e-4, atol=1e-4)
+
+
+class TestSweepVmemRouting:
+    """K-aware auto routing: past the Pallas ring's VMEM budget the
+    sweep falls back to the XLA blocked schedule (the observed failure:
+    a compile-time scoped-vmem OOM at N=1000/K=100096, block 8)."""
+
+    def test_budget_helpers(self):
+        from circuitmap_tpu.solvers.caviar import (
+            _blocked_sweep_fits, _row_sweep_fits)
+        assert _blocked_sweep_fits(20000, 8)       # the bench shape
+        assert _blocked_sweep_fits(50000, 8)       # measured ok (SCALING)
+        assert not _blocked_sweep_fits(100000, 8)  # the observed OOM
+        assert _row_sweep_fits(100000)
+        assert not _row_sweep_fits(500000)
+
+    def test_auto_routing_respects_budget(self, monkeypatch):
+        import importlib
+
+        # the package re-exports the caviar FUNCTION, which shadows the
+        # submodule under `import ... as`; importlib returns the module
+        mod = importlib.import_module("circuitmap_tpu.solvers.caviar")
+
+        class _Dev:
+            platform = "tpu"
+
+        monkeypatch.setattr(mod.jax, "devices", lambda *a: [_Dev()])
+        assert mod._resolve_sweep_impl("auto", 8, k=20000) == "pallas_blocked"
+        assert mod._resolve_sweep_impl("auto", 8, k=100000) == "xla"
+        assert mod._resolve_sweep_impl("auto", 1, k=100000) == "pallas"
+        assert mod._resolve_sweep_impl("auto", 1, k=500000) == "xla"
+        # k unknown (entry/profile paths): unchanged behaviour
+        assert mod._resolve_sweep_impl("auto", 8) == "pallas_blocked"
+        # explicit names stay verbatim (pinned-measurement contract)
+        assert mod._resolve_sweep_impl("pallas_blocked", 8,
+                                       k=100000) == "pallas_blocked"
+        # joint resolver: auto block degrades 8 -> 1 (row kernel, 15x
+        # faster than the XLA fallback at K=100k) -> xla
+        assert mod._resolve_sweep("auto", "auto",
+                                  k=20000) == (8, "pallas_blocked")
+        assert mod._resolve_sweep("auto", "auto", k=100000) == (1, "pallas")
+        assert mod._resolve_sweep("auto", "auto", k=500000) == (8, "xla")
+        # a PINNED block size is never rewritten by auto
+        assert mod._resolve_sweep("auto", 8, k=100000) == (8, "xla")
+        assert mod._resolve_sweep("xla", "auto", k=20000) == (8, "xla")
