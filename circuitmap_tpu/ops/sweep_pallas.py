@@ -43,7 +43,7 @@ def _sweep_kernel(
     m0_ref,           # [N] VMEM, full
     m1_ref,           # [N] VMEM, full
     powers_ref,       # [P] VMEM, full
-    counts_ref,       # [N, P] VMEM, full — per-neuron trial counts per power
+    counts_ref,       # [N*P] SMEM, flat — 2-D SMEM pads lanes to 128 (an [N, P] layout costs N*128 words: 1 MB — the whole SMEM — at N=2000)
     r_init_ref,       # [K] VMEM, full
     scalars_ref,      # [4] SMEM: sig, msrmp_eff, min_spike_count, gate_active
     lam_row_ref,      # [1, 1, K] VMEM — row order[i] of lam (auto-DMA)
@@ -88,7 +88,7 @@ def _sweep_kernel(
     sums = [
         jnp.sum(jnp.where(stim_n == powers_ref[p], est, 0.0)) for p in range(P)
     ]
-    counts = [counts_ref[n, p] for p in range(P)]
+    counts = [counts_ref[n * P + p] for p in range(P)]
     rates = [s / (c + 1e-4 * (c == 0.0)) for s, c in zip(sums, counts)]
     iso_max = rates[P - 1]
     acc = rates[P - 1]
@@ -186,7 +186,7 @@ def sweep_spikes_pallas(
     )(
         order.astype(jnp.int32),
         y, lam_mask, mu, beta, m0, m1, powers,
-        power_counts.astype(dtype), r_init, scalars,
+        power_counts.astype(dtype).reshape(-1), r_init, scalars,
         lam[:, None, :], stim[:, None, :],
     )
     return out[:, 0, :]
@@ -223,7 +223,7 @@ def _sweep_body_row(lam_n, stim_n, n, r, y, lam_mask, mu_ref, beta_ref,
     sums = [
         jnp.sum(jnp.where(stim_n == powers_ref[p], est, 0.0)) for p in range(P)
     ]
-    counts = [counts_ref[n, p] for p in range(P)]
+    counts = [counts_ref[n * P + p] for p in range(P)]
     rates = [s / (c + 1e-4 * (c == 0.0)) for s, c in zip(sums, counts)]
     iso_max = rates[P - 1]
     acc = rates[P - 1]
@@ -249,7 +249,7 @@ def _sweep_kernel_dma(
     m0_ref,           # [N]
     m1_ref,           # [N]
     powers_ref,       # [P]
-    counts_ref,       # [N, P]
+    counts_ref,       # [N*P] flat (SMEM lane-padding rule above)
     scalars_ref,      # [4]: sig, msrmp_eff, min_spike_count, gate_active
     # VMEM inputs
     y_ref,            # [K]
@@ -412,7 +412,7 @@ def sweep_spikes_pallas_dma(
         interpret=interpret,
     )(
         order.astype(jnp.int32), mu, beta, m0, m1, powers,
-        power_counts.astype(dtype), scalars,
+        power_counts.astype(dtype).reshape(-1), scalars,
         y, lam_mask, r_init,
         lam[:, None, :], stim[:, None, :],
     )

@@ -91,9 +91,12 @@ def main():
         )
         wall = round(time.time() - t0, 1)
         tail = (proc.stdout + proc.stderr).strip().splitlines()
-        last = tail[-1] if tail else ""
+        # the result line may not be LAST: the child's stderr (jax
+        # platform warnings) is concatenated after stdout
+        marks = [l for l in tail if l.startswith('{"ok"')]
+        last = marks[-1] if marks else (tail[-1] if tail else "")
         if proc.returncode == 0 and last.startswith("{"):
-            row = dict(N=N, K=K, gb_per_array=round(gb, 2), ok=True,
+            row = dict(N=N, K=K, gb_per_array=round(gb, 2),
                        wall_seconds=wall, **json.loads(last))
         else:
             oom = any("RESOURCE_EXHAUSTED" in l or "out of memory" in l.lower()
