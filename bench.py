@@ -39,19 +39,23 @@ def main():
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # int4 wire + the quantisation-aware-trained checkpoint: half the
-    # int8 transfer at BETTER fidelity (WIRE_STUDY.json round-4: int4+QAT
-    # mean R2 0.9881 vs int8+stock 0.9817 over 3 seeds; the QAT
-    # fine-tune is scripts_tpu/train_qat_demixer.py, 7.2 min on-chip)
+    # quantised trace wire + the matching quantisation-aware-trained
+    # checkpoint (scripts_tpu/train_qat_demixer.py). WIRE_STUDY.json
+    # round-4, mean truth-R2 over 3 seeds: int8+stock 0.9817;
+    # int4+QAT 0.9881 (half the bytes); int4d2+QAT — mean-pool 2x then
+    # int4, device-side upsample — 0.9862 at a QUARTER of the int8
+    # bytes (still above the f32 wire's 0.9816). Preference order:
+    # fewest bytes whose fidelity beats the f32 wire.
+    qat_d2 = os.path.join(here, "demixers", "nwd_ie_ChroME2f_int4d2qat.npz")
     qat = os.path.join(here, "demixers", "nwd_ie_ChroME2f_int4qat.npz")
     candidates = [
-        qat,
-        os.path.join(here, "demixers", "nwd_ie_ChroME2f.npz"),  # repo zoo
-        "/root/reference/demixers/nwd_ie_ChroME2f.ckpt",
+        (qat_d2, "int4d2"),
+        (qat, "int4"),
+        (os.path.join(here, "demixers", "nwd_ie_ChroME2f.npz"), np.int8),
+        ("/root/reference/demixers/nwd_ie_ChroME2f.ckpt", np.int8),
     ]
-    ckpt = next((c for c in candidates if os.path.exists(c)), None)
-    demixer = NeuralDemixer(path=ckpt) if ckpt else NeuralDemixer()
-    wire = "int4" if ckpt == qat else np.int8
+    candidates = [(c, w) for c, w in candidates if os.path.exists(c)]
+    candidates = candidates or [(None, np.int8)]
 
     priors = default_priors(N)
 
@@ -75,9 +79,21 @@ def main():
         )
         return out
 
-    # warm-up: compile both programs on this shape (cached thereafter)
+    # warm-up: compile both programs on this shape (cached thereafter).
+    # The warm-up doubles as a fallback ladder: if the preferred wire/
+    # checkpoint pair fails for any reason, step down to the next one
+    # rather than failing the benchmark run.
     warm_psc = sim["psc"][:K].copy()
-    pipeline(warm_psc, sim["stim_matrix"])
+    for i, (ckpt, wire) in enumerate(candidates):
+        demixer = NeuralDemixer(path=ckpt) if ckpt else NeuralDemixer()
+        try:
+            np.asarray(pipeline(warm_psc, sim["stim_matrix"])[0][:1])
+            break
+        except Exception:
+            if i == len(candidates) - 1:
+                raise
+            print(f"# wire {wire!r} failed on warm-up; falling back",
+                  file=sys.stderr)
 
     # best of 5: the tunneled-TPU link adds +-0.5s of run-to-run noise,
     # and the public entry keeps warming over its first ~3 in-process
@@ -125,7 +141,7 @@ def main():
         "device": str(jax.devices()[0]),
         "block_until_ready_seconds": round(elapsed_block, 3),
         "fit_only_seconds": round(fit_only, 3),
-        "trace_wire": "int4" if ckpt == qat else "int8",
+        "trace_wire": wire if isinstance(wire, str) else "int8",
     }
     # measured-reference comparison, when the committed artifact exists
     # (scripts_tpu/measure_reference_baseline.py — reference end-to-end

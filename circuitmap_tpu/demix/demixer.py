@@ -65,6 +65,32 @@ def _demix_and_filter_quantised(params, wire, scale, start):
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
 
+def _pool2(x, xp=np):
+    """Antialias mean-pool by 2 on the last axis; an odd tail keeps the
+    raw last sample. ONE implementation for host (numpy) and device
+    (pass ``xp=jnp``) — the wire's train-time corruption and serve-time
+    reconstruction must agree bit-for-bit, so there is exactly one copy
+    of this arithmetic (in f32 on both sides)."""
+    T = x.shape[-1]
+    T2 = T // 2
+    p = 0.5 * (x[..., : 2 * T2 : 2] + x[..., 1 : 2 * T2 : 2])
+    if T % 2:
+        p = xp.concatenate([p, x[..., -1:]], axis=-1)
+    return p
+
+
+def _upsample2(p, t_true, xp=np):
+    """Inverse of :func:`_pool2` up to quantisation: linear upsample —
+    even sample ``0.75*p[i] + 0.25*p[i-1]``, odd ``0.75*p[i] +
+    0.25*p[i+1]`` (clamped edges). Shared host/device (``xp``)."""
+    prev = xp.concatenate([p[..., :1], p[..., :-1]], axis=-1)
+    nxt = xp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
+    even = 0.75 * p + 0.25 * prev
+    odd = 0.75 * p + 0.25 * nxt
+    up = xp.stack([even, odd], axis=-1).reshape(*p.shape[:-1], -1)
+    return up[..., :t_true]
+
+
 def wire_transform(traces, bits=4, decimate=1):
     """Host-side reference of the quantised trace wire: what the device
     reconstructs from a ``transfer_dtype`` upload, as f32 traces.
@@ -86,13 +112,7 @@ def wire_transform(traces, bits=4, decimate=1):
     T = x.shape[-1]
     if decimate not in (1, 2):
         raise ValueError(f"decimate must be 1 or 2, got {decimate!r}")
-    if decimate == 2:
-        T2 = T // 2
-        p = 0.5 * (x[..., : 2 * T2 : 2] + x[..., 1 : 2 * T2 : 2])
-        if T % 2:
-            p = np.concatenate([p, x[..., -1:]], axis=-1)
-    else:
-        p = x
+    p = _pool2(x) if decimate == 2 else x
     qmax = 2 ** (bits - 1) - 1
     peak = np.abs(p).max(axis=-1, keepdims=True)
     scale = np.where(peak > 0, peak / qmax, 1.0).astype(np.float32)
@@ -100,12 +120,7 @@ def wire_transform(traces, bits=4, decimate=1):
          * scale)
     if decimate == 1:
         return q
-    prev = np.concatenate([q[..., :1], q[..., :-1]], axis=-1)
-    nxt = np.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
-    even = 0.75 * q + 0.25 * prev
-    odd = 0.75 * q + 0.25 * nxt
-    up = np.stack([even, odd], axis=-1).reshape(*q.shape[:-1], -1)
-    return np.ascontiguousarray(up[..., :T], dtype=np.float32)
+    return np.ascontiguousarray(_upsample2(q, T), dtype=np.float32)
 
 
 @partial(jax.jit, static_argnames=("start", "t_true"))
@@ -145,12 +160,7 @@ def _demix_and_filter_int4d2(params, packed, scale, start, t_true):
     th = (t_true + 1) // 2
     p = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :th]
     p = p.astype(jnp.float32) * scale[:, None]
-    prev = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
-    nxt = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
-    even = 0.75 * p + 0.25 * prev
-    odd = 0.75 * p + 0.25 * nxt
-    traces = jnp.stack([even, odd],
-                       axis=-1).reshape(w.shape[0], -1)[:, :t_true]
+    traces = _upsample2(p, t_true, xp=jnp)
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
 
@@ -290,16 +300,10 @@ class NeuralDemixer:
             if int4_dec:
                 if int4_dec == 2:
                     # antialias mean-pool by 2 host-side (one pass over
-                    # the chunk; the wire then carries half the codes);
-                    # odd tails keep the raw last sample. Must match
-                    # wire_transform(decimate=2) exactly.
-                    t2 = T // 2
-                    src = 0.5 * (part[:, : 2 * t2 : 2].astype(np.float32)
-                                 + part[:, 1 : 2 * t2 : 2])
-                    if T % 2:
-                        src = np.concatenate(
-                            [src, part[:, -1:].astype(np.float32)],
-                            axis=1)
+                    # the chunk; the wire then carries half the codes).
+                    # _pool2 in f32 IS the train-time transform
+                    # (wire_transform) — one arithmetic, no drift.
+                    src = _pool2(part.astype(np.float32, copy=False))
                 else:
                     src = part
                 tw = src.shape[1]

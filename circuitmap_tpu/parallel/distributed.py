@@ -115,10 +115,15 @@ def _plan_shards(K_loc, mesh):
 
 def _global_powers(stim_local, powers, np_dtype):
     """Union of per-process stim levels, deduplicated at the fit dtype
-    (the f64 device-table contract of solvers/_common)."""
+    (the f64 device-table contract of solvers/_common).
+
+    With explicit ``powers=`` the local stim levels are validated
+    against the table — a level outside it would silently match no
+    power bucket (zero counts, corrupted msrmp gating), where the
+    single-process entries raise (solvers/_common.prepare_stim)."""
+    loc = np.unique(stim_local[stim_local > 0]).astype(np.float64)
     if powers is None:
         max_levels = 64
-        loc = np.unique(stim_local[stim_local > 0]).astype(np.float64)
         if loc.size > max_levels:
             raise ValueError(
                 f"{loc.size} distinct stim levels on this process; pass "
@@ -129,6 +134,14 @@ def _global_powers(stim_local, powers, np_dtype):
         powers = np.unique(gathered[gathered > 0])
     else:
         powers = np.unique(np.asarray(powers, np.float64))
+        missing = np.setdiff1d(loc.astype(np_dtype),
+                               powers.astype(np_dtype))
+        if missing.size:
+            raise ValueError(
+                f"stim levels {missing.tolist()} on process "
+                f"{jax.process_index()} are not in powers="
+                f"{powers.tolist()} — every stimulated level must be "
+                "in the table (matching the single-process contract)")
     return np.unique(powers.astype(np_dtype)).astype(np.float64)
 
 
@@ -240,11 +253,13 @@ def caviar_sharded_distributed(
     lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
         * lam_mask_loc[None, :]
 
-    # global power-bucket counts: sum of per-process local counts
-    pc_loc = (
-        stim_local[:, :K_loc, None].astype(np.float32)
-        == powers_dev[None, None, :].astype(np.float32)
-    ).sum(axis=1).astype(np.float64)
+    # global power-bucket counts: sum of per-process local counts.
+    # One [N, K_loc] comparison per level instead of a broadcast
+    # [N, K_loc, P] temporary (1.5 GB host spike at pod-scale K_loc)
+    stim_real = stim_local[:, :K_loc].astype(np_dtype, copy=False)
+    pc_loc = np.stack(
+        [(stim_real == np_dtype.type(p)).sum(axis=1) for p in powers_dev],
+        axis=1).astype(np.float64)
     power_counts = _allgather_host(pc_loc).sum(axis=0)
 
     if verbose and jax.process_index() == 0:

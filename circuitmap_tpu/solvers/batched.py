@@ -70,7 +70,7 @@ def caviar_many(
     analytic_mc=False,
     mesh=None,
     powers=None,
-    sweep_block_size=1,
+    sweep_block_size="auto",
     laplace_impl="auto",
     compile_mode="auto",
     verbose=True,
@@ -92,12 +92,13 @@ def caviar_many(
     step per experiment with 8-row block DMAs inside — instead of the
     (B, N)-grid kernel. Measured on a v5e at B=8/N=300/K=2000/50 iters:
     grid kernel 2.32 s warm / 682 s cold compile, blocked 3.78 s warm /
-    525 s cold, plain-XLA sweep 2.73 s warm / 287 s cold — the grid
-    kernel stays the batched default (block size 1); most of the cold
-    cost is XLA compiling the big vmapped scan, not Mosaic. The blocked
-    option matters when experiments are FEW and large (its
-    per-experiment economics match the single-fit kernel that wins the
-    bench).
+    525 s cold, plain-XLA sweep 2.73 s warm / 287 s cold — so
+    ``"auto"`` (the default) means block 1 (the grid kernel) for the
+    BATCHED program, while SEQUENTIAL mode resolves it exactly like the
+    public single fit (blocked-8 on TPU) so its executable — and
+    jit-cache entry — is genuinely the one ``caviar()`` compiles at the
+    same shape. The blocked option matters for the batched program when
+    experiments are FEW and large.
 
     ``compile_mode`` addresses that cold-compile cost (round-3 verdict
     weak #2: minutes of first-use latency is a product defect for the
@@ -193,8 +194,21 @@ def caviar_many(
         jnp.asarray(phi_cov_prior, dtype),
     )
 
-    block_sz, sweep_impl_res = _resolve_sweep(
-        "auto", sweep_block_size, k=stim_dev.shape[-1])
+    # 'auto' block size is mode-dependent: the BATCHED vmapped program
+    # wants block 1 (its custom_vmap rule lowers onto the (B, N)-grid
+    # kernel — the measured-fastest batched sweep), while SEQUENTIAL
+    # mode resolves exactly like the public single fit so its compile
+    # (and jit-cache entry) is genuinely shared with caviar() at the
+    # same shape.
+    if sweep_block_size == "auto":
+        seq_block, seq_impl = _resolve_sweep(
+            "auto", "auto", k=stim_dev.shape[-1])
+        block_sz, sweep_impl_res = 1, _resolve_sweep(
+            "auto", 1, k=stim_dev.shape[-1])[1]
+    else:
+        block_sz, sweep_impl_res = _resolve_sweep(
+            "auto", sweep_block_size, k=stim_dev.shape[-1])
+        seq_block, seq_impl = block_sz, sweep_impl_res
 
     def one(y, stim, l0, mask, key):
         final, _, _ = _run_caviar(
@@ -237,7 +251,7 @@ def caviar_many(
         # reuse the single-fit executable: one compile (shared with any
         # public caviar() fit at this shape via the global jit cache),
         # B async dispatches that pipeline on device
-        single_impl = sweep_impl_res
+        single_impl = seq_impl
         lap_impl = _resolve_laplace_impl(laplace_impl, dtype)
         finals_list = []
         for b in range(B):
@@ -256,7 +270,7 @@ def caviar_many(
                 spont_orthogonality=float(spont_orthogonality),
                 analytic_mc=bool(analytic_mc),
                 save_histories=False,
-                sweep_block_size=block_sz,
+                sweep_block_size=seq_block,
                 sweep_impl=single_impl,
                 laplace_impl=lap_impl,
             )

@@ -974,20 +974,15 @@ def _resolve_sweep(sweep_impl, sweep_block_size, k=None):
     """
     block_auto = sweep_block_size == "auto"
     block = _resolve_sweep_block_size(sweep_block_size)
-    if sweep_impl != "auto":
-        return block, sweep_impl
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon")
-    if not on_tpu:
-        return block, "xla"
-    if block != 1:
-        if block % 8 == 0 and (k is None or _blocked_sweep_fits(k, block)):
-            return block, "pallas_blocked"
-        if block_auto and k is not None and _row_sweep_fits(k):
-            return 1, "pallas"
-        return block, "xla"
-    return block, ("pallas" if (k is None or _row_sweep_fits(k))
-                   else "xla")
+    impl = _resolve_sweep_impl(sweep_impl, block, k=k)
+    # the one rule _resolve_sweep_impl cannot express (it may not change
+    # the block size): when BOTH knobs are auto and the blocked ring
+    # fell past its VMEM budget, degrade to the row kernel if that fits
+    if (sweep_impl == "auto" and block_auto and block != 1
+            and impl == "xla"
+            and _resolve_sweep_impl("auto", 1, k=k) == "pallas"):
+        return 1, "pallas"
+    return block, impl
 
 
 def caviar(

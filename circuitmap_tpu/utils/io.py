@@ -39,14 +39,30 @@ def _reconcile_orientation(psc, stim):
         raise ValueError(
             f"expected 2-D psc and stim arrays, got shapes "
             f"{psc.shape} and {stim.shape}")
-    if psc.shape[0] == stim.shape[1]:
-        return psc, stim
-    if psc.shape[1] == stim.shape[0]:  # both transposed (MATLAB layout)
-        return psc.T, stim.T
-    if psc.shape[1] == stim.shape[1]:  # only psc transposed
-        return psc.T, stim
-    if psc.shape[0] == stim.shape[0]:  # only stim transposed
-        return psc, stim.T
+    candidates = [
+        ("as stored", psc.shape[0] == stim.shape[1],
+         lambda: (psc, stim)),
+        ("both transposed (MATLAB layout)",
+         psc.shape[1] == stim.shape[0], lambda: (psc.T, stim.T)),
+        ("psc transposed", psc.shape[1] == stim.shape[1],
+         lambda: (psc.T, stim)),
+        ("stim transposed", psc.shape[0] == stim.shape[0],
+         lambda: (psc, stim.T)),
+    ]
+    matches = [(name, fix) for name, ok, fix in candidates if ok]
+    # shape coincidences (e.g. N == T == 900, where a MATLAB file's
+    # transposed layout ALSO satisfies the as-stored check) make the
+    # orientation undecidable from shapes alone — refuse rather than
+    # silently feed a time axis to the fit as trials
+    distinct = {(m[1]()[0].shape, m[1]()[1].shape) for m in matches}
+    if len(distinct) > 1:
+        raise ValueError(
+            f"ambiguous orientation: psc {psc.shape} / stim {stim.shape} "
+            f"admit multiple trial-axis readings "
+            f"({', '.join(m[0] for m in matches)}); transpose the "
+            "arrays to psc [K, T] / stim [N, K] before saving")
+    if matches:
+        return matches[0][1]()
     raise ValueError(
         f"cannot reconcile trial axes: psc {psc.shape} vs stim "
         f"{stim.shape} share no common trial count")

@@ -111,7 +111,9 @@ def main():
         r2 = float(r2_score(sim["weights"], np.asarray(out[0])))
         row = dict(N=N, K=K, seconds=round(best, 3),
                    cold_seconds=round(t_cold, 1), r2=round(r2, 4),
-                   sim_gen_seconds=round(t_sim, 1))
+                   sim_gen_seconds=round(t_sim, 1),
+                   # per-row: --only merges can mix wire protocols
+                   wire="int4" if use_qat else "int8")
         results = [r for r in results
                    if (r["N"], r["K"]) != (N, K)] + [row]
         _write()

@@ -156,3 +156,27 @@ class TestOtherSolversTwoProcess:
         np.testing.assert_allclose(a["lam"], np.asarray(ref[2]), rtol=1e-3,
                                    atol=1e-4)
         assert a["z"].shape == (48,)
+
+
+class TestGlobalPowersValidation:
+    def test_unknown_stim_level_raises(self):
+        """Explicit powers= that miss a level present in the data must
+        raise (the single-process prepare_stim contract) — silently it
+        would zero that level's buckets and corrupt the msrmp gate."""
+        import pytest
+        from circuitmap_tpu.parallel.distributed import _global_powers
+
+        stim = np.zeros((5, 20), np.float64)
+        stim[0, :3] = 65.0
+        stim[1, 3:6] = 45.0
+        with pytest.raises(ValueError, match="65"):
+            _global_powers(stim, [45.0, 55.0], np.dtype(np.float32))
+
+    def test_covering_powers_pass(self):
+        from circuitmap_tpu.parallel.distributed import _global_powers
+
+        stim = np.zeros((5, 20), np.float64)
+        stim[0, :3] = 65.0
+        out = _global_powers(stim, [45.0, 55.0, 65.0],
+                             np.dtype(np.float32))
+        np.testing.assert_allclose(out, [45.0, 55.0, 65.0])

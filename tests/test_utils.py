@@ -258,3 +258,38 @@ class TestViz:
         import matplotlib.pyplot as plt
 
         plt.close(fig)
+
+
+class TestOrientationAmbiguity:
+    def test_square_coincidence_raises(self):
+        """N == T (e.g. 900 neurons, 900 samples): a MATLAB-transposed
+        pair ALSO satisfies the as-stored shape check — undecidable
+        from shapes, so load must refuse rather than feed a time axis
+        to the fit as trials."""
+        import pytest
+        from circuitmap_tpu.utils.io import _reconcile_orientation
+
+        psc_t = np.zeros((900, 40))   # [T, K] (transposed)
+        stim_t = np.zeros((40, 900))  # [K, N] (transposed), N == T
+        with pytest.raises(ValueError, match="ambiguous"):
+            _reconcile_orientation(psc_t, stim_t)
+
+    def test_unambiguous_layouts_still_resolve(self):
+        from circuitmap_tpu.utils.io import _reconcile_orientation
+
+        psc = np.zeros((40, 900))
+        stim = np.zeros((25, 40))
+        for p_in, s_in in [(psc, stim), (psc.T, stim.T),
+                           (psc.T, stim), (psc, stim.T)]:
+            p, s = _reconcile_orientation(p_in, s_in)
+            assert p.shape == (40, 900) and s.shape == (25, 40)
+
+    def test_square_stim_keeps_as_stored(self):
+        # K == N square stim: content-ambiguous but shape-consistent —
+        # must NOT raise (correctly-saved square designs are legal)
+        from circuitmap_tpu.utils.io import _reconcile_orientation
+
+        psc = np.zeros((40, 900))
+        stim = np.arange(1600.).reshape(40, 40)
+        p, s = _reconcile_orientation(psc, stim)
+        np.testing.assert_array_equal(s, stim)
