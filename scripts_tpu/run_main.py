@@ -34,12 +34,14 @@ def main():
     N = stim_matrix.shape[0]
 
     demix = NeuralDemixer(path=config["demixer"])
-    # fast path: f16 wire upload, demixed traces stay device-resident
-    # and feed the solver directly (no host round trip of the [K, T]
-    # block — see bench.py; same options the north-star bench uses)
-    import numpy as np
-
-    psc_dem = demix(psc, keep_on_device=True, transfer_dtype=np.float16)
+    # fast path: compressed wire upload, demixed traces stay
+    # device-resident and feed the solver directly (no host round trip
+    # of the [K, T] block — see bench.py). f16 is the safe default for
+    # arbitrary checkpoints; set `transfer_dtype: int4d2` (or int4 /
+    # int8) in the YAML when `demixer` points at the matching
+    # QAT-trained checkpoint (WIRE_STUDY.json).
+    psc_dem = demix(psc, keep_on_device=True,
+                    transfer_dtype=config.get("transfer_dtype", "f16"))
 
     fit_options = {
         "msrmp": float(config["msrmp"]),

@@ -361,3 +361,35 @@ class TestMeshStream:
                                    atol=1e-6)
         np.testing.assert_allclose(res["lam"], full["lam"], rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestSweepReresolution:
+    def test_capacity_growth_reresolves_sweep(self, monkeypatch):
+        """A stream growing past the Pallas kernels' VMEM budget must
+        re-route its sweep (auto) instead of dying in the Mosaic
+        lowering: the resolver is consulted each update against the
+        LIVE capacity."""
+        import importlib
+
+        from circuitmap_tpu.solvers.online import OnlineCaviar
+
+        cav = importlib.import_module("circuitmap_tpu.solvers.caviar")
+
+        seen = []
+        real = cav._resolve_sweep
+
+        def spy(impl, block, k=None):
+            out = real(impl, block, k=k)
+            seen.append((k, out))
+            return out
+
+        monkeypatch.setattr(
+            importlib.import_module("circuitmap_tpu.solvers.online"),
+            "_resolve_sweep", spy)
+        oc = OnlineCaviar(8, powers=[45.0, 55.0, 65.0], capacity=128)
+        rng = np.random.default_rng(0)
+        psc = np.abs(rng.normal(size=(40, 900))).astype(np.float32)
+        stim = np.zeros((8, 40), np.float32)
+        stim[rng.integers(0, 8, 40), np.arange(40)] = 45.0
+        oc.update(psc, stim, iters=2)
+        assert seen and seen[-1][0] == oc._C  # resolved at live capacity
