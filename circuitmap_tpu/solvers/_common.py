@@ -46,16 +46,22 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
     demix/demixer.py transfer_dtype): "f16" halves it (~1e-3 relative
     quantisation), "int8" quarters it (per-trace peak scale, ~0.4% of
     peak — below recording noise; WIRE_STUDY.json measured int8 == f32
-    truth-R2 to 4 decimals on the bench config). Opt-in: None keeps the
-    exact f32 wire. Ignored for device-resident inputs; rejected for
-    f64 fits (parity-oracle exactness).
+    truth-R2 to 4 decimals on the bench config), "int4" (two codes per
+    byte) and "int4d2" (mean-pool 2x + int4, device upsample) shrink
+    it 8x/16x — for SOLVER inputs the observation reduction is a
+    trapezoid integral over 900 samples, which averages the
+    quantisation noise out: measured truth-R2 within +-0.002 of f32 on
+    raw-trace fits over 3 seeds (unlike the demixer path, no QAT
+    checkpoint is needed). Opt-in: None keeps the exact f32 wire.
+    Ignored for device-resident inputs; rejected for f64 fits
+    (parity-oracle exactness).
     """
     if isinstance(y_psc, jax.Array):
         return y_psc.astype(dtype)
-    if trace_wire not in (None, "f32", "f16", "int8"):
+    if trace_wire not in (None, "f32", "f16", "int8", "int4", "int4d2"):
         raise ValueError(
-            f"trace_wire must be None, 'f32', 'f16' or 'int8', "
-            f"got {trace_wire!r}")
+            f"trace_wire must be None, 'f32', 'f16', 'int8', 'int4' or "
+            f"'int4d2', got {trace_wire!r}")
     if jnp.dtype(dtype).itemsize > 4:
         if trace_wire is not None:
             raise ValueError(
@@ -100,7 +106,56 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
                     casting="unsafe")
             scale[k0:k0 + step] = s
         return _dequantise_traces(jnp.asarray(q), jnp.asarray(scale), dtype)
+    if trace_wire in ("int4", "int4d2"):
+        from ..demix.demixer import _pool2
+
+        arr = np.asarray(y_psc)
+        K, T = arr.shape
+        tw = (T + 1) // 2 if trace_wire == "int4d2" else T
+        t_pad = -(-tw // 2) * 2
+        packed = np.empty((K, t_pad // 2), dtype=np.uint8)
+        scale = np.empty(K, dtype=np.float32)
+        step = 4096
+        for k0 in range(0, K, step):
+            part = arr[k0:k0 + step]
+            if trace_wire == "int4d2":
+                # same f32 pooling arithmetic as the demixer wire
+                part = _pool2(np.asarray(part, dtype=np.float32))
+            s = (np.abs(part).max(axis=1) / 7.0).astype(np.float32)
+            if not np.isfinite(s).all():
+                raise ValueError(
+                    "traces contain non-finite samples; the int4 trace "
+                    "wire requires finite traces")
+            s = np.where(s > 0, s, np.float32(1.0))
+            q = np.zeros((part.shape[0], t_pad), dtype=np.int8)
+            np.rint(part / s[:, None], out=q[:, :tw], casting="unsafe")
+            np.clip(q, -7, 7, out=q)
+            qu = q.view(np.uint8)
+            packed[k0:k0 + step] = ((qu[:, 0::2] & 0x0F)
+                                    | ((qu[:, 1::2] & 0x0F) << 4))
+            scale[k0:k0 + step] = s
+        return _unpack_int4_traces(
+            jnp.asarray(packed), jnp.asarray(scale), tw, T,
+            trace_wire == "int4d2", dtype)
     return jnp.asarray(np.asarray(y_psc, dtype=np.float32), dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("tw", "t_true", "upsample", "dtype"))
+def _unpack_int4_traces(packed, scale, tw, t_true, upsample, dtype):
+    """Device-side int4/int4d2 unpack — the demixer wire's unpack
+    (demix/demixer._demix_and_filter_int4*) without the network."""
+    from ..demix.demixer import _upsample2
+
+    w = packed.astype(jnp.int32)
+    low = w & 0xF
+    high = (w >> 4) & 0xF
+    low = low - ((low > 7) << 4)
+    high = high - ((high > 7) << 4)
+    codes = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :tw]
+    traces = codes.astype(jnp.float32) * scale[:, None]
+    if upsample:
+        traces = _upsample2(traces, t_true, xp=jnp)
+    return traces.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("dtype",))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
-from ._common import _levels, prepare_stim
+from ._common import _levels, prepare_stim, prepare_traces
 from ._laplace import _resolve_laplace_impl, laplace_phi_update
 from .caviar import (_resolve_sweep,
                      _run_caviar, reconnect_from_spontaneous)
@@ -73,6 +73,7 @@ def caviar_many(
     sweep_block_size="auto",
     laplace_impl="auto",
     compile_mode="auto",
+    trace_wire=None,
     verbose=True,
 ):
     """Fit B experiments at once. y_pscs: [B, K, T]; stims: [B, N, K].
@@ -126,7 +127,10 @@ def caviar_many(
     default; ``batched`` buys ~10% warm latency via its single
     dispatch when B is large and no single fit shares the process.
     """
-    y_pscs = np.asarray(y_pscs, dtype=np.float32)
+    if trace_wire is None:
+        y_pscs = np.asarray(y_pscs, dtype=np.float32)
+    else:
+        y_pscs = np.asarray(y_pscs)
     stims_np = np.asarray(stims)  # no full-size cast (see _common)
     B, K, _T = y_pscs.shape
 
@@ -154,7 +158,17 @@ def caviar_many(
         print(f"Running CAVIaR on {B} experiments "
               f"(compile_mode={compile_mode}).")
 
-    y_dev = jnp.asarray(y_pscs, dtype=dtype)
+    if trace_wire is None:
+        y_dev = jnp.asarray(y_pscs, dtype=dtype)
+    else:
+        # compressed trace upload, shared wire semantics with the
+        # single-fit entry (solvers/_common.prepare_traces): the [B*K]
+        # flattened block packs host-side, unpacks on device
+        Bk = y_pscs.shape[0] * y_pscs.shape[1]
+        y_dev = prepare_traces(
+            y_pscs.reshape(Bk, y_pscs.shape[2]), dtype,
+            trace_wire=trace_wire,
+        ).reshape(y_pscs.shape)
     # compressed per-experiment stim upload (sparse hologram / int8
     # buckets — ~0.6 MB instead of 80 MB f32 per experiment at the
     # flagship shape), stacked on device

@@ -197,3 +197,25 @@ def test_blocked_kernel_matches_grid_path(sims):
                                       blocked[b]["mu"] != 0)
         np.testing.assert_allclose(default[b]["mu"], blocked[b]["mu"],
                                    rtol=0.05, atol=0.05)
+
+
+def test_trace_wire_matches_plain_upload(sims):
+    """caviar_many(trace_wire=) must recover the same support as the
+    full-f32 upload (int4d2 is 1/16 of the f32 bytes; the charge
+    integral averages the quantisation noise out)."""
+    from circuitmap_tpu.solvers import batched as mod
+
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+    stack = (np.stack([s["psc"] for s in sims]),
+             np.stack([s["stim_matrix"] for s in sims]))
+    kw = dict(iters=10, fn_scan=False, analytic_mc=True, seeds=[0, 1, 2],
+              verbose=False)
+    plain = mod.caviar_many(*stack, *prior_args, **kw)
+    wired = mod.caviar_many(*stack, *prior_args, trace_wire="int4d2", **kw)
+    for b in range(len(sims)):
+        np.testing.assert_array_equal(plain[b]["mu"] != 0,
+                                      wired[b]["mu"] != 0)
+        np.testing.assert_allclose(plain[b]["mu"], wired[b]["mu"],
+                                   rtol=0.1, atol=0.05)

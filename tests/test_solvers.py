@@ -491,9 +491,11 @@ class TestTraceWire:
         from circuitmap_tpu.solvers._common import prepare_traces
 
         with pytest.raises(ValueError, match="trace_wire"):
-            prepare_traces(np.zeros((2, 4)), jnp.float32, trace_wire="int4")
+            prepare_traces(np.zeros((2, 4)), jnp.float32, trace_wire="int2")
         with pytest.raises(ValueError, match="float64"):
             prepare_traces(np.zeros((2, 4)), jnp.float64, trace_wire="int8")
+        with pytest.raises(ValueError, match="float64"):
+            prepare_traces(np.zeros((2, 4)), jnp.float64, trace_wire="int4")
         with pytest.raises(ValueError, match="float64"):
             # 'f32' must not be silently ignored for f64 fits either
             prepare_traces(np.zeros((2, 4)), jnp.float64, trace_wire="f32")
@@ -510,3 +512,42 @@ class TestTraceWire:
         x = rng.standard_normal((8, 64)).astype(np.float32)
         out = np.asarray(prepare_traces(x, jnp.float32, trace_wire="f16"))
         np.testing.assert_allclose(out, x, rtol=2e-3, atol=2e-3)
+
+    def test_int4_wires_match_host_reference(self):
+        """The solver-side int4/int4d2 unpack must reproduce the shared
+        host transform (demix.demixer.wire_transform) exactly — one
+        wire semantics across the demixer and solver entries."""
+        import jax.numpy as jnp
+
+        from circuitmap_tpu.demix.demixer import wire_transform
+        from circuitmap_tpu.solvers._common import prepare_traces
+
+        rng = np.random.default_rng(1)
+        for T in (900, 899):
+            x = rng.standard_normal((6, T)).astype(np.float32)
+            x[3] = 0.0  # zero-trace scale guard
+            for wire, dec in (("int4", 1), ("int4d2", 2)):
+                out = np.asarray(
+                    prepare_traces(x, jnp.float32, trace_wire=wire))
+                ref = wire_transform(x, 4, decimate=dec)
+                np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
+
+    def test_int4_wire_fit_recovery(self):
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.solvers import caviar
+
+        np.random.seed(6)
+        sim = simulate(N=40, trials=400, H=5, connection_prob=0.1,
+                       verbose=False, spont_prob=0.01, gp_scale=1e-3)
+        p = default_priors(40)
+        kw = dict(iters=15, verbose=False, analytic_mc=True, fn_scan=False,
+                  seed=0)
+        args = (sim["psc"], sim["stim_matrix"], p["mu"], p["beta"],
+                p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        a = caviar(*args, **kw)
+        b = caviar(*args, trace_wire="int4d2", **kw)
+        r_a = r2_score(sim["weights"], np.asarray(a[0]))
+        r_b = r2_score(sim["weights"], np.asarray(b[0]))
+        # the charge integral averages the quantisation noise out
+        assert abs(r_a - r_b) < 0.02
+        assert r_b > 0.9
