@@ -117,10 +117,12 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
         scale = np.empty(K, dtype=np.float32)
         step = 4096
         for k0 in range(0, K, step):
-            part = arr[k0:k0 + step]
+            # quantise in f32 like the reference transform
+            # (demix.demixer.wire_transform) so codes agree bit-for-bit
+            # whatever the input dtype; per-chunk cast bounds the temp
+            part = np.asarray(arr[k0:k0 + step], dtype=np.float32)
             if trace_wire == "int4d2":
-                # same f32 pooling arithmetic as the demixer wire
-                part = _pool2(np.asarray(part, dtype=np.float32))
+                part = _pool2(part)
             s = (np.abs(part).max(axis=1) / 7.0).astype(np.float32)
             if not np.isfinite(s).all():
                 raise ValueError(
