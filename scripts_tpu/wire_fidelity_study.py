@@ -19,7 +19,11 @@ and beats — int8 fidelity at half the wire:
 
   int8 + stock ckpt   mean R2 0.9817
   int4 + stock ckpt   mean R2 0.9538   <- still rejected
-  int4 + QAT ckpt     mean R2 0.9881   <- SHIPPED: bench default wire
+  int4 + QAT ckpt     mean R2 0.9881
+  int4d2 + stock      mean R2 0.9484   <- rejected
+  int4d2 + QAT ckpt   mean R2 0.9862   <- SHIPPED: bench default wire
+                                          (quarter of the int8 bytes,
+                                          still above f32's 0.9816)
 
 Usage: python scripts_tpu/wire_fidelity_study.py [--seeds 0 1 2]
 """
@@ -119,10 +123,11 @@ def main():
         "summary": summary,
         "conclusion": "int8 lossless vs f32; int4 on the stock checkpoint "
                       "rejected (mean R2 -0.03); mu-law int4 rejected "
-                      "(demixer OOD); int4 with the QAT-fine-tuned "
-                      "checkpoint (train_qat_demixer.py) beats int8 "
-                      "fidelity at half the wire — shipped as the bench "
-                      "default.",
+                      "(demixer OOD); int4+QAT beats int8 fidelity at "
+                      "half the wire; int4d2+QAT (mean-pool 2x, device "
+                      "upsample) stays above the f32 wire at a QUARTER "
+                      "of the int8 bytes — the bench default from "
+                      "round 4 (train_qat_demixer.py --decimate 2).",
     }
     json.dump(verdict, open(args.out, "w"), indent=2)
     print("wrote", args.out)
