@@ -26,7 +26,7 @@ from circuitmap_tpu.solvers._common import (
     prepare_stim_and_init, prepare_traces)
 from circuitmap_tpu.solvers.caviar import (
     _run_caviar, _reconnect_and_refit_device, _resolve_laplace_impl,
-    _resolve_sweep_impl)
+    _resolve_sweep)
 
 
 def settle(x):
@@ -88,13 +88,15 @@ def main():
             key, iters=iters, num_mc_samples=100, minimum_spike_count=3,
             delay_spont_est=1, msrmp=0.3, scale_factor=0.75, penalty=5e0,
             max_backtrack_iters=20, tol=0.05, spont_orthogonality=0.1,
-            analytic_mc=False, save_histories=False, sweep_block_size=8,
-            # resolve like the public entry does: "auto" + block 8 ->
-            # the BLOCKED kernel. Pinning sweep_impl="pallas" here once
-            # silently measured the row-DMA kernel instead (an honoured
-            # explicit override, +125 ms/fit of relayout + T(1,128)
-            # reduces) and misattributed the bench's fit_scan stage.
-            sweep_impl=_resolve_sweep_impl("auto", 8),
+            analytic_mc=False, save_histories=False,
+            # resolve EXACTLY like the public entry (joint resolver,
+            # K-aware). Pinning sweep_impl="pallas" here once silently
+            # measured the row-DMA kernel instead (an honoured explicit
+            # override, +125 ms/fit of relayout + T(1,128) reduces) and
+            # misattributed the bench's fit_scan stage.
+            sweep_block_size=(rs := _resolve_sweep(
+                "auto", "auto", k=stim.shape[1]))[0],
+            sweep_impl=rs[1],
             laplace_impl=_resolve_laplace_impl("auto", dtype),
             update_order="random", track_elbo=False, elbo_tol=None,
         )
