@@ -60,7 +60,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
-from ._common import _bucketise_dense, _levels, _select_levels
+from ._common import (_bucketise_dense, _levels, _select_levels,
+                      prepare_traces)
 from .caviar import (CaviarState, _reconnect_and_refit_device, _run_caviar,
                      _resolve_laplace_impl, _resolve_sweep,
                      _resolve_sweep_block_size, _validate_update_order)
@@ -292,13 +293,21 @@ class OnlineCaviar:
 
     # -- streaming API -----------------------------------------------------
 
-    def update(self, psc_block, stim_block, iters=10, fn_scan=True):
+    def update(self, psc_block, stim_block, iters=10, fn_scan=True,
+               trace_wire=None):
         """Ingest a block of trials and run ``iters`` more CAVI
         iterations warm-started from the current posterior.
 
         ``psc_block``: [k_b, 900] demixed traces; ``stim_block``:
         [N, k_b] stimulus design columns for those trials. Returns self
         (chainable); nothing is pulled to the host.
+
+        ``trace_wire``: compress the block's trace upload like the
+        batch solvers (solvers/_common.prepare_traces: "f16" / "int8"
+        / "int4" / "int4d2") — the block only feeds the trapezoid
+        charge + activity mask, which average the quantisation noise
+        out, and at closed-loop block sizes the upload is a meaningful
+        slice of the steady-state refresh latency.
 
         ``fn_scan=True`` folds the false-negative reconnection scan
         (reference caviar.py:94-98) into the streaming state after the
@@ -353,8 +362,10 @@ class OnlineCaviar:
         traces[:kb] = psc
         bucket = np.zeros((self.N, kb_pad), np.int8)
         bucket[:, :kb] = _bucketise_dense(stim_np, self._levels_np)
+        traces_dev = prepare_traces(traces, self.dtype,
+                                    trace_wire=trace_wire)
         y_blk, active_blk = prepare_observations(
-            jnp.asarray(traces, self.dtype), self._y_xcorr_thresh)
+            traces_dev, self._y_xcorr_thresh)
 
         # Everything below is staged in locals and only committed to
         # self after the fit (and optional fn-scan) succeeds — a raised

@@ -393,3 +393,29 @@ class TestSweepReresolution:
         stim[rng.integers(0, 8, 40), np.arange(40)] = 45.0
         oc.update(psc, stim, iters=2)
         assert seen and seen[-1][0] == oc._C  # resolved at live capacity
+
+
+class TestBlockWire:
+    def test_int4d2_block_wire_matches_f32(self):
+        """Compressed block uploads must leave the streamed posterior's
+        support unchanged (the block only feeds charge + activity mask,
+        which average the step noise out)."""
+        from circuitmap_tpu.solvers.online import OnlineCaviar
+        from circuitmap_tpu.simulation import simulate
+
+        np.random.seed(21)
+        sim = simulate(N=24, trials=300, H=4, connection_prob=0.15,
+                       spont_prob=0.01, gp_scale=1e-3, verbose=False)
+        halves = [(0, 150), (150, 300)]
+
+        def stream(wire):
+            oc = OnlineCaviar(24, powers=[45.0, 55.0, 65.0], capacity=256,
+                              analytic_mc=True)
+            for lo, hi in halves:
+                oc.update(sim["psc"][lo:hi], sim["stim_matrix"][:, lo:hi],
+                          iters=8, trace_wire=wire)
+            return oc.result()
+
+        a, b = stream(None), stream("int4d2")
+        np.testing.assert_array_equal(a["mu"] != 0, b["mu"] != 0)
+        np.testing.assert_allclose(a["mu"], b["mu"], rtol=0.1, atol=0.05)
