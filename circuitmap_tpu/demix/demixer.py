@@ -91,6 +91,55 @@ def _upsample2(p, t_true, xp=np):
     return up[..., :t_true]
 
 
+def _quantise_pack_int4(src, out_rows=None):
+    """Host-side int4 quantise + nibble-pack: the ONE copy of the wire's
+    pack arithmetic (shared by the demixer upload path and the solver
+    trace wire, solvers/_common.prepare_traces).
+
+    ``src``: float32 [B, tw] (callers must cast first — quantising in
+    f32 regardless of input dtype keeps serve-time codes bit-for-bit
+    identical to the QAT train-time transform, :func:`wire_transform`).
+    ``out_rows``: pad the packed rows to this count (zero codes).
+    Returns (packed uint8 [out_rows, ceil(tw/2)], scale f32 [B]) where
+    scale is the per-trace step peak/7 (1.0 for all-zero traces).
+    Raises on non-finite samples — a non-finite peak would make the
+    unsafe int8 cast wrap silently.
+    """
+    assert src.dtype == np.float32, "int4 wire quantises in f32"
+    B, tw = src.shape
+    rows = B if out_rows is None else int(out_rows)
+    scale = (np.abs(src).max(axis=1) / 7.0).astype(np.float32)
+    if not np.isfinite(scale).all():
+        raise ValueError(
+            "traces contain non-finite samples (or peaks above float32 "
+            "range); the int4 wire format requires finite traces")
+    scale = np.where(scale > 0, scale, np.float32(1.0))
+    t_pad = -(-tw // 2) * 2
+    q = np.zeros((rows, t_pad), dtype=np.int8)
+    np.rint(src / scale[:, None], out=q[:B, :tw], casting="unsafe")
+    np.clip(q, -7, 7, out=q)
+    qu = q.view(np.uint8)
+    packed = (qu[:, 0::2] & 0x0F) | ((qu[:, 1::2] & 0x0F) << 4)
+    return packed, scale
+
+
+def _unpack_int4_codes(packed, n_codes):
+    """Device-side inverse of :func:`_quantise_pack_int4`'s pack: split
+    each byte into two sign-extended 4-bit two's-complement codes in
+    [-7, 7] (low nibble = even sample, high = odd) and trim the pad.
+    Pure VPU work (shifts, masks, one reshape) that fuses into the
+    caller's dequantise multiply. The ONE copy of the unpack arithmetic.
+    """
+    w = packed.astype(jnp.int32)
+    low = w & 0xF
+    high = (w >> 4) & 0xF
+    # sign-extend 4-bit two's complement
+    low = low - ((low > 7) << 4)
+    high = high - ((high > 7) << 4)
+    return jnp.stack([low, high], axis=-1).reshape(
+        w.shape[0], -1)[:, :n_codes]
+
+
 def wire_transform(traces, bits=4, decimate=1):
     """Host-side reference of the quantised trace wire: what the device
     reconstructs from a ``transfer_dtype`` upload, as f32 traces.
@@ -133,13 +182,7 @@ def _demix_and_filter_int4(params, packed, scale, start, t_true):
     (peak / 7). Unpack is pure VPU work (shifts, masks, one reshape)
     and fuses into the dequantise multiply.
     """
-    w = packed.astype(jnp.int32)
-    low = w & 0xF
-    high = (w >> 4) & 0xF
-    # sign-extend 4-bit two's complement
-    low = low - ((low > 7) << 4)
-    high = high - ((high > 7) << 4)
-    codes = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :t_true]
+    codes = _unpack_int4_codes(packed, t_true)
     traces = codes.astype(jnp.float32) * scale[:, None]
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
@@ -152,14 +195,8 @@ def _demix_and_filter_int4d2(params, packed, scale, start, t_true):
     + 0.25*p[i+1], clamped edges — the exact host-reference transform,
     demixer.wire_transform(decimate=2)). Quarter of the int8 wire's
     bytes; pair with a *_int4d2qat.npz checkpoint."""
-    w = packed.astype(jnp.int32)
-    low = w & 0xF
-    high = (w >> 4) & 0xF
-    low = low - ((low > 7) << 4)
-    high = high - ((high > 7) << 4)
     th = (t_true + 1) // 2
-    p = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :th]
-    p = p.astype(jnp.float32) * scale[:, None]
+    p = _unpack_int4_codes(packed, th).astype(jnp.float32) * scale[:, None]
     traces = _upsample2(p, t_true, xp=jnp)
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
@@ -298,30 +335,21 @@ class NeuralDemixer:
         def _one(part):
             bucket = _bucket(part.shape[0])
             if int4_dec:
+                # quantise in f32 whatever the input dtype — the QAT
+                # train-time transform (wire_transform) runs in f32, so
+                # an f64 source quantised in f64 could round .5-boundary
+                # samples to different codes. The chunk-sized cast
+                # bounds the temporary (same rule as the solver wire,
+                # solvers/_common.prepare_traces).
+                src = np.asarray(part, dtype=np.float32)
                 if int4_dec == 2:
                     # antialias mean-pool by 2 host-side (one pass over
                     # the chunk; the wire then carries half the codes).
                     # _pool2 in f32 IS the train-time transform
                     # (wire_transform) — one arithmetic, no drift.
-                    src = _pool2(part.astype(np.float32, copy=False))
-                else:
-                    src = part
-                tw = src.shape[1]
-                scale = (np.abs(src).max(axis=1) / 7.0).astype(np.float32)
-                if not np.isfinite(scale).all():
-                    raise ValueError(
-                        "traces contain non-finite samples (or peaks "
-                        "above float32 range); the int4 wire format "
-                        "requires finite traces"
-                    )
-                scale_safe = np.where(scale > 0, scale, np.float32(1.0))
-                t_pad = -(-tw // 2) * 2
-                q = np.zeros((bucket, t_pad), dtype=np.int8)
-                np.rint(src / scale_safe[:, None],
-                        out=q[:part.shape[0], :tw], casting="unsafe")
-                np.clip(q, -7, 7, out=q)
-                qu = q.view(np.uint8)
-                packed = (qu[:, 0::2] & 0x0F) | ((qu[:, 1::2] & 0x0F) << 4)
+                    src = _pool2(src)
+                packed, scale_safe = _quantise_pack_int4(
+                    src, out_rows=bucket)
                 pscale = np.ones(bucket, dtype=np.float32)
                 pscale[:part.shape[0]] = scale_safe
                 fn = (_demix_and_filter_int4d2 if int4_dec == 2

@@ -107,7 +107,7 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
             scale[k0:k0 + step] = s
         return _dequantise_traces(jnp.asarray(q), jnp.asarray(scale), dtype)
     if trace_wire in ("int4", "int4d2"):
-        from ..demix.demixer import _pool2
+        from ..demix.demixer import _pool2, _quantise_pack_int4
 
         arr = np.asarray(y_psc)
         K, T = arr.shape
@@ -123,19 +123,8 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
             part = np.asarray(arr[k0:k0 + step], dtype=np.float32)
             if trace_wire == "int4d2":
                 part = _pool2(part)
-            s = (np.abs(part).max(axis=1) / 7.0).astype(np.float32)
-            if not np.isfinite(s).all():
-                raise ValueError(
-                    "traces contain non-finite samples; the int4 trace "
-                    "wire requires finite traces")
-            s = np.where(s > 0, s, np.float32(1.0))
-            q = np.zeros((part.shape[0], t_pad), dtype=np.int8)
-            np.rint(part / s[:, None], out=q[:, :tw], casting="unsafe")
-            np.clip(q, -7, 7, out=q)
-            qu = q.view(np.uint8)
-            packed[k0:k0 + step] = ((qu[:, 0::2] & 0x0F)
-                                    | ((qu[:, 1::2] & 0x0F) << 4))
-            scale[k0:k0 + step] = s
+            packed[k0:k0 + step], scale[k0:k0 + step] = \
+                _quantise_pack_int4(part)
         return _unpack_int4_traces(
             jnp.asarray(packed), jnp.asarray(scale), tw, T,
             trace_wire == "int4d2", dtype)
@@ -146,14 +135,9 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
 def _unpack_int4_traces(packed, scale, tw, t_true, upsample, dtype):
     """Device-side int4/int4d2 unpack — the demixer wire's unpack
     (demix/demixer._demix_and_filter_int4*) without the network."""
-    from ..demix.demixer import _upsample2
+    from ..demix.demixer import _unpack_int4_codes, _upsample2
 
-    w = packed.astype(jnp.int32)
-    low = w & 0xF
-    high = (w >> 4) & 0xF
-    low = low - ((low > 7) << 4)
-    high = high - ((high > 7) << 4)
-    codes = jnp.stack([low, high], axis=-1).reshape(w.shape[0], -1)[:, :tw]
+    codes = _unpack_int4_codes(packed, tw)
     traces = codes.astype(jnp.float32) * scale[:, None]
     if upsample:
         traces = _upsample2(traces, t_true, xp=jnp)

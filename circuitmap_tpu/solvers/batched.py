@@ -110,7 +110,13 @@ def caviar_many(
         ``caviar()`` uses at this shape) once per experiment. One
         single-fit XLA compile instead of the vmapped-scan compile;
         dispatches are async so the B fits pipeline on device
-        back-to-back. Posterior-identical to the batched program.
+        back-to-back. Posterior-identical to the batched program when
+        ``sweep_block_size`` is pinned to the same value; under
+        ``"auto"`` each mode resolves its own fastest sweep on TPU
+        (sequential: the public single fit's blocked-8 kernel;
+        batched: the block-1 grid kernel), whose within-block update
+        schedules differ — recoveries then agree to seed-level noise,
+        not bit-for-bit.
       * ``"batched"`` — the one-dispatch vmapped program (above).
       * ``"auto"`` (default) — ``sequential`` without a mesh,
         ``batched`` under a mesh (shard_map shards the experiment axis
@@ -134,6 +140,21 @@ def caviar_many(
     stims_np = np.asarray(stims)  # no full-size cast (see _common)
     B, K, _T = y_pscs.shape
 
+    # validate + resolve the compile mode up front (before any upload
+    # work), so the verbose banner can report the mode that actually
+    # runs rather than echoing 'auto'
+    if compile_mode not in ("auto", "sequential", "batched"):
+        raise ValueError(
+            f"compile_mode must be 'auto', 'sequential' or 'batched'; "
+            f"got {compile_mode!r}")
+    if compile_mode == "sequential" and mesh is not None:
+        raise ValueError(
+            "compile_mode='sequential' has no mesh path — experiment "
+            "sharding needs the batched program; drop mesh= or use "
+            "compile_mode='batched'")
+    mode = ("sequential" if mesh is None else "batched") \
+        if compile_mode == "auto" else compile_mode
+
     # one level scan (or none, with powers=); the per-experiment
     # compressed uploads below validate that every experiment's values
     # are covered by this shared level table and raise otherwise
@@ -156,7 +177,7 @@ def caviar_many(
 
     if verbose:
         print(f"Running CAVIaR on {B} experiments "
-              f"(compile_mode={compile_mode}).")
+              f"(compile_mode={mode}).")
 
     if trace_wire is None:
         y_dev = jnp.asarray(y_pscs, dtype=dtype)
@@ -248,18 +269,6 @@ def caviar_many(
             laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
         )
         return final
-
-    if compile_mode not in ("auto", "sequential", "batched"):
-        raise ValueError(
-            f"compile_mode must be 'auto', 'sequential' or 'batched'; "
-            f"got {compile_mode!r}")
-    if compile_mode == "sequential" and mesh is not None:
-        raise ValueError(
-            "compile_mode='sequential' has no mesh path — experiment "
-            "sharding needs the batched program; drop mesh= or use "
-            "compile_mode='batched'")
-    mode = ("sequential" if mesh is None else "batched") \
-        if compile_mode == "auto" else compile_mode
 
     if mesh is None and mode == "sequential":
         # reuse the single-fit executable: one compile (shared with any

@@ -339,7 +339,8 @@ class OnlineCaviar:
                 f"psc_block carries {kb} trials but stim_block "
                 f"{stim_np.shape[1]}")
 
-        if self._levels_np is None:
+        fresh_table = self._levels_np is None
+        if fresh_table:
             self._powers_np, self._levels_np = _levels(stim_np, None)
             if self._levels_np.size < 2:
                 self._powers_np = self._levels_np = None
@@ -347,7 +348,23 @@ class OnlineCaviar:
                     "the first block carries no nonzero stimulation, so "
                     "no power-level table can be derived from it; pass "
                     "powers= up front")
+        try:
+            return self._update_guarded(psc, stim_np, kb, iters, fn_scan,
+                                        trace_wire)
+        except BaseException:
+            if fresh_table:
+                # roll the table derivation back too: a failed FIRST
+                # update ingested nothing, so it must not freeze the
+                # stream's power levels to its block (the rollback
+                # guarantee below covers everything else)
+                self._powers_np = self._levels_np = None
+                self._dev_tables = None
+            raise
 
+    def _update_guarded(self, psc, stim_np, kb, iters, fn_scan, trace_wire):
+        """``update()``'s body after block validation and level-table
+        derivation; the caller rolls back a first-block table if this
+        raises."""
         kb_pad = _ceil128(kb)
         self._ensure_capacity(self.k + kb_pad)
         if self._bufs is None:
@@ -607,11 +624,15 @@ class OnlineCaviar:
                 self._C = aligned
             if self.k:
                 # rebuild the loop-invariant bucket counts the sharded
-                # program takes as input (the buffer holds stim VALUES)
-                pw = self._levels_np[1:]
-                stim_vals = np.asarray(ck["stim"])[:, :self.k]
-                self._counts_np = (
-                    stim_vals[:, :, None].astype(np.float32)
-                    == pw[None, None, :].astype(np.float32)
-                ).sum(axis=1).astype(np.float64)
+                # program takes as input (the buffer holds stim VALUES).
+                # One [N, k] comparison per level, not a broadcast
+                # [N, k, P] temporary — the same host-memory rule as
+                # parallel/distributed.py's counts (first-touch page
+                # faults make a multi-GB temp cost seconds here)
+                pw = self._levels_np[1:].astype(np.float32)
+                stim_vals = np.asarray(ck["stim"][:, :self.k],
+                                       dtype=np.float32)
+                self._counts_np = np.stack(
+                    [(stim_vals == v).sum(axis=1) for v in pw],
+                    axis=1).astype(np.float64)
         return self

@@ -210,6 +210,27 @@ class TestFacade:
                         verbose=False)
             np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
 
+    def test_int4_wire_quantises_f64_input_in_f32(self, state_dict, rng):
+        """simulate() hands the demixer float64 psc; both int4 wires
+        must quantise it through f32 — the QAT train-time transform
+        (wire_transform) runs in f32, so quantising in f64 could round
+        .5-boundary samples to different codes than the checkpoint was
+        trained on (round-4 review finding)."""
+        from circuitmap_tpu.demix.demixer import wire_transform
+
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        traces64 = np.abs(rng.normal(size=(6, 900))).astype(np.float64)
+        # force an f32-vs-f64 rounding divergence: a sample exactly on
+        # a .5 code boundary in f64 that f32's nearest representable
+        # lands past, plus a peak fixing scale = 1.0 exactly
+        traces64[0, 0] = 7.0
+        traces64[0, 1] = 2.5000000001  # f32 rounds to 2.5 -> code 2 (even)
+        for wire_tok, dec in (("int4", 1), ("int4d2", 2)):
+            out = demix(traces64, verbose=False, transfer_dtype=wire_tok)
+            ref = demix(wire_transform(traces64, 4, decimate=dec),
+                        verbose=False)
+            np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
+
     def test_unknown_transfer_token_rejected(self, state_dict):
         import pytest
         demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))

@@ -219,6 +219,26 @@ class TestFailedUpdateLeavesStreamIntact:
         np.testing.assert_allclose(a["lam"], b["lam"], rtol=0, atol=1e-6)
 
 
+    def test_failed_first_update_rolls_back_level_table(self, sim):
+        """A raised FIRST update must not freeze the stream's power
+        table to its block (round-4 review finding: the table was
+        derived and committed before trace_wire validation, so a bad
+        first call poisoned every later update whose block carried a
+        level the failed block lacked)."""
+        oc = OnlineCaviar(60, num_mc_samples=20)
+        with pytest.raises(ValueError, match="trace_wire"):
+            oc.update(sim["psc"][:128], sim["stim_matrix"][:, :128],
+                      iters=2, trace_wire="int5")
+        assert oc._levels_np is None and oc._powers_np is None
+        assert oc.k == 0
+
+        # the stream derives its table fresh from the next valid block
+        # — including levels the failed block may not have carried
+        stim2 = sim["stim_matrix"][:, 128:256] * 2.0
+        oc.update(sim["psc"][128:256], stim2, iters=2)
+        assert oc.k == 128 and oc._levels_np is not None
+
+
 class TestValidation:
     def test_unseen_power_level_raises(self, sim):
         oc = OnlineCaviar(60, powers=[45.0])
