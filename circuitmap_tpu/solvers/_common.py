@@ -27,11 +27,52 @@ fits (round-2 advisor finding).
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+# Measured single-chip working-set ceiling (MEMORY_CLIFF.json, 16 GB
+# TPU v5e): N=5000 x K_pad=100096 (~5.0e8 elements per [N, K] array)
+# fits; 1e9 elements asks 23.3 GB of HBM and dies. The ladder puts the
+# cliff at ~6.8e8 elements.
+_SINGLE_CHIP_ELEM_CLIFF = 6.8e8
+
+
+def warn_single_chip_envelope(n_rows, k, what="this fit"):
+    """Route oversized single-chip fits toward the sharded path BEFORE
+    XLA's opaque RESOURCE_EXHAUSTED (which takes ~45 s to surface
+    through the tunnel — MEMORY_CLIFF.json protocol notes).
+
+    Fires a ResourceWarning when the [n_rows, K] working set exceeds
+    the envelope measured on a 16 GB chip. Advisory, not an error: a
+    larger-HBM part moves the cliff, and the fit may still be the right
+    call just under it. Silent on CPU backends (host RAM, not HBM,
+    bounds those). Single-chip entries call this; the sharded/
+    distributed paths — whose per-device working set is the point —
+    do not.
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - no backend at all
+        return
+    if backend == "cpu":
+        return
+    k_pad = -(-int(k) // 128) * 128
+    elems = int(n_rows) * k_pad
+    if elems > _SINGLE_CHIP_ELEM_CLIFF:
+        warnings.warn(
+            f"{what} allocates [{n_rows}, {k_pad}] working arrays "
+            f"({elems:.2e} elements), past the ~6.8e8-element "
+            "single-chip envelope measured on a 16 GB TPU v5e "
+            "(MEMORY_CLIFF.json) — expect HBM exhaustion. Shard trials "
+            "over a mesh instead: parallel.caviar_sharded(mesh=...) on "
+            "one host, or parallel.distributed.* on a multi-host slice "
+            "(docs/DEPLOY.md has the recipe).",
+            ResourceWarning, stacklevel=3)
 
 
 def prepare_traces(y_psc, dtype, trace_wire=None):

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
-from ._common import _levels, prepare_stim, prepare_traces
+from ._common import (_levels, prepare_stim, prepare_traces,
+                      warn_single_chip_envelope)
 from ._laplace import _resolve_laplace_impl, laplace_phi_update
 from .caviar import (_resolve_sweep,
                      _run_caviar, reconnect_from_spontaneous)
@@ -139,6 +140,13 @@ def caviar_many(
         y_pscs = np.asarray(y_pscs)
     stims_np = np.asarray(stims)  # no full-size cast (see _common)
     B, K, _T = y_pscs.shape
+    # the stacked device stim is [B, N, K], so the single-chip working
+    # set scales with B x N; a mesh shards the experiment axis, so its
+    # per-device share is the sharded paths' business (no warning)
+    if mesh is None:
+        warn_single_chip_envelope(
+            B * stims_np.shape[1], K,
+            what=f"caviar_many() over {B} experiments")
 
     # validate + resolve the compile mode up front (before any upload
     # work), so the verbose banner can report the mode that actually

@@ -26,7 +26,8 @@ from jax.nn import sigmoid
 
 from ..ops.charge import integrated_charge
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
-from ._common import prepare_stim, prepare_traces
+from ._common import (prepare_stim, prepare_traces,
+                      warn_single_chip_envelope)
 from ._laplace import _resolve_laplace_impl, laplace_phi_update
 
 EPS = 1e-10
@@ -270,6 +271,7 @@ def cavi_sns(
     if verbose:
         print("Running CAVI-SnS (TPU-native).")
 
+    warn_single_chip_envelope(*np.shape(stim), what="cavi_sns()")
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     stim, stim_np, powers_np, powers_dev_np = prepare_stim(stim, dtype)
     y = integrated_charge(y_psc)

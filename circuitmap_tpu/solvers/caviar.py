@@ -56,7 +56,8 @@ from ..ops.pava import isotonic_fit_at_max, isotonic_fit_at_max_batched
 from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ..ops.sweep_pallas import sweep_spikes_pallas
-from ._common import prepare_stim_and_init, prepare_traces
+from ._common import (prepare_stim_and_init, prepare_traces,
+                      warn_single_chip_envelope)
 from ._laplace import (_resolve_laplace_impl, laplace_phi_update,
                        laplace_phi_update_jit)
 
@@ -1065,6 +1066,7 @@ def caviar(
     if verbose:
         print("Running CAVIaR (TPU-native).")
 
+    warn_single_chip_envelope(*np.shape(stim), what="caviar()")
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     # single fused program for the stim gather + mask + lam init (the

@@ -24,7 +24,7 @@ from jax.nn import sigmoid
 
 from ..ops.charge import integrated_charge
 from ..ops.pava import isotonic_regression_batched
-from ._common import prepare_stim
+from ._common import prepare_stim, warn_single_chip_envelope
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +453,7 @@ def mbcs(
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
 
     # compressed stim upload (sparse hologram / int8 buckets), as caviar
+    warn_single_chip_envelope(*np.shape(stim), what="mbcs()")
     stim, stim_np, _powers_np, _powers_dev = prepare_stim(stim, dtype)
     # built from the uploaded-stim level table, not the original-precision
     # host powers — the two differ for f64 fits (_common f64 contract)

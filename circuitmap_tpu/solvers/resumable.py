@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
-from ._common import prepare_stim_and_init, prepare_traces
+from ._common import (prepare_stim_and_init, prepare_traces,
+                      warn_single_chip_envelope)
 from ._laplace import laplace_phi_update_jit
 from .caviar import (CaviarState, _run_caviar, _resolve_laplace_impl,
                      _resolve_sweep,
@@ -117,6 +118,7 @@ def caviar_resumable(
             laplace_impl=laplace_impl, trace_wire=trace_wire,
             verbose=verbose,
         )
+    warn_single_chip_envelope(*np.shape(stim), what="caviar_resumable()")
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (

@@ -75,3 +75,30 @@ class TestDegenerateTraces:
         lam = model.state["lam"]
         assert np.all(lam[:, ::7] == 0.0)
         assert np.all(np.isfinite(model.state["mu"]))
+
+
+class TestSingleChipEnvelopeWarning:
+    """warn_single_chip_envelope routes oversized single-chip fits to
+    the sharded path before XLA's opaque 45-second RESOURCE_EXHAUSTED
+    (MEMORY_CLIFF.json measured the ~6.8e8-element ceiling)."""
+
+    def test_warns_past_cliff_on_accelerator_backends(self, monkeypatch):
+        from circuitmap_tpu.solvers import _common
+
+        monkeypatch.setattr(_common.jax, "default_backend", lambda: "tpu")
+        with pytest.warns(ResourceWarning, match="single-chip envelope"):
+            _common.warn_single_chip_envelope(10000, 100000, what="caviar()")
+
+    def test_silent_below_cliff_and_on_cpu(self, monkeypatch):
+        import warnings
+
+        from circuitmap_tpu.solvers import _common
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            # CPU backend: host RAM bounds these fits, never warn
+            _common.warn_single_chip_envelope(10000, 100000)
+            # accelerator, bench shape: 30x under the cliff
+            monkeypatch.setattr(_common.jax, "default_backend",
+                                lambda: "tpu")
+            _common.warn_single_chip_envelope(1000, 20000)
