@@ -251,6 +251,66 @@ class TestCliSmoke:
         assert out["spikes"].shape == (20, 150)
 
 
+class TestUnifiedCli:
+    """``python -m circuitmap_tpu`` — the one front door over
+    scripts_tpu/ (reference analogue: its ad-hoc scripts/ directory)."""
+
+    def _env(self):
+        import os
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        return env
+
+    def test_listing_and_version_and_unknown(self):
+        env = self._env()
+        out = subprocess.run(
+            [sys.executable, "-m", "circuitmap_tpu"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=300)
+        assert out.returncode == 0
+        for cmd in ("fit", "train-demixer", "distributed-fit",
+                    "wire-study"):
+            assert cmd in out.stdout
+        ver = subprocess.run(
+            [sys.executable, "-m", "circuitmap_tpu", "version"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=300)
+        import circuitmap_tpu
+        assert ver.stdout.strip() == circuitmap_tpu.__version__
+        bad = subprocess.run(
+            [sys.executable, "-m", "circuitmap_tpu", "frobnicate"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=300)
+        assert bad.returncode == 2 and "unknown command" in bad.stderr
+
+    def test_fit_dispatches_run_main_end_to_end(self, tmp_path):
+        import yaml
+        from circuitmap_tpu.simulation import simulate
+        from circuitmap_tpu.demix import NeuralDemixer
+
+        np.random.seed(0)
+        sim = simulate(N=20, trials=150, H=3, verbose=False)
+        np.savez(tmp_path / "expt.npz", psc=sim["psc"],
+                 stimulus_matrix=sim["stim_matrix"])
+        demixer_path = tmp_path / "demixer.npz"
+        NeuralDemixer(seed=0).save(str(demixer_path))
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(yaml.safe_dump(
+            {"demixer": str(demixer_path), "msrmp": 0.3}))
+        proc = subprocess.run(
+            [sys.executable, "-m", "circuitmap_tpu", "fit",
+             "--data", str(tmp_path / "expt.npz"),
+             "--config", str(cfg), "--out", str(tmp_path),
+             "--iters", "5"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env=self._env(), timeout=420)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = np.load(tmp_path / "expt_cmap.npz")
+        assert out["weights"].shape == (20,)
+
+
 class TestContinuousHarnessPowers:
     def test_fit_all_threads_powers(self, monkeypatch, tmp_path):
         """The sweep harness must hand the YAML's power levels to the
