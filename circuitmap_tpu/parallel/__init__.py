@@ -15,6 +15,7 @@ from .distributed import (
     initialize as initialize_distributed,
     global_trial_mesh,
     caviar_sharded_distributed,
+    caviar_resumable_distributed,
     cavi_sns_sharded_distributed,
     mbcs_sharded_distributed,
 )
@@ -22,4 +23,5 @@ from .distributed import (
 __all__ = ["trial_mesh", "caviar_sharded", "cavi_sns_sharded",
            "mbcs_sharded", "run_sweep", "initialize_distributed",
            "global_trial_mesh", "caviar_sharded_distributed",
+           "caviar_resumable_distributed",
            "cavi_sns_sharded_distributed", "mbcs_sharded_distributed"]

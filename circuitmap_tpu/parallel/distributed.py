@@ -180,6 +180,73 @@ def _gather_full(mesh, *arrays):
     return [np.asarray(a) for a in gather(*arrays)]
 
 
+def _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
+                             y_xcorr_thresh, powers):
+    """Per-host prep shared by the one-shot and resumable distributed
+    CAVIaR entries: agree on the global shard plan, pad the local
+    trials, run local observation prep, and assemble the global
+    (process-spanning) device arrays.
+
+    Host-side prep (observations, activity mask, power counts) touches
+    only this process's trials — the per-host feeding contract — plus
+    three tiny metadata all-gathers (trial counts, power set,
+    power-bucket counts).
+    """
+    psc_local = np.asarray(psc_local)
+    stim_local = np.asarray(stim_local)
+    K_loc = psc_local.shape[0]
+    N = stim_local.shape[0]
+
+    rows, K_pad_loc, K_global, k_all = _plan_shards(K_loc, mesh)
+    powers_dev = _global_powers(stim_local, powers, np_dtype)
+    levels = np.concatenate([[0.0], powers_dev])
+    psc_local, stim_local, valid_loc = _pad_local(
+        psc_local, stim_local, K_pad_loc)
+
+    # per-host observation prep: local device compute, host-resident out
+    from ..ops.charge import prepare_observations
+
+    y_loc, active_loc = prepare_observations(
+        jnp.asarray(psc_local.astype(np_dtype, copy=False)), y_xcorr_thresh)
+    y_loc = np.asarray(y_loc)
+    lam_mask_loc = np.asarray(active_loc).astype(np.float32) * valid_loc
+    lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
+        * lam_mask_loc[None, :]
+
+    # global power-bucket counts: sum of per-process local counts.
+    # One [N, K_loc] comparison per level instead of a broadcast
+    # [N, K_loc, P] temporary (1.5 GB host spike at pod-scale K_loc)
+    stim_real = stim_local[:, :K_loc].astype(np_dtype, copy=False)
+    pc_loc = np.stack(
+        [(stim_real == np_dtype.type(p)).sum(axis=1) for p in powers_dev],
+        axis=1).astype(np.float64)
+    power_counts = _allgather_host(pc_loc).sum(axis=0)
+
+    # assemble global arrays from the per-process shards
+    sh_t = NamedSharding(mesh, P(TRIAL_AXIS))
+    sh_nt = NamedSharding(mesh, P(None, TRIAL_AXIS))
+    sh_r = NamedSharding(mesh, P())
+    mk = jax.make_array_from_process_local_data
+
+    def cast(a):
+        return np.asarray(a, dtype=np_dtype)
+
+    def rep(a):
+        return mk(sh_r, cast(a))
+
+    return dict(
+        N=N, K_loc=K_loc, rows=rows, K_pad_loc=K_pad_loc,
+        K_global=K_global, k_all=k_all,
+        powers_dev=powers_dev, levels=levels, power_counts=power_counts,
+        y_g=mk(sh_t, cast(y_loc)),
+        stim_g=mk(sh_nt, cast(stim_local)),
+        lam0_g=mk(sh_nt, cast(lam0_loc)),
+        lam_mask_g=mk(sh_t, cast(lam_mask_loc)),
+        valid_g=mk(sh_t, cast(valid_loc)),
+        sh_t=sh_t, sh_nt=sh_nt, sh_r=sh_r, mk=mk, rep=rep, cast=cast,
+    )
+
+
 def caviar_sharded_distributed(
     psc_local,
     stim_local,
@@ -231,64 +298,24 @@ def caviar_sharded_distributed(
     """
     if mesh is None:
         mesh = global_trial_mesh()
-    psc_local = np.asarray(psc_local)
-    stim_local = np.asarray(stim_local)
-    K_loc = psc_local.shape[0]
-    N = stim_local.shape[0]
     np_dtype = np.dtype(dtype)
-
-    rows, K_pad_loc, K_global, k_all = _plan_shards(K_loc, mesh)
-    powers_dev = _global_powers(stim_local, powers, np_dtype)
-    levels = np.concatenate([[0.0], powers_dev])
-    psc_local, stim_local, valid_loc = _pad_local(
-        psc_local, stim_local, K_pad_loc)
-
-    # per-host observation prep: local device compute, host-resident out
-    from ..ops.charge import prepare_observations
-
-    y_loc, active_loc = prepare_observations(
-        jnp.asarray(psc_local.astype(np_dtype, copy=False)), y_xcorr_thresh)
-    y_loc = np.asarray(y_loc)
-    lam_mask_loc = np.asarray(active_loc).astype(np.float32) * valid_loc
-    lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
-        * lam_mask_loc[None, :]
-
-    # global power-bucket counts: sum of per-process local counts.
-    # One [N, K_loc] comparison per level instead of a broadcast
-    # [N, K_loc, P] temporary (1.5 GB host spike at pod-scale K_loc)
-    stim_real = stim_local[:, :K_loc].astype(np_dtype, copy=False)
-    pc_loc = np.stack(
-        [(stim_real == np_dtype.type(p)).sum(axis=1) for p in powers_dev],
-        axis=1).astype(np.float64)
-    power_counts = _allgather_host(pc_loc).sum(axis=0)
+    prep = _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
+                                    y_xcorr_thresh, powers)
+    K_global, k_all, K_pad_loc = (prep["K_global"], prep["k_all"],
+                                  prep["K_pad_loc"])
+    rep, mk, sh_r = prep["rep"], prep["mk"], prep["sh_r"]
 
     if verbose and jax.process_index() == 0:
         print(f"Running CAVIaR over {jax.process_count()} processes / "
               f"{mesh.devices.size} devices (K_global={K_global}, "
-              f"rows/device={rows}).")
-
-    # assemble global arrays from the per-process shards
-    sh_t = NamedSharding(mesh, P(TRIAL_AXIS))
-    sh_nt = NamedSharding(mesh, P(None, TRIAL_AXIS))
-    sh_r = NamedSharding(mesh, P())
-    mk = jax.make_array_from_process_local_data
-
-    def cast(a):
-        return np.asarray(a, dtype=np_dtype)
-
-    y_g = mk(sh_t, cast(y_loc))
-    stim_g = mk(sh_nt, cast(stim_local))
-    lam0_g = mk(sh_nt, cast(lam0_loc))
-    lam_mask_g = mk(sh_t, cast(lam_mask_loc))
-    valid_g = mk(sh_t, cast(valid_loc))
-
-    def rep(a):
-        return mk(sh_r, cast(a))
+              f"rows/device={prep['rows']}).")
 
     key = np.asarray(jax.random.PRNGKey(seed))
     final, _ = _run_sharded(
-        y_g, stim_g, lam0_g, lam_mask_g, valid_g,
-        rep(powers_dev), rep(levels), rep(power_counts),
+        prep["y_g"], prep["stim_g"], prep["lam0_g"], prep["lam_mask_g"],
+        prep["valid_g"],
+        rep(prep["powers_dev"]), rep(prep["levels"]),
+        rep(prep["power_counts"]),
         rep(np.float64(K_global)),
         rep(mu_prior), rep(beta_prior), rep(shape_prior), rep(rate_prior),
         rep(phi_prior), rep(phi_cov_prior),
@@ -327,6 +354,181 @@ def caviar_sharded_distributed(
     keep = _keep_mask(k_all, K_pad_loc)
     return (mu, beta, lam_full[:, keep], shape, rate, phi, phi_cov,
             z_full[keep], None)
+
+
+def caviar_resumable_distributed(
+    psc_local,
+    stim_local,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    checkpoint_path,
+    mesh=None,
+    iters=50,
+    checkpoint_every=10,
+    num_mc_samples=100,
+    seed=0,
+    y_xcorr_thresh=1e-2,
+    minimum_spike_count=3,
+    delay_spont_est=1,
+    msrmp=0.3,
+    scale_factor=0.75,
+    penalty=5e0,
+    max_backtrack_iters=20,
+    tol=0.05,
+    spont_orthogonality=0.1,
+    dtype=jnp.float32,
+    analytic_mc=False,
+    powers=None,
+    sweep_block_size=1,
+    laplace_impl="auto",
+    update_order="random",
+    gather_output=True,
+    verbose=True,
+):
+    """Segmented multi-process CAVIaR with checkpoint/resume — failure
+    recovery at pod scale (solvers/resumable.py x
+    :func:`caviar_sharded_distributed`; the reference's only recovery
+    story is re-running the whole SLURM array job).
+
+    After every ``checkpoint_every`` iterations the GLOBAL state is
+    all-gathered, trimmed to the true ``K_global``, and written
+    atomically by process 0 (utils/checkpoint.save_state — temp +
+    os.replace, so a preemption mid-save never corrupts the previous
+    checkpoint). The file format matches the single-process resumable
+    checkpoints and is independent of process count and mesh size: a
+    fit started on one layout resumes on another — including on a
+    single chip via ``solvers.caviar_resumable`` — provided each
+    process feeds the same global trial order (process-order
+    concatenation of the local shards). ``checkpoint_path`` must be on
+    a filesystem process 0 can write and every process can read at
+    resume time (the usual shared-FS pod setup).
+
+    Iteration indices line up exactly with an unsegmented run (traced
+    ``start_iter``, as in the single-process segments), so gate delays
+    and the spontaneous soft-threshold schedule match
+    ``caviar_sharded_distributed`` over the same total ``iters``.
+    Posterior/return contract matches it too (``fn_scan=False``
+    semantics).
+    """
+    import os
+
+    from ..solvers.caviar import CaviarState
+    from ..utils.checkpoint import load_state, save_state
+
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if mesh is None:
+        mesh = global_trial_mesh()
+    np_dtype = np.dtype(dtype)
+    prep = _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
+                                    y_xcorr_thresh, powers)
+    N, K_loc = prep["N"], prep["K_loc"]
+    K_global, k_all, K_pad_loc = (prep["K_global"], prep["k_all"],
+                                  prep["K_pad_loc"])
+    rep, mk, sh_r = prep["rep"], prep["mk"], prep["sh_r"]
+    head = verbose and jax.process_index() == 0
+
+    start = 0
+    state = None
+    if os.path.exists(checkpoint_path):
+        ck = load_state(checkpoint_path)
+        start = int(ck.pop("completed_iters"))
+        lam_ck = np.asarray(ck["lam"])
+        if lam_ck.shape != (N, K_global):
+            raise ValueError(
+                f"checkpoint carries lam{lam_ck.shape} but this cluster "
+                f"feeds [N={N}, K_global={K_global}] trials — a resumed "
+                "fit must see the same global trial set")
+        # slice this process's trial columns back out of the global
+        # checkpoint (global order = process-order concatenation)
+        off = int(k_all[:jax.process_index()].sum())
+        lam_loc = np.zeros((N, K_pad_loc), np_dtype)
+        lam_loc[:, :K_loc] = lam_ck[:, off:off + K_loc]
+        z_loc = np.zeros(K_pad_loc, np_dtype)
+        z_loc[:K_loc] = np.asarray(ck["z"])[off:off + K_loc]
+        state = CaviarState(
+            mu=rep(ck["mu"]), beta=rep(ck["beta"]),
+            lam=mk(prep["sh_nt"], lam_loc),
+            shape=rep(ck["shape"]), rate=rep(ck["rate"]),
+            phi=rep(ck["phi"]), phi_cov=rep(ck["phi_cov"]),
+            z=mk(prep["sh_t"], z_loc),
+            spont_rate=rep(ck["spont_rate"]),
+            key=mk(sh_r, np.asarray(ck["key"], np.uint32)),
+        )
+        if head:
+            print(f"Resuming distributed CAVIaR from iteration {start} "
+                  f"({checkpoint_path}).")
+
+    if head and start < iters:
+        print(f"Running resumable CAVIaR over {jax.process_count()} "
+              f"processes / {mesh.devices.size} devices "
+              f"(K_global={K_global}, rows/device={prep['rows']}).")
+
+    static = dict(
+        num_mc_samples=int(num_mc_samples),
+        minimum_spike_count=int(minimum_spike_count),
+        delay_spont_est=int(delay_spont_est),
+        msrmp=float(msrmp),
+        scale_factor=float(scale_factor),
+        penalty=float(penalty),
+        max_backtrack_iters=int(max_backtrack_iters),
+        tol=float(tol),
+        spont_orthogonality=float(spont_orthogonality),
+        analytic_mc=bool(analytic_mc),
+        save_histories=False,
+        sweep_block_size=_resolve_sweep_block_size(sweep_block_size),
+        update_order=_validate_update_order(str(update_order)),
+        laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
+    )
+    key = np.asarray(jax.random.PRNGKey(seed))
+    keep = _keep_mask(k_all, K_pad_loc)
+
+    def _gather_host_state(st):
+        lam_full, z_full = _gather_full(mesh, st.lam, st.z)
+        return dict(
+            mu=np.asarray(st.mu), beta=np.asarray(st.beta),
+            lam=lam_full[:, keep], shape=np.asarray(st.shape),
+            rate=np.asarray(st.rate), phi=np.asarray(st.phi),
+            phi_cov=np.asarray(st.phi_cov), z=z_full[keep],
+            spont_rate=np.asarray(st.spont_rate),
+            key=np.asarray(st.key),
+        )
+
+    host = None
+    while start < iters:
+        seg = min(checkpoint_every, iters - start)
+        state, _ = _run_sharded(
+            prep["y_g"], prep["stim_g"], prep["lam0_g"],
+            prep["lam_mask_g"], prep["valid_g"],
+            rep(prep["powers_dev"]), rep(prep["levels"]),
+            rep(prep["power_counts"]),
+            rep(np.float64(K_global)),
+            rep(mu_prior), rep(beta_prior), rep(shape_prior),
+            rep(rate_prior), rep(phi_prior), rep(phi_cov_prior),
+            mk(sh_r, key), state,
+            mesh=mesh, iters=seg, start_iter=start, **static,
+        )
+        start += seg
+        host = _gather_host_state(state)
+        if jax.process_index() == 0:
+            save_state(checkpoint_path,
+                       {**host, "completed_iters": np.asarray(start)})
+        if head:
+            print(f"checkpointed after iteration {start}/{iters}")
+
+    if not gather_output:
+        return (np.asarray(state.mu), np.asarray(state.beta), state.lam,
+                np.asarray(state.shape), np.asarray(state.rate),
+                np.asarray(state.phi), np.asarray(state.phi_cov),
+                state.z, None)
+    if host is None:  # resumed past the end with work left (start==iters)
+        host = _gather_host_state(state)
+    return (host["mu"], host["beta"], host["lam"], host["shape"],
+            host["rate"], host["phi"], host["phi_cov"], host["z"], None)
 
 
 def cavi_sns_sharded_distributed(

@@ -54,7 +54,14 @@ def main():
     ap.add_argument("--sweep-block-size", type=int, default=1)
     ap.add_argument("--solver", choices=("caviar", "sns", "mbcs"),
                     default="caviar")
+    ap.add_argument("--checkpoint", default=None,
+                    help="segmented caviar fit with checkpoint/resume "
+                         "(parallel.caviar_resumable_distributed); path "
+                         "must be on a shared filesystem")
+    ap.add_argument("--checkpoint-every", type=int, default=10)
     args = ap.parse_args()
+    if args.checkpoint and args.solver != "caviar":
+        ap.error("--checkpoint is only supported with --solver caviar")
 
     if args.cpu_devices:
         os.environ["XLA_FLAGS"] = (
@@ -81,14 +88,26 @@ def main():
     mesh = dist.global_trial_mesh()
     verbose = jax.process_index() == 0
     if args.solver == "caviar":
-        out = dist.caviar_sharded_distributed(
-            psc, stim, p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
-            p["phi_cov"], mesh=mesh, iters=args.iters, seed=args.seed,
-            msrmp=args.msrmp, powers=args.powers,
-            analytic_mc=args.analytic_mc,
-            sweep_block_size=args.sweep_block_size,
-            verbose=verbose,
-        )
+        if args.checkpoint:
+            out = dist.caviar_resumable_distributed(
+                psc, stim, p["mu"], p["beta"], p["shape"], p["rate"],
+                p["phi"], p["phi_cov"], checkpoint_path=args.checkpoint,
+                mesh=mesh, iters=args.iters,
+                checkpoint_every=args.checkpoint_every, seed=args.seed,
+                msrmp=args.msrmp, powers=args.powers,
+                analytic_mc=args.analytic_mc,
+                sweep_block_size=args.sweep_block_size,
+                verbose=verbose,
+            )
+        else:
+            out = dist.caviar_sharded_distributed(
+                psc, stim, p["mu"], p["beta"], p["shape"], p["rate"],
+                p["phi"], p["phi_cov"], mesh=mesh, iters=args.iters,
+                seed=args.seed, msrmp=args.msrmp, powers=args.powers,
+                analytic_mc=args.analytic_mc,
+                sweep_block_size=args.sweep_block_size,
+                verbose=verbose,
+            )
         mu, beta, lam, shape, rate, phi, phi_cov, z, _ = out
         payload = dict(mu=mu, beta=beta, lam=lam, shape=shape, rate=rate,
                        phi=phi, phi_cov=phi_cov, z=z)

@@ -158,6 +158,79 @@ class TestOtherSolversTwoProcess:
         assert a["z"].shape == (48,)
 
 
+class TestResumableDistributed:
+    """caviar_resumable_distributed: failure recovery at pod scale.
+    The checkpoint is global (true K_global), atomic, written by
+    process 0, and layout-independent — it resumes across segment
+    boundaries AND across topologies (2-process gloo <-> single-process
+    mesh)."""
+
+    def test_preempt_resume_matches_straight_run(self, sim, tmp_path):
+        ck = os.path.join(str(tmp_path), "ck.npz")
+        extra = ("--checkpoint", ck, "--checkpoint-every", "2")
+        # "preempted" run: only the first 2-iteration segment completes
+        _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                     k_split=24, iters=2, port=29561, extra=extra)
+        assert os.path.exists(ck)
+        ck_data = dict(np.load(ck))
+        assert int(ck_data["completed_iters"]) == 2
+        assert ck_data["lam"].shape == (16, 48)  # true K, no padding
+
+        # relaunch with the full budget: resumes at iteration 2
+        a, b = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=4, port=29567, extra=extra)
+        np.testing.assert_array_equal(a["mu"], b["mu"])
+        assert int(np.load(ck)["completed_iters"]) == 4
+
+        # one straight (uncheckpointed) 4-iteration distributed run:
+        # same topology, same traced start_iter indices -> the segment
+        # boundary must be invisible (single-process segment runs are
+        # bit-exact; the checkpoint stores f32 exactly)
+        c, _ = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=4, port=29573)
+        np.testing.assert_allclose(a["mu"], c["mu"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(a["lam"], c["lam"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(a["z"], c["z"], rtol=0, atol=1e-6)
+
+    def test_checkpoint_resumes_on_single_process_mesh(self, sim,
+                                                       tmp_path):
+        """The advertised interop: a multi-process checkpoint resumes
+        on a single-process mesh via solvers.caviar_resumable (same
+        file format, state at the true K_global)."""
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.parallel import trial_mesh
+        from circuitmap_tpu.solvers.resumable import caviar_resumable
+
+        ck = os.path.join(str(tmp_path), "ck_interop.npz")
+        _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                     k_split=24, iters=2, port=29579,
+                     extra=("--checkpoint", ck, "--checkpoint-every", "2"))
+        assert int(np.load(ck)["completed_iters"]) == 2
+
+        p = default_priors(16)
+        out = caviar_resumable(
+            sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], p["phi"], p["phi_cov"], checkpoint_path=ck,
+            iters=4, checkpoint_every=2, mesh=trial_mesh(8),
+            fn_scan=False, analytic_mc=True, verbose=False,
+        )
+        mu = np.asarray(out[0])
+        # cross-topology reduction order differs (gloo vs XLA
+        # all-reduce): agreement to collective rounding, as in the
+        # one-shot distributed tests
+        from circuitmap_tpu.parallel import caviar_sharded
+
+        ref = caviar_sharded(
+            sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], p["phi"], p["phi_cov"], mesh=trial_mesh(8), iters=4,
+            fn_scan=False, analytic_mc=True, verbose=False,
+        )
+        np.testing.assert_array_equal(mu != 0, np.asarray(ref[0]) != 0)
+        np.testing.assert_allclose(mu, np.asarray(ref[0]), rtol=1e-3,
+                                   atol=1e-5)
+        assert np.asarray(out[2]).shape == (16, 48)
+
+
 class TestGlobalPowersValidation:
     def test_unknown_stim_level_raises(self):
         """Explicit powers= that miss a level present in the data must
