@@ -421,6 +421,11 @@ def caviar_resumable_distributed(
 
     if int(iters) < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if int(checkpoint_every) < 1:
+        # same contract as solvers.caviar_resumable; 0 would spin the
+        # whole pod in an infinite gather/save loop
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if mesh is None:
         mesh = global_trial_mesh()
     np_dtype = np.dtype(dtype)
@@ -487,18 +492,27 @@ def caviar_resumable_distributed(
     key = np.asarray(jax.random.PRNGKey(seed))
     keep = _keep_mask(k_all, K_pad_loc)
 
-    def _gather_host_state(st):
-        lam_full, z_full = _gather_full(mesh, st.lam, st.z)
+    _gather = jax.jit(lambda a, b: (a, b), out_shardings=(sh_r, sh_r))
+
+    def _gather_host_state(st, pull):
+        """All-gather lam/z (a collective every process must join), but
+        pull the multi-GB host copies only where ``pull`` — during the
+        segment loop that is process 0 alone, the one writer; pulling
+        on every process would pay the device->host transfer P times
+        per checkpoint for a single file write."""
+        lam_r, z_r = _gather(st.lam, st.z)
+        if not pull:
+            jax.block_until_ready((lam_r, z_r))
+            return None
         return dict(
             mu=np.asarray(st.mu), beta=np.asarray(st.beta),
-            lam=lam_full[:, keep], shape=np.asarray(st.shape),
+            lam=np.asarray(lam_r)[:, keep], shape=np.asarray(st.shape),
             rate=np.asarray(st.rate), phi=np.asarray(st.phi),
-            phi_cov=np.asarray(st.phi_cov), z=z_full[keep],
+            phi_cov=np.asarray(st.phi_cov), z=np.asarray(z_r)[keep],
             spont_rate=np.asarray(st.spont_rate),
             key=np.asarray(st.key),
         )
 
-    host = None
     while start < iters:
         seg = min(checkpoint_every, iters - start)
         state, _ = _run_sharded(
@@ -513,7 +527,7 @@ def caviar_resumable_distributed(
             mesh=mesh, iters=seg, start_iter=start, **static,
         )
         start += seg
-        host = _gather_host_state(state)
+        host = _gather_host_state(state, pull=jax.process_index() == 0)
         if jax.process_index() == 0:
             save_state(checkpoint_path,
                        {**host, "completed_iters": np.asarray(start)})
@@ -525,8 +539,10 @@ def caviar_resumable_distributed(
                 np.asarray(state.shape), np.asarray(state.rate),
                 np.asarray(state.phi), np.asarray(state.phi_cov),
                 state.z, None)
-    if host is None:  # resumed past the end with work left (start==iters)
-        host = _gather_host_state(state)
+    # the return contract pulls the full posterior on EVERY process
+    # (workers export identical results), unlike the proc-0-only
+    # checkpoint pulls above
+    host = _gather_host_state(state, pull=True)
     return (host["mu"], host["beta"], host["lam"], host["shape"],
             host["rate"], host["phi"], host["phi_cov"], host["z"], None)
 

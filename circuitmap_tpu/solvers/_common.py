@@ -42,18 +42,20 @@ import jax.numpy as jnp
 _SINGLE_CHIP_ELEM_CLIFF = 6.8e8
 
 
-def warn_single_chip_envelope(n_rows, k, what="this fit"):
+def warn_single_chip_envelope(n_rows, k, what="this fit", dtype=None):
     """Route oversized single-chip fits toward the sharded path BEFORE
     XLA's opaque RESOURCE_EXHAUSTED (which takes ~45 s to surface
     through the tunnel — MEMORY_CLIFF.json protocol notes).
 
     Fires a ResourceWarning when the [n_rows, K] working set exceeds
-    the envelope measured on a 16 GB chip. Advisory, not an error: a
-    larger-HBM part moves the cliff, and the fit may still be the right
-    call just under it. Silent on CPU backends (host RAM, not HBM,
-    bounds those). Single-chip entries call this; the sharded/
-    distributed paths — whose per-device working set is the point —
-    do not.
+    the envelope measured on a 16 GB chip. The cliff is a BYTE budget
+    (HBM), measured with f32 arrays — a wider fit dtype scales the
+    effective element count by ``itemsize/4`` (an f64 fit hits the
+    wall at half the elements). Advisory, not an error: a larger-HBM
+    part moves the cliff, and the fit may still be the right call just
+    under it. Silent on CPU backends (host RAM, not HBM, bounds
+    those). Single-chip entries call this; the sharded/distributed
+    paths — whose per-device working set is the point — do not.
     """
     try:
         backend = jax.default_backend()
@@ -62,12 +64,13 @@ def warn_single_chip_envelope(n_rows, k, what="this fit"):
     if backend == "cpu":
         return
     k_pad = -(-int(k) // 128) * 128
-    elems = int(n_rows) * k_pad
+    itemsize = 4 if dtype is None else jnp.dtype(dtype).itemsize
+    elems = int(n_rows) * k_pad * itemsize // 4  # f32-equivalent elements
     if elems > _SINGLE_CHIP_ELEM_CLIFF:
         warnings.warn(
             f"{what} allocates [{n_rows}, {k_pad}] working arrays "
-            f"({elems:.2e} elements), past the ~6.8e8-element "
-            "single-chip envelope measured on a 16 GB TPU v5e "
+            f"({elems:.2e} f32-equivalent elements), past the ~6.8e8-"
+            "element single-chip envelope measured on a 16 GB TPU v5e "
             "(MEMORY_CLIFF.json) — expect HBM exhaustion. Shard trials "
             "over a mesh instead: parallel.caviar_sharded(mesh=...) on "
             "one host, or parallel.distributed.* on a multi-host slice "

@@ -146,7 +146,7 @@ def caviar_many(
     if mesh is None:
         warn_single_chip_envelope(
             B * stims_np.shape[1], K,
-            what=f"caviar_many() over {B} experiments")
+            what=f"caviar_many() over {B} experiments", dtype=dtype)
 
     # validate + resolve the compile mode up front (before any upload
     # work), so the verbose banner can report the mode that actually

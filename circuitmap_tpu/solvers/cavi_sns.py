@@ -271,7 +271,8 @@ def cavi_sns(
     if verbose:
         print("Running CAVI-SnS (TPU-native).")
 
-    warn_single_chip_envelope(*np.shape(stim), what="cavi_sns()")
+    warn_single_chip_envelope(*np.shape(stim), what="cavi_sns()",
+                              dtype=dtype)
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     stim, stim_np, powers_np, powers_dev_np = prepare_stim(stim, dtype)
     y = integrated_charge(y_psc)

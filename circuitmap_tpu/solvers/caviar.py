@@ -1066,7 +1066,8 @@ def caviar(
     if verbose:
         print("Running CAVIaR (TPU-native).")
 
-    warn_single_chip_envelope(*np.shape(stim), what="caviar()")
+    warn_single_chip_envelope(*np.shape(stim), what="caviar()",
+                              dtype=dtype)
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     # single fused program for the stim gather + mask + lam init (the

@@ -453,7 +453,7 @@ def mbcs(
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
 
     # compressed stim upload (sparse hologram / int8 buckets), as caviar
-    warn_single_chip_envelope(*np.shape(stim), what="mbcs()")
+    warn_single_chip_envelope(*np.shape(stim), what="mbcs()", dtype=dtype)
     stim, stim_np, _powers_np, _powers_dev = prepare_stim(stim, dtype)
     # built from the uploaded-stim level table, not the original-precision
     # host powers — the two differ for f64 fits (_common f64 contract)

@@ -118,7 +118,8 @@ def caviar_resumable(
             laplace_impl=laplace_impl, trace_wire=trace_wire,
             verbose=verbose,
         )
-    warn_single_chip_envelope(*np.shape(stim), what="caviar_resumable()")
+    warn_single_chip_envelope(*np.shape(stim), what="caviar_resumable()",
+                              dtype=dtype)
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (

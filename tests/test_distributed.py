@@ -231,6 +231,43 @@ class TestResumableDistributed:
         assert np.asarray(out[2]).shape == (16, 48)
 
 
+    def test_single_chip_checkpoint_resumes_distributed(self, sim,
+                                                        tmp_path):
+        """The reverse interop direction: a checkpoint written by the
+        single-process resumable fit resumes via
+        caviar_resumable_distributed (2-process gloo)."""
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.solvers.resumable import caviar_resumable
+
+        ck = os.path.join(str(tmp_path), "ck_rev.npz")
+        p = default_priors(16)
+        # segment 1 on a single process (no mesh): 2 of 4 iterations
+        caviar_resumable(
+            sim["psc"], sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], p["phi"], p["phi_cov"], checkpoint_path=ck,
+            iters=2, checkpoint_every=2, fn_scan=False, analytic_mc=True,
+            verbose=False,
+        )
+        assert int(np.load(ck)["completed_iters"]) == 2
+
+        # resume it across 2 processes to the full budget
+        a, b = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=4, port=29585,
+                            extra=("--checkpoint", ck,
+                                   "--checkpoint-every", "2"))
+        np.testing.assert_array_equal(a["mu"], b["mu"])
+        assert int(np.load(ck)["completed_iters"]) == 4
+
+        # agreement with a straight 4-iteration distributed run to
+        # cross-program rounding (iterations 0-2 ran single-chip)
+        c, _ = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=4, port=29591)
+        np.testing.assert_array_equal(a["mu"] != 0, c["mu"] != 0)
+        np.testing.assert_allclose(a["mu"], c["mu"], rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(a["lam"], c["lam"], rtol=1e-3,
+                                   atol=1e-4)
+
+
 class TestGlobalPowersValidation:
     def test_unknown_stim_level_raises(self):
         """Explicit powers= that miss a level present in the data must

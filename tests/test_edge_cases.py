@@ -102,3 +102,44 @@ class TestSingleChipEnvelopeWarning:
             monkeypatch.setattr(_common.jax, "default_backend",
                                 lambda: "tpu")
             _common.warn_single_chip_envelope(1000, 20000)
+
+    def test_cliff_scales_with_fit_dtype(self, monkeypatch):
+        """The cliff is a BYTE budget measured with f32 arrays: an f64
+        fit must warn at half the element count (round-4 review
+        finding: the preflight was dtype-blind)."""
+        import warnings
+
+        import numpy as np
+
+        from circuitmap_tpu.solvers import _common
+
+        monkeypatch.setattr(_common.jax, "default_backend", lambda: "tpu")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            # 5000 x 70016 = 3.5e8 elements: fine in f32
+            _common.warn_single_chip_envelope(5000, 70000,
+                                              dtype=np.float32)
+        with pytest.warns(ResourceWarning, match="single-chip envelope"):
+            # same shape in f64 = 7e8 f32-equivalent elements
+            _common.warn_single_chip_envelope(5000, 70000,
+                                              dtype=np.float64)
+
+
+class TestResumableDistributedValidation:
+    def test_checkpoint_every_validated_before_cluster_setup(self):
+        """checkpoint_every < 1 must raise up front — a zero segment
+        would spin the whole pod in an infinite gather/save loop
+        (round-4 review finding)."""
+        import numpy as np
+
+        from circuitmap_tpu.parallel.distributed import (
+            caviar_resumable_distributed)
+
+        psc = np.zeros((8, 900), np.float32)
+        stim = np.zeros((4, 8), np.float32)
+        z = np.zeros(4)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            caviar_resumable_distributed(
+                psc, stim, z, z, 1.0, 0.1, np.zeros((4, 2)),
+                np.tile(np.eye(2), (4, 1, 1)), "ck.npz",
+                iters=4, checkpoint_every=0)
