@@ -16,8 +16,12 @@ Design policy (validated in examples/demo_closed_loop.py):
   stimulations without a connection call; a detected connection is
   resolved once ``conn_trials`` max-power stimulations have pinned its
   weight. Detection status flickers round to round (the sweep gate
-  re-decides each iteration), so a null resolves only after two
-  consecutive undetected readouts.
+  re-decides each iteration), so a neuron detected in EITHER of the
+  last two readouts is held to the ``conn_trials`` bar — a momentary
+  gate dropout cannot demote a connection to the null budget. A neuron
+  never yet detected can resolve null on its first readout once it has
+  the hits: size ``null_trials`` (and the round-0 block) so the warm-up
+  posterior has had enough data to make that call.
 - Each round's holograms are drawn blockwise over the UNRESOLVED pool
   (uniform per-sweep coverage measurably beats random ensembles early),
   topped up with random resolved fillers. Co-stimulating the whole pool

@@ -329,14 +329,22 @@ def simulate(
     else:
         stim_matrix = random_design(N, H, trials, powers)
     K = stim_matrix.shape[1]
-    I = np.array([np.max(stim_matrix[:, k]) for k in range(K)])
+    I = stim_matrix.max(axis=0)  # per-trial power, one pass over [N, K]
 
     # biophysics
     tau_r, tau_d = _resolve_kernel_taus(
         kernel, N, tau_r_min, tau_r_max, tau_delta_min, tau_delta_max
     )
-    if phi_0 is None or phi_1 is None:
+    # sample only the MISSING opsin parameters: discarding a supplied
+    # phi_0 because phi_1 was omitted (or vice versa) silently changes
+    # the circuit between closed-loop rounds (round-4 review finding;
+    # both-None keeps the original joint draw order for seed stability)
+    if phi_0 is None and phi_1 is None:
         phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
+        phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
+    elif phi_0 is None:
+        phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
+    elif phi_1 is None:
         phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
 
     # spikes: sigmoid power curve, then min-rate padding at max power
@@ -430,6 +438,18 @@ def simulate(
 # ---------------------------------------------------------------------------
 # Continuous-experiment simulator
 # ---------------------------------------------------------------------------
+
+
+def _windowed_slices(pscs, stim_times, window):
+    """[K, W] stim-aligned windows of the timeline, zero-filled where a
+    window falls off the recording edges. A raw fancy index would
+    silently WRAP a negative offset to the END of the timeline (a fast
+    stim rate puts the first window's baseline before frame 0 —
+    the per-stim true_responses path already guards this; the observed
+    windows must too)."""
+    idx = stim_times[:, None] + window[None, :]
+    valid = (idx >= 0) & (idx < pscs.shape[0])
+    return np.where(valid, pscs[np.clip(idx, 0, pscs.shape[0] - 1)], 0.0)
 
 
 def _ar1_noise(eps, coef):
@@ -574,7 +594,7 @@ def simulate_continuous_experiment_without_spike_failures(
     ar1 = _ar1_noise(eps, ar_coef)
     pscs = pscs_evoked + sponts + ar1
 
-    obs_resps = pscs[stim_times[:, None] + win[None, :]]
+    obs_resps = _windowed_slices(pscs, stim_times, win)
     return {
         "pscs": pscs,
         "obs_responses": obs_resps,
@@ -658,8 +678,14 @@ def simulate_continuous_experiment(
     nstim = len(stim_times)
     stim_matrix = blockwise_design(N, H, nstim, powers, nreps, shuffle=False)
 
-    if phi_0 is None or phi_1 is None:
+    # sample only the MISSING opsin parameter (see simulate(): a
+    # supplied value must never be silently re-drawn)
+    if phi_0 is None and phi_1 is None:
         phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
+        phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
+    elif phi_0 is None:
+        phi_0 = np.random.uniform(phi_0_lower, phi_0_upper, N)
+    elif phi_1 is None:
         phi_1 = np.random.uniform(phi_1_lower, phi_1_upper, N)
 
     drive = phi_0[:, None] * stim_matrix - phi_1[:, None]
@@ -760,7 +786,7 @@ def simulate_continuous_experiment(
 
     # --- slice into K x response_length windows ---
     window = np.arange(-prior_context, response_length - prior_context)
-    obs_resps = pscs[stim_times[:, None] + window[None, :]]
+    obs_resps = _windowed_slices(pscs, stim_times, window)
 
     return {
         "pscs": pscs,

@@ -12,14 +12,24 @@ import numpy as np
 
 
 def r2_score(y_true, y_pred):
-    """Coefficient of determination, sklearn semantics."""
+    """Coefficient of determination, sklearn semantics.
+
+    1-D inputs give the classic ``1 - SSres/SStot``. 2-D
+    ``[n_samples, n_outputs]`` inputs give the UNIFORM AVERAGE of
+    per-output scores (sklearn's default ``multioutput=
+    'uniform_average'``), not the pooled ratio — the two differ
+    whenever outputs have unequal variance, and the reference's metric
+    of record is sklearn's."""
     y_true = np.asarray(y_true, dtype=float)
     y_pred = np.asarray(y_pred, dtype=float)
-    ss_res = np.sum((y_true - y_pred) ** 2)
-    ss_tot = np.sum((y_true - y_true.mean()) ** 2)
-    if ss_tot == 0:
-        return 1.0 if ss_res == 0 else 0.0
-    return 1.0 - ss_res / ss_tot
+    ss_res = np.sum((y_true - y_pred) ** 2, axis=0)
+    ss_tot = np.sum((y_true - y_true.mean(axis=0)) ** 2, axis=0)
+    scores = np.where(
+        ss_tot > 0,
+        1.0 - ss_res / np.where(ss_tot > 0, ss_tot, 1.0),
+        np.where(ss_res == 0, 1.0, 0.0),
+    )
+    return float(np.mean(scores))
 
 
 def correlation(a, b):

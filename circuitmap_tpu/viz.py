@@ -148,6 +148,10 @@ def plot_checkerboard(
         trace = psc[locs].reshape(-1) / norm
         n_shown = locs.size
         col = "k" if mu[n] != 0 else "gray"
+        if m == 0:
+            # reference viz.py:66-67: the top row is titled 'Power' to
+            # explain the mW annotations' trial grouping
+            ax.set_title("Power", fontsize=fontsize, y=1.5)
 
         for t in range(n_shown):
             x0 = t * trial_len
@@ -298,6 +302,13 @@ def plot_spike_inference_comparison(
                 shade = "firebrick" if n != lp_cell else "C0"
                 ax.axvspan(x0, x0 + trial_len, color=shade,
                            alpha=float(lam[n, locs[t]]) * 0.5, zorder=-5, lw=0)
+                if m == 0 and (t == 0 or trial_powers[locs[t]]
+                               != trial_powers[locs[t - 1]]):
+                    # per-power annotations at each power change on the
+                    # top row (reference viz.py:258-260)
+                    ax.text(x0, 1.1 * ymax,
+                            f"{trial_powers[locs[t]]:.0f} mW",
+                            fontsize=fontsize - 2)
                 if z[locs[t]] != 0:
                     ax.plot(x0 + trial_len / 2, 0.7 * ymax, marker="*",
                             markerfacecolor="b", markeredgecolor="none",

@@ -178,6 +178,46 @@ class TestSimulate:
         assert np.isfinite(out["psc"]).all()
 
 
+class TestSuppliedPhi:
+    def test_half_supplied_phi_is_honoured(self):
+        """Supplying only phi_0 (or only phi_1) must not silently
+        re-draw BOTH — closed-loop rounds hold the circuit fixed via
+        these kwargs (round-4 review finding)."""
+        from circuitmap_tpu.simulation import simulate
+
+        N = 12
+        phi0 = np.linspace(0.08, 0.12, N)
+        np.random.seed(0)
+        a = simulate(N=N, trials=60, H=3, phi_0=phi0, verbose=False)
+        np.testing.assert_array_equal(a["phi_0"], phi0)
+        phi1 = np.linspace(4.0, 6.0, N)
+        np.random.seed(0)
+        b = simulate(N=N, trials=60, H=3, phi_1=phi1, verbose=False)
+        np.testing.assert_array_equal(b["phi_1"], phi1)
+
+
+class TestWindowEdges:
+    def test_fast_stim_rate_does_not_wrap_observed_windows(self):
+        """stim_freq > 200 Hz puts the first window's baseline before
+        frame 0; a raw fancy index silently WRAPPED those samples to
+        the end of the timeline (round-4 review finding) — they must be
+        zero-filled like the true_responses path."""
+        from circuitmap_tpu.simulation import (
+            simulate_continuous_experiment_without_spike_failures)
+
+        np.random.seed(3)
+        expt = simulate_continuous_experiment_without_spike_failures(
+            N=8, exp_len=20000, stim_freq=250)
+        first = int(expt["stim_times"][0])
+        lead = 100 - first  # window samples before frame 0
+        assert lead > 0  # the config really exercises the edge
+        obs = expt["obs_responses"]
+        np.testing.assert_array_equal(obs[0, :lead], 0.0)
+        # in-range part of the window still matches the raw timeline
+        np.testing.assert_array_equal(
+            obs[0, lead:], expt["pscs"][:obs.shape[1] - lead])
+
+
 class TestContinuous:
     @pytest.fixture(scope="class")
     def expt(self):

@@ -29,6 +29,24 @@ class TestMetrics:
         assert r2_score(y, y) == 1.0
         assert abs(r2_score(y, np.full_like(y, y.mean()))) < 1e-12
 
+    def test_r2_2d_matches_sklearn_uniform_average(self, rng):
+        """sklearn's default multioutput='uniform_average' averages
+        per-column R2; pooling residuals differs whenever columns have
+        unequal variance (round-4 review finding — the docstring
+        claimed sklearn semantics while pooling)."""
+        y = np.column_stack([rng.normal(size=40),
+                             100.0 * rng.normal(size=40)])
+        pred = y + np.column_stack([np.full(40, 0.5), np.zeros(40)])
+        per_col = [
+            1 - np.sum((y[:, j] - pred[:, j]) ** 2)
+            / np.sum((y[:, j] - y[:, j].mean()) ** 2)
+            for j in range(2)
+        ]
+        assert abs(r2_score(y, pred) - np.mean(per_col)) < 1e-12
+        # pooled would be ~1.0 here (column 1 dominates the variance);
+        # the uniform average must feel column 0's error
+        assert r2_score(y, pred) < 0.999
+
     def test_correlation(self, rng):
         a = rng.normal(size=100)
         assert abs(correlation(a, 2 * a + 1) - 1.0) < 1e-9
