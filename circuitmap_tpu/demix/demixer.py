@@ -217,7 +217,12 @@ def _bucket(n, minimum=64):
 
 @jax.jit
 def _train_step(params, x, y, lr):
-    """One SGD step on MSE; returns (params with fresh BN stats, loss)."""
+    """One SGD step on MSE; returns (params with fresh BN stats, loss).
+
+    The ONE copy of the loss/SGD/BN-stats arithmetic: the per-step CPU
+    path calls it directly and the scan-epoch TPU path traces it as the
+    scan body — the two platform paths must train identically, so the
+    step body must not fork."""
 
     def loss_fn(p):
         pred, stats = nwd_unet_forward(p, x[:, None, :], train=True)
@@ -240,15 +245,7 @@ def _train_epoch(params, xs, ys, lr):
 
     def step(params, batch):
         x, y = batch
-
-        def loss_fn(p):
-            pred, stats = nwd_unet_forward(p, x[:, None, :], train=True)
-            return jnp.mean(jnp.square(pred[:, 0, :] - y)), stats
-
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
-        params = update_running_stats(params, stats)
-        return params, loss
+        return _train_step(params, x, y, lr)
 
     params, losses = jax.lax.scan(step, params, (xs, ys))
     return params, jnp.mean(losses)
@@ -394,6 +391,13 @@ class NeuralDemixer:
             dev = jnp.concatenate(chunks, axis=0)
         out = dev if keep_on_device else np.asarray(dev)
         if verbose:
+            # force completion before reading the clock: with
+            # keep_on_device the dispatch returns while the forward
+            # pass is still in flight, and the print would report
+            # dispatch-only time (CLAUDE.md async-timing rule). The
+            # device-side slice keeps the settling pull to one element.
+            if keep_on_device:
+                np.asarray(dev[:1, :1])
             print(f"Demixed {K} traces in {time.time() - t0:.3f}s.")
         return out[0] if squeeze else out
 

@@ -238,11 +238,17 @@ def resize_linear(x, out_len):
     """torch F.interpolate(mode='linear', align_corners=False) on [B,C,L]."""
     in_len = x.shape[-1]
     scale = in_len / out_len
-    pos = (jnp.arange(out_len, dtype=x.dtype) + 0.5) * scale - 0.5
+    # the sample grid stays f32 whatever the activation dtype: bf16
+    # cannot represent odd integers >= 257, so a bf16 arange shifts
+    # gather indices by up to 2 frames and corrupts the interpolation
+    # weights over the back 2/3 of a 900-sample trace (round-4 review
+    # finding, empirically confirmed). Only the gathered DATA computes
+    # in the activation dtype.
+    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
     pos = jnp.clip(pos, 0.0, in_len - 1)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, in_len - 1)
-    frac = pos - lo
+    frac = (pos - lo).astype(x.dtype)
     return x[..., lo] * (1.0 - frac) + x[..., hi] * frac
 
 

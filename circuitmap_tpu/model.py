@@ -177,6 +177,13 @@ class Model:
         stim = np.asarray(stimuli, dtype=float)
         y = np.trapezoid(np.asarray(obs, dtype=float), axis=-1)
         A = (stim > 0).T.astype(float)
+        # every other adapter accepts a mesh= fit option; fail with the
+        # reason here rather than a TypeError from deep inside cosamp
+        if fit_options.pop("mesh", None) is not None:
+            raise ValueError(
+                "cosamp has no mesh path (it is a host-side greedy "
+                "baseline) — drop mesh= or use method='caviar'/"
+                "'cavi_sns'/'mbcs'")
         k = int(fit_options.pop("k", max(int(0.1 * self.N), 1)))
         weights, elapsed = solvers.cosamp(A, y, k, **fit_options)
         # cosamp produces point weights only: record its solver-side

@@ -70,40 +70,14 @@ def _sweep_kernel(
     # each neuron is visited exactly once per sweep (order is a
     # permutation), so its own mu entry is never stale: within-sweep
     # coupling flows only through r. No swept-mu buffer needed.
-    mu_n = mu_ref[n]
-    beta_n = beta_ref[n]
-
-    r_excl = r_ref[...] - mu_n * lam_n
-    quad = sig * (
-        -2.0 * y_ref[...] * mu_n + 2.0 * mu_n * r_excl + (mu_n * mu_n + beta_n * beta_n)
-    )
-    est = (
-        lam_mask_ref[...]
-        * (stim_n > 0).astype(lam_n.dtype)
-        * jax.nn.sigmoid(m0_ref[n] * stim_n - m1_ref[n] - 0.5 * quad)
-    )
-
-    # per-power spike rates -> isotonic fit at max power (suffix-mean max)
     P = powers_ref.shape[0]
-    sums = [
-        jnp.sum(jnp.where(stim_n == powers_ref[p], est, 0.0)) for p in range(P)
-    ]
-    counts = [counts_ref[n * P + p] for p in range(P)]
-    rates = [s / (c + 1e-4 * (c == 0.0)) for s, c in zip(sums, counts)]
-    iso_max = rates[P - 1]
-    acc = rates[P - 1]
-    cnt = 1.0
-    for p in range(P - 2, -1, -1):
-        acc = acc + rates[p]
-        cnt = cnt + 1.0
-        iso_max = jnp.maximum(iso_max, acc / cnt)
-
-    total = jnp.sum(est)
-    ok = jnp.logical_and(iso_max >= msrmp_eff, total >= min_count)
-    gate = jnp.where(gate_active > 0, ok.astype(est.dtype), jnp.ones((), est.dtype))
-
-    new_lam = est * gate
-    new_mu = mu_n * gate
+    new_lam, new_mu, r_excl = _sweep_body(
+        lam_n, stim_n,
+        lambda: r_ref[...], lambda: y_ref[...], lambda: lam_mask_ref[...],
+        lambda: mu_ref[n], lambda: beta_ref[n],
+        lambda: m0_ref[n], lambda: m1_ref[n], powers_ref,
+        lambda p: counts_ref[n * P + p],
+        sig, msrmp_eff, min_count, gate_active)
     out_row_ref[0, 0, :] = new_lam
     r_ref[...] = r_excl + new_mu * new_lam
 
@@ -204,26 +178,36 @@ def sweep_spikes_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _sweep_body_row(lam_n, stim_n, n, r, y, lam_mask, mu_ref, beta_ref,
-                    m0_ref, m1_ref, powers_ref, counts_ref, sig, msrmp_eff,
-                    min_count, gate_active):
-    """One coordinate update; identical algebra to _sweep_kernel."""
-    mu_n = mu_ref[n]
-    beta_n = beta_ref[n]
-    r_excl = r - mu_n * lam_n
+def _sweep_body(lam_n, stim_n, read_r, read_y, read_mask, read_mu,
+                read_beta, read_m0, read_m1, powers_ref, read_count,
+                sig, msrmp_eff, min_count, gate_active):
+    """One coordinate update — the ONE copy of the residual-exclusion /
+    quad / est / suffix-mean isotonic gate / residual-writeback algebra
+    shared by every scalar-row sweep kernel (grid, row-DMA, batched
+    grid). The ``read_*`` thunks let each kernel keep its own ref
+    indexing while the reads stay at the exact program points the
+    kernels always used (the traced jaxprs — and hence the Mosaic
+    lowerings — are byte-identical to the pre-factored copies;
+    verified). The blocked kernels use 2-D Jacobi block algebra and are
+    intentionally separate.
+    """
+    mu_n = read_mu()
+    beta_n = read_beta()
+    r_excl = read_r() - mu_n * lam_n
     quad = sig * (
-        -2.0 * y * mu_n + 2.0 * mu_n * r_excl + (mu_n * mu_n + beta_n * beta_n)
+        -2.0 * read_y() * mu_n + 2.0 * mu_n * r_excl
+        + (mu_n * mu_n + beta_n * beta_n)
     )
     est = (
-        lam_mask
+        read_mask()
         * (stim_n > 0).astype(lam_n.dtype)
-        * jax.nn.sigmoid(m0_ref[n] * stim_n - m1_ref[n] - 0.5 * quad)
+        * jax.nn.sigmoid(read_m0() * stim_n - read_m1() - 0.5 * quad)
     )
     P = powers_ref.shape[0]
     sums = [
         jnp.sum(jnp.where(stim_n == powers_ref[p], est, 0.0)) for p in range(P)
     ]
-    counts = [counts_ref[n * P + p] for p in range(P)]
+    counts = [read_count(p) for p in range(P)]
     rates = [s / (c + 1e-4 * (c == 0.0)) for s, c in zip(sums, counts)]
     iso_max = rates[P - 1]
     acc = rates[P - 1]
@@ -237,8 +221,28 @@ def _sweep_body_row(lam_n, stim_n, n, r, y, lam_mask, mu_ref, beta_ref,
     gate = jnp.where(gate_active > 0, ok.astype(est.dtype),
                      jnp.ones((), est.dtype))
     new_lam = est * gate
-    new_r = r_excl + (mu_n * gate) * new_lam
-    return new_lam, new_r
+    new_mu = mu_n * gate
+    # the residual writeback `r_excl + new_mu * new_lam` stays in each
+    # caller: the grid/batched kernels issue it AFTER their out-row
+    # store, the row-DMA body before — returning the pieces keeps every
+    # kernel's traced op order (and Mosaic lowering) bit-identical to
+    # the pre-factored copies
+    return new_lam, new_mu, r_excl
+
+
+def _sweep_body_row(lam_n, stim_n, n, r, y, lam_mask, mu_ref, beta_ref,
+                    m0_ref, m1_ref, powers_ref, counts_ref, sig, msrmp_eff,
+                    min_count, gate_active):
+    """Row-DMA kernels' entry to :func:`_sweep_body` (r/y/mask arrive
+    pre-read; the per-neuron params read from SMEM here)."""
+    P = powers_ref.shape[0]
+    new_lam, new_mu, r_excl = _sweep_body(
+        lam_n, stim_n, lambda: r, lambda: y, lambda: lam_mask,
+        lambda: mu_ref[n], lambda: beta_ref[n],
+        lambda: m0_ref[n], lambda: m1_ref[n], powers_ref,
+        lambda p: counts_ref[n * P + p],
+        sig, msrmp_eff, min_count, gate_active)
+    return new_lam, r_excl + new_mu * new_lam
 
 
 def _sweep_kernel_dma(
@@ -461,44 +465,14 @@ def _sweep_kernel_batched(
 
     lam_n = lam_row_ref[0, 0, 0, :]
     stim_n = stim_row_ref[0, 0, 0, :]
-    mu_n = mu_row_ref[0, 0, 0, 0]
-    beta_n = beta_row_ref[0, 0, 0, 0]
-
-    r_excl = r_ref[...] - mu_n * lam_n
-    quad = sig * (
-        -2.0 * y_ref[0, 0, :] * mu_n + 2.0 * mu_n * r_excl
-        + (mu_n * mu_n + beta_n * beta_n)
-    )
-    est = (
-        lam_mask_ref[0, 0, :]
-        * (stim_n > 0).astype(lam_n.dtype)
-        * jax.nn.sigmoid(
-            m0_row_ref[0, 0, 0, 0] * stim_n - m1_row_ref[0, 0, 0, 0]
-            - 0.5 * quad
-        )
-    )
-
-    P = powers_ref.shape[0]
-    sums = [
-        jnp.sum(jnp.where(stim_n == powers_ref[p], est, 0.0)) for p in range(P)
-    ]
-    counts = [counts_row_ref[0, 0, 0, p] for p in range(P)]
-    rates = [s / (c + 1e-4 * (c == 0.0)) for s, c in zip(sums, counts)]
-    iso_max = rates[P - 1]
-    acc = rates[P - 1]
-    cnt = 1.0
-    for p in range(P - 2, -1, -1):
-        acc = acc + rates[p]
-        cnt = cnt + 1.0
-        iso_max = jnp.maximum(iso_max, acc / cnt)
-
-    total = jnp.sum(est)
-    ok = jnp.logical_and(iso_max >= msrmp_eff, total >= min_count)
-    gate = jnp.where(gate_active > 0, ok.astype(est.dtype),
-                     jnp.ones((), est.dtype))
-
-    new_lam = est * gate
-    new_mu = mu_n * gate
+    new_lam, new_mu, r_excl = _sweep_body(
+        lam_n, stim_n,
+        lambda: r_ref[...], lambda: y_ref[0, 0, :],
+        lambda: lam_mask_ref[0, 0, :],
+        lambda: mu_row_ref[0, 0, 0, 0], lambda: beta_row_ref[0, 0, 0, 0],
+        lambda: m0_row_ref[0, 0, 0, 0], lambda: m1_row_ref[0, 0, 0, 0],
+        powers_ref, lambda p: counts_row_ref[0, 0, 0, p],
+        sig, msrmp_eff, min_count, gate_active)
     out_row_ref[0, 0, 0, :] = new_lam
     r_ref[...] = r_excl + new_mu * new_lam
 

@@ -47,5 +47,14 @@ def truncated_normal_mean(mean, sd):
     """
     alpha = -mean / sd
     pdf = jnp.exp(-0.5 * alpha * alpha) / jnp.sqrt(2.0 * jnp.pi).astype(mean.dtype)
-    tail = 1.0 - ndtr(alpha)
-    return mean + sd * pdf / jnp.maximum(tail, jnp.finfo(mean.dtype).tiny)
+    # P(X > 0) as ndtr(-alpha), NOT 1 - ndtr(alpha): the subtraction
+    # catastrophically cancels in f32 once ndtr(alpha) rounds to 1
+    # (mean <~ -5*sd), returning wrong-signed or ~1e30 means — a single
+    # such value poisons the whole analytic_mc fit (round-4 review
+    # finding, empirically confirmed)
+    tail = ndtr(-alpha)
+    ratio = pdf / jnp.maximum(tail, jnp.finfo(mean.dtype).tiny)
+    # where even ndtr(-alpha) underflows (alpha >~ 12 in f32), use the
+    # Mills-ratio asymptote phi/Phi(-alpha) -> alpha + 1/alpha
+    ratio = jnp.where(tail > 0, ratio, alpha + 1.0 / alpha)
+    return mean + sd * ratio

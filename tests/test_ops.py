@@ -126,6 +126,20 @@ class TestTruncNorm:
         m = truncated_normal_mean(jnp.array([10.0]), jnp.array([1.0]))
         np.testing.assert_allclose(float(m[0]), 10.0, atol=1e-4)
 
+    def test_analytic_mean_deep_negative_tail(self):
+        """mean << 0 (relative to sd): f32 `1 - ndtr(alpha)` used to
+        cancel catastrophically — wrong-signed at -5*sd, ~1e30 at
+        -5.5*sd (round-4 review finding). The (0, inf)-truncated mean
+        is always positive and for deep tails approaches sd^2/|mean|
+        (Mills asymptote)."""
+        means = jnp.array([-5.0, -5.5, -8.0, -20.0, -100.0])
+        m = np.asarray(truncated_normal_mean(means, jnp.ones(5)))
+        assert np.all(m > 0) and np.all(np.isfinite(m))
+        # scipy.stats.truncnorm.mean ground truth at these params
+        exact = [0.186504, 0.171410, 0.121368, 0.049753, 0.009998]
+        np.testing.assert_allclose(m, exact, rtol=1e-2)
+        np.testing.assert_allclose(m[:3], exact[:3], rtol=5e-4)
+
 
 class TestSpikeRates:
     def test_matches_oracle(self, rng):

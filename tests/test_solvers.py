@@ -205,6 +205,16 @@ class TestCosampViaModel:
         assert model.state["cosamp_time"] >= 0.0
         assert "lam" not in model.state  # not fabricated by cosamp
 
+    def test_mesh_fit_option_rejected_clearly(self, sim):
+        """Every other adapter accepts mesh=; cosamp must say WHY it
+        can't, not TypeError from inside the solver (round-4 review)."""
+        import pytest
+
+        model = Model(60)
+        with pytest.raises(ValueError, match="cosamp has no mesh"):
+            model.fit(sim["psc"], sim["stim_matrix"], method="cosamp",
+                      fit_options={"mesh": object(), "k": 8})
+
 
 class TestPallasSweep:
     def test_interpret_full_fit_matches_xla(self, sim):
