@@ -50,6 +50,14 @@ _GROUPS = [
         ("signal-fidelity", "run_signal_fidelity.py",
          "demixing fidelity vs stimulation frequency"),
     ]),
+    ("Operations", [
+        ("doctor", "doctor.py",
+         "diagnose the runtime environment (accelerator link, native "
+         "lib, zoo, compile cache) with hang-proof probes"),
+        ("warm-cache", "warm_cache.py",
+         "pre-compile the pipeline for deployment shapes into the "
+         "persistent XLA cache"),
+    ]),
     ("Measurement / profiling", [
         ("scaling-study", "run_scaling_study.py",
          "on-chip shape-scaling study (SCALING.json)"),
