@@ -73,6 +73,7 @@ _LAZY = {
         "simulate_continuous_experiment",
     ),
     "OnlineCaviar": ("circuitmap_tpu.solvers.online", "OnlineCaviar"),
+    "FitClient": ("circuitmap_tpu.serve", "FitClient"),
     "AdaptiveDesigner": ("circuitmap_tpu.design", "AdaptiveDesigner"),
     "closed_loop_map": ("circuitmap_tpu.design", "closed_loop_map"),
 }

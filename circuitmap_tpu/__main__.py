@@ -51,6 +51,9 @@ _GROUPS = [
          "demixing fidelity vs stimulation frequency"),
     ]),
     ("Operations", [
+        ("serve", "serve.py",
+         "persistent fit server: one resident process owns the "
+         "accelerator, fits arrive over HTTP"),
         ("doctor", "doctor.py",
          "diagnose the runtime environment (accelerator link, native "
          "lib, zoo, compile cache) with hang-proof probes"),

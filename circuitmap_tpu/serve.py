@@ -1,0 +1,575 @@
+"""Persistent fit server: one process owns the accelerator, fits arrive
+over HTTP. ``python -m circuitmap_tpu serve`` / ``serve.FitClient``.
+
+Why a daemon is the right production shape on this hardware:
+
+* **One process per chip.** Only one process can effectively hold a
+  TPU (a second wedges the runtime — CLAUDE.md); a resident server IS
+  that process, and serialising requests through it removes the race
+  entirely. The acquisition rig, analysis notebooks, and batch scripts
+  all talk to the same warm device instead of competing for it.
+* **Compiled executables are process-local.** A fresh process pays the
+  fused-solver cold compile (~197 s cold / ~86 s from the persistent
+  cache through a remote compiler — PERF.md); the server pays it once
+  per (shape, options) and every later request reuses the in-process
+  executable. ``/warm`` pre-pays it for known deployment shapes.
+* **Closed-loop latency.** ``OnlineCaviar`` streams live in the server
+  between requests with device-resident capacity buffers, so a
+  mid-experiment posterior refresh is one small block upload + one
+  fused dispatch (~60 ms measured on-chip at N=500) — impossible if
+  every round started a new process.
+
+The reference has no serving story: its NeuroCAAS entry point
+(reference ``main.py:1-40``, ``run_circuitmap_main.sh``) launches one
+cloud job per experiment file, paying full process + model startup each
+time, and its closed-loop story is "re-run the script".
+
+Protocol (deliberately stdlib-only on both ends — the rig-side client
+needs numpy and nothing else):
+
+* request/response bodies are ``.npz`` bytes (``np.savez``), the
+  natural container for trace/design matrices; control responses are
+  JSON;
+* scalar/structured options ride the ``X-Options`` header as JSON
+  (ASCII — header-safe), so array payloads and knobs never mix;
+* the server is single-threaded by design: requests queue and run one
+  at a time, which is exactly the safe concurrency level for one chip
+  (JAX dispatch from multiple threads would serialise on the device
+  anyway; two eager streams through the tunnel can wedge it).
+
+Endpoints
+---------
+``GET  /health``                  → JSON (device, uptime, counters)
+``POST /demix``                   npz{psc} → npz{demixed}
+``POST /fit``                     npz{psc, stim} → npz{mu, beta, ...}
+``POST /warm``                    X-Options {"shapes": [[N, K], ...]}
+``POST /stream/<name>/update``    npz{psc, stim} → JSON counters
+``GET  /stream/<name>/posterior`` → npz small fields
+``GET  /stream/<name>/result``    → npz full posterior
+``DELETE /stream/<name>``         → JSON
+``POST /shutdown``                → JSON (graceful stop)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+
+import numpy as np
+
+DEFAULT_PORT = 8799
+
+# fit_options the HTTP layer accepts for POST /fit. Everything here is
+# a JSON-safe scalar/list knob of the batch solvers; mesh= (a live jax
+# object) and callback-like options deliberately have no wire form.
+_FIT_OPTION_KEYS = frozenset((
+    "iters", "msrmp", "powers", "seed", "num_mc_samples",
+    "minimum_spike_count", "delay_spont_est", "scale_factor", "penalty",
+    "max_backtrack_iters", "tol", "spont_orthogonality", "analytic_mc",
+    "save_histories", "sweep_impl", "sweep_block_size", "laplace_impl",
+    "update_order", "track_elbo", "elbo_tol", "y_xcorr_thresh",
+    "fn_scan", "trace_wire", "verbose", "k",
+))
+
+# OnlineCaviar constructor knobs creatable over the wire (subset of
+# solvers/online.py::OnlineCaviar.__init__ — JSON-safe only).
+_STREAM_CREATE_KEYS = frozenset((
+    "powers", "seed", "capacity", "y_xcorr_thresh", "msrmp",
+    "num_mc_samples", "minimum_spike_count", "delay_spont_est",
+    "scale_factor", "penalty", "max_backtrack_iters", "tol",
+    "spont_orthogonality", "analytic_mc", "sweep_impl",
+    "sweep_block_size", "laplace_impl", "update_order",
+))
+
+
+def _npz_bytes(**arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()
+                     if v is not None})
+    return buf.getvalue()
+
+
+def _load_npz(body):
+    try:
+        with np.load(io.BytesIO(body), allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    except Exception as exc:
+        raise _BadRequest(f"body is not a readable .npz: {exc}") from None
+
+
+class _BadRequest(ValueError):
+    """Client error → HTTP 400 with the message."""
+
+
+class FitService:
+    """The server's state + request logic, HTTP-free (unit-testable).
+
+    Every public ``do_*`` method returns ``(content_type, payload_bytes)``
+    and raises ``_BadRequest`` for client errors.
+    """
+
+    def __init__(self, demixer_path=None, default_wire=None, priors=None):
+        from . import _ensure_compile_cache
+
+        _ensure_compile_cache()
+        import jax
+
+        self._t0 = time.time()
+        self.device = str(jax.devices()[0])
+        self.platform = jax.devices()[0].platform
+        self.default_wire = default_wire
+        self.priors = priors
+        self.demixer = None
+        self.demixer_path = demixer_path
+        if demixer_path:
+            from .demix import NeuralDemixer
+
+            self.demixer = (NeuralDemixer(seed=0)
+                            if demixer_path == "default"
+                            else NeuralDemixer(path=demixer_path))
+        self.streams = {}
+        self.n_fits = 0
+        self.n_demixes = 0
+
+    # -- helpers -----------------------------------------------------------
+
+    def _parse_options(self, header_value, allowed, what):
+        if not header_value:
+            return {}
+        try:
+            opts = json.loads(header_value)
+        except json.JSONDecodeError as exc:
+            raise _BadRequest(f"X-Options is not valid JSON: {exc}")
+        if not isinstance(opts, dict):
+            raise _BadRequest("X-Options must be a JSON object")
+        unknown = set(opts) - allowed
+        if unknown:
+            raise _BadRequest(
+                f"unknown {what} option(s) {sorted(unknown)}; "
+                f"allowed: {sorted(allowed)}")
+        return opts
+
+    def _wire_token(self, opts):
+        """Demixer transfer dtype from options/default ('f16'/'int8'/
+        'int4'/'int4d2' tokens; None = f32)."""
+        tok = opts.pop("trace_wire", self.default_wire)
+        if tok in (None, "", "f32"):
+            return None
+        if tok == "int8":
+            return np.int8
+        if tok == "f16":
+            return np.float16
+        if tok in ("int4", "int4d2"):
+            return tok
+        raise _BadRequest(
+            f"unknown trace_wire {tok!r}; expected f32/f16/int8/int4/int4d2")
+
+    def _maybe_demix(self, psc, opts):
+        """Demix on request (`demix` option; default: iff the server
+        was started with a demixer). Output stays device-resident —
+        it feeds the solver directly. When demixing, ``trace_wire``
+        configures the demixer's host→device upload (the solver then
+        sees a device array, so no second wire applies); when not,
+        the option is left in ``opts`` for the solver's raw-trace
+        wire."""
+        want = bool(opts.pop("demix", self.demixer is not None))
+        if not want:
+            return psc
+        wire = self._wire_token(opts)
+        if self.demixer is None:
+            raise _BadRequest(
+                "demix requested but the server was started without a "
+                "demixer (pass --demixer to `circuitmap_tpu serve`)")
+        self.n_demixes += 1
+        return self.demixer(psc, verbose=False, keep_on_device=True,
+                            transfer_dtype=wire)
+
+    # -- endpoints ----------------------------------------------------------
+
+    def do_health(self):
+        return "application/json", json.dumps({
+            "status": "ok",
+            "device": self.device,
+            "platform": self.platform,
+            "uptime_s": round(time.time() - self._t0, 1),
+            "fits": self.n_fits,
+            "demixes": self.n_demixes,
+            "streams": {name: {"trials": s.trial_count,
+                               "iterations": s.iteration}
+                        for name, s in self.streams.items()},
+            "demixer": self.demixer_path,
+        }).encode()
+
+    def do_demix(self, body, options_header):
+        opts = self._parse_options(options_header,
+                                   frozenset(("trace_wire",)), "demix")
+        arrays = _load_npz(body)
+        if "psc" not in arrays:
+            raise _BadRequest("npz must carry 'psc' [K, T]")
+        if self.demixer is None:
+            raise _BadRequest("server started without a demixer")
+        wire = self._wire_token(opts)
+        self.n_demixes += 1
+        out = self.demixer(arrays["psc"], verbose=False,
+                           transfer_dtype=wire)
+        return "application/npz", _npz_bytes(demixed=out)
+
+    def do_fit(self, body, options_header):
+        from .model import Model
+
+        opts = self._parse_options(
+            options_header, _FIT_OPTION_KEYS | {"method", "demix"}, "fit")
+        arrays = _load_npz(body)
+        if "psc" not in arrays or "stim" not in arrays:
+            raise _BadRequest("npz must carry 'psc' [K, T|1] and "
+                              "'stim' [N, K]")
+        psc, stim = arrays["psc"], arrays["stim"]
+        if psc.shape[0] != stim.shape[1]:
+            raise _BadRequest(
+                f"psc carries {psc.shape[0]} trials but stim "
+                f"{stim.shape[1]} — psc is [K, T], stim [N, K]")
+        method = opts.pop("method", "caviar")
+        obs = self._maybe_demix(psc, opts)
+        opts.setdefault("verbose", False)
+        model = Model(stim.shape[0], priors=self.priors)
+        model.fit(obs, stim, method=method, fit_options=opts)
+        self.n_fits += 1
+        out = {k: v for k, v in model.state.items()
+               if isinstance(v, np.ndarray)}
+        out["fit_time_s"] = np.float64(model.time)
+        if model.history:
+            out.update({f"history_{k}": v for k, v in model.history.items()
+                        if isinstance(v, np.ndarray)})
+        return "application/npz", _npz_bytes(**out)
+
+    def do_warm(self, options_header):
+        """Compile the demix+fit pipeline for given shapes in THIS
+        process (in-process executables — beyond what the on-disk
+        cache gives a fresh process)."""
+        opts = self._parse_options(
+            options_header,
+            frozenset(("shapes", "iters", "powers", "trace_wire")), "warm")
+        shapes = opts.pop("shapes", None)
+        if not shapes:
+            raise _BadRequest('X-Options must carry {"shapes": [[N, K], ...]}')
+        iters = int(opts.pop("iters", 50))
+        powers = [float(p) for p in opts.pop("powers", (45.0, 55.0, 65.0))]
+        timings = {}
+        for shape in shapes:
+            try:
+                n, k = (int(shape[0]), int(shape[1]))
+            except (TypeError, ValueError, IndexError):
+                raise _BadRequest(f"bad shape {shape!r}; want [N, K]")
+            rng = np.random.default_rng(0)
+            stim = np.zeros((n, k))
+            for h in range(min(10, n)):
+                stim[rng.integers(0, n, size=k), np.arange(k)] = (
+                    rng.choice(powers, size=k))
+            psc = 0.01 * rng.standard_normal((k, 900)).astype(np.float32)
+            body = _npz_bytes(psc=psc, stim=stim)
+            t0 = time.perf_counter()
+            self.do_fit(body, json.dumps(
+                {"iters": iters, "powers": powers, **opts}))
+            timings[f"{n}x{k}"] = round(time.perf_counter() - t0, 2)
+        return "application/json", json.dumps(
+            {"warmed": timings}).encode()
+
+    def do_stream_update(self, name, body, options_header):
+        from .solvers import OnlineCaviar
+
+        opts = self._parse_options(
+            options_header,
+            frozenset(("iters", "fn_scan", "trace_wire", "demix", "create")),
+            "stream-update")
+        arrays = _load_npz(body)
+        if "psc" not in arrays or "stim" not in arrays:
+            raise _BadRequest("npz must carry 'psc' [k, T] and 'stim' [N, k]")
+        psc, stim = arrays["psc"], arrays["stim"]
+        create = opts.pop("create", {}) or {}
+        if not isinstance(create, dict):
+            raise _BadRequest("'create' must be a JSON object of "
+                              "OnlineCaviar options")
+        stream = self.streams.get(name)
+        if stream is None:
+            unknown = set(create) - _STREAM_CREATE_KEYS
+            if unknown:
+                raise _BadRequest(
+                    f"unknown stream-create option(s) {sorted(unknown)}; "
+                    f"allowed: {sorted(_STREAM_CREATE_KEYS)}")
+            stream = OnlineCaviar(stim.shape[0], priors=self.priors,
+                                  **create)
+            self.streams[name] = stream
+        elif create:
+            raise _BadRequest(
+                f"stream {name!r} already exists; 'create' options only "
+                "apply to the first update")
+        # closed-loop blocks may arrive raw; demix if asked (pulls the
+        # demixed block back — OnlineCaviar owns its own device wire)
+        obs = self._maybe_demix(psc, opts)
+        wire = opts.pop("trace_wire", None)
+        if wire not in (None, "", "f32", "f16", "int8", "int4", "int4d2"):
+            raise _BadRequest(f"unknown trace_wire {wire!r}")
+        try:
+            stream.update(np.asarray(obs), stim,
+                          iters=int(opts.pop("iters", 10)),
+                          fn_scan=bool(opts.pop("fn_scan", True)),
+                          trace_wire=wire or None)
+        except ValueError as exc:
+            raise _BadRequest(str(exc))
+        return "application/json", json.dumps({
+            "stream": name,
+            "trial_count": stream.trial_count,
+            "iterations": stream.iteration,
+            "reconnected": stream.last_reconnected,
+        }).encode()
+
+    def _get_stream(self, name):
+        stream = self.streams.get(name)
+        if stream is None:
+            raise _BadRequest(
+                f"no stream {name!r}; live: {sorted(self.streams)}")
+        return stream
+
+    def do_stream_posterior(self, name):
+        return "application/npz", _npz_bytes(
+            **self._get_stream(name).posterior())
+
+    def do_stream_result(self, name, options_header):
+        opts = self._parse_options(options_header,
+                                   frozenset(("fn_scan",)), "stream-result")
+        res = self._get_stream(name).result(
+            fn_scan=bool(opts.pop("fn_scan", True)))
+        return "application/npz", _npz_bytes(**res)
+
+    def do_stream_delete(self, name):
+        self._get_stream(name)  # 400 on unknown
+        del self.streams[name]
+        return "application/json", json.dumps({"deleted": name}).encode()
+
+
+def _make_handler(service, server_box):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # fits legitimately take seconds-to-minutes; never kill mid-fit
+        timeout = None
+
+        def log_message(self, fmt, *args):  # quiet by default
+            if service_verbose:
+                super().log_message(fmt, *args)
+
+        def _reply(self, code, content_type, payload):
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _json_error(self, code, message):
+            # an error path may not have drained the request body —
+            # drop the connection so keep-alive can't desync
+            self.close_connection = True
+            self._reply(code, "application/json",
+                        json.dumps({"error": message}).encode())
+
+        def _body(self):
+            length = int(self.headers.get("Content-Length", 0))
+            if length > max_body:
+                raise _BadRequest(
+                    f"body {length / 1e6:.0f} MB exceeds the server's "
+                    f"--max-mb {max_body / 1e6:.0f}")
+            return self.rfile.read(length)
+
+        def _route(self):
+            path = self.path.split("?", 1)[0].rstrip("/")
+            opts = self.headers.get("X-Options")
+            method = self.command
+            if method == "GET" and path in ("", "/health"):
+                return service.do_health()
+            if path.startswith("/stream/"):
+                parts = path.split("/")
+                if len(parts) == 4:
+                    _, _, name, verb = parts
+                    if method == "POST" and verb == "update":
+                        return service.do_stream_update(
+                            name, self._body(), opts)
+                    if method == "GET" and verb == "posterior":
+                        return service.do_stream_posterior(name)
+                    if method == "GET" and verb == "result":
+                        return service.do_stream_result(name, opts)
+                if len(parts) == 3 and method == "DELETE":
+                    return service.do_stream_delete(parts[2])
+            if method == "POST":
+                if path == "/demix":
+                    return service.do_demix(self._body(), opts)
+                if path == "/fit":
+                    return service.do_fit(self._body(), opts)
+                if path == "/warm":
+                    return service.do_warm(opts)
+                if path == "/shutdown":
+                    import threading
+
+                    threading.Thread(
+                        target=server_box[0].shutdown, daemon=True).start()
+                    return ("application/json",
+                            json.dumps({"shutting_down": True}).encode())
+            return None
+
+        def _handle(self):
+            try:
+                routed = self._route()
+            except _BadRequest as exc:
+                return self._json_error(400, str(exc))
+            except BrokenPipeError:
+                raise
+            except Exception as exc:  # keep the daemon alive
+                return self._json_error(
+                    500, f"{type(exc).__name__}: {exc}")
+            if routed is None:
+                return self._json_error(
+                    404, f"no route {self.command} {self.path}")
+            self._reply(200, *routed)
+
+        do_GET = do_POST = do_DELETE = _handle
+
+    service_verbose = getattr(service, "verbose", False)
+    max_body = getattr(service, "max_body_bytes", 2 << 30)
+    return Handler
+
+
+def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
+               default_wire=None, max_mb=2048, warm_shapes=(),
+               verbose=False, ready_fd=None):
+    """Build the service, bind, optionally pre-warm, then serve forever.
+
+    ``port=0`` lets the OS assign one; the bound port is printed as
+    ``SERVING host=<h> port=<p>`` (and written to ``ready_fd`` if
+    given) before the warm-up so supervisors can wait on it.
+    """
+    from http.server import HTTPServer
+
+    service = FitService(demixer_path=demixer_path,
+                         default_wire=default_wire)
+    service.verbose = verbose
+    service.max_body_bytes = int(max_mb * 1e6)
+    server_box = [None]
+    httpd = HTTPServer((host, port), _make_handler(service, server_box))
+    server_box[0] = httpd
+    bound = httpd.server_address[1]
+    print(f"SERVING host={host} port={bound} device={service.device}",
+          flush=True)
+    if ready_fd is not None:
+        import os
+
+        os.write(ready_fd, f"{bound}\n".encode())
+        os.close(ready_fd)
+    if warm_shapes:
+        t0 = time.perf_counter()
+        service.do_warm(json.dumps(
+            {"shapes": [list(s) for s in warm_shapes]}))
+        print(f"warmed {len(warm_shapes)} shape(s) in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+    return service
+
+
+# ---------------------------------------------------------------- client
+
+class FitClient:
+    """Stdlib client for the fit server (numpy + urllib only — rig-side
+    machines need no jax).
+
+    >>> client = FitClient("http://127.0.0.1:8799")
+    >>> state = client.fit(psc, stim, iters=50, msrmp=0.3)
+    >>> state["mu"]          # posterior weight means, [N]
+    """
+
+    def __init__(self, base_url=f"http://127.0.0.1:{DEFAULT_PORT}",
+                 timeout=600.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _request(self, method, path, body=None, options=None):
+        import urllib.error
+        import urllib.request
+
+        headers = {}
+        if options:
+            headers["X-Options"] = json.dumps(options)
+        if body is not None:
+            headers["Content-Type"] = "application/npz"
+        req = urllib.request.Request(
+            self.base_url + path, data=body, headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = resp.read()
+                ctype = resp.headers.get("Content-Type", "")
+        except urllib.error.HTTPError as exc:
+            detail = exc.read().decode(errors="replace")
+            try:
+                detail = json.loads(detail)["error"]
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"{method} {path} → HTTP {exc.code}: {detail}") from None
+        if ctype.startswith("application/npz"):
+            return {k: v for k, v in
+                    np.load(io.BytesIO(payload), allow_pickle=False).items()}
+        return json.loads(payload)
+
+    def health(self):
+        return self._request("GET", "/health")
+
+    def demix(self, psc, trace_wire=None):
+        opts = {"trace_wire": trace_wire} if trace_wire else None
+        out = self._request("POST", "/demix",
+                            body=_npz_bytes(psc=psc), options=opts)
+        return out["demixed"]
+
+    def fit(self, psc, stim, method="caviar", demix=None, **fit_options):
+        """Run a batch fit; returns the model state dict (numpy).
+
+        ``psc``: [K, T] traces (raw if the server demixes, demixed
+        otherwise); ``stim``: [N, K] design; ``fit_options`` as in
+        ``Model.fit`` (JSON-safe knobs only)."""
+        opts = {"method": method, **fit_options}
+        if demix is not None:
+            opts["demix"] = bool(demix)
+        return self._request("POST", "/fit",
+                             body=_npz_bytes(psc=psc, stim=stim),
+                             options=opts)
+
+    def warm(self, shapes, iters=50, **options):
+        shapes = [list(map(int, s)) for s in
+                  (shapes if isinstance(shapes[0], (list, tuple))
+                   else [shapes])]
+        return self._request(
+            "POST", "/warm",
+            options={"shapes": shapes, "iters": iters, **options})
+
+    def stream_update(self, name, psc, stim, iters=10, create=None,
+                      **options):
+        opts = {"iters": iters, **options}
+        if create:
+            opts["create"] = create
+        return self._request("POST", f"/stream/{name}/update",
+                             body=_npz_bytes(psc=psc, stim=stim),
+                             options=opts)
+
+    def stream_posterior(self, name):
+        return self._request("GET", f"/stream/{name}/posterior")
+
+    def stream_result(self, name, fn_scan=True):
+        return self._request("GET", f"/stream/{name}/result",
+                             options={"fn_scan": fn_scan})
+
+    def stream_delete(self, name):
+        return self._request("DELETE", f"/stream/{name}")
+
+    def shutdown(self):
+        return self._request("POST", "/shutdown")

@@ -1,0 +1,74 @@
+"""Run the persistent fit server: ``python -m circuitmap_tpu serve``.
+
+One resident process owns the accelerator and serves demix/fit/stream
+requests over HTTP (see circuitmap_tpu/serve.py for the protocol and
+the design rationale). Typical deployment::
+
+    python -m circuitmap_tpu serve --demixer demixers/nwd_ie_ChroME2f.npz \
+        --wire int8 --warm 1000x20000
+
+then from the rig (numpy + stdlib only)::
+
+    from circuitmap_tpu.serve import FitClient
+    state = FitClient().fit(psc, stim, iters=50, msrmp=0.3)
+"""
+
+import argparse
+import sys
+
+
+def _shape(text):
+    try:
+        n, k = text.lower().split("x")
+        return (int(n), int(k))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "shape must look like NxK, e.g. 1000x20000") from None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="persistent fit server: one process owns the "
+                    "accelerator, fits arrive over HTTP")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address (default localhost-only; "
+                             "the protocol is unauthenticated — front "
+                             "it with an SSH tunnel or reverse proxy "
+                             "to expose it beyond the host)")
+    parser.add_argument("--port", type=int, default=None,
+                        help="port (default 8799; 0 = OS-assigned, "
+                             "printed as 'SERVING ... port=<p>')")
+    parser.add_argument("--demixer", default=None,
+                        help="demixer checkpoint (.npz/.ckpt) the "
+                             "server loads once and applies to every "
+                             "request that asks (or 'default' for a "
+                             "fresh default-architecture net); omit "
+                             "to serve raw-trace fits only")
+    parser.add_argument("--wire", default=None,
+                        choices=["f32", "f16", "int8", "int4", "int4d2"],
+                        help="default trace wire for demix uploads "
+                             "(per-request X-Options override)")
+    parser.add_argument("--max-mb", type=float, default=2048,
+                        help="largest accepted request body, MB")
+    parser.add_argument("--warm", type=_shape, nargs="*", default=[],
+                        metavar="NxK",
+                        help="pre-compile the pipeline for these shapes "
+                             "before accepting requests")
+    parser.add_argument("--verbose", action="store_true",
+                        help="log every request")
+    args = parser.parse_args(argv)
+
+    from circuitmap_tpu.serve import DEFAULT_PORT, run_server
+
+    try:
+        run_server(host=args.host,
+                   port=DEFAULT_PORT if args.port is None else args.port,
+                   demixer_path=args.demixer, default_wire=args.wire,
+                   max_mb=args.max_mb, warm_shapes=args.warm,
+                   verbose=args.verbose)
+    except KeyboardInterrupt:
+        print("fit server stopped", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

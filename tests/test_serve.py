@@ -1,0 +1,213 @@
+"""Fit-server round trips: one subprocess server, stdlib client.
+
+The server runs on the CPU backend in its own process (the production
+shape: it owns the device; tests are the rig-side client). One server
+serves the whole module — startup + first-fit compile dominate, so the
+tests share shapes where they can reuse executables.
+"""
+
+import json
+import os
+import select
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N, K, T = 30, 256, 900
+ITERS = 8
+FIT_OPTS = dict(iters=ITERS, msrmp=0.3, num_mc_samples=20, seed=11,
+                verbose=False)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    import circuitmap_tpu as cm
+
+    np.random.seed(3)
+    return cm.simulate(N=N, trials=K, H=4, connection_prob=0.1,
+                       verbose=False)
+
+
+@pytest.fixture(scope="module")
+def server():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    import tempfile
+
+    errlog = tempfile.NamedTemporaryFile(
+        mode="w+", suffix="_serve_stderr.log", delete=False)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "circuitmap_tpu", "serve", "--port", "0",
+         "--demixer", "default"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=errlog,
+        text=True)
+
+    def _err_tail():
+        try:
+            with open(errlog.name) as fh:
+                return fh.read()[-2000:]
+        except OSError:
+            return "<no stderr>"
+
+    port = None
+    deadline = time.time() + 120
+    line = ""
+    while time.time() < deadline:
+        ready, _, _ = select.select([proc.stdout], [], [], 1.0)
+        if not ready:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"fit server died during startup:\n{_err_tail()}")
+            continue
+        line = proc.stdout.readline()
+        if not line:  # EOF — the server exited
+            proc.wait(timeout=10)
+            raise RuntimeError(
+                f"fit server exited before SERVING:\n{_err_tail()}")
+        if line.startswith("SERVING"):
+            port = int(line.split("port=")[1].split()[0])
+            break
+    if port is None:
+        proc.kill()
+        raise RuntimeError(
+            f"no SERVING line within 120s (last: {line!r})\n{_err_tail()}")
+
+    from circuitmap_tpu.serve import FitClient
+
+    client = FitClient(f"http://127.0.0.1:{port}", timeout=600)
+    yield client
+    try:
+        client.shutdown()
+        proc.wait(timeout=30)
+    except Exception:
+        proc.kill()
+
+
+class TestServer:
+    def test_health(self, server):
+        h = server.health()
+        assert h["status"] == "ok"
+        assert h["platform"] == "cpu"
+        assert h["demixer"] == "default"
+
+    def test_fit_matches_local_and_recovers(self, server, sim):
+        from circuitmap_tpu import Model
+
+        state = server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                           **FIT_OPTS)
+        assert state["mu"].shape == (N,)
+        assert state["lam"].shape == (N, K)
+        assert float(state["fit_time_s"]) > 0
+
+        local = Model(N).fit(sim["psc"], sim["stim_matrix"],
+                             method="caviar", fit_options=dict(FIT_OPTS))
+        np.testing.assert_allclose(state["mu"], local.state["mu"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(state["lam"], local.state["lam"],
+                                   rtol=1e-4, atol=1e-5)
+
+        # sanity only — the binding contract is the exact match above;
+        # recovery quality at real configs is test_caviar's job (this
+        # is a deliberately tiny raw-trace fit: N=30, K=256, 8 iters)
+        from circuitmap_tpu.utils.metrics import r2_score
+
+        assert r2_score(sim["weights"], state["mu"]) > 0.5
+
+    def test_fit_histories_on_request(self, server, sim):
+        state = server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                           save_histories=True, **FIT_OPTS)
+        assert state["history_mu"].shape == (ITERS, N)
+        # reference history-shape contract: scalars broadcast to (iters, K)
+        assert state["history_shape"].shape == (ITERS, K)
+
+    def test_demix_endpoint(self, server, sim):
+        out = server.demix(sim["psc"][:8])
+        assert out.shape == (8, T)
+        assert np.isfinite(out).all()
+
+    def test_stream_round_trip(self, server, sim):
+        half = K // 2
+        psc, stim = sim["psc"], sim["stim_matrix"]
+        r1 = server.stream_update(
+            "exp1", psc[:half], stim[:, :half], iters=4, demix=False,
+            create={"num_mc_samples": 20, "analytic_mc": True,
+                    "powers": [45.0, 55.0, 65.0]})
+        assert r1["trial_count"] == half
+        post = server.stream_posterior("exp1")
+        assert post["mu"].shape == (N,)
+        r2 = server.stream_update("exp1", psc[half:], stim[:, half:],
+                                  iters=4, demix=False)
+        assert r2["trial_count"] == K
+        assert r2["iterations"] == 8
+        res = server.stream_result("exp1")
+        assert res["lam"].shape == (N, K)
+        assert int(res["trial_count"]) == K
+        assert server.health()["streams"]["exp1"]["trials"] == K
+        server.stream_delete("exp1")
+        assert "exp1" not in server.health()["streams"]
+
+    def test_stream_create_only_first(self, server, sim):
+        server.stream_update("exp2", sim["psc"][:128],
+                             sim["stim_matrix"][:, :128], iters=1,
+                             demix=False, create={"analytic_mc": True})
+        with pytest.raises(RuntimeError, match="400.*already exists"):
+            server.stream_update("exp2", sim["psc"][:128],
+                                 sim["stim_matrix"][:, :128], iters=1,
+                                 demix=False, create={"analytic_mc": True})
+        server.stream_delete("exp2")
+
+    def test_client_errors(self, server, sim):
+        with pytest.raises(RuntimeError, match="400.*unknown fit option"):
+            server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                       bogus_option=1)
+        with pytest.raises(RuntimeError, match="400.*carries"):
+            server.fit(sim["psc"][:5], sim["stim_matrix"], demix=False)
+        with pytest.raises(RuntimeError, match="400.*no stream"):
+            server.stream_posterior("never-created")
+        with pytest.raises(RuntimeError, match="404"):
+            server._request("GET", "/nonsense")
+        # a failed request must not take the server down
+        assert server.health()["status"] == "ok"
+
+    def test_warm_endpoint(self, server):
+        out = server.warm((N, K), iters=ITERS)
+        assert f"{N}x{K}" in out["warmed"]
+        # a warmed shape must not pay a fresh cold compile (generous
+        # bound: same-shape fits already ran in this module, so both
+        # calls here are warm — guard against regression to recompiles)
+        again = server.warm((N, K), iters=ITERS)
+        assert again["warmed"][f"{N}x{K}"] <= out["warmed"][f"{N}x{K}"] + 5.0
+
+
+class TestServiceUnit:
+    """HTTP-free FitService checks (in-process, CPU backend)."""
+
+    def test_bad_npz_and_options(self):
+        from circuitmap_tpu.serve import FitService, _BadRequest
+
+        svc = FitService()
+        with pytest.raises(_BadRequest, match="readable .npz"):
+            svc.do_fit(b"not an npz", None)
+        with pytest.raises(_BadRequest, match="valid JSON"):
+            svc.do_fit(b"", "{nope")
+        with pytest.raises(_BadRequest, match="demix"):
+            buf = __import__("io").BytesIO()
+            np.savez(buf, psc=np.zeros((4, 9)), stim=np.zeros((2, 4)))
+            svc.do_fit(buf.getvalue(), json.dumps({"demix": True}))
+
+    def test_wire_token_validation(self):
+        from circuitmap_tpu.serve import FitService, _BadRequest
+
+        svc = FitService()
+        assert svc._wire_token({"trace_wire": "int8"}) is np.int8
+        assert svc._wire_token({"trace_wire": "f32"}) is None
+        assert svc._wire_token({}) is None
+        with pytest.raises(_BadRequest, match="trace_wire"):
+            svc._wire_token({"trace_wire": "int2"})
