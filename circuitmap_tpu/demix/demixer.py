@@ -140,6 +140,28 @@ def _unpack_int4_codes(packed, n_codes):
         w.shape[0], -1)[:, :n_codes]
 
 
+def resolve_transfer_dtype(token):
+    """Normalise a user-facing wire token to ``NeuralDemixer.__call__``'s
+    ``transfer_dtype`` value: 'f32'/''/None → None (plain f32 upload),
+    'f16' → np.float16, 'int8' → np.int8, 'int4'/'int4d2' pass through
+    as strings. Raises ValueError on anything else. Shared by every
+    front end that takes the token as text (serve, warm-cache, run_main)
+    so they agree on the vocabulary."""
+    if token is None or isinstance(token, type) or hasattr(token, "itemsize"):
+        return token  # already a dtype-like (np.int8 / np.float16 / dtype)
+    tok = str(token).lower()
+    if tok in ("", "f32", "float32"):
+        return None
+    if tok in ("f16", "float16"):
+        return np.float16
+    if tok == "int8":
+        return np.int8
+    if tok in ("int4", "int4d2"):
+        return tok
+    raise ValueError(
+        f"unknown trace wire {token!r}; expected f32/f16/int8/int4/int4d2")
+
+
 def wire_transform(traces, bits=4, decimate=1):
     """Host-side reference of the quantised trace wire: what the device
     reconstructs from a ``transfer_dtype`` upload, as f32 traces.

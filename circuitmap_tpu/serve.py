@@ -153,17 +153,13 @@ class FitService:
     def _wire_token(self, opts):
         """Demixer transfer dtype from options/default ('f16'/'int8'/
         'int4'/'int4d2' tokens; None = f32)."""
+        from .demix.demixer import resolve_transfer_dtype
+
         tok = opts.pop("trace_wire", self.default_wire)
-        if tok in (None, "", "f32"):
-            return None
-        if tok == "int8":
-            return np.int8
-        if tok == "f16":
-            return np.float16
-        if tok in ("int4", "int4d2"):
-            return tok
-        raise _BadRequest(
-            f"unknown trace_wire {tok!r}; expected f32/f16/int8/int4/int4d2")
+        try:
+            return resolve_transfer_dtype(tok)
+        except ValueError as exc:
+            raise _BadRequest(str(exc)) from None
 
     def _maybe_demix(self, psc, opts):
         """Demix on request (`demix` option; default: iff the server
@@ -230,10 +226,20 @@ class FitService:
                 f"psc carries {psc.shape[0]} trials but stim "
                 f"{stim.shape[1]} — psc is [K, T], stim [N, K]")
         method = opts.pop("method", "caviar")
+        if method not in ("caviar", "cavi_sns", "mbcs", "cosamp"):
+            raise _BadRequest(
+                f"unknown method {method!r}; expected "
+                "caviar | cavi_sns | mbcs | cosamp")
         obs = self._maybe_demix(psc, opts)
         opts.setdefault("verbose", False)
         model = Model(stim.shape[0], priors=self.priors)
-        model.fit(obs, stim, method=method, fit_options=opts)
+        try:
+            model.fit(obs, stim, method=method, fit_options=opts)
+        except (ValueError, TypeError) as exc:
+            # solver-side validation (bad powers, an option the chosen
+            # method doesn't take, shape mismatches) is a client error,
+            # not a server fault — the request, not the daemon, is wrong
+            raise _BadRequest(f"{method} rejected the request: {exc}")
         self.n_fits += 1
         out = {k: v for k, v in model.state.items()
                if isinstance(v, np.ndarray)}
@@ -250,6 +256,8 @@ class FitService:
         opts = self._parse_options(
             options_header,
             frozenset(("shapes", "iters", "powers", "trace_wire")), "warm")
+        from .utils.synthetic import synthetic_experiment
+
         shapes = opts.pop("shapes", None)
         if not shapes:
             raise _BadRequest('X-Options must carry {"shapes": [[N, K], ...]}')
@@ -261,12 +269,7 @@ class FitService:
                 n, k = (int(shape[0]), int(shape[1]))
             except (TypeError, ValueError, IndexError):
                 raise _BadRequest(f"bad shape {shape!r}; want [N, K]")
-            rng = np.random.default_rng(0)
-            stim = np.zeros((n, k))
-            for h in range(min(10, n)):
-                stim[rng.integers(0, n, size=k), np.arange(k)] = (
-                    rng.choice(powers, size=k))
-            psc = 0.01 * rng.standard_normal((k, 900)).astype(np.float32)
+            psc, stim = synthetic_experiment(n, k, powers=powers)
             body = _npz_bytes(psc=psc, stim=stim)
             t0 = time.perf_counter()
             self.do_fit(body, json.dumps(
@@ -291,7 +294,8 @@ class FitService:
             raise _BadRequest("'create' must be a JSON object of "
                               "OnlineCaviar options")
         stream = self.streams.get(name)
-        if stream is None:
+        fresh = stream is None
+        if fresh:
             unknown = set(create) - _STREAM_CREATE_KEYS
             if unknown:
                 raise _BadRequest(
@@ -299,7 +303,6 @@ class FitService:
                     f"allowed: {sorted(_STREAM_CREATE_KEYS)}")
             stream = OnlineCaviar(stim.shape[0], priors=self.priors,
                                   **create)
-            self.streams[name] = stream
         elif create:
             raise _BadRequest(
                 f"stream {name!r} already exists; 'create' options only "
@@ -317,6 +320,11 @@ class FitService:
                           trace_wire=wire or None)
         except ValueError as exc:
             raise _BadRequest(str(exc))
+        if fresh:
+            # register only after the first update succeeds — a failed
+            # create must not burn the name with a zombie stream whose
+            # create-options can never be retried
+            self.streams[name] = stream
         return "application/json", json.dumps({
             "stream": name,
             "trial_count": stream.trial_count,
@@ -352,9 +360,18 @@ def _make_handler(service, server_box):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"
-        # fits legitimately take seconds-to-minutes; never kill mid-fit
-        timeout = None
+        # One response per connection (no keep-alive): the server is
+        # single-threaded, so a keep-alive client idling between
+        # requests would hold the accept loop hostage and wedge every
+        # other client (urllib closes per request, but requests.Session
+        # / Go net/http / curl keep connections open). TCP setup is
+        # noise next to a fit; correctness beats the round trip.
+        protocol_version = "HTTP/1.0"
+        # ...and a stalled client mid-request (silent socket, half-sent
+        # body) times out instead of blocking the daemon forever. This
+        # is recv-idle time, not total transfer time — big uploads on
+        # slow links are fine as long as bytes keep flowing.
+        timeout = 300
 
         def log_message(self, fmt, *args):  # quiet by default
             if service_verbose:
@@ -383,6 +400,8 @@ def _make_handler(service, server_box):
             return self.rfile.read(length)
 
         def _route(self):
+            from urllib.parse import unquote
+
             path = self.path.split("?", 1)[0].rstrip("/")
             opts = self.headers.get("X-Options")
             method = self.command
@@ -392,6 +411,7 @@ def _make_handler(service, server_box):
                 parts = path.split("/")
                 if len(parts) == 4:
                     _, _, name, verb = parts
+                    name = unquote(name)
                     if method == "POST" and verb == "update":
                         return service.do_stream_update(
                             name, self._body(), opts)
@@ -400,7 +420,7 @@ def _make_handler(service, server_box):
                     if method == "GET" and verb == "result":
                         return service.do_stream_result(name, opts)
                 if len(parts) == 3 and method == "DELETE":
-                    return service.do_stream_delete(parts[2])
+                    return service.do_stream_delete(unquote(parts[2]))
             if method == "POST":
                 if path == "/demix":
                     return service.do_demix(self._body(), opts)
@@ -552,24 +572,30 @@ class FitClient:
             "POST", "/warm",
             options={"shapes": shapes, "iters": iters, **options})
 
+    @staticmethod
+    def _quote(name):
+        from urllib.parse import quote
+
+        return quote(str(name), safe="")
+
     def stream_update(self, name, psc, stim, iters=10, create=None,
                       **options):
         opts = {"iters": iters, **options}
         if create:
             opts["create"] = create
-        return self._request("POST", f"/stream/{name}/update",
+        return self._request("POST", f"/stream/{self._quote(name)}/update",
                              body=_npz_bytes(psc=psc, stim=stim),
                              options=opts)
 
     def stream_posterior(self, name):
-        return self._request("GET", f"/stream/{name}/posterior")
+        return self._request("GET", f"/stream/{self._quote(name)}/posterior")
 
     def stream_result(self, name, fn_scan=True):
-        return self._request("GET", f"/stream/{name}/result",
+        return self._request("GET", f"/stream/{self._quote(name)}/result",
                              options={"fn_scan": fn_scan})
 
     def stream_delete(self, name):
-        return self._request("DELETE", f"/stream/{name}")
+        return self._request("DELETE", f"/stream/{self._quote(name)}")
 
     def shutdown(self):
         return self._request("POST", "/shutdown")

@@ -40,8 +40,11 @@ def main():
     # arbitrary checkpoints; set `transfer_dtype: int4d2` (or int4 /
     # int8) in the YAML when `demixer` points at the matching
     # QAT-trained checkpoint (WIRE_STUDY.json).
+    from circuitmap_tpu.demix.demixer import resolve_transfer_dtype
+
     psc_dem = demix(psc, keep_on_device=True,
-                    transfer_dtype=config.get("transfer_dtype", "f16"))
+                    transfer_dtype=resolve_transfer_dtype(
+                        config.get("transfer_dtype", "f16")))
 
     fit_options = {
         "msrmp": float(config["msrmp"]),

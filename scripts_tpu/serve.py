@@ -16,14 +16,7 @@ then from the rig (numpy + stdlib only)::
 import argparse
 import sys
 
-
-def _shape(text):
-    try:
-        n, k = text.lower().split("x")
-        return (int(n), int(k))
-    except ValueError:
-        raise argparse.ArgumentTypeError(
-            "shape must look like NxK, e.g. 1000x20000") from None
+from circuitmap_tpu.utils.synthetic import parse_shape as _shape
 
 
 def main(argv=None):

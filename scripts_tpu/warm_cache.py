@@ -34,40 +34,21 @@ from pathlib import Path
 import numpy as np
 
 
-def _parse_shape(text):
-    try:
-        n, k = text.lower().split("x")
-        return int(n), int(k)
-    except ValueError:
-        raise argparse.ArgumentTypeError(
-            "shape must look like NxK, e.g. 1000x20000") from None
-
-
-def synthetic_experiment(N, K, T=900, H=10, powers=(45.0, 55.0, 65.0),
-                         seed=0):
-    """Shape-faithful random data: H targets per trial at rig power
-    levels, small-amplitude noise traces. Values never matter for the
-    compile cache; they only must not be degenerate (all-zero stim
-    would collapse the power-level scan)."""
-    rng = np.random.default_rng(seed)
-    stim = np.zeros((N, K), dtype=np.float64)
-    tgt = rng.integers(0, N, size=(H, K))
-    pw = rng.choice(np.asarray(powers, dtype=np.float64), size=K)
-    for h in range(H):
-        stim[tgt[h], np.arange(K)] = pw
-    psc = 0.01 * rng.standard_normal((K, T)).astype(np.float32)
-    return psc, stim
+from circuitmap_tpu.utils.synthetic import (parse_shape as _parse_shape,
+                                            synthetic_experiment)
 
 
 def warm_one(N, K, *, iters, msrmp, powers, demixer, transfer_dtype,
              T=900, verbose=True):
     from circuitmap_tpu import Model
 
+    from circuitmap_tpu.demix.demixer import resolve_transfer_dtype
+
     psc, stim = synthetic_experiment(N, K, T=T, powers=powers)
     t0 = time.perf_counter()
     if demixer is not None:
         traces = demixer(psc, keep_on_device=True,
-                         transfer_dtype=transfer_dtype)
+                         transfer_dtype=resolve_transfer_dtype(transfer_dtype))
     else:
         traces = psc
     fit_options = {"msrmp": msrmp, "iters": iters,
@@ -103,9 +84,9 @@ def main(argv=None):
                              "graphs as any default-architecture "
                              "checkpoint); omit to warm raw-trace fits")
     parser.add_argument("--transfer-dtype", default="f16",
-                        help="trace wire to warm (f16/int8/int4/int4d2) "
-                             "— the upload graph is part of the "
-                             "executable")
+                        choices=["f32", "f16", "int8", "int4", "int4d2"],
+                        help="trace wire to warm — the upload graph is "
+                             "part of the executable")
     parser.add_argument("--trace-len", type=int, default=900)
     parser.add_argument("--cache-dir", default=None,
                         help="explicit persistent-cache directory; also "

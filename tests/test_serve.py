@@ -163,6 +163,61 @@ class TestServer:
                                  demix=False, create={"analytic_mc": True})
         server.stream_delete("exp2")
 
+    def test_keepalive_client_cannot_wedge_server(self, server):
+        """A keep-alive HTTP/1.1 client (requests/Go/curl semantics)
+        must not hold the single-threaded server hostage between
+        requests: responses are HTTP/1.0 (connection closes per
+        request), so a second client gets served immediately."""
+        import http.client
+        from urllib.parse import urlparse
+
+        u = urlparse(server.base_url)
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+        try:
+            conn.request("GET", "/health")  # http.client is keep-alive
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+            # do NOT close conn — an idle keep-alive socket must not
+            # block the next client
+            t0 = time.time()
+            assert server.health()["status"] == "ok"
+            assert time.time() - t0 < 10
+        finally:
+            conn.close()
+
+    def test_failed_first_update_does_not_burn_stream_name(self, server,
+                                                           sim):
+        with pytest.raises(RuntimeError, match="400"):
+            server.stream_update(  # trial-count mismatch → update raises
+                "exp3", sim["psc"][:16], sim["stim_matrix"][:, :8],
+                iters=1, demix=False, create={"analytic_mc": True})
+        assert "exp3" not in server.health()["streams"]
+        # the name and its create options are retryable
+        server.stream_update("exp3", sim["psc"][:128],
+                             sim["stim_matrix"][:, :128], iters=1,
+                             demix=False, create={"analytic_mc": True})
+        server.stream_delete("exp3")
+
+    def test_stream_name_with_special_chars(self, server, sim):
+        name = "rig A/slice#2"
+        server.stream_update(name, sim["psc"][:128],
+                             sim["stim_matrix"][:, :128], iters=1,
+                             demix=False, create={"analytic_mc": True})
+        assert server.stream_posterior(name)["mu"].shape == (N,)
+        assert name in server.health()["streams"]
+        server.stream_delete(name)
+        assert name not in server.health()["streams"]
+
+    def test_solver_mismatched_options_are_client_errors(self, server,
+                                                         sim):
+        with pytest.raises(RuntimeError, match="400.*unknown method"):
+            server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                       method="bogus")
+        with pytest.raises(RuntimeError, match="400.*caviar rejected"):
+            server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                       k=5, **FIT_OPTS)  # k is cosamp-only
+
     def test_client_errors(self, server, sim):
         with pytest.raises(RuntimeError, match="400.*unknown fit option"):
             server.fit(sim["psc"], sim["stim_matrix"], demix=False,
@@ -209,5 +264,21 @@ class TestServiceUnit:
         assert svc._wire_token({"trace_wire": "int8"}) is np.int8
         assert svc._wire_token({"trace_wire": "f32"}) is None
         assert svc._wire_token({}) is None
-        with pytest.raises(_BadRequest, match="trace_wire"):
+        with pytest.raises(_BadRequest, match="trace wire"):
             svc._wire_token({"trace_wire": "int2"})
+
+    def test_resolve_transfer_dtype(self):
+        """One vocabulary across serve / warm-cache / run_main — incl.
+        'f32', which once crashed warm-cache deep in the demixer."""
+        from circuitmap_tpu.demix.demixer import resolve_transfer_dtype
+
+        assert resolve_transfer_dtype(None) is None
+        assert resolve_transfer_dtype("f32") is None
+        assert resolve_transfer_dtype("float32") is None
+        assert resolve_transfer_dtype("f16") is np.float16
+        assert resolve_transfer_dtype("int8") is np.int8
+        assert resolve_transfer_dtype("int4") == "int4"
+        assert resolve_transfer_dtype("int4d2") == "int4d2"
+        assert resolve_transfer_dtype(np.int8) is np.int8  # passthrough
+        with pytest.raises(ValueError, match="trace wire"):
+            resolve_transfer_dtype("int2")
