@@ -109,7 +109,8 @@ class FitService:
     and raises ``_BadRequest`` for client errors.
     """
 
-    def __init__(self, demixer_path=None, default_wire=None, priors=None):
+    def __init__(self, demixer_path=None, default_wire=None, priors=None,
+                 mesh_devices=0):
         from . import _ensure_compile_cache
 
         _ensure_compile_cache()
@@ -120,6 +121,15 @@ class FitService:
         self.platform = jax.devices()[0].platform
         self.default_wire = default_wire
         self.priors = priors
+        # mesh_devices > 0: the resident process owns a whole host slice,
+        # not one chip — batch fits dispatch the trial-sharded solvers
+        # over the mesh (per-request opt-out: {"sharded": false}), and
+        # streams run OnlineCaviar(mesh=) with sharded capacity buffers
+        self.mesh = None
+        if mesh_devices:
+            from .parallel import trial_mesh
+
+            self.mesh = trial_mesh(int(mesh_devices))
         self.demixer = None
         self.demixer_path = demixer_path
         if demixer_path:
@@ -195,6 +205,8 @@ class FitService:
                                "iterations": s.iteration}
                         for name, s in self.streams.items()},
             "demixer": self.demixer_path,
+            "mesh_devices": (int(self.mesh.devices.size)
+                             if self.mesh is not None else 0),
         }).encode()
 
     def do_demix(self, body, options_header):
@@ -215,7 +227,8 @@ class FitService:
         from .model import Model
 
         opts = self._parse_options(
-            options_header, _FIT_OPTION_KEYS | {"method", "demix"}, "fit")
+            options_header, _FIT_OPTION_KEYS | {"method", "demix", "sharded"},
+            "fit")
         arrays = _load_npz(body)
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T|1] and "
@@ -230,6 +243,13 @@ class FitService:
             raise _BadRequest(
                 f"unknown method {method!r}; expected "
                 "caviar | cavi_sns | mbcs | cosamp")
+        sharded = opts.pop("sharded", None)
+        if sharded and self.mesh is None:
+            raise _BadRequest("sharded fit requested but the server has "
+                              "no mesh (start it with --mesh N)")
+        if (self.mesh is not None and sharded is not False
+                and method != "cosamp"):  # cosamp is host-side: no mesh path
+            opts["mesh"] = self.mesh
         obs = self._maybe_demix(psc, opts)
         opts.setdefault("verbose", False)
         model = Model(stim.shape[0], priors=self.priors)
@@ -302,7 +322,7 @@ class FitService:
                     f"unknown stream-create option(s) {sorted(unknown)}; "
                     f"allowed: {sorted(_STREAM_CREATE_KEYS)}")
             stream = OnlineCaviar(stim.shape[0], priors=self.priors,
-                                  **create)
+                                  mesh=self.mesh, **create)
         elif create:
             raise _BadRequest(
                 f"stream {name!r} already exists; 'create' options only "
@@ -461,7 +481,7 @@ def _make_handler(service, server_box):
 
 def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                default_wire=None, max_mb=2048, warm_shapes=(),
-               verbose=False, ready_fd=None):
+               verbose=False, ready_fd=None, mesh_devices=0):
     """Build the service, bind, optionally pre-warm, then serve forever.
 
     ``port=0`` lets the OS assign one; the bound port is printed as
@@ -471,7 +491,8 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
     from http.server import HTTPServer
 
     service = FitService(demixer_path=demixer_path,
-                         default_wire=default_wire)
+                         default_wire=default_wire,
+                         mesh_devices=mesh_devices)
     service.verbose = verbose
     service.max_body_bytes = int(max_mb * 1e6)
     server_box = [None]

@@ -43,6 +43,11 @@ def main(argv=None):
                              "(per-request X-Options override)")
     parser.add_argument("--max-mb", type=float, default=2048,
                         help="largest accepted request body, MB")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="shard fits and streams over an N-device "
+                             "trial mesh (the server owns a host slice, "
+                             "not one chip); per-request opt-out with "
+                             "X-Options {\"sharded\": false}")
     parser.add_argument("--warm", type=_shape, nargs="*", default=[],
                         metavar="NxK",
                         help="pre-compile the pipeline for these shapes "
@@ -58,7 +63,7 @@ def main(argv=None):
                    port=DEFAULT_PORT if args.port is None else args.port,
                    demixer_path=args.demixer, default_wire=args.wire,
                    max_mb=args.max_mb, warm_shapes=args.warm,
-                   verbose=args.verbose)
+                   verbose=args.verbose, mesh_devices=args.mesh)
     except KeyboardInterrupt:
         print("fit server stopped", file=sys.stderr)
 

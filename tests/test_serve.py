@@ -241,6 +241,74 @@ class TestServer:
         assert again["warmed"][f"{N}x{K}"] <= out["warmed"][f"{N}x{K}"] + 5.0
 
 
+class TestMeshServer:
+    """`--mesh N`: the resident server owns a host slice and dispatches
+    the trial-sharded solver family (sharded-vs-local numerics are
+    pinned in test_sharded; this binds the HTTP layer to that path)."""
+
+    @pytest.fixture(scope="class")
+    def mesh_server(self):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "circuitmap_tpu", "serve", "--port",
+             "0", "--mesh", "4"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True)
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            ready, _, _ = select.select([proc.stdout], [], [], 1.0)
+            if not ready:
+                if proc.poll() is not None:
+                    raise RuntimeError("mesh server died during startup")
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                raise RuntimeError("mesh server exited before SERVING")
+            if line.startswith("SERVING"):
+                port = int(line.split("port=")[1].split()[0])
+                break
+        if port is None:
+            proc.kill()
+            raise RuntimeError("no SERVING line from the mesh server")
+
+        from circuitmap_tpu.serve import FitClient
+
+        client = FitClient(f"http://127.0.0.1:{port}", timeout=600)
+        yield client
+        try:
+            client.shutdown()
+            proc.wait(timeout=30)
+        except Exception:
+            proc.kill()
+
+    def test_sharded_fit_and_stream(self, mesh_server, sim):
+        assert mesh_server.health()["mesh_devices"] == 4
+        state = mesh_server.fit(sim["psc"], sim["stim_matrix"],
+                                demix=False, **FIT_OPTS)
+        # opt-out runs the local solver in the same process; posterior
+        # agreement pins the sharded dispatch to the local one
+        local = mesh_server.fit(sim["psc"], sim["stim_matrix"],
+                                demix=False, sharded=False, **FIT_OPTS)
+        np.testing.assert_allclose(state["mu"], local["mu"],
+                                   rtol=1e-3, atol=1e-4)
+        r = mesh_server.stream_update(
+            "mesh-stream", sim["psc"][:128], sim["stim_matrix"][:, :128],
+            iters=2, demix=False, create={"analytic_mc": True})
+        assert r["trial_count"] == 128
+        mesh_server.stream_delete("mesh-stream")
+
+    def test_sharded_on_unmeshed_server_is_400(self, server, sim):
+        with pytest.raises(RuntimeError, match="400.*no mesh"):
+            server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                       sharded=True, **FIT_OPTS)
+
+
 class TestServiceUnit:
     """HTTP-free FitService checks (in-process, CPU backend)."""
 
