@@ -110,7 +110,7 @@ class FitService:
     """
 
     def __init__(self, demixer_path=None, default_wire=None, priors=None,
-                 mesh_devices=0):
+                 mesh_devices=0, state_dir=None):
         from . import _ensure_compile_cache
 
         _ensure_compile_cache()
@@ -138,6 +138,11 @@ class FitService:
             self.demixer = (NeuralDemixer(seed=0)
                             if demixer_path == "default"
                             else NeuralDemixer(path=demixer_path))
+        self.state_dir = state_dir
+        if state_dir:
+            import os
+
+            os.makedirs(state_dir, exist_ok=True)
         self.streams = {}
         self.n_fits = 0
         self.n_demixes = 0
@@ -375,6 +380,77 @@ class FitService:
         del self.streams[name]
         return "application/json", json.dumps({"deleted": name}).encode()
 
+    # -- stream persistence: a daemon restart must not lose a live
+    # closed-loop experiment (OnlineCaviar.save/load carry the full
+    # streaming state: capacity buffers, CAVI state, tables, counters)
+
+    def _stream_path(self, name):
+        import os
+        from urllib.parse import quote
+
+        if not self.state_dir:
+            raise _BadRequest(
+                "stream persistence needs the server started with "
+                "--state-dir")
+        # quote() the name for the filesystem — stream names are free
+        # text ('rig A/slice#2'), filenames must be single components
+        return os.path.join(self.state_dir,
+                            quote(str(name), safe="") + ".npz")
+
+    def do_stream_save(self, name):
+        stream = self._get_stream(name)
+        try:
+            stream.save(self._stream_path(name))
+        except RuntimeError as exc:  # no state yet (never updated)
+            raise _BadRequest(str(exc))
+        return "application/json", json.dumps({
+            "saved": name,
+            "trial_count": stream.trial_count,
+            "iterations": stream.iteration,
+        }).encode()
+
+    def do_stream_load(self, name, options_header):
+        import os
+
+        from .solvers import OnlineCaviar
+
+        opts = self._parse_options(options_header,
+                                   frozenset(("create",)), "stream-load")
+        create = opts.pop("create", {}) or {}
+        unknown = set(create) - _STREAM_CREATE_KEYS
+        if unknown:
+            raise _BadRequest(
+                f"unknown stream-create option(s) {sorted(unknown)}; "
+                f"allowed: {sorted(_STREAM_CREATE_KEYS)}")
+        if name in self.streams:
+            raise _BadRequest(
+                f"stream {name!r} is already live — DELETE it before "
+                "loading a checkpoint over it")
+        path = self._stream_path(name)
+        if not os.path.exists(path):
+            raise _BadRequest(f"no saved state for stream {name!r}")
+        self.streams[name] = OnlineCaviar.load(
+            path, priors=self.priors, mesh=self.mesh, **create)
+        stream = self.streams[name]
+        return "application/json", json.dumps({
+            "loaded": name,
+            "trial_count": stream.trial_count,
+            "iterations": stream.iteration,
+        }).encode()
+
+    def save_all_streams(self):
+        """Checkpoint every live stream (used on graceful shutdown when
+        --state-dir is set). Returns {name: path or error}."""
+        out = {}
+        for name, stream in self.streams.items():
+            try:
+                path = self._stream_path(name)
+                stream.save(path)
+                out[name] = path
+            except Exception as exc:
+                out[name] = f"FAILED: {exc}"
+        return out
+
 
 def _make_handler(service, server_box):
     from http.server import BaseHTTPRequestHandler
@@ -435,6 +511,10 @@ def _make_handler(service, server_box):
                     if method == "POST" and verb == "update":
                         return service.do_stream_update(
                             name, self._body(), opts)
+                    if method == "POST" and verb == "save":
+                        return service.do_stream_save(name)
+                    if method == "POST" and verb == "load":
+                        return service.do_stream_load(name, opts)
                     if method == "GET" and verb == "posterior":
                         return service.do_stream_posterior(name)
                     if method == "GET" and verb == "result":
@@ -481,7 +561,8 @@ def _make_handler(service, server_box):
 
 def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                default_wire=None, max_mb=2048, warm_shapes=(),
-               verbose=False, ready_fd=None, mesh_devices=0):
+               verbose=False, ready_fd=None, mesh_devices=0,
+               state_dir=None):
     """Build the service, bind, optionally pre-warm, then serve forever.
 
     ``port=0`` lets the OS assign one; the bound port is printed as
@@ -492,7 +573,7 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
 
     service = FitService(demixer_path=demixer_path,
                          default_wire=default_wire,
-                         mesh_devices=mesh_devices)
+                         mesh_devices=mesh_devices, state_dir=state_dir)
     service.verbose = verbose
     service.max_body_bytes = int(max_mb * 1e6)
     server_box = [None]
@@ -516,6 +597,11 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
         httpd.serve_forever()
     finally:
         httpd.server_close()
+        if state_dir and service.streams:
+            # a graceful stop must not lose live closed-loop experiments
+            saved = service.save_all_streams()
+            for name, where in saved.items():
+                print(f"stream {name!r} -> {where}", flush=True)
     return service
 
 
@@ -617,6 +703,17 @@ class FitClient:
 
     def stream_delete(self, name):
         return self._request("DELETE", f"/stream/{self._quote(name)}")
+
+    def stream_save(self, name):
+        return self._request("POST", f"/stream/{self._quote(name)}/save")
+
+    def stream_load(self, name, create=None):
+        """Restore a checkpointed stream on the server (same create
+        options as the original run — they are solver configuration,
+        not state)."""
+        opts = {"create": create} if create else None
+        return self._request("POST", f"/stream/{self._quote(name)}/load",
+                             options=opts)
 
     def shutdown(self):
         return self._request("POST", "/shutdown")

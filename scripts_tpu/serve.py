@@ -52,6 +52,12 @@ def main(argv=None):
                         metavar="NxK",
                         help="pre-compile the pipeline for these shapes "
                              "before accepting requests")
+    parser.add_argument("--state-dir", default=None,
+                        help="directory for stream checkpoints: enables "
+                             "POST /stream/<name>/{save,load} and "
+                             "auto-saves live streams on graceful "
+                             "shutdown, so a daemon restart does not "
+                             "lose a closed-loop experiment")
     parser.add_argument("--verbose", action="store_true",
                         help="log every request")
     args = parser.parse_args(argv)
@@ -63,7 +69,8 @@ def main(argv=None):
                    port=DEFAULT_PORT if args.port is None else args.port,
                    demixer_path=args.demixer, default_wire=args.wire,
                    max_mb=args.max_mb, warm_shapes=args.warm,
-                   verbose=args.verbose, mesh_devices=args.mesh)
+                   verbose=args.verbose, mesh_devices=args.mesh,
+                   state_dir=args.state_dir)
     except KeyboardInterrupt:
         print("fit server stopped", file=sys.stderr)
 

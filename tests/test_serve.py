@@ -33,19 +33,24 @@ def sim():
                        verbose=False)
 
 
-@pytest.fixture(scope="module")
-def server():
+def _start_server(*extra_args, force_devices=None):
+    """Launch a fit-server subprocess on the CPU backend; returns
+    (FitClient, Popen). Caller shuts it down."""
+    import tempfile
+
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    if force_devices:
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={force_devices}")
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    import tempfile
-
     errlog = tempfile.NamedTemporaryFile(
         mode="w+", suffix="_serve_stderr.log", delete=False)
     proc = subprocess.Popen(
         [sys.executable, "-m", "circuitmap_tpu", "serve", "--port", "0",
-         "--demixer", "default"],
+         *extra_args],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=errlog,
         text=True)
 
@@ -81,13 +86,22 @@ def server():
 
     from circuitmap_tpu.serve import FitClient
 
-    client = FitClient(f"http://127.0.0.1:{port}", timeout=600)
-    yield client
+    return FitClient(f"http://127.0.0.1:{port}", timeout=600), proc
+
+
+def _stop_server(client, proc):
     try:
         client.shutdown()
         proc.wait(timeout=30)
     except Exception:
         proc.kill()
+
+
+@pytest.fixture(scope="module")
+def server():
+    client, proc = _start_server("--demixer", "default")
+    yield client
+    _stop_server(client, proc)
 
 
 class TestServer:
@@ -248,44 +262,9 @@ class TestMeshServer:
 
     @pytest.fixture(scope="class")
     def mesh_server(self):
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                            + " --xla_force_host_platform_device_count=8")
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        proc = subprocess.Popen(
-            [sys.executable, "-m", "circuitmap_tpu", "serve", "--port",
-             "0", "--mesh", "4"],
-            cwd=REPO, env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True)
-        port = None
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            ready, _, _ = select.select([proc.stdout], [], [], 1.0)
-            if not ready:
-                if proc.poll() is not None:
-                    raise RuntimeError("mesh server died during startup")
-                continue
-            line = proc.stdout.readline()
-            if not line:
-                raise RuntimeError("mesh server exited before SERVING")
-            if line.startswith("SERVING"):
-                port = int(line.split("port=")[1].split()[0])
-                break
-        if port is None:
-            proc.kill()
-            raise RuntimeError("no SERVING line from the mesh server")
-
-        from circuitmap_tpu.serve import FitClient
-
-        client = FitClient(f"http://127.0.0.1:{port}", timeout=600)
+        client, proc = _start_server("--mesh", "4", force_devices=8)
         yield client
-        try:
-            client.shutdown()
-            proc.wait(timeout=30)
-        except Exception:
-            proc.kill()
+        _stop_server(client, proc)
 
     def test_sharded_fit_and_stream(self, mesh_server, sim):
         assert mesh_server.health()["mesh_devices"] == 4
@@ -307,6 +286,61 @@ class TestMeshServer:
         with pytest.raises(RuntimeError, match="400.*no mesh"):
             server.fit(sim["psc"], sim["stim_matrix"], demix=False,
                        sharded=True, **FIT_OPTS)
+
+
+class TestStreamPersistence:
+    """A daemon restart must not lose a live closed-loop experiment:
+    save/load endpoints + auto-save on graceful shutdown."""
+
+    def test_save_restart_load_continue(self, sim, tmp_path):
+        state_dir = str(tmp_path / "streams")
+        create = {"analytic_mc": True, "num_mc_samples": 20,
+                  "powers": [45.0, 55.0, 65.0]}
+        half = K // 2
+        client, proc = _start_server("--state-dir", state_dir)
+        try:
+            client.stream_update("rigA", sim["psc"][:half],
+                                 sim["stim_matrix"][:, :half], iters=3,
+                                 demix=False, create=create)
+            saved = client.stream_save("rigA")
+            assert saved["trial_count"] == half
+            before = client.stream_posterior("rigA")
+            # also park a second stream WITHOUT an explicit save —
+            # graceful shutdown must checkpoint it
+            client.stream_update("rigB", sim["psc"][:128],
+                                 sim["stim_matrix"][:, :128], iters=1,
+                                 demix=False, create=create)
+        finally:
+            _stop_server(client, proc)
+
+        client, proc = _start_server("--state-dir", state_dir)
+        try:
+            assert client.health()["streams"] == {}
+            loaded = client.stream_load("rigA", create=create)
+            assert loaded["trial_count"] == half
+            after = client.stream_posterior("rigA")
+            np.testing.assert_array_equal(before["mu"], after["mu"])
+            # the restored stream keeps ingesting
+            r = client.stream_update("rigA", sim["psc"][half:],
+                                     sim["stim_matrix"][:, half:],
+                                     iters=3, demix=False)
+            assert r["trial_count"] == K
+            # the auto-saved stream restores too
+            assert client.stream_load("rigB", create=create)[
+                "trial_count"] == 128
+            # loading over a live stream is refused
+            with pytest.raises(RuntimeError, match="400.*already live"):
+                client.stream_load("rigA", create=create)
+        finally:
+            _stop_server(client, proc)
+
+    def test_persistence_needs_state_dir(self, server, sim):
+        server.stream_update("nosave", sim["psc"][:128],
+                             sim["stim_matrix"][:, :128], iters=1,
+                             demix=False, create={"analytic_mc": True})
+        with pytest.raises(RuntimeError, match="400.*state-dir"):
+            server.stream_save("nosave")
+        server.stream_delete("nosave")
 
 
 class TestServiceUnit:
