@@ -168,6 +168,42 @@ class AdaptiveDesigner:
         self.rounds += 1
         return int(self._pool.size)
 
+    def save(self, path):
+        """Checkpoint the policy state (atomic write) — small host
+        arrays only. Pairs with ``OnlineCaviar.save`` so a crashed
+        closed-loop experiment restores BOTH halves: the posterior
+        stream and the design policy's evidence counts."""
+        from .utils.checkpoint import save_state
+
+        save_state(path, dict(
+            N=np.asarray(self.N), H=np.asarray(self.H),
+            powers=self.powers,
+            null_trials=np.asarray(self.null_trials),
+            conn_trials=np.asarray(self.conn_trials),
+            maxpow_count=self.maxpow_count,
+            prev_detected=self._prev_detected,
+            resolved_mask=self._resolved,
+            rounds=np.asarray(self.rounds),
+        ))
+
+    @classmethod
+    def load(cls, path):
+        """Restore a designer checkpointed by ``save`` (configuration
+        AND evidence state — unlike ``OnlineCaviar.load``, nothing has
+        to be re-supplied)."""
+        from .utils.checkpoint import load_state
+
+        ck = load_state(path)
+        self = cls(int(ck["N"]), int(ck["H"]), np.asarray(ck["powers"]),
+                   null_trials=int(ck["null_trials"]),
+                   conn_trials=int(ck["conn_trials"]))
+        self.maxpow_count = np.asarray(ck["maxpow_count"], dtype=float)
+        self._prev_detected = np.asarray(ck["prev_detected"], dtype=bool)
+        self._resolved = np.asarray(ck["resolved_mask"], dtype=bool)
+        self._pool = np.flatnonzero(~self._resolved)
+        self.rounds = int(ck["rounds"])
+        return self
+
 
 def closed_loop_map(acquire, N, H, powers, block_trials, max_rounds,
                     iters_per_round=8, designer=None, solver=None,

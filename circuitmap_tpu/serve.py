@@ -82,6 +82,11 @@ _STREAM_CREATE_KEYS = frozenset((
     "sweep_block_size", "laplace_impl", "update_order",
 ))
 
+# AdaptiveDesigner knobs for /stream/<name>/design (design.py).
+_DESIGNER_KEYS = frozenset((
+    "N", "H", "powers", "null_trials", "conn_trials",
+))
+
 
 def _npz_bytes(**arrays):
     buf = io.BytesIO()
@@ -144,6 +149,7 @@ class FitService:
 
             os.makedirs(state_dir, exist_ok=True)
         self.streams = {}
+        self.designers = {}  # stream name -> AdaptiveDesigner
         self.n_fits = 0
         self.n_demixes = 0
 
@@ -326,6 +332,12 @@ class FitService:
                 raise _BadRequest(
                     f"unknown stream-create option(s) {sorted(unknown)}; "
                     f"allowed: {sorted(_STREAM_CREATE_KEYS)}")
+            designer = self.designers.get(name)
+            if designer is not None and designer.N != stim.shape[0]:
+                raise _BadRequest(
+                    f"stream {name!r} has a designer built for "
+                    f"N={designer.N} but this block carries "
+                    f"{stim.shape[0]} neurons")
             stream = OnlineCaviar(stim.shape[0], priors=self.priors,
                                   mesh=self.mesh, **create)
         elif create:
@@ -350,6 +362,12 @@ class FitService:
             # create must not burn the name with a zombie stream whose
             # create-options can never be retried
             self.streams[name] = stream
+        designer = self.designers.get(name)
+        if designer is not None:
+            # closed-loop: fold the acquired block into the design
+            # policy so the next /design concentrates the budget on
+            # the unresolved pool (design.AdaptiveDesigner protocol)
+            designer.observe(stim, stream.posterior())
         return "application/json", json.dumps({
             "stream": name,
             "trial_count": stream.trial_count,
@@ -375,9 +393,63 @@ class FitService:
             fn_scan=bool(opts.pop("fn_scan", True)))
         return "application/npz", _npz_bytes(**res)
 
+    def do_stream_design(self, name, options_header):
+        """Next stimulus design for a closed-loop stream: the rig asks
+        'what do I stimulate next?'. Round 0 works before the stream
+        exists (no posterior yet — the static blockwise protocol);
+        after each /update the server folds the acquired block into
+        the policy, so later designs concentrate on the unresolved
+        pool and ``resolved`` ends the experiment early."""
+        from .design import AdaptiveDesigner
+
+        opts = self._parse_options(
+            options_header, frozenset(("trials", "designer")), "design")
+        designer = self.designers.get(name)
+        spec = opts.pop("designer", None)
+        if designer is None:
+            if not isinstance(spec, dict):
+                raise _BadRequest(
+                    'first design call must carry {"designer": {"N": ..., '
+                    '"H": ..., "powers": [...]}} (optional null_trials / '
+                    'conn_trials)')
+            unknown = set(spec) - _DESIGNER_KEYS
+            if unknown:
+                raise _BadRequest(
+                    f"unknown designer option(s) {sorted(unknown)}; "
+                    f"allowed: {sorted(_DESIGNER_KEYS)}")
+            missing = {"N", "H", "powers"} - set(spec)
+            if missing:
+                raise _BadRequest(f"designer needs {sorted(missing)}")
+            stream = self.streams.get(name)
+            if stream is not None and int(spec["N"]) != stream.N:
+                raise _BadRequest(
+                    f"designer N={spec['N']} but stream {name!r} runs "
+                    f"N={stream.N}")
+            try:
+                designer = AdaptiveDesigner(
+                    spec["N"], spec["H"], spec["powers"],
+                    **{k: spec[k] for k in ("null_trials", "conn_trials")
+                       if k in spec})
+            except ValueError as exc:
+                raise _BadRequest(str(exc))
+            self.designers[name] = designer
+        elif spec is not None:
+            raise _BadRequest(
+                f"stream {name!r} already has a designer; 'designer' "
+                "options only apply to the first design call")
+        out = dict(resolved=designer.resolved, pool=designer.pool,
+                   rounds=designer.rounds)
+        if not designer.resolved:
+            trials = opts.pop("trials", None)
+            if trials is None:
+                raise _BadRequest('X-Options must carry {"trials": ...}')
+            out["stim"] = designer.next_design(int(trials))
+        return "application/npz", _npz_bytes(**out)
+
     def do_stream_delete(self, name):
         self._get_stream(name)  # 400 on unknown
         del self.streams[name]
+        self.designers.pop(name, None)
         return "application/json", json.dumps({"deleted": name}).encode()
 
     # -- stream persistence: a daemon restart must not lose a live
@@ -397,16 +469,25 @@ class FitService:
         return os.path.join(self.state_dir,
                             quote(str(name), safe="") + ".npz")
 
+    def _save_one(self, name, stream):
+        path = self._stream_path(name)
+        stream.save(path)
+        designer = self.designers.get(name)
+        if designer is not None:
+            designer.save(path[:-len(".npz")] + ".designer.npz")
+        return path
+
     def do_stream_save(self, name):
         stream = self._get_stream(name)
         try:
-            stream.save(self._stream_path(name))
+            self._save_one(name, stream)
         except RuntimeError as exc:  # no state yet (never updated)
             raise _BadRequest(str(exc))
         return "application/json", json.dumps({
             "saved": name,
             "trial_count": stream.trial_count,
             "iterations": stream.iteration,
+            "designer": name in self.designers,
         }).encode()
 
     def do_stream_load(self, name, options_header):
@@ -432,10 +513,16 @@ class FitService:
         self.streams[name] = OnlineCaviar.load(
             path, priors=self.priors, mesh=self.mesh, **create)
         stream = self.streams[name]
+        dpath = path[:-len(".npz")] + ".designer.npz"
+        if os.path.exists(dpath):
+            from .design import AdaptiveDesigner
+
+            self.designers[name] = AdaptiveDesigner.load(dpath)
         return "application/json", json.dumps({
             "loaded": name,
             "trial_count": stream.trial_count,
             "iterations": stream.iteration,
+            "designer": name in self.designers,
         }).encode()
 
     def save_all_streams(self):
@@ -444,9 +531,7 @@ class FitService:
         out = {}
         for name, stream in self.streams.items():
             try:
-                path = self._stream_path(name)
-                stream.save(path)
-                out[name] = path
+                out[name] = self._save_one(name, stream)
             except Exception as exc:
                 out[name] = f"FAILED: {exc}"
         return out
@@ -515,6 +600,8 @@ def _make_handler(service, server_box):
                         return service.do_stream_save(name)
                     if method == "POST" and verb == "load":
                         return service.do_stream_load(name, opts)
+                    if method == "POST" and verb == "design":
+                        return service.do_stream_design(name, opts)
                     if method == "GET" and verb == "posterior":
                         return service.do_stream_posterior(name)
                     if method == "GET" and verb == "result":
@@ -703,6 +790,21 @@ class FitClient:
 
     def stream_delete(self, name):
         return self._request("DELETE", f"/stream/{self._quote(name)}")
+
+    def stream_design(self, name, trials=None, designer=None):
+        """Next stimulus design for a closed-loop stream. First call
+        passes ``designer={"N":..., "H":..., "powers":[...]}`` (works
+        before the stream exists — round 0 needs no posterior); later
+        calls just ``trials``. Returns {'stim': [N, trials], 'pool':
+        unresolved indices, 'resolved': bool, 'rounds': int} — no
+        'stim' key once resolved (the experiment is complete)."""
+        opts = {}
+        if trials is not None:
+            opts["trials"] = int(trials)
+        if designer:
+            opts["designer"] = designer
+        return self._request("POST", f"/stream/{self._quote(name)}/design",
+                             options=opts)
 
     def stream_save(self, name):
         return self._request("POST", f"/stream/{self._quote(name)}/save")

@@ -288,6 +288,77 @@ class TestMeshServer:
                        sharded=True, **FIT_OPTS)
 
 
+class TestClosedLoopDesign:
+    """Full closed-loop protocol over HTTP: the rig asks the server for
+    the next design, acquires, streams the block back, repeat until the
+    policy resolves every neuron (design.AdaptiveDesigner semantics)."""
+
+    POWERS = [45.0, 55.0, 65.0]
+
+    def test_design_acquire_update_until_resolved(self, server):
+        import circuitmap_tpu as cm
+        from circuitmap_tpu.utils.metrics import r2_score
+
+        N2, H, blk = 20, 4, 192
+        np.random.seed(11)
+        pilot = cm.simulate(N=N2, trials=8, H=H, connection_prob=0.15,
+                            verbose=False)
+        truth = {k: pilot[k]
+                 for k in ("weights", "phi_0", "phi_1", "tau_r", "tau_d")}
+        name = "closed-loop"
+        d = server.stream_design(
+            name, trials=blk,
+            designer={"N": N2, "H": H, "powers": self.POWERS,
+                      "null_trials": 6, "conn_trials": 10})
+        assert d["stim"].shape == (N2, blk)
+        assert not bool(d["resolved"]) and d["pool"].size == N2
+        create = {"analytic_mc": True, "powers": self.POWERS,
+                  "num_mc_samples": 20}
+        rounds = 0
+        while not bool(d["resolved"]) and rounds < 5:
+            stim = d["stim"]
+            psc = cm.simulate(  # fixed ground-truth circuit, new trials
+                N=N2, stim_matrix=stim, weights=truth["weights"],
+                phi_0=truth["phi_0"], phi_1=truth["phi_1"],
+                kernel=(truth["tau_r"], truth["tau_d"]),
+                powers=self.POWERS, verbose=False)["psc"]
+            server.stream_update(name, psc, stim, iters=6, demix=False,
+                                 **({"create": create} if rounds == 0
+                                    else {}))
+            d = server.stream_design(name, trials=blk)
+            rounds += 1
+        assert bool(d["resolved"]), f"unresolved after {rounds} rounds"
+        assert "stim" not in d  # complete: no further design
+        res = server.stream_result(name)
+        assert r2_score(truth["weights"], res["mu"]) > 0.7
+        # designer spec only applies to the first call
+        with pytest.raises(RuntimeError, match="400.*already has"):
+            server.stream_design(name, trials=blk,
+                                 designer={"N": N2, "H": H,
+                                           "powers": self.POWERS})
+        server.stream_delete(name)
+        # delete drops the designer too: a fresh design needs a spec
+        with pytest.raises(RuntimeError, match="400.*first design"):
+            server.stream_design(name, trials=blk)
+
+    def test_designer_validation(self, server, sim):
+        with pytest.raises(RuntimeError, match="400.*designer needs"):
+            server.stream_design("dv", trials=8, designer={"N": 4})
+        with pytest.raises(RuntimeError, match="400.*unknown designer"):
+            server.stream_design("dv", trials=8,
+                                 designer={"N": 4, "H": 2,
+                                           "powers": [55.0], "bogus": 1})
+        # designer N must match an existing stream's N
+        server.stream_update("dv", sim["psc"][:128],
+                             sim["stim_matrix"][:, :128], iters=1,
+                             demix=False, create={"analytic_mc": True})
+        with pytest.raises(RuntimeError, match="400.*runs N="):
+            server.stream_design("dv", trials=8,
+                                 designer={"N": 4, "H": 2,
+                                           "powers": [55.0]})
+        server.stream_delete("dv")
+
+
 class TestStreamPersistence:
     """A daemon restart must not lose a live closed-loop experiment:
     save/load endpoints + auto-save on graceful shutdown."""
@@ -302,8 +373,14 @@ class TestStreamPersistence:
             client.stream_update("rigA", sim["psc"][:half],
                                  sim["stim_matrix"][:, :half], iters=3,
                                  demix=False, create=create)
+            # attach a design policy: its evidence state must survive
+            # the restart alongside the stream
+            client.stream_design("rigA", trials=8,
+                                 designer={"N": N, "H": 4,
+                                           "powers": create["powers"]})
             saved = client.stream_save("rigA")
             assert saved["trial_count"] == half
+            assert saved["designer"] is True
             before = client.stream_posterior("rigA")
             # also park a second stream WITHOUT an explicit save —
             # graceful shutdown must checkpoint it
@@ -318,8 +395,12 @@ class TestStreamPersistence:
             assert client.health()["streams"] == {}
             loaded = client.stream_load("rigA", create=create)
             assert loaded["trial_count"] == half
+            assert loaded["designer"] is True
             after = client.stream_posterior("rigA")
             np.testing.assert_array_equal(before["mu"], after["mu"])
+            # the restored designer answers without a fresh spec
+            assert client.stream_design("rigA", trials=8)[
+                "stim"].shape == (N, 8)
             # the restored stream keeps ingesting
             r = client.stream_update("rigA", sim["psc"][half:],
                                      sim["stim_matrix"][:, half:],
