@@ -147,7 +147,12 @@ class AdaptiveDesigner:
         mu = np.asarray(posterior["mu"])
         if mu.shape != (self.N,):
             raise ValueError(f"posterior mu has shape {mu.shape}, want ({self.N},)")
-        self.maxpow_count += (stim == self.powers.max()).sum(axis=1)
+        # tolerant match, not ==: the stim matrix may round-trip through
+        # a narrower dtype between design and observe (rigs/clients ship
+        # f32 — DEPLOY.md's wire advice; 45.7 != float32(45.7) exactly),
+        # and a missed match here silently freezes resolution forever
+        self.maxpow_count += np.isclose(
+            stim, self.powers.max(), rtol=1e-5, atol=0.0).sum(axis=1)
         detected = mu != 0
         ever_recent = detected | self._prev_detected
         unresolved = np.where(ever_recent,

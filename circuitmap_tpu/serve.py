@@ -255,9 +255,16 @@ class FitService:
                 f"unknown method {method!r}; expected "
                 "caviar | cavi_sns | mbcs | cosamp")
         sharded = opts.pop("sharded", None)
-        if sharded and self.mesh is None:
-            raise _BadRequest("sharded fit requested but the server has "
-                              "no mesh (start it with --mesh N)")
+        if sharded is not None:
+            sharded = bool(sharded)  # JSON 0/1 behave like false/true
+        if sharded:
+            if self.mesh is None:
+                raise _BadRequest("sharded fit requested but the server "
+                                  "has no mesh (start it with --mesh N)")
+            if method == "cosamp":
+                raise _BadRequest("cosamp has no sharded path (it is a "
+                                  "host-side greedy baseline) — drop "
+                                  "sharded or pick another method")
         if (self.mesh is not None and sharded is not False
                 and method != "cosamp"):  # cosamp is host-side: no mesh path
             opts["mesh"] = self.mesh
@@ -362,18 +369,26 @@ class FitService:
             # create must not burn the name with a zombie stream whose
             # create-options can never be retried
             self.streams[name] = stream
-        designer = self.designers.get(name)
-        if designer is not None:
-            # closed-loop: fold the acquired block into the design
-            # policy so the next /design concentrates the budget on
-            # the unresolved pool (design.AdaptiveDesigner protocol)
-            designer.observe(stim, stream.posterior())
-        return "application/json", json.dumps({
+        reply = {
             "stream": name,
             "trial_count": stream.trial_count,
             "iterations": stream.iteration,
             "reconnected": stream.last_reconnected,
-        }).encode()
+        }
+        designer = self.designers.get(name)
+        if designer is not None:
+            # closed-loop: fold the acquired block into the design
+            # policy so the next /design concentrates the budget on
+            # the unresolved pool (design.AdaptiveDesigner protocol).
+            # The block is already ingested at this point, so a policy
+            # failure must NOT turn into an error status — the rig
+            # would retry and double-ingest the same trials; report it
+            # in the (successful) reply instead.
+            try:
+                designer.observe(stim, stream.posterior())
+            except Exception as exc:
+                reply["designer_error"] = f"{type(exc).__name__}: {exc}"
+        return "application/json", json.dumps(reply).encode()
 
     def _get_stream(self, name):
         stream = self.streams.get(name)
@@ -405,8 +420,9 @@ class FitService:
         opts = self._parse_options(
             options_header, frozenset(("trials", "designer")), "design")
         designer = self.designers.get(name)
+        fresh = designer is None
         spec = opts.pop("designer", None)
-        if designer is None:
+        if fresh:
             if not isinstance(spec, dict):
                 raise _BadRequest(
                     'first design call must carry {"designer": {"N": ..., '
@@ -421,18 +437,17 @@ class FitService:
             if missing:
                 raise _BadRequest(f"designer needs {sorted(missing)}")
             stream = self.streams.get(name)
-            if stream is not None and int(spec["N"]) != stream.N:
-                raise _BadRequest(
-                    f"designer N={spec['N']} but stream {name!r} runs "
-                    f"N={stream.N}")
             try:
                 designer = AdaptiveDesigner(
                     spec["N"], spec["H"], spec["powers"],
                     **{k: spec[k] for k in ("null_trials", "conn_trials")
                        if k in spec})
-            except ValueError as exc:
-                raise _BadRequest(str(exc))
-            self.designers[name] = designer
+            except (ValueError, TypeError) as exc:
+                raise _BadRequest(str(exc)) from None
+            if stream is not None and designer.N != stream.N:
+                raise _BadRequest(
+                    f"designer N={designer.N} but stream {name!r} "
+                    f"runs N={stream.N}")
         elif spec is not None:
             raise _BadRequest(
                 f"stream {name!r} already has a designer; 'designer' "
@@ -443,7 +458,15 @@ class FitService:
             trials = opts.pop("trials", None)
             if trials is None:
                 raise _BadRequest('X-Options must carry {"trials": ...}')
-            out["stim"] = designer.next_design(int(trials))
+            try:
+                out["stim"] = designer.next_design(int(trials))
+            except (ValueError, TypeError) as exc:
+                raise _BadRequest(str(exc))
+        if fresh:
+            # register only after the whole call succeeds — a rejected
+            # first call (missing trials, bad design parameters) must
+            # not burn the name (same invariant as stream creation)
+            self.designers[name] = designer
         return "application/npz", _npz_bytes(**out)
 
     def do_stream_delete(self, name):
@@ -469,12 +492,25 @@ class FitService:
         return os.path.join(self.state_dir,
                             quote(str(name), safe="") + ".npz")
 
+    def _designer_path(self, name):
+        # appended to the FULL stream path: stream files always end
+        # ".npz" and this never does, so no stream name (however
+        # quoted) can collide with another stream's designer sidecar
+        return self._stream_path(name) + ".designer"
+
     def _save_one(self, name, stream):
+        import os
+
         path = self._stream_path(name)
         stream.save(path)
         designer = self.designers.get(name)
+        dpath = self._designer_path(name)
         if designer is not None:
-            designer.save(path[:-len(".npz")] + ".designer.npz")
+            designer.save(dpath)
+        elif os.path.exists(dpath):
+            # the name's PREVIOUS experiment had a designer; a stale
+            # sidecar must not resurrect its evidence counts on reload
+            os.remove(dpath)
         return path
 
     def do_stream_save(self, name):
@@ -498,6 +534,9 @@ class FitService:
         opts = self._parse_options(options_header,
                                    frozenset(("create",)), "stream-load")
         create = opts.pop("create", {}) or {}
+        if not isinstance(create, dict):
+            raise _BadRequest("'create' must be a JSON object of "
+                              "OnlineCaviar options")
         unknown = set(create) - _STREAM_CREATE_KEYS
         if unknown:
             raise _BadRequest(
@@ -510,14 +549,27 @@ class FitService:
         path = self._stream_path(name)
         if not os.path.exists(path):
             raise _BadRequest(f"no saved state for stream {name!r}")
-        self.streams[name] = OnlineCaviar.load(
-            path, priors=self.priors, mesh=self.mesh, **create)
-        stream = self.streams[name]
-        dpath = path[:-len(".npz")] + ".designer.npz"
+        try:
+            stream = OnlineCaviar.load(
+                path, priors=self.priors, mesh=self.mesh, **create)
+        except (ValueError, TypeError) as exc:
+            # bad create knobs are the request's fault, not the file's
+            raise _BadRequest(f"stream restore rejected: {exc}") from None
+        dpath = self._designer_path(name)
+        designer = None
         if os.path.exists(dpath):
             from .design import AdaptiveDesigner
 
-            self.designers[name] = AdaptiveDesigner.load(dpath)
+            designer = AdaptiveDesigner.load(dpath)
+            if designer.N != stream.N:
+                raise _BadRequest(
+                    f"saved designer was built for N={designer.N} but "
+                    f"the stream checkpoint runs N={stream.N} — the "
+                    "sidecar is from a different experiment; remove "
+                    f"{dpath} to load the stream without it")
+        self.streams[name] = stream
+        if designer is not None:
+            self.designers[name] = designer
         return "application/json", json.dumps({
             "loaded": name,
             "trial_count": stream.trial_count,

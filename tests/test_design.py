@@ -90,6 +90,33 @@ class TestAdaptiveDesigner:
         d.observe(self._block(d, [0], 6), {"mu": mu_off})
         assert d.resolved
 
+    def test_observe_counts_f32_roundtripped_stim(self):
+        """Rigs/HTTP clients ship stim as f32 (DEPLOY.md advice); a
+        non-f32-representable power (45.7) must still count as a
+        max-power hit or resolution freezes forever."""
+        d = AdaptiveDesigner(3, 2, [30.1, 45.7], null_trials=4,
+                             conn_trials=8)
+        stim = np.zeros((3, 4))
+        stim[:] = 45.7
+        d.observe(stim.astype(np.float32), {"mu": np.zeros(3)})
+        assert d.resolved  # 4 max-power hits each, all quiet nulls
+
+    def test_save_load_round_trip(self, tmp_path):
+        d = AdaptiveDesigner(4, 2, POWERS, null_trials=6, conn_trials=12)
+        d.observe(self._block(d, [0, 1, 2, 3], 6),
+                  {"mu": np.array([1.0, 0, 0, 0])})
+        path = str(tmp_path / "designer.npz")
+        d.save(path)
+        d2 = AdaptiveDesigner.load(path)
+        assert set(d2.pool) == set(d.pool)
+        assert d2.rounds == d.rounds
+        assert (d2.null_trials, d2.conn_trials) == (6, 12)
+        np.testing.assert_array_equal(d2.maxpow_count, d.maxpow_count)
+        # the restored policy continues identically
+        d.observe(self._block(d, [0], 6), {"mu": np.zeros(4)})
+        d2.observe(self._block(d2, [0], 6), {"mu": np.zeros(4)})
+        assert d.resolved and d2.resolved
+
     def test_quiet_null_resolves_at_null_trials(self):
         d = AdaptiveDesigner(3, 2, POWERS, null_trials=6, conn_trials=30)
         mu_off = np.zeros(3)

@@ -287,6 +287,11 @@ class TestMeshServer:
             server.fit(sim["psc"], sim["stim_matrix"], demix=False,
                        sharded=True, **FIT_OPTS)
 
+    def test_sharded_cosamp_is_400_not_silent(self, mesh_server, sim):
+        with pytest.raises(RuntimeError, match="400.*cosamp"):
+            mesh_server.fit(sim["psc"], sim["stim_matrix"], demix=False,
+                            method="cosamp", sharded=True)
+
 
 class TestClosedLoopDesign:
     """Full closed-loop protocol over HTTP: the rig asks the server for
@@ -449,6 +454,49 @@ class TestServiceUnit:
         assert svc._wire_token({}) is None
         with pytest.raises(_BadRequest, match="trace wire"):
             svc._wire_token({"trace_wire": "int2"})
+
+    def test_failed_first_design_call_is_retryable(self):
+        from circuitmap_tpu.serve import FitService, _BadRequest
+
+        svc = FitService()
+        spec = {"N": 6, "H": 2, "powers": [55.0]}
+        with pytest.raises(_BadRequest, match="trials"):
+            svc.do_stream_design("d", json.dumps({"designer": spec}))
+        assert "d" not in svc.designers  # name not burned
+        ctype, payload = svc.do_stream_design(
+            "d", json.dumps({"designer": spec, "trials": 8}))
+        assert ctype == "application/npz"
+        assert "d" in svc.designers
+
+    def test_stale_designer_sidecar_removed_on_save(self, tmp_path):
+        """A name reused WITHOUT a designer must not resurrect the
+        previous experiment's design policy on reload."""
+        import os
+
+        from circuitmap_tpu.serve import FitService, _npz_bytes
+
+        svc = FitService(state_dir=str(tmp_path))
+        rng = np.random.default_rng(0)
+        psc = np.abs(rng.normal(size=(130, 900))).astype(np.float32)
+        stim = np.zeros((6, 130))
+        stim[rng.integers(0, 6, 130), np.arange(130)] = 55.0
+        body = _npz_bytes(psc=psc, stim=stim)
+        upd = json.dumps({"iters": 1, "demix": False,
+                          "create": {"analytic_mc": True}})
+        svc.do_stream_update("s", body, upd)
+        svc.do_stream_design("s", json.dumps(
+            {"designer": {"N": 6, "H": 2, "powers": [55.0]}, "trials": 8}))
+        svc.do_stream_save("s")
+        dpath = svc._designer_path("s")
+        assert os.path.exists(dpath)
+        svc.do_stream_delete("s")
+        svc.do_stream_update("s", body, upd)  # reincarnated, no designer
+        svc.do_stream_save("s")
+        assert not os.path.exists(dpath)
+        # and a reload attaches no designer
+        svc.do_stream_delete("s")
+        svc.do_stream_load("s", None)
+        assert "s" not in svc.designers
 
     def test_resolve_transfer_dtype(self):
         """One vocabulary across serve / warm-cache / run_main — incl.
