@@ -26,6 +26,19 @@ used without pulling in visualization or checkpoint-conversion deps.
 __version__ = "0.1.0"
 
 
+def default_compile_cache_dir():
+    """The persistent-cache location `_ensure_compile_cache` uses when
+    nothing else is configured. Single source of truth — the doctor
+    diagnostics probe the same path the runtime writes."""
+    import os
+
+    return os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "circuitmap_tpu", "jax_cache"),
+    )
+
+
 def _ensure_compile_cache():
     """Opt-out persistent XLA compilation cache, accelerator-only.
 
@@ -53,11 +66,7 @@ def _ensure_compile_cache():
             return  # user already configured one
         if jax.devices()[0].platform in ("cpu",):
             return
-        cache = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "circuitmap_tpu", "jax_cache"),
-        )
+        cache = default_compile_cache_dir()
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:

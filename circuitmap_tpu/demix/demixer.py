@@ -343,11 +343,14 @@ class NeuralDemixer:
         if squeeze:
             traces = traces[None]
         K, T = traces.shape
-        tok = transfer_dtype.lower() \
-            if isinstance(transfer_dtype, str) else None
-        int4_dec = {"int4": 1, "int4d2": 2}.get(tok, 0)
-        if tok == "f16":  # convenience alias (np.dtype rejects "f16")
-            transfer_dtype = np.float16
+        if isinstance(transfer_dtype, str):
+            # one vocabulary for every string token ('f32'→None,
+            # 'f16'→f16, int4 tokens pass through) — np.dtype would
+            # choke on 'f32'/'f16' and silently diverge from the CLI/
+            # server front ends otherwise
+            transfer_dtype = resolve_transfer_dtype(transfer_dtype)
+        int4_dec = {"int4": 1, "int4d2": 2}.get(transfer_dtype, 0) \
+            if isinstance(transfer_dtype, str) else 0
         wire = np.float32 if (transfer_dtype is None or int4_dec) \
             else np.dtype(transfer_dtype)
 

@@ -172,16 +172,57 @@ def _keep_mask(k_all, K_pad_loc):
         [np.arange(K_pad_loc) < int(k) for k in k_all])
 
 
-def _gather_full(mesh, *arrays):
-    """All-gather sharded global arrays to replicated, pull to host."""
+# bound on the FLEETING per-device replicated buffer a gather may
+# materialise (bytes). A single whole-array all-gather would put the
+# full [N, K_pad_global] on EVERY device — at the pod scale this
+# module exists for that is itself an OOM (e.g. [5000, 1e6] f32 =
+# 20 GB against 16 GB HBM), killing the fit its checkpoint was meant
+# to protect. Chunking the trial axis caps the spike at ~0.8 GB.
+_GATHER_CHUNK_BYTES = 8e8
+
+
+def _gather_chunked(mesh, arr, pull=True):
+    """All-gather a trial-sharded global array to host, in bounded
+    trial-axis chunks (static-slice jits — identical program sequence
+    on every process, so the collectives line up). ``pull=False`` joins
+    every chunk's collective but skips the host copies (non-writer
+    processes in the checkpoint loop)."""
+    from functools import partial
+
+    from jax import lax
+
     sh_r = NamedSharding(mesh, P())
-    gather = jax.jit(lambda *xs: xs,
-                     out_shardings=(sh_r,) * len(arrays))
-    return [np.asarray(a) for a in gather(*arrays)]
+    if arr.ndim == 0:
+        chunk = jax.jit(lambda a: a, out_shardings=sh_r)(arr)
+        return np.asarray(chunk) if pull else jax.block_until_ready(chunk)
+    axis = arr.ndim - 1  # the trial axis is last on every gathered array
+    K = arr.shape[axis]
+    other = max(1, int(np.prod(arr.shape[:-1])))
+    block = max(1, int(_GATHER_CHUNK_BYTES
+                       // (other * np.dtype(arr.dtype).itemsize)))
+    outs = []
+    for lo in range(0, K, block):
+        f = jax.jit(
+            partial(lax.slice_in_dim, start_index=lo,
+                    limit_index=min(K, lo + block), axis=axis),
+            out_shardings=sh_r)
+        chunk = f(arr)
+        if pull:
+            outs.append(np.asarray(chunk))
+        else:
+            jax.block_until_ready(chunk)
+    if not pull:
+        return None
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=axis)
+
+
+def _gather_full(mesh, *arrays):
+    """Chunked all-gather of sharded global arrays, pulled to host."""
+    return [_gather_chunked(mesh, a) for a in arrays]
 
 
 def _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
-                             y_xcorr_thresh, powers):
+                             y_xcorr_thresh, powers, trace_wire=None):
     """Per-host prep shared by the one-shot and resumable distributed
     CAVIaR entries: agree on the global shard plan, pad the local
     trials, run local observation prep, and assemble the global
@@ -203,11 +244,17 @@ def _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
     psc_local, stim_local, valid_loc = _pad_local(
         psc_local, stim_local, K_pad_loc)
 
-    # per-host observation prep: local device compute, host-resident out
+    # per-host observation prep: local device compute, host-resident
+    # out. prepare_traces gives this entry the same compressed trace
+    # wire (f16/int8/int4/int4d2) and chunked host-cast hygiene as the
+    # single-process solvers — on-node host->HBM is fast, but thin-link
+    # feeding (an acquisition host streaming shards in) is not.
     from ..ops.charge import prepare_observations
+    from ..solvers._common import prepare_traces
 
     y_loc, active_loc = prepare_observations(
-        jnp.asarray(psc_local.astype(np_dtype, copy=False)), y_xcorr_thresh)
+        prepare_traces(psc_local, np_dtype, trace_wire=trace_wire),
+        y_xcorr_thresh)
     y_loc = np.asarray(y_loc)
     lam_mask_loc = np.asarray(active_loc).astype(np.float32) * valid_loc
     lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
@@ -275,6 +322,7 @@ def caviar_sharded_distributed(
     sweep_block_size=1,
     laplace_impl="auto",
     update_order="random",
+    trace_wire=None,
     gather_output=True,
     verbose=True,
 ):
@@ -300,7 +348,8 @@ def caviar_sharded_distributed(
         mesh = global_trial_mesh()
     np_dtype = np.dtype(dtype)
     prep = _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
-                                    y_xcorr_thresh, powers)
+                                    y_xcorr_thresh, powers,
+                                    trace_wire=trace_wire)
     K_global, k_all, K_pad_loc = (prep["K_global"], prep["k_all"],
                                   prep["K_pad_loc"])
     rep, mk, sh_r = prep["rep"], prep["mk"], prep["sh_r"]
@@ -386,6 +435,7 @@ def caviar_resumable_distributed(
     sweep_block_size=1,
     laplace_impl="auto",
     update_order="random",
+    trace_wire=None,
     gather_output=True,
     verbose=True,
 ):
@@ -430,7 +480,8 @@ def caviar_resumable_distributed(
         mesh = global_trial_mesh()
     np_dtype = np.dtype(dtype)
     prep = _prep_caviar_distributed(psc_local, stim_local, mesh, np_dtype,
-                                    y_xcorr_thresh, powers)
+                                    y_xcorr_thresh, powers,
+                                    trace_wire=trace_wire)
     N, K_loc = prep["N"], prep["K_loc"]
     K_global, k_all, K_pad_loc = (prep["K_global"], prep["k_all"],
                                   prep["K_pad_loc"])
@@ -492,17 +543,17 @@ def caviar_resumable_distributed(
     key = np.asarray(jax.random.PRNGKey(seed))
     keep = _keep_mask(k_all, K_pad_loc)
 
-    _gather = jax.jit(lambda a, b: (a, b), out_shardings=(sh_r, sh_r))
-
     def _gather_host_state(st, pull):
-        """All-gather lam/z (a collective every process must join), but
-        pull the multi-GB host copies only where ``pull`` — during the
-        segment loop that is process 0 alone, the one writer; pulling
-        on every process would pay the device->host transfer P times
-        per checkpoint for a single file write."""
-        lam_r, z_r = _gather(st.lam, st.z)
+        """All-gather lam/z in bounded chunks (_gather_chunked — a
+        whole-array replicated gather would OOM the devices at the pod
+        scale this entry serves; every process joins the collectives),
+        but pull the multi-GB host copies only where ``pull`` — during
+        the segment loop that is process 0 alone, the one writer;
+        pulling on every process would pay the device->host transfer P
+        times per checkpoint for a single file write."""
+        lam_r = _gather_chunked(mesh, st.lam, pull=pull)
+        z_r = _gather_chunked(mesh, st.z, pull=pull)
         if not pull:
-            jax.block_until_ready((lam_r, z_r))
             return None
         return dict(
             mu=np.asarray(st.mu), beta=np.asarray(st.beta),
@@ -566,6 +617,7 @@ def cavi_sns_sharded_distributed(
     analytic_mc=False,
     powers=None,
     laplace_impl="auto",
+    trace_wire=None,
     gather_output=True,
     verbose=True,
 ):
@@ -594,8 +646,10 @@ def cavi_sns_sharded_distributed(
     psc_local, stim_local, valid_loc = _pad_local(
         psc_local, stim_local, K_pad_loc)
 
+    from ..solvers._common import prepare_traces
+
     y_loc = np.asarray(integrated_charge(
-        jnp.asarray(psc_local.astype(np_dtype, copy=False))))
+        prepare_traces(psc_local, np_dtype, trace_wire=trace_wire)))
     lam0_loc = np.where(stim_local > 0, 0.95, 0.0).astype(np.float32) \
         * valid_loc[None, :]
 
@@ -676,6 +730,7 @@ def mbcs_sharded_distributed(
     dtype=jnp.float32,
     analytic_noise=False,
     powers=None,
+    trace_wire=None,
     gather_output=True,
     verbose=True,
 ):
@@ -718,8 +773,10 @@ def mbcs_sharded_distributed(
 
     from ..ops.charge import integrated_charge
 
+    from ..solvers._common import prepare_traces
+
     y_loc = np.asarray(integrated_charge(
-        jnp.asarray(psc_local.astype(np_dtype, copy=False))))
+        prepare_traces(psc_local, np_dtype, trace_wire=trace_wire)))
     lam0_loc = np.where(stim_local > 0, float(init_spike_prior),
                         0.0).astype(np.float32) * lam_mask_loc[None, :]
 

@@ -728,10 +728,16 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
         os.close(ready_fd)
     if warm_shapes:
         t0 = time.perf_counter()
-        service.do_warm(json.dumps(
-            {"shapes": [list(s) for s in warm_shapes]}))
-        print(f"warmed {len(warm_shapes)} shape(s) in "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        try:
+            service.do_warm(json.dumps(
+                {"shapes": [list(s) for s in warm_shapes]}))
+            print(f"warmed {len(warm_shapes)} shape(s) in "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+        except Exception as exc:
+            # warm-up is advisory: SERVING was already announced (a
+            # supervisor may have proceeded on it), so a bad warm shape
+            # or an over-envelope compile must not take the daemon down
+            print(f"warm-up failed (serving anyway): {exc}", flush=True)
     try:
         httpd.serve_forever()
     finally:

@@ -42,12 +42,30 @@ import jax.numpy as jnp
 _SINGLE_CHIP_ELEM_CLIFF = 6.8e8
 
 
+class MemoryEnvelopeWarning(ResourceWarning):
+    """Single-chip HBM-envelope preflight (warn_single_chip_envelope).
+
+    Subclasses ResourceWarning for category semantics, but is
+    registered under ``warnings.simplefilter`` as always-shown below:
+    CPython's DEFAULT filters ignore ResourceWarning, which would make
+    the preflight silent in exactly the plain-`python script.py`
+    production context it exists for (it would only print under
+    pytest/-W default/dev mode)."""
+
+
+# default-visible regardless of Python's ignore::ResourceWarning default;
+# users can still silence it explicitly with
+# warnings.filterwarnings("ignore", category=MemoryEnvelopeWarning)
+warnings.simplefilter("always", MemoryEnvelopeWarning)
+
+
 def warn_single_chip_envelope(n_rows, k, what="this fit", dtype=None):
     """Route oversized single-chip fits toward the sharded path BEFORE
     XLA's opaque RESOURCE_EXHAUSTED (which takes ~45 s to surface
     through the tunnel — MEMORY_CLIFF.json protocol notes).
 
-    Fires a ResourceWarning when the [n_rows, K] working set exceeds
+    Fires a MemoryEnvelopeWarning (a default-visible ResourceWarning
+    subclass) when the [n_rows, K] working set exceeds
     the envelope measured on a 16 GB chip. The cliff is a BYTE budget
     (HBM), measured with f32 arrays — a wider fit dtype scales the
     effective element count by ``itemsize/4`` (an f64 fit hits the
@@ -75,7 +93,7 @@ def warn_single_chip_envelope(n_rows, k, what="this fit", dtype=None):
             "over a mesh instead: parallel.caviar_sharded(mesh=...) on "
             "one host, or parallel.distributed.* on a multi-host slice "
             "(docs/DEPLOY.md has the recipe).",
-            ResourceWarning, stacklevel=3)
+            MemoryEnvelopeWarning, stacklevel=3)
 
 
 def prepare_traces(y_psc, dtype, trace_wire=None):

@@ -152,9 +152,13 @@ def check_zoo():
 
 
 def check_compile_cache():
-    configured = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    default = Path.home() / ".cache" / "circuitmap_tpu" / "jax_cache"
-    cache = Path(configured) if configured else default
+    sys.path.insert(0, str(_REPO))
+    from circuitmap_tpu import default_compile_cache_dir
+
+    # probe the SAME path the runtime writes (single source of truth in
+    # circuitmap_tpu._ensure_compile_cache) so the diagnostic cannot
+    # drift from the behaviour it diagnoses
+    cache = Path(default_compile_cache_dir())
     detail = {"dir": str(cache),
               "opt_out": bool(os.environ.get(
                   "CIRCUITMAP_TPU_NO_COMPILE_CACHE"))}

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--powers", type=float, nargs="*", default=None)
     ap.add_argument("--analytic-mc", action="store_true")
     ap.add_argument("--sweep-block-size", type=int, default=1)
+    ap.add_argument("--trace-wire", default=None,
+                    choices=("f32", "f16", "int8", "int4", "int4d2"),
+                    help="compress this process's trace upload "
+                         "(solvers/_common.prepare_traces)")
     ap.add_argument("--solver", choices=("caviar", "sns", "mbcs"),
                     default="caviar")
     ap.add_argument("--checkpoint", default=None,
@@ -97,6 +101,7 @@ def main():
                 msrmp=args.msrmp, powers=args.powers,
                 analytic_mc=args.analytic_mc,
                 sweep_block_size=args.sweep_block_size,
+                trace_wire=args.trace_wire,
                 verbose=verbose,
             )
         else:
@@ -106,6 +111,7 @@ def main():
                 seed=args.seed, msrmp=args.msrmp, powers=args.powers,
                 analytic_mc=args.analytic_mc,
                 sweep_block_size=args.sweep_block_size,
+                trace_wire=args.trace_wire,
                 verbose=verbose,
             )
         mu, beta, lam, shape, rate, phi, phi_cov, z, _ = out
@@ -116,7 +122,8 @@ def main():
             psc, stim, p["mu"], p["beta"], p["alpha"], p["shape"],
             p["rate"], p["phi"], p["phi_cov"], mesh=mesh, iters=args.iters,
             seed=args.seed, powers=args.powers,
-            analytic_mc=args.analytic_mc, verbose=verbose,
+            analytic_mc=args.analytic_mc, trace_wire=args.trace_wire,
+            verbose=verbose,
         )
         mu, beta, alpha, lam, shape, rate, phi, phi_cov = out
         payload = dict(mu=mu, beta=beta, alpha=alpha, lam=lam, shape=shape,
@@ -125,7 +132,8 @@ def main():
         out = dist.mbcs_sharded_distributed(
             psc, stim, p["mu"], p["beta"], p["shape"], p["rate"],
             mesh=mesh, iters=args.iters, seed=args.seed,
-            powers=args.powers, analytic_noise=True, verbose=verbose,
+            powers=args.powers, analytic_noise=True,
+            trace_wire=args.trace_wire, verbose=verbose,
         )
         mu, beta, lam, shape, rate, z, rf = out
         payload = dict(mu=mu, beta=beta, lam=lam, shape=shape, rate=rate,

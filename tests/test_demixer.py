@@ -175,6 +175,13 @@ class TestFacade:
         scale = np.abs(traces).max()
         np.testing.assert_allclose(half, ref, atol=2e-3 * scale)
         np.testing.assert_allclose(quant, ref, atol=4.0 / 127.0 * scale)
+        # STRING tokens resolve through the shared vocabulary — 'f32'
+        # (== no wire) and case-insensitive 'f16' used to crash in
+        # np.dtype; they must match their dtype-object twins exactly
+        np.testing.assert_array_equal(
+            demix(traces, verbose=False, transfer_dtype="f32"), ref)
+        np.testing.assert_array_equal(
+            demix(traces, verbose=False, transfer_dtype="F16"), half)
 
     def test_int4_wire_packing_exact(self, state_dict, rng):
         """The packed int4 path must EXACTLY reproduce demixing the
@@ -235,7 +242,9 @@ class TestFacade:
         import pytest
         demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
         t = np.zeros((2, 900), np.float32)
-        with pytest.raises(TypeError):
+        # string tokens route through the shared vocabulary now: a typo
+        # gets a naming ValueError, not np.dtype's opaque TypeError
+        with pytest.raises(ValueError, match="trace wire"):
             demix(t, verbose=False, transfer_dtype="int3")
 
     def test_int4_wire_rejects_non_finite(self, state_dict):

@@ -268,6 +268,45 @@ class TestResumableDistributed:
                                    atol=1e-4)
 
 
+class TestGatherChunked:
+    def test_multi_chunk_equals_whole(self, monkeypatch):
+        """Pod-scale gathers must not replicate the full [N, K_global]
+        on every device (that is itself an OOM); force tiny chunks and
+        check the chunked all-gather reassembles exactly."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from circuitmap_tpu.parallel import distributed as dist
+        from circuitmap_tpu.parallel import trial_mesh
+
+        mesh = trial_mesh(8)
+        rng = np.random.default_rng(0)
+        lam = rng.normal(size=(6, 128)).astype(np.float32)
+        z = rng.normal(size=128).astype(np.float32)
+        lam_s = jax.device_put(lam, NamedSharding(mesh, P(None, "trial")))
+        z_s = jax.device_put(z, NamedSharding(mesh, P("trial")))
+        monkeypatch.setattr(dist, "_GATHER_CHUNK_BYTES", 6 * 16 * 4)
+        got_lam, got_z = dist._gather_full(mesh, lam_s, z_s)
+        np.testing.assert_array_equal(got_lam, lam)
+        np.testing.assert_array_equal(got_z, z)
+        # pull=False joins the collectives without host copies
+        assert dist._gather_chunked(mesh, lam_s, pull=False) is None
+
+
+class TestDistributedTraceWire:
+    def test_int8_wire_matches_f32(self, sim, tmp_path):
+        """--trace-wire int8 compresses each process's upload; the
+        posterior stays at the wire's measured fidelity."""
+        from circuitmap_tpu.utils.metrics import r2_score
+
+        ref = _single_process_reference(sim, iters=10)
+        outs = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=10, port=29871,
+                            extra=("--trace-wire", "int8"))
+        np.testing.assert_array_equal(outs[0]["mu"], outs[1]["mu"])
+        assert r2_score(np.asarray(ref[0]), outs[0]["mu"]) > 0.98
+
+
 class TestGlobalPowersValidation:
     def test_unknown_stim_level_raises(self):
         """Explicit powers= that miss a level present in the data must
