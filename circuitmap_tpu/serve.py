@@ -46,8 +46,12 @@ Endpoints
 ``POST /stream/<name>/update``    npz{psc, stim} → JSON counters
 ``GET  /stream/<name>/posterior`` → npz small fields
 ``GET  /stream/<name>/result``    → npz full posterior
+``POST /stream/<name>/design``    → npz{stim, pool, resolved, rounds}
+``POST /stream/<name>/save``      → JSON (needs --state-dir)
+``POST /stream/<name>/load``      → JSON (restores stream + designer)
 ``DELETE /stream/<name>``         → JSON
-``POST /shutdown``                → JSON (graceful stop)
+``POST /shutdown``                → JSON (graceful stop; auto-saves
+                                    live streams under --state-dir)
 """
 
 from __future__ import annotations
@@ -738,6 +742,23 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
             # supervisor may have proceeded on it), so a bad warm shape
             # or an over-envelope compile must not take the daemon down
             print(f"warm-up failed (serving anyway): {exc}", flush=True)
+    # supervisors stop daemons with SIGTERM, which would bypass the
+    # finally-block auto-save below (no unwind on the default handler).
+    # Route it into the same graceful stop as POST /shutdown. The
+    # shutdown() call must come from another thread: called inline from
+    # the handler it would deadlock (shutdown waits for the serve loop,
+    # which is paused inside this very handler).
+    import signal
+    import threading
+
+    def _on_sigterm(_sig, _frm):
+        print("SIGTERM: stopping gracefully", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (embedded use) — skip
+        pass
     try:
         httpd.serve_forever()
     finally:

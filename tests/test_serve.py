@@ -420,6 +420,25 @@ class TestStreamPersistence:
         finally:
             _stop_server(client, proc)
 
+    def test_sigterm_autosaves_streams(self, sim, tmp_path):
+        """Supervisors stop daemons with SIGTERM — the auto-save must
+        fire on it, not only on POST /shutdown."""
+        import signal
+
+        state_dir = str(tmp_path / "sigterm_streams")
+        client, proc = _start_server("--state-dir", state_dir)
+        try:
+            client.stream_update("live", sim["psc"][:128],
+                                 sim["stim_matrix"][:, :128], iters=1,
+                                 demix=False,
+                                 create={"analytic_mc": True})
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=60)
+            assert os.path.exists(os.path.join(state_dir, "live.npz"))
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
     def test_persistence_needs_state_dir(self, server, sim):
         server.stream_update("nosave", sim["psc"][:128],
                              sim["stim_matrix"][:, :128], iters=1,
