@@ -26,6 +26,8 @@ single-process mesh solver.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -181,19 +183,31 @@ def _keep_mask(k_all, K_pad_loc):
 _GATHER_CHUNK_BYTES = 8e8
 
 
+@_functools.lru_cache(maxsize=512)
+def _slice_gather_jit(mesh, lo, hi, axis):
+    """Memoised jitted static-slice-to-replicated gather. A fresh
+    ``partial`` per call would miss jax's jit cache and re-trace every
+    chunk on every checkpoint segment; keying on (mesh, lo, hi, axis)
+    reuses the compiled executable across segments."""
+    from jax import lax
+
+    sh_r = NamedSharding(mesh, P())
+    if axis < 0:  # 0-d passthrough gather
+        return jax.jit(lambda a: a, out_shardings=sh_r)
+    return jax.jit(
+        _functools.partial(lax.slice_in_dim, start_index=lo,
+                           limit_index=hi, axis=axis),
+        out_shardings=sh_r)
+
+
 def _gather_chunked(mesh, arr, pull=True):
     """All-gather a trial-sharded global array to host, in bounded
     trial-axis chunks (static-slice jits — identical program sequence
     on every process, so the collectives line up). ``pull=False`` joins
     every chunk's collective but skips the host copies (non-writer
     processes in the checkpoint loop)."""
-    from functools import partial
-
-    from jax import lax
-
-    sh_r = NamedSharding(mesh, P())
     if arr.ndim == 0:
-        chunk = jax.jit(lambda a: a, out_shardings=sh_r)(arr)
+        chunk = _slice_gather_jit(mesh, 0, 0, -1)(arr)
         return np.asarray(chunk) if pull else jax.block_until_ready(chunk)
     axis = arr.ndim - 1  # the trial axis is last on every gathered array
     K = arr.shape[axis]
@@ -202,11 +216,7 @@ def _gather_chunked(mesh, arr, pull=True):
                        // (other * np.dtype(arr.dtype).itemsize)))
     outs = []
     for lo in range(0, K, block):
-        f = jax.jit(
-            partial(lax.slice_in_dim, start_index=lo,
-                    limit_index=min(K, lo + block), axis=axis),
-            out_shardings=sh_r)
-        chunk = f(arr)
+        chunk = _slice_gather_jit(mesh, lo, min(K, lo + block), axis)(arr)
         if pull:
             outs.append(np.asarray(chunk))
         else:

@@ -118,6 +118,9 @@ class FitService:
     and raises ``_BadRequest`` for client errors.
     """
 
+    verbose = False
+    max_body_bytes = 2 << 30
+
     def __init__(self, demixer_path=None, default_wire=None, priors=None,
                  mesh_devices=0, state_dir=None):
         from . import _ensure_compile_cache
@@ -356,16 +359,16 @@ class FitService:
                 f"stream {name!r} already exists; 'create' options only "
                 "apply to the first update")
         # closed-loop blocks may arrive raw; demix if asked (pulls the
-        # demixed block back — OnlineCaviar owns its own device wire)
+        # demixed block back — OnlineCaviar owns its own device wire).
+        # A bad trace_wire token is validated by the solver wire itself
+        # (prepare_traces) BEFORE any ingestion — its ValueError maps to
+        # 400 below, so no third copy of the vocabulary lives here.
         obs = self._maybe_demix(psc, opts)
-        wire = opts.pop("trace_wire", None)
-        if wire not in (None, "", "f32", "f16", "int8", "int4", "int4d2"):
-            raise _BadRequest(f"unknown trace_wire {wire!r}")
         try:
             stream.update(np.asarray(obs), stim,
                           iters=int(opts.pop("iters", 10)),
                           fn_scan=bool(opts.pop("fn_scan", True)),
-                          trace_wire=wire or None)
+                          trace_wire=opts.pop("trace_wire", None) or None)
         except ValueError as exc:
             raise _BadRequest(str(exc))
         if fresh:
@@ -697,8 +700,8 @@ def _make_handler(service, server_box):
 
         do_GET = do_POST = do_DELETE = _handle
 
-    service_verbose = getattr(service, "verbose", False)
-    max_body = getattr(service, "max_body_bytes", 2 << 30)
+    service_verbose = service.verbose
+    max_body = service.max_body_bytes
     return Handler
 
 
