@@ -9,14 +9,21 @@ CPU-pinned demixer workaround needed.
 Usage:
   python scripts_tpu/run_main.py --data expt.mat --config config.yaml --out out/
 Config keys: demixer (checkpoint path), msrmp (float).
+
+With ``--server URL`` the workflow runs against a resident fit server
+(`python -m circuitmap_tpu serve`) instead of this process: the rig box
+needs no accelerator and no jax — traces ship f16 over HTTP, the
+server's loaded demixer applies (the config's ``demixer`` key is the
+SERVER's concern there), and the same .mat/.npz outputs are written
+locally. See docs/DEPLOY.md "Serving".
 """
 
 import argparse
 from pathlib import Path
 
+import numpy as np
 import yaml
 
-from circuitmap_tpu import Model, NeuralDemixer
 from circuitmap_tpu.utils.io import load_experiment, export_state
 
 
@@ -26,25 +33,17 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--server", default=None, metavar="URL",
+                        help="run the fit on a resident fit server "
+                             "(e.g. http://tpu-host:8799) instead of "
+                             "this process; the server's --demixer "
+                             "applies and this box needs no jax")
     args = parser.parse_args()
 
     config = yaml.safe_load(open(args.config))
 
     psc, stim_matrix = load_experiment(args.data)
     N = stim_matrix.shape[0]
-
-    demix = NeuralDemixer(path=config["demixer"])
-    # fast path: compressed wire upload, demixed traces stay
-    # device-resident and feed the solver directly (no host round trip
-    # of the [K, T] block — see bench.py). f16 is the safe default for
-    # arbitrary checkpoints; set `transfer_dtype: int4d2` (or int4 /
-    # int8) in the YAML when `demixer` points at the matching
-    # QAT-trained checkpoint (WIRE_STUDY.json).
-    from circuitmap_tpu.demix.demixer import resolve_transfer_dtype
-
-    psc_dem = demix(psc, keep_on_device=True,
-                    transfer_dtype=resolve_transfer_dtype(
-                        config.get("transfer_dtype", "f16")))
 
     fit_options = {
         "msrmp": float(config["msrmp"]),
@@ -54,11 +53,42 @@ def main():
     if "powers" in config:  # rig power levels, skips a 20M-element scan
         fit_options["powers"] = [float(p) for p in config["powers"]]
 
-    model = Model(N)
-    model.fit(psc_dem, stim_matrix, method="caviar", fit_options=fit_options)
-    print(f"CAVIaR fit complete in {model.time:.2f}s.")
+    if args.server:
+        from circuitmap_tpu.serve import FitClient
 
-    written = export_state(args.out, Path(args.data).stem, model.state)
+        client = FitClient(args.server)
+        # client-typed arrays halve the HTTP payload (npz ships raw
+        # dtypes — PERF.md "fit-server tax"); the server widens and its
+        # own device wire re-compresses independently
+        state = client.fit(
+            psc.astype(np.float16), stim_matrix.astype(np.float32),
+            demix=True,
+            trace_wire=config.get("transfer_dtype", "f16"),
+            verbose=False, **fit_options)
+        print(f"CAVIaR fit complete on {args.server} "
+              f"in {float(state['fit_time_s']):.2f}s (server-side).")
+    else:
+        from circuitmap_tpu import Model, NeuralDemixer
+        from circuitmap_tpu.demix.demixer import resolve_transfer_dtype
+
+        demix = NeuralDemixer(path=config["demixer"])
+        # fast path: compressed wire upload, demixed traces stay
+        # device-resident and feed the solver directly (no host round
+        # trip of the [K, T] block — see bench.py). f16 is the safe
+        # default for arbitrary checkpoints; set `transfer_dtype:
+        # int4d2` (or int4 / int8) in the YAML when `demixer` points at
+        # the matching QAT-trained checkpoint (WIRE_STUDY.json).
+        psc_dem = demix(psc, keep_on_device=True,
+                        transfer_dtype=resolve_transfer_dtype(
+                            config.get("transfer_dtype", "f16")))
+
+        model = Model(N)
+        model.fit(psc_dem, stim_matrix, method="caviar",
+                  fit_options=fit_options)
+        print(f"CAVIaR fit complete in {model.time:.2f}s.")
+        state = model.state
+
+    written = export_state(args.out, Path(args.data).stem, state)
     print("Wrote:", ", ".join(written))
 
 

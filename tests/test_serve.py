@@ -364,6 +364,37 @@ class TestClosedLoopDesign:
         server.stream_delete("dv")
 
 
+class TestRunMainAgainstServer:
+    def test_fit_cli_dispatches_to_server(self, server, sim, tmp_path):
+        """`python -m circuitmap_tpu fit --server URL` runs the standard
+        workflow (load .mat/.npz → demix+fit → export) on a rig box
+        that owns no accelerator: the fit happens in the resident
+        server, the outputs land locally."""
+        import yaml
+
+        np.savez(tmp_path / "expt.npz", psc=sim["psc"],
+                 stimulus_matrix=sim["stim_matrix"])
+        cfg = tmp_path / "cfg.yaml"
+        # no demixer key: with --server the server's resident demixer
+        # applies, the config only supplies fit knobs
+        cfg.write_text(yaml.safe_dump({"msrmp": 0.3}))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, "-m", "circuitmap_tpu", "fit",
+             "--data", str(tmp_path / "expt.npz"),
+             "--config", str(cfg), "--out", str(tmp_path),
+             "--iters", "5", "--server", server.base_url],
+            capture_output=True, text=True, cwd=REPO, env=env,
+            timeout=420)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "server-side" in proc.stdout
+        out = np.load(tmp_path / "expt_cmap.npz")
+        assert out["weights"].shape == (N,)
+        assert out["spikes"].shape == (N, K)
+
+
 class TestStreamPersistence:
     """A daemon restart must not lose a live closed-loop experiment:
     save/load endpoints + auto-save on graceful shutdown."""
