@@ -120,6 +120,7 @@ class FitService:
 
     verbose = False
     max_body_bytes = 2 << 30
+    metrics_fh = None  # open file: one JSON line per request (--metrics)
 
     def __init__(self, demixer_path=None, default_wire=None, priors=None,
                  mesh_devices=0, state_dir=None):
@@ -683,32 +684,56 @@ def _make_handler(service, server_box):
                             json.dumps({"shutting_down": True}).encode())
             return None
 
+        def _metric(self, status, t0, bytes_out):
+            if metrics_fh is None:
+                return
+            try:
+                metrics_fh.write(json.dumps({
+                    "ts": round(time.time(), 3),
+                    "method": self.command,
+                    "path": self.path.split("?", 1)[0],
+                    "status": status,
+                    "seconds": round(time.perf_counter() - t0, 4),
+                    "bytes_in": int(self.headers.get("Content-Length", 0)
+                                    or 0),
+                    "bytes_out": bytes_out,
+                }) + "\n")
+                metrics_fh.flush()
+            except Exception:  # monitoring must never break serving
+                pass
+
         def _handle(self):
+            t0 = time.perf_counter()
             try:
                 routed = self._route()
             except _BadRequest as exc:
+                self._metric(400, t0, 0)
                 return self._json_error(400, str(exc))
             except BrokenPipeError:
                 raise
             except Exception as exc:  # keep the daemon alive
+                self._metric(500, t0, 0)
                 return self._json_error(
                     500, f"{type(exc).__name__}: {exc}")
             if routed is None:
+                self._metric(404, t0, 0)
                 return self._json_error(
                     404, f"no route {self.command} {self.path}")
+            self._metric(200, t0, len(routed[1]))
             self._reply(200, *routed)
 
         do_GET = do_POST = do_DELETE = _handle
 
     service_verbose = service.verbose
     max_body = service.max_body_bytes
+    metrics_fh = getattr(service, "metrics_fh", None)
     return Handler
 
 
 def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                default_wire=None, max_mb=2048, warm_shapes=(),
                verbose=False, ready_fd=None, mesh_devices=0,
-               state_dir=None):
+               state_dir=None, metrics_path=None):
     """Build the service, bind, optionally pre-warm, then serve forever.
 
     ``port=0`` lets the OS assign one; the bound port is printed as
@@ -722,6 +747,10 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                          mesh_devices=mesh_devices, state_dir=state_dir)
     service.verbose = verbose
     service.max_body_bytes = int(max_mb * 1e6)
+    if metrics_path:
+        # request log, one JSON line each: {ts, method, path, status,
+        # seconds, bytes_in, bytes_out} — tail-able by any log shipper
+        service.metrics_fh = open(metrics_path, "a")
     server_box = [None]
     httpd = HTTPServer((host, port), _make_handler(service, server_box))
     server_box[0] = httpd

@@ -58,6 +58,10 @@ def main(argv=None):
                              "auto-saves live streams on graceful "
                              "shutdown, so a daemon restart does not "
                              "lose a closed-loop experiment")
+    parser.add_argument("--metrics", default=None, metavar="FILE",
+                        help="append one JSON line per request (ts, "
+                             "method, path, status, seconds, bytes) — "
+                             "tail-able production request log")
     parser.add_argument("--verbose", action="store_true",
                         help="log every request")
     args = parser.parse_args(argv)
@@ -70,7 +74,7 @@ def main(argv=None):
                    demixer_path=args.demixer, default_wire=args.wire,
                    max_mb=args.max_mb, warm_shapes=args.warm,
                    verbose=args.verbose, mesh_devices=args.mesh,
-                   state_dir=args.state_dir)
+                   state_dir=args.state_dir, metrics_path=args.metrics)
     except KeyboardInterrupt:
         print("fit server stopped", file=sys.stderr)
 

@@ -364,6 +364,28 @@ class TestClosedLoopDesign:
         server.stream_delete("dv")
 
 
+class TestMetricsLog:
+    def test_request_log_lines(self, sim, tmp_path):
+        mfile = tmp_path / "requests.jsonl"
+        client, proc = _start_server("--metrics", str(mfile))
+        try:
+            client.health()
+            with pytest.raises(RuntimeError, match="404"):
+                client._request("GET", "/nope")
+            client.fit(sim["psc"][:128], sim["stim_matrix"][:, :128],
+                       demix=False, iters=2, num_mc_samples=20,
+                       verbose=False)
+        finally:
+            _stop_server(client, proc)
+        lines = [json.loads(l) for l in mfile.read_text().splitlines()]
+        by_path = {(l["path"], l["status"]): l for l in lines}
+        assert ("/health", 200) in by_path
+        assert ("/nope", 404) in by_path
+        fit = by_path[("/fit", 200)]
+        assert fit["seconds"] > 0 and fit["bytes_in"] > 0
+        assert fit["bytes_out"] > 0
+
+
 class TestRunMainAgainstServer:
     def test_fit_cli_dispatches_to_server(self, server, sim, tmp_path):
         """`python -m circuitmap_tpu fit --server URL` runs the standard
