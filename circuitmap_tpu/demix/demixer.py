@@ -443,9 +443,21 @@ class NeuralDemixer:
 
     def train(self, epochs=1000, batch_size=64, learning_rate=1e-2,
               data_path=None, save_every=50, save_path=None, seed=0,
-              verbose=True, **_compat):
+              verbose=True, mesh=None, **_compat):
         """SGD/MSE training loop (reference trainer config,
-        neural_waveform_demixing.py:56-94, 289-306)."""
+        neural_waveform_demixing.py:56-94, 289-306).
+
+        ``mesh``: data-parallel training over a device mesh — the batch
+        axis shards across devices, parameters stay replicated, and the
+        jitted step runs SPMD (XLA inserts the gradient all-reduces).
+        Because jit sharding keeps GLOBAL array semantics, even the
+        batch-norm batch statistics reduce over the full batch exactly
+        (no per-replica-BN divergence as in manual pmap-style DP);
+        equality-tested against the single-device loop. Each epoch's
+        permuted batches upload host→devices once (on-node HBM links
+        make that negligible; this path targets a multi-chip host, not
+        the tunneled single chip).
+        """
         if data_path is not None:
             data = np.load(data_path)
             train = (data["training_inputs"], data["training_targets"])
@@ -457,12 +469,44 @@ class NeuralDemixer:
                 )
             train, test = self.training_data, self.test_data
 
-        x_tr = jnp.asarray(train[0], dtype=jnp.float32)
-        y_tr = jnp.asarray(train[1], dtype=jnp.float32)
-        x_te = jnp.asarray(test[0], dtype=jnp.float32)
-        y_te = jnp.asarray(test[1], dtype=jnp.float32)
+        sh_batch = sh_rep = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import TRIAL_AXIS
+
+            ndev = int(mesh.devices.size)
+            if batch_size % ndev:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide over the "
+                    f"{ndev}-device mesh (per-device sub-batches)")
+            # [steps, batch, T] epochs shard on the BATCH axis; params
+            # replicate (device_put once — mixing committed single-
+            # device params with sharded batches is a placement error)
+            sh_batch = NamedSharding(mesh, PartitionSpec(None, TRIAL_AXIS))
+            sh_rep = NamedSharding(mesh, PartitionSpec())
+            self.params = jax.device_put(self.params, sh_rep)
+            # epoch data stays HOST-side in the mesh branch: each
+            # epoch's permuted batches are device_put with the batch
+            # sharding (a device-resident gather across shards would
+            # need an all-to-all per epoch instead)
+            x_tr = np.asarray(train[0], dtype=np.float32)
+            y_tr = np.asarray(train[1], dtype=np.float32)
+            x_te = jax.device_put(
+                np.asarray(test[0], dtype=np.float32), sh_rep)
+            y_te = jax.device_put(
+                np.asarray(test[1], dtype=np.float32), sh_rep)
+        else:
+            x_tr = jnp.asarray(train[0], dtype=jnp.float32)
+            y_tr = jnp.asarray(train[1], dtype=jnp.float32)
+            x_te = jnp.asarray(test[0], dtype=jnp.float32)
+            y_te = jnp.asarray(test[1], dtype=jnp.float32)
         n = x_tr.shape[0]
         batch_size = min(batch_size, n)  # datasets smaller than one batch
+        if mesh is not None and batch_size % int(mesh.devices.size):
+            raise ValueError(
+                f"effective batch_size={batch_size} (dataset n={n}) must "
+                f"divide over the {int(mesh.devices.size)}-device mesh")
         steps = max(n // batch_size, 1)
         lr = jnp.asarray(learning_rate, jnp.float32)
 
@@ -480,7 +524,17 @@ class NeuralDemixer:
         on_accel = jax.devices()[0].platform != "cpu"
         for epoch in range(epochs):
             perm = rng.permutation(n)[: steps * batch_size].reshape(steps, batch_size)
-            if on_accel:
+            if mesh is not None:
+                # one host→devices upload per epoch, batch axis sharded;
+                # the SAME scan-epoch program as the accelerator path
+                # runs SPMD over the mesh
+                self.params, mean_loss = _train_epoch(
+                    self.params,
+                    jax.device_put(x_tr[perm], sh_batch),
+                    jax.device_put(y_tr[perm], sh_batch),
+                    lr,
+                )
+            elif on_accel:
                 self.params, mean_loss = _train_epoch(
                     self.params, x_tr[perm], y_tr[perm], lr
                 )

@@ -312,6 +312,68 @@ class TestTraining:
         first, last = history[0]["train_loss"], history[-1]["train_loss"]
         assert last < first * 0.9
 
+    def test_train_step_mesh_exact(self):
+        """One DP step over the 8-device mesh equals the single-device
+        step to reduction order (~1e-7 measured): jit SPMD keeps global
+        semantics, including exact full-batch BN statistics — no
+        per-replica-BN divergence as in manual pmap-style DP."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from circuitmap_tpu.demix.demixer import _train_step
+        from circuitmap_tpu.parallel import trial_mesh
+
+        mesh = trial_mesh(8)
+        params = init_nwd_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(32, 900)).astype(np.float32)
+        y = rng.normal(size=(32, 900)).astype(np.float32)
+        lr = jnp.asarray(1e-2)
+        p1, l1 = _train_step(params, jnp.asarray(x), jnp.asarray(y), lr)
+        sh = NamedSharding(mesh, P("trial"))
+        p2, l2 = _train_step(
+            jax.device_put(params, NamedSharding(mesh, P())),
+            jax.device_put(x, sh), jax.device_put(y, sh), lr)
+        assert abs(float(l1) - float(l2)) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_train_mesh_matches_single_device(self):
+        """Multi-epoch DP training follows the single-device trajectory.
+
+        Per-step agreement is exact to reduction order (previous test);
+        over epochs that ~1e-7 noise amplifies through the BN/SGD
+        feedback (measured ~1e-3 relative after one epoch), so the
+        trajectory assertion is %-level, not bitwise."""
+        from circuitmap_tpu.parallel import trial_mesh
+
+        demix_a = NeuralDemixer(seed=0)
+        demix_a.generate_training_data(size=128, seed=1)
+        hist_a = demix_a.train(epochs=3, batch_size=32,
+                               learning_rate=1e-2, verbose=False)
+
+        demix_b = NeuralDemixer(seed=0)
+        demix_b.training_data = demix_a.training_data
+        demix_b.test_data = demix_a.test_data
+        hist_b = demix_b.train(epochs=3, batch_size=32,
+                               learning_rate=1e-2, verbose=False,
+                               mesh=trial_mesh(8))
+        for a, b in zip(hist_a, hist_b):
+            assert abs(a["train_loss"] - b["train_loss"]) <= \
+                0.05 * max(abs(a["train_loss"]), 1e-8)
+        # both runs actually learned
+        assert hist_b[-1]["train_loss"] < hist_b[0]["train_loss"]
+
+    def test_train_mesh_rejects_indivisible_batch(self):
+        from circuitmap_tpu.parallel import trial_mesh
+
+        demix = NeuralDemixer(seed=0)
+        demix.generate_training_data(size=64, seed=1)
+        with pytest.raises(ValueError, match="divide over"):
+            demix.train(epochs=1, batch_size=30, verbose=False,
+                        mesh=trial_mesh(8))
+
     def test_train_default_verbose(self, capsys):
         """train() with default arguments (verbose=True) must complete.
 
