@@ -475,15 +475,11 @@ class NeuralDemixer:
 
             from ..parallel.mesh import TRIAL_AXIS
 
-            ndev = int(mesh.devices.size)
-            if batch_size % ndev:
-                raise ValueError(
-                    f"batch_size={batch_size} must divide over the "
-                    f"{ndev}-device mesh (per-device sub-batches)")
             # [steps, batch, T] epochs shard on the BATCH axis; params
             # replicate (device_put once — mixing committed single-
             # device params with sharded batches is a placement error)
             sh_batch = NamedSharding(mesh, PartitionSpec(None, TRIAL_AXIS))
+            sh_step = NamedSharding(mesh, PartitionSpec(TRIAL_AXIS))
             sh_rep = NamedSharding(mesh, PartitionSpec())
             self.params = jax.device_put(self.params, sh_rep)
             # epoch data stays HOST-side in the mesh branch: each
@@ -524,16 +520,32 @@ class NeuralDemixer:
         on_accel = jax.devices()[0].platform != "cpu"
         for epoch in range(epochs):
             perm = rng.permutation(n)[: steps * batch_size].reshape(steps, batch_size)
-            if mesh is not None:
+            if mesh is not None and on_accel:
                 # one host→devices upload per epoch, batch axis sharded;
-                # the SAME scan-epoch program as the accelerator path
-                # runs SPMD over the mesh
+                # the SAME scan-epoch program as the single-accelerator
+                # path runs SPMD over the mesh
                 self.params, mean_loss = _train_epoch(
                     self.params,
                     jax.device_put(x_tr[perm], sh_batch),
                     jax.device_put(y_tr[perm], sh_batch),
                     lr,
                 )
+            elif mesh is not None:
+                # CPU mesh: same per-platform rule as single-device —
+                # XLA:CPU runs a scan body ~12x slower than the
+                # identical step dispatched eagerly, so loop the jitted
+                # step with per-step sharded batches (identical SPMD/BN
+                # semantics, per-step equality tested)
+                losses = []
+                for s in range(steps):
+                    self.params, loss = _train_step(
+                        self.params,
+                        jax.device_put(x_tr[perm[s]], sh_step),
+                        jax.device_put(y_tr[perm[s]], sh_step),
+                        lr,
+                    )
+                    losses.append(loss)
+                mean_loss = jnp.mean(jnp.stack(losses))
             elif on_accel:
                 self.params, mean_loss = _train_epoch(
                     self.params, x_tr[perm], y_tr[perm], lr

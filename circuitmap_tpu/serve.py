@@ -719,8 +719,14 @@ def _make_handler(service, server_box):
                 self._metric(404, t0, 0)
                 return self._json_error(
                     404, f"no route {self.command} {self.path}")
+            try:
+                self._reply(200, *routed)
+            except BrokenPipeError:
+                # client went away mid-response: the dashboard must see
+                # a failure, not a 200 with undelivered bytes
+                self._metric(499, t0, 0)
+                raise
             self._metric(200, t0, len(routed[1]))
-            self._reply(200, *routed)
 
         do_GET = do_POST = do_DELETE = _handle
 
@@ -787,13 +793,23 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
         print("SIGTERM: stopping gracefully", flush=True)
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
+    prev_sigterm = None
     try:
-        signal.signal(signal.SIGTERM, _on_sigterm)
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
     except ValueError:  # not the main thread (embedded use) — skip
         pass
     try:
         httpd.serve_forever()
     finally:
+        if prev_sigterm is not None:
+            # restore the embedding program's handler — leaving ours
+            # installed would make every later SIGTERM a no-op
+            # (shutdown() of an already-stopped server returns
+            # immediately) and the process unkillable except by KILL
+            try:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+            except ValueError:
+                pass
         httpd.server_close()
         if state_dir and service.streams:
             # a graceful stop must not lose live closed-loop experiments

@@ -59,11 +59,16 @@ def main():
         client = FitClient(args.server)
         # client-typed arrays halve the HTTP payload (npz ships raw
         # dtypes — PERF.md "fit-server tax"); the server widens and its
-        # own device wire re-compresses independently
+        # own device wire re-compresses independently. An EXPLICIT
+        # `transfer_dtype: f32` is a full-precision request and must
+        # survive the HTTP leg too — only the compressing tokens ride
+        # f16 over the network.
+        wire_tok = config.get("transfer_dtype", "f16")
+        http_dtype = np.float32 if str(wire_tok).lower() in (
+            "f32", "float32") else np.float16
         state = client.fit(
-            psc.astype(np.float16), stim_matrix.astype(np.float32),
-            demix=True,
-            trace_wire=config.get("transfer_dtype", "f16"),
+            psc.astype(http_dtype), stim_matrix.astype(np.float32),
+            demix=True, trace_wire=wire_tok,
             verbose=False, **fit_options)
         print(f"CAVIaR fit complete on {args.server} "
               f"in {float(state['fit_time_s']):.2f}s (server-side).")
