@@ -111,6 +111,10 @@ class _BadRequest(ValueError):
     """Client error → HTTP 400 with the message."""
 
 
+class _Unauthorized(Exception):
+    """Missing/wrong bearer token → HTTP 401."""
+
+
 class FitService:
     """The server's state + request logic, HTTP-free (unit-testable).
 
@@ -121,6 +125,7 @@ class FitService:
     verbose = False
     max_body_bytes = 2 << 30
     metrics_fh = None  # open file: one JSON line per request (--metrics)
+    auth_token = None  # require `Authorization: Bearer <token>` (--token)
 
     def __init__(self, demixer_path=None, default_wire=None, priors=None,
                  mesh_devices=0, state_dir=None):
@@ -646,6 +651,15 @@ def _make_handler(service, server_box):
             path = self.path.split("?", 1)[0].rstrip("/")
             opts = self.headers.get("X-Options")
             method = self.command
+            if auth_token is not None:
+                import hmac
+
+                got = self.headers.get("Authorization", "")
+                if not (got.startswith("Bearer ") and hmac.compare_digest(
+                        got[len("Bearer "):], auth_token)):
+                    raise _Unauthorized(
+                        "missing or wrong bearer token (the server was "
+                        "started with --token)")
             if method == "GET" and path in ("", "/health"):
                 return service.do_health()
             if path.startswith("/stream/"):
@@ -706,6 +720,9 @@ def _make_handler(service, server_box):
             t0 = time.perf_counter()
             try:
                 routed = self._route()
+            except _Unauthorized as exc:
+                self._metric(401, t0, 0)
+                return self._json_error(401, str(exc))
             except _BadRequest as exc:
                 self._metric(400, t0, 0)
                 return self._json_error(400, str(exc))
@@ -733,13 +750,14 @@ def _make_handler(service, server_box):
     service_verbose = service.verbose
     max_body = service.max_body_bytes
     metrics_fh = getattr(service, "metrics_fh", None)
+    auth_token = getattr(service, "auth_token", None)
     return Handler
 
 
 def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                default_wire=None, max_mb=2048, warm_shapes=(),
                verbose=False, ready_fd=None, mesh_devices=0,
-               state_dir=None, metrics_path=None):
+               state_dir=None, metrics_path=None, auth_token=None):
     """Build the service, bind, optionally pre-warm, then serve forever.
 
     ``port=0`` lets the OS assign one; the bound port is printed as
@@ -753,6 +771,7 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                          mesh_devices=mesh_devices, state_dir=state_dir)
     service.verbose = verbose
     service.max_body_bytes = int(max_mb * 1e6)
+    service.auth_token = auth_token or None
     if metrics_path:
         # request log, one JSON line each: {ts, method, path, status,
         # seconds, bytes_in, bytes_out} — tail-able by any log shipper
@@ -831,9 +850,10 @@ class FitClient:
     """
 
     def __init__(self, base_url=f"http://127.0.0.1:{DEFAULT_PORT}",
-                 timeout=600.0):
+                 timeout=600.0, token=None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.token = token
 
     def _request(self, method, path, body=None, options=None):
         import urllib.error
@@ -844,6 +864,8 @@ class FitClient:
             headers["X-Options"] = json.dumps(options)
         if body is not None:
             headers["Content-Type"] = "application/npz"
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(
             self.base_url + path, data=body, headers=headers, method=method)
         try:

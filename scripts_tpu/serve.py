@@ -58,6 +58,12 @@ def main(argv=None):
                              "auto-saves live streams on graceful "
                              "shutdown, so a daemon restart does not "
                              "lose a closed-loop experiment")
+    parser.add_argument("--token", default=None,
+                        help="require `Authorization: Bearer <token>` on "
+                             "every request (FitClient(token=...)); the "
+                             "protocol is otherwise unauthenticated — "
+                             "still prefer an SSH tunnel/reverse proxy "
+                             "for transport privacy across machines")
     parser.add_argument("--metrics", default=None, metavar="FILE",
                         help="append one JSON line per request (ts, "
                              "method, path, status, seconds, bytes) — "
@@ -74,7 +80,8 @@ def main(argv=None):
                    demixer_path=args.demixer, default_wire=args.wire,
                    max_mb=args.max_mb, warm_shapes=args.warm,
                    verbose=args.verbose, mesh_devices=args.mesh,
-                   state_dir=args.state_dir, metrics_path=args.metrics)
+                   state_dir=args.state_dir, metrics_path=args.metrics,
+                   auth_token=args.token)
     except KeyboardInterrupt:
         print("fit server stopped", file=sys.stderr)
 

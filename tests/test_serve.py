@@ -364,6 +364,23 @@ class TestClosedLoopDesign:
         server.stream_delete("dv")
 
 
+class TestAuthToken:
+    def test_bearer_token_required_and_honoured(self):
+        from circuitmap_tpu.serve import FitClient
+
+        client, proc = _start_server("--token", "s3cret")
+        try:
+            with pytest.raises(RuntimeError, match="401"):
+                client.health()  # no token
+            bad = FitClient(client.base_url, token="wrong")
+            with pytest.raises(RuntimeError, match="401"):
+                bad.health()
+            good = FitClient(client.base_url, token="s3cret")
+            assert good.health()["status"] == "ok"
+        finally:
+            _stop_server(FitClient(client.base_url, token="s3cret"), proc)
+
+
 class TestMetricsLog:
     def test_request_log_lines(self, sim, tmp_path):
         mfile = tmp_path / "requests.jsonl"
