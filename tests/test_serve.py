@@ -134,6 +134,21 @@ class TestServer:
 
         assert r2_score(sim["weights"], state["mu"]) > 0.5
 
+    def test_demix_fit_matches_local_chain(self, server, sim):
+        """The server's demix=True chain (device-resident demixed
+        traces feeding the solver) equals running the same demixer +
+        fit locally — the server runs --demixer default (seed=0)."""
+        from circuitmap_tpu import Model, NeuralDemixer
+
+        state = server.fit(sim["psc"], sim["stim_matrix"], demix=True,
+                           **FIT_OPTS)
+        demixed = NeuralDemixer(seed=0)(sim["psc"], verbose=False,
+                                        keep_on_device=True)
+        local = Model(N).fit(demixed, sim["stim_matrix"],
+                             method="caviar", fit_options=dict(FIT_OPTS))
+        np.testing.assert_allclose(state["mu"], local.state["mu"],
+                                   rtol=1e-4, atol=1e-5)
+
     def test_fit_histories_on_request(self, server, sim):
         state = server.fit(sim["psc"], sim["stim_matrix"], demix=False,
                            save_histories=True, **FIT_OPTS)
