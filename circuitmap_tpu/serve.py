@@ -30,6 +30,11 @@ needs numpy and nothing else):
 * request/response bodies are ``.npz`` bytes (``np.savez``), the
   natural container for trace/design matrices; control responses are
   JSON;
+* the client compresses the design by default: column-sparse stim
+  matrices ship in an exact sparse-hologram form (~200× fewer bytes,
+  bit-identical fit; see the "HTTP wire encodings" section below), and
+  ``psc_wire='f16'/'int8'`` optionally types/quantises the trace
+  payload;
 * scalar/structured options ride the ``X-Options`` header as JSON
   (ASCII — header-safe), so array payloads and knobs never mix;
 * the server is single-threaded by design: requests queue and run one
@@ -105,6 +110,149 @@ def _load_npz(body):
             return {k: z[k] for k in z.files}
     except Exception as exc:
         raise _BadRequest(f"body is not a readable .npz: {exc}") from None
+
+
+# ------------------------------------------------- HTTP wire encodings
+#
+# np.savez does not compress, so a naive POST /fit body at the bench
+# shape is 232 MB — and 160 MB of that is the f64 stim matrix, which is
+# >90% zeros (PERF.md "serving tax"). Mapping designs are column-sparse
+# (each trial stimulates at most H of N neurons at one of a few power
+# levels), so the client ships the same sparse-hologram form the
+# device upload already uses (solvers/_common._sparsify): [H, K]
+# target indices + [H, K] level codes + the level table (~0.8 MB at
+# the bench shape). The encoding is EXACT — levels keep the input
+# dtype and codes index them — so a sparse-shipped fit is bit-identical
+# to a dense-shipped one. Traces can optionally ship as int8 codes with
+# the demixer wire's per-trace peak/127 scale (demix/demixer.py:383);
+# the per-row max code is exactly 127, so the server-side dequantise →
+# device-side int8 requantise round-trips bit-exactly.
+
+
+def encode_stim_sparse(stim, max_ratio=0.25):
+    """Sparse-hologram npz arrays for a [N, K] design, or ``None``
+    when the dense matrix ships fewer than 1/``max_ratio``× the bytes
+    (dense also wins on decode cost for near-dense designs)."""
+    stim = np.asarray(stim)
+    if stim.ndim != 2:
+        return None
+    N, K = stim.shape
+    if N > 32766 or K == 0:  # int16 target space
+        return None
+    mask = stim != 0
+    nz_k, nz_n = np.nonzero(mask.T)  # transposed: sorted by trial
+    counts = np.bincount(nz_k, minlength=K)
+    H = int(counts.max()) if nz_k.size else 0
+    vals = stim.T[nz_k, nz_n]
+    levels, code_flat = np.unique(vals, return_inverse=True)
+    if levels.size > 65535:  # uint16 code space
+        return None
+    code_dtype = np.uint8 if levels.size <= 255 else np.uint16
+    sparse_bytes = H * K * (2 + np.dtype(code_dtype).itemsize)
+    if sparse_bytes + levels.nbytes >= stim.nbytes * max_ratio:
+        return None
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    slots = np.arange(nz_k.size) - offsets[nz_k]
+    targets = np.full((H, K), -1, dtype=np.int16)
+    codes = np.zeros((H, K), dtype=code_dtype)
+    targets[slots, nz_k] = nz_n.astype(np.int16)
+    codes[slots, nz_k] = code_flat.reshape(-1).astype(code_dtype)
+    return {"stim_sparse_targets": targets, "stim_sparse_codes": codes,
+            "stim_sparse_levels": levels, "stim_sparse_n": np.int32(N)}
+
+
+def _decode_stim_sparse(targets, codes, levels, n_neurons):
+    """Exact dense [N, K] reconstruction of ``encode_stim_sparse``."""
+    targets, codes = np.asarray(targets), np.asarray(codes)
+    levels = np.asarray(levels)
+    if (targets.ndim != 2 or codes.shape != targets.shape
+            or levels.ndim != 1):
+        raise _BadRequest(
+            "malformed sparse stim: targets/codes must be matching "
+            "[H, K] arrays and levels 1-D")
+    try:
+        n = int(np.asarray(n_neurons).reshape(()))
+    except (TypeError, ValueError):
+        raise _BadRequest("stim_sparse_n must be a scalar neuron count")
+    if n <= 0:
+        raise _BadRequest("stim_sparse_n must be positive")
+    h, k = np.nonzero(targets >= 0)
+    t = targets[h, k].astype(np.int64)
+    c = codes[h, k].astype(np.int64)
+    if t.size and int(t.max()) >= n:
+        raise _BadRequest(
+            f"sparse stim target {int(t.max())} out of range for "
+            f"N={n} neurons")
+    if c.size and int(c.max()) >= levels.size:
+        raise _BadRequest(
+            f"sparse stim code {int(c.max())} out of range for "
+            f"{levels.size} levels")
+    stim = np.zeros((n, targets.shape[1]), dtype=levels.dtype)
+    stim[t, k] = levels[c]
+    return stim
+
+
+def encode_psc_int8(psc):
+    """Per-trace peak/127 int8 codes + f32 scales for a [K, T] block."""
+    psc = np.asarray(psc)
+    if psc.ndim != 2:
+        raise ValueError(f"psc must be [K, T], got shape {psc.shape}")
+    p32 = psc.astype(np.float32, copy=False)
+    if not np.isfinite(p32).all():
+        raise ValueError(
+            "psc carries non-finite values after f32 cast; clean the "
+            "traces (or drop psc_wire='int8')")
+    scale = (np.abs(p32).max(axis=1) / np.float32(127.0)).astype(
+        np.float32)
+    scale = np.where(scale > 0, scale, np.float32(1.0))
+    codes = np.clip(np.rint(p32 / scale[:, None]), -127, 127).astype(
+        np.int8)
+    return {"psc_q8": codes, "psc_q8_scale": scale}
+
+
+def _encode_psc(psc, wire):
+    """Client-side trace typing: None keeps the caller's dtype; 'f32'/
+    'f16' cast; 'int8' quantises (``encode_psc_int8``)."""
+    if wire is None:
+        return {"psc": np.asarray(psc)}
+    if wire == "int8":
+        return encode_psc_int8(psc)
+    if wire in ("f16", "f32"):
+        return {"psc": np.asarray(psc).astype(
+            np.float16 if wire == "f16" else np.float32)}
+    raise ValueError(
+        f"unknown psc_wire {wire!r}; expected 'f32' | 'f16' | 'int8' "
+        "(this types the HTTP body; `trace_wire` in the options types "
+        "the server's host->device upload)")
+
+
+def _decode_arrays(arrays):
+    """Reverse the FitClient wire encodings on a request body."""
+    if "stim_sparse_targets" in arrays:
+        missing = {"stim_sparse_codes", "stim_sparse_levels",
+                   "stim_sparse_n"} - set(arrays)
+        if missing:
+            raise _BadRequest(
+                f"sparse stim missing key(s) {sorted(missing)}")
+        if "stim" in arrays:
+            raise _BadRequest("body carries both dense and sparse stim")
+        arrays["stim"] = _decode_stim_sparse(
+            arrays.pop("stim_sparse_targets"),
+            arrays.pop("stim_sparse_codes"),
+            arrays.pop("stim_sparse_levels"),
+            arrays.pop("stim_sparse_n"))
+    if "psc_q8" in arrays:
+        if "psc_q8_scale" not in arrays:
+            raise _BadRequest("psc_q8 without psc_q8_scale")
+        if "psc" in arrays:
+            raise _BadRequest("body carries both raw and int8 psc")
+        codes = np.asarray(arrays.pop("psc_q8"))
+        scale = np.asarray(arrays.pop("psc_q8_scale"), dtype=np.float32)
+        if (codes.ndim != 2 or scale.shape != (codes.shape[0],)):
+            raise _BadRequest(
+                "psc_q8 must be [K, T] with psc_q8_scale [K]")
+        arrays["psc"] = codes.astype(np.float32) * scale[:, None]
+    return arrays
 
 
 class _BadRequest(ValueError):
@@ -236,7 +384,7 @@ class FitService:
     def do_demix(self, body, options_header):
         opts = self._parse_options(options_header,
                                    frozenset(("trace_wire",)), "demix")
-        arrays = _load_npz(body)
+        arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T]")
         if self.demixer is None:
@@ -253,7 +401,7 @@ class FitService:
         opts = self._parse_options(
             options_header, _FIT_OPTION_KEYS | {"method", "demix", "sharded"},
             "fit")
-        arrays = _load_npz(body)
+        arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T|1] and "
                               "'stim' [N, K]")
@@ -336,7 +484,7 @@ class FitService:
             options_header,
             frozenset(("iters", "fn_scan", "trace_wire", "demix", "create")),
             "stream-update")
-        arrays = _load_npz(body)
+        arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [k, T] and 'stim' [N, k]")
         psc, stim = arrays["psc"], arrays["stim"]
@@ -888,23 +1036,44 @@ class FitClient:
     def health(self):
         return self._request("GET", "/health")
 
-    def demix(self, psc, trace_wire=None):
+    def demix(self, psc, trace_wire=None, psc_wire=None):
         opts = {"trace_wire": trace_wire} if trace_wire else None
         out = self._request("POST", "/demix",
-                            body=_npz_bytes(psc=psc), options=opts)
+                            body=self._body(psc, None, False, psc_wire),
+                            options=opts)
         return out["demixed"]
 
-    def fit(self, psc, stim, method="caviar", demix=None, **fit_options):
+    @staticmethod
+    def _body(psc, stim, sparse_stim, psc_wire):
+        arrays = _encode_psc(psc, psc_wire)
+        if stim is not None:
+            sparse = encode_stim_sparse(stim) if sparse_stim else None
+            arrays.update(sparse if sparse is not None
+                          else {"stim": np.asarray(stim)})
+        return _npz_bytes(**arrays)
+
+    def fit(self, psc, stim, method="caviar", demix=None,
+            sparse_stim=True, psc_wire=None, **fit_options):
         """Run a batch fit; returns the model state dict (numpy).
 
         ``psc``: [K, T] traces (raw if the server demixes, demixed
         otherwise); ``stim``: [N, K] design; ``fit_options`` as in
-        ``Model.fit`` (JSON-safe knobs only)."""
+        ``Model.fit`` (JSON-safe knobs only).
+
+        ``sparse_stim`` (default on) ships the design in the exact
+        sparse-hologram wire form — ~200× fewer stim bytes at mapping
+        shapes, bit-identical fit — falling back to dense automatically
+        when the matrix is not column-sparse. ``psc_wire`` types the
+        trace payload: None ships the caller's dtype, 'f32'/'f16' cast
+        (2×/4× smaller than f64), 'int8' quantises with the demixer
+        wire's per-trace peak scale (8× smaller than f32; composes
+        exactly with the server's int8 device wire)."""
         opts = {"method": method, **fit_options}
         if demix is not None:
             opts["demix"] = bool(demix)
         return self._request("POST", "/fit",
-                             body=_npz_bytes(psc=psc, stim=stim),
+                             body=self._body(psc, stim, sparse_stim,
+                                             psc_wire),
                              options=opts)
 
     def warm(self, shapes, iters=50, **options):
@@ -922,12 +1091,13 @@ class FitClient:
         return quote(str(name), safe="")
 
     def stream_update(self, name, psc, stim, iters=10, create=None,
-                      **options):
+                      sparse_stim=True, psc_wire=None, **options):
         opts = {"iters": iters, **options}
         if create:
             opts["create"] = create
         return self._request("POST", f"/stream/{self._quote(name)}/update",
-                             body=_npz_bytes(psc=psc, stim=stim),
+                             body=self._body(psc, stim, sparse_stim,
+                                             psc_wire),
                              options=opts)
 
     def stream_posterior(self, name):

@@ -602,6 +602,96 @@ class TestServiceUnit:
         svc.do_stream_load("s", None)
         assert "s" not in svc.designers
 
+    def test_sparse_stim_wire_is_exact_and_small(self, sim):
+        """The client-side hologram encoding reconstructs the design
+        BIT-exactly (it is lossless by construction) at a fraction of
+        the dense bytes; dense/near-dense matrices fall back."""
+        from circuitmap_tpu.serve import (_decode_arrays, _load_npz,
+                                          _npz_bytes, encode_stim_sparse)
+
+        stim = sim["stim_matrix"]
+        enc = encode_stim_sparse(stim)
+        assert enc is not None
+        body = _npz_bytes(**enc)
+        assert len(body) < stim.nbytes / 4
+        out = _decode_arrays(_load_npz(body))
+        assert np.array_equal(out["stim"], stim)
+        assert out["stim"].dtype == stim.dtype
+        # non-f32-representable values survive exactly (f64 parity path)
+        odd = stim.copy()
+        odd[odd != 0] = 45.000000001
+        dec = _decode_arrays(_load_npz(_npz_bytes(**encode_stim_sparse(
+            odd))))["stim"]
+        assert np.array_equal(dec, odd)
+        # dense matrices are not worth encoding
+        assert encode_stim_sparse(np.random.RandomState(0)
+                                  .randn(40, 40)) is None
+
+    def test_sparse_stim_wire_validation(self):
+        from circuitmap_tpu.serve import (_BadRequest, _decode_arrays,
+                                          _load_npz, _npz_bytes,
+                                          encode_stim_sparse)
+
+        stim = np.zeros((6, 20))
+        stim[2, ::2] = 55.0
+        enc = encode_stim_sparse(stim)
+        both = _npz_bytes(stim=stim, **enc)
+        with pytest.raises(_BadRequest, match="both dense and sparse"):
+            _decode_arrays(_load_npz(both))
+        missing = {k: v for k, v in enc.items()
+                   if k != "stim_sparse_levels"}
+        with pytest.raises(_BadRequest, match="missing key"):
+            _decode_arrays(_load_npz(_npz_bytes(**missing)))
+        bad = dict(enc)
+        bad["stim_sparse_n"] = np.int32(2)  # target 2 is out of range
+        with pytest.raises(_BadRequest, match="out of range"):
+            _decode_arrays(_load_npz(_npz_bytes(**bad)))
+        bad = dict(enc)
+        bad["stim_sparse_codes"] = enc["stim_sparse_codes"] + 7
+        with pytest.raises(_BadRequest, match="out of range"):
+            _decode_arrays(_load_npz(_npz_bytes(**bad)))
+
+    def test_psc_int8_wire_requantises_identically(self):
+        """Server-side dequantise → device-side int8 requantise is the
+        identity (per-row max code is exactly 127), so the HTTP int8
+        wire composes with the device int8 wire at no extra error."""
+        from circuitmap_tpu.serve import (_decode_arrays, _load_npz,
+                                          _npz_bytes, encode_psc_int8)
+
+        rng = np.random.RandomState(1)
+        psc = (rng.randn(16, 300) * rng.rand(16, 1) * 9).astype(
+            np.float32)
+        psc[3] = 0.0  # all-zero trace must survive
+        enc = encode_psc_int8(psc)
+        dec = _decode_arrays(_load_npz(_npz_bytes(**enc)))["psc"]
+        re_enc = encode_psc_int8(dec)
+        assert np.array_equal(enc["psc_q8"], re_enc["psc_q8"])
+        np.testing.assert_allclose(enc["psc_q8_scale"],
+                                   re_enc["psc_q8_scale"])
+        assert np.array_equal(dec[3], psc[3])
+        peak = np.abs(psc).max(axis=1, keepdims=True)
+        assert np.abs(dec - psc).max() <= (peak / 127.0).max() * 0.5 + 1e-7
+        with pytest.raises(ValueError, match="non-finite"):
+            encode_psc_int8(np.array([[1.0, np.nan]]))
+
+    def test_fit_sparse_body_equals_dense_body(self, sim):
+        """POST /fit with the sparse-hologram body is bit-identical to
+        the dense body (service-level; the HTTP layer adds nothing)."""
+        from circuitmap_tpu.serve import FitService, _load_npz, _npz_bytes
+        from circuitmap_tpu.serve import encode_stim_sparse
+
+        svc = FitService()
+        opts = json.dumps(dict(FIT_OPTS, iters=2, demix=False))
+        psc = sim["psc"][:64]
+        stim = sim["stim_matrix"][:, :64]
+        _, dense = svc.do_fit(_npz_bytes(psc=psc, stim=stim), opts)
+        _, sparse = svc.do_fit(
+            _npz_bytes(psc=psc, **encode_stim_sparse(stim)), opts)
+        a, b = _load_npz(dense), _load_npz(sparse)
+        assert set(a) == set(b)
+        for key in set(a) - {"fit_time_s"}:  # wall-clock differs
+            assert np.array_equal(a[key], b[key]), key
+
     def test_resolve_transfer_dtype(self):
         """One vocabulary across serve / warm-cache / run_main — incl.
         'f32', which once crashed warm-cache deep in the demixer."""
