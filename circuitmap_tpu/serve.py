@@ -47,6 +47,7 @@ Endpoints
 ``GET  /health``                  → JSON (device, uptime, counters)
 ``POST /demix``                   npz{psc} → npz{demixed}
 ``POST /fit``                     npz{psc, stim} → npz{mu, beta, ...}
+``POST /fit_many``                npz{pscs, stims} → npz stacked [B, ...]
 ``POST /warm``                    X-Options {"shapes": [[N, K], ...]}
 ``POST /stream/<name>/update``    npz{psc, stim} → JSON counters
 ``GET  /stream/<name>/posterior`` → npz small fields
@@ -79,6 +80,18 @@ _FIT_OPTION_KEYS = frozenset((
     "save_histories", "sweep_impl", "sweep_block_size", "laplace_impl",
     "update_order", "track_elbo", "elbo_tol", "y_xcorr_thresh",
     "fn_scan", "trace_wire", "verbose", "k",
+))
+
+# caviar_many knobs for POST /fit_many (solvers/batched.py — JSON-safe
+# only; mesh= comes from the server's --mesh, opt out per request with
+# {"sharded": false}).
+_FIT_MANY_OPTION_KEYS = frozenset((
+    "iters", "msrmp", "powers", "seeds", "num_mc_samples",
+    "y_xcorr_thresh", "minimum_spike_count", "delay_spont_est",
+    "scale_factor", "penalty", "max_backtrack_iters", "tol",
+    "spont_orthogonality", "fn_scan", "analytic_mc", "sweep_block_size",
+    "laplace_impl", "compile_mode", "trace_wire", "verbose",
+    "demix", "sharded",
 ))
 
 # OnlineCaviar constructor knobs creatable over the wire (subset of
@@ -193,19 +206,20 @@ def _decode_stim_sparse(targets, codes, levels, n_neurons):
 
 
 def encode_psc_int8(psc):
-    """Per-trace peak/127 int8 codes + f32 scales for a [K, T] block."""
+    """Per-trace peak/127 int8 codes + f32 scales for a [..., K, T]
+    block (the scale axis is the last one — one scale per trace)."""
     psc = np.asarray(psc)
-    if psc.ndim != 2:
-        raise ValueError(f"psc must be [K, T], got shape {psc.shape}")
+    if psc.ndim < 2:
+        raise ValueError(f"psc must be [..., K, T], got shape {psc.shape}")
     p32 = psc.astype(np.float32, copy=False)
     if not np.isfinite(p32).all():
         raise ValueError(
             "psc carries non-finite values after f32 cast; clean the "
             "traces (or drop psc_wire='int8')")
-    scale = (np.abs(p32).max(axis=1) / np.float32(127.0)).astype(
+    scale = (np.abs(p32).max(axis=-1) / np.float32(127.0)).astype(
         np.float32)
     scale = np.where(scale > 0, scale, np.float32(1.0))
-    codes = np.clip(np.rint(p32 / scale[:, None]), -127, 127).astype(
+    codes = np.clip(np.rint(p32 / scale[..., None]), -127, 127).astype(
         np.int8)
     return {"psc_q8": codes, "psc_q8_scale": scale}
 
@@ -241,17 +255,44 @@ def _decode_arrays(arrays):
             arrays.pop("stim_sparse_codes"),
             arrays.pop("stim_sparse_levels"),
             arrays.pop("stim_sparse_n"))
-    if "psc_q8" in arrays:
-        if "psc_q8_scale" not in arrays:
-            raise _BadRequest("psc_q8 without psc_q8_scale")
-        if "psc" in arrays:
-            raise _BadRequest("body carries both raw and int8 psc")
-        codes = np.asarray(arrays.pop("psc_q8"))
-        scale = np.asarray(arrays.pop("psc_q8_scale"), dtype=np.float32)
-        if (codes.ndim != 2 or scale.shape != (codes.shape[0],)):
+    if "stims_sparse_targets" in arrays:
+        # batched designs (/fit_many): [B, N, K] shipped as one sparse
+        # [N, B*K] matrix (trial columns concatenated across experiments
+        # preserve column-sparsity) plus the experiment count
+        missing = {"stims_sparse_codes", "stims_sparse_levels",
+                   "stims_sparse_n", "stims_sparse_b"} - set(arrays)
+        if missing:
             raise _BadRequest(
-                "psc_q8 must be [K, T] with psc_q8_scale [K]")
-        arrays["psc"] = codes.astype(np.float32) * scale[:, None]
+                f"sparse stims missing key(s) {sorted(missing)}")
+        if "stims" in arrays:
+            raise _BadRequest("body carries both dense and sparse stims")
+        flat = _decode_stim_sparse(
+            arrays.pop("stims_sparse_targets"),
+            arrays.pop("stims_sparse_codes"),
+            arrays.pop("stims_sparse_levels"),
+            arrays.pop("stims_sparse_n"))
+        b = int(np.asarray(arrays.pop("stims_sparse_b")).reshape(()))
+        if b <= 0 or flat.shape[1] % b:
+            raise _BadRequest(
+                f"stims_sparse_b={b} does not divide the "
+                f"{flat.shape[1]} shipped trial columns")
+        arrays["stims"] = np.ascontiguousarray(
+            flat.reshape(flat.shape[0], b, -1).transpose(1, 0, 2))
+    for dense_key, qk, sk in (("psc", "psc_q8", "psc_q8_scale"),
+                              ("pscs", "pscs_q8", "pscs_q8_scale")):
+        if qk not in arrays:
+            continue
+        if sk not in arrays:
+            raise _BadRequest(f"{qk} without {sk}")
+        if dense_key in arrays:
+            raise _BadRequest(
+                f"body carries both raw and int8 {dense_key}")
+        codes = np.asarray(arrays.pop(qk))
+        scale = np.asarray(arrays.pop(sk), dtype=np.float32)
+        if codes.ndim < 2 or scale.shape != codes.shape[:-1]:
+            raise _BadRequest(
+                f"{qk} must be [..., K, T] with {sk} [..., K]")
+        arrays[dense_key] = codes.astype(np.float32) * scale[..., None]
     return arrays
 
 
@@ -446,6 +487,76 @@ class FitService:
         if model.history:
             out.update({f"history_{k}": v for k, v in model.history.items()
                         if isinstance(v, np.ndarray)})
+        return "application/npz", _npz_bytes(**out)
+
+    def _maybe_demix_many(self, pscs, opts):
+        """Batch variant of ``_maybe_demix``: one demixer call over the
+        flattened [B*K, T] block, reshaped back on device."""
+        want = bool(opts.pop("demix", self.demixer is not None))
+        if not want:
+            return pscs
+        wire = self._wire_token(opts)
+        if self.demixer is None:
+            raise _BadRequest(
+                "demix requested but the server was started without a "
+                "demixer (pass --demixer to `circuitmap_tpu serve`)")
+        import jax.numpy as jnp
+
+        b, k, t = pscs.shape
+        self.n_demixes += 1
+        flat = self.demixer(pscs.reshape(b * k, t), verbose=False,
+                            keep_on_device=True, transfer_dtype=wire)
+        return jnp.reshape(flat, (b, k, flat.shape[-1]))
+
+    def do_fit_many(self, body, options_header):
+        """Fit B same-shape experiments in one dispatch
+        (``solvers.caviar_many``) — the daemon's replacement for a
+        SLURM job array: one warm executable serves every batch of the
+        same shape, and ``--mesh N`` shards the experiment axis."""
+        from .model import default_priors
+        from .solvers import caviar_many
+
+        opts = self._parse_options(options_header, _FIT_MANY_OPTION_KEYS,
+                                   "fit_many")
+        arrays = _decode_arrays(_load_npz(body))
+        if "pscs" not in arrays or "stims" not in arrays:
+            raise _BadRequest("npz must carry 'pscs' [B, K, T|1] and "
+                              "'stims' [B, N, K]")
+        pscs, stims = arrays["pscs"], arrays["stims"]
+        if pscs.ndim != 3 or stims.ndim != 3:
+            raise _BadRequest(
+                f"pscs must be [B, K, T] and stims [B, N, K]; got "
+                f"{pscs.shape} and {stims.shape}")
+        if pscs.shape[0] != stims.shape[0]:
+            raise _BadRequest(
+                f"pscs carries {pscs.shape[0]} experiments but stims "
+                f"{stims.shape[0]}")
+        if pscs.shape[1] != stims.shape[2]:
+            raise _BadRequest(
+                f"pscs carries {pscs.shape[1]} trials but stims "
+                f"{stims.shape[2]} — pscs is [B, K, T], stims [B, N, K]")
+        sharded = opts.pop("sharded", None)
+        if sharded is not None:
+            sharded = bool(sharded)
+        if sharded and self.mesh is None:
+            raise _BadRequest("sharded fit_many requested but the server "
+                              "has no mesh (start it with --mesh N)")
+        if self.mesh is not None and sharded is not False:
+            opts["mesh"] = self.mesh
+        obs = self._maybe_demix_many(pscs, opts)
+        opts.setdefault("verbose", False)
+        priors = dict(self.priors or {})
+        for key, val in default_priors(stims.shape[1]).items():
+            priors.setdefault(key, val)
+        try:
+            results = caviar_many(
+                obs, stims, priors["mu"], priors["beta"], priors["shape"],
+                priors["rate"], priors["phi"], priors["phi_cov"], **opts)
+        except (ValueError, TypeError) as exc:
+            raise _BadRequest(f"caviar_many rejected the request: {exc}")
+        self.n_fits += len(results)
+        out = {key: np.stack([np.asarray(r[key]) for r in results])
+               for key in results[0]}
         return "application/npz", _npz_bytes(**out)
 
     def do_warm(self, options_header):
@@ -835,6 +946,8 @@ def _make_handler(service, server_box):
                     return service.do_demix(self._body(), opts)
                 if path == "/fit":
                     return service.do_fit(self._body(), opts)
+                if path == "/fit_many":
+                    return service.do_fit_many(self._body(), opts)
                 if path == "/warm":
                     return service.do_warm(opts)
                 if path == "/shutdown":
@@ -1075,6 +1188,38 @@ class FitClient:
                              body=self._body(psc, stim, sparse_stim,
                                              psc_wire),
                              options=opts)
+
+    def fit_many(self, pscs, stims, demix=None, sparse_stim=True,
+                 psc_wire=None, **fit_options):
+        """Fit B same-shape experiments in one request
+        (``solvers.caviar_many`` on the server — the job-array
+        workload through one warm executable). ``pscs``: [B, K, T];
+        ``stims``: [B, N, K]. Returns a dict of stacked arrays
+        (``mu`` [B, N], ``lam`` [B, N, K], ...). Wire levers as in
+        ``fit`` — the batched design ships as one sparse [N, B*K]
+        hologram matrix when column-sparse."""
+        pscs, stims = np.asarray(pscs), np.asarray(stims)
+        opts = dict(fit_options)
+        if demix is not None:
+            opts["demix"] = bool(demix)
+        if psc_wire == "int8":
+            enc = encode_psc_int8(pscs)
+            arrays = {"pscs_q8": enc["psc_q8"],
+                      "pscs_q8_scale": enc["psc_q8_scale"]}
+        else:
+            arrays = {"pscs": _encode_psc(pscs, psc_wire)["psc"]}
+        sparse = None
+        if sparse_stim and stims.ndim == 3:
+            flat = stims.transpose(1, 0, 2).reshape(stims.shape[1], -1)
+            sparse = encode_stim_sparse(flat)
+        if sparse is not None:
+            arrays.update({k.replace("stim_", "stims_", 1): v
+                           for k, v in sparse.items()})
+            arrays["stims_sparse_b"] = np.int32(stims.shape[0])
+        else:
+            arrays["stims"] = stims
+        return self._request("POST", "/fit_many",
+                             body=_npz_bytes(**arrays), options=opts)
 
     def warm(self, shapes, iters=50, **options):
         shapes = [list(map(int, s)) for s in

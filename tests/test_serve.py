@@ -149,6 +149,30 @@ class TestServer:
         np.testing.assert_allclose(state["mu"], local.state["mu"],
                                    rtol=1e-4, atol=1e-5)
 
+    def test_fit_many_matches_library_batch(self, server, sim):
+        """POST /fit_many == caviar_many on the same stacked inputs
+        (same seeds), through the default sparse-stims wire."""
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.solvers import caviar_many
+
+        rng = np.random.RandomState(2)
+        pscs = np.stack([sim["psc"], sim["psc"][::-1]])
+        stims = np.stack([sim["stim_matrix"],
+                          sim["stim_matrix"][:, rng.permutation(K)]])
+        opts = dict(FIT_OPTS)
+        opts.pop("seed")
+        out = server.fit_many(pscs, stims, demix=False, seeds=[4, 9],
+                              **opts)
+        assert out["mu"].shape == (2, N)
+        assert out["lam"].shape == (2, N, K)
+        pri = default_priors(N)
+        res = caviar_many(pscs, stims, pri["mu"], pri["beta"],
+                          pri["shape"], pri["rate"], pri["phi"],
+                          pri["phi_cov"], seeds=[4, 9], **opts)
+        np.testing.assert_allclose(
+            out["mu"], np.stack([np.asarray(r["mu"]) for r in res]),
+            rtol=1e-5, atol=1e-6)
+
     def test_fit_histories_on_request(self, server, sim):
         state = server.fit(sim["psc"], sim["stim_matrix"], demix=False,
                            save_histories=True, **FIT_OPTS)
@@ -691,6 +715,42 @@ class TestServiceUnit:
         assert set(a) == set(b)
         for key in set(a) - {"fit_time_s"}:  # wall-clock differs
             assert np.array_equal(a[key], b[key]), key
+
+    def test_fit_many_sparse_body_equals_dense(self, sim):
+        """The batched sparse-stims wire ([N, B*K] hologram matrix +
+        experiment count) reconstructs exactly: /fit_many results are
+        bit-identical to the dense-shipped body."""
+        from circuitmap_tpu.serve import (FitService, _load_npz,
+                                          _npz_bytes, encode_stim_sparse)
+
+        svc = FitService()
+        B, n, k = 2, N, 64
+        pscs = np.stack([sim["psc"][:k], sim["psc"][k:2 * k]])
+        stims = np.stack([sim["stim_matrix"][:, :k],
+                          sim["stim_matrix"][:, k:2 * k]])
+        opts = json.dumps({"iters": 2, "seeds": [1, 2],
+                           "num_mc_samples": 20})
+        _, dense = svc.do_fit_many(_npz_bytes(pscs=pscs, stims=stims),
+                                   opts)
+        flat = stims.transpose(1, 0, 2).reshape(n, -1)
+        sp = {key.replace("stim_", "stims_", 1): v
+              for key, v in encode_stim_sparse(flat).items()}
+        sp["stims_sparse_b"] = np.int32(B)
+        _, sparse = svc.do_fit_many(_npz_bytes(pscs=pscs, **sp), opts)
+        a, b = _load_npz(dense), _load_npz(sparse)
+        assert set(a) == set(b)
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key
+        # validation: mismatched experiment count is a client error
+        from circuitmap_tpu.serve import _BadRequest
+
+        bad = dict(sp)
+        bad["stims_sparse_b"] = np.int32(3)  # 128 columns % 3 != 0
+        with pytest.raises(_BadRequest, match="does not divide"):
+            svc.do_fit_many(_npz_bytes(pscs=pscs, **bad), opts)
+        with pytest.raises(_BadRequest, match="experiments"):
+            svc.do_fit_many(
+                _npz_bytes(pscs=pscs[:1], stims=stims), opts)
 
     def test_resolve_transfer_dtype(self):
         """One vocabulary across serve / warm-cache / run_main — incl.
