@@ -384,7 +384,7 @@ def sweep_spikes_pallas_dma(
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    anym = lambda: pl.BlockSpec(memory_space=pl.ANY)
 
     out = pl.pallas_call(
         _sweep_kernel_dma,

@@ -752,6 +752,41 @@ class TestServiceUnit:
             svc.do_fit_many(
                 _npz_bytes(pscs=pscs[:1], stims=stims), opts)
 
+    def test_fit_many_demix_batch_equals_local_chain(self, sim):
+        """demix=True on /fit_many (one demixer call over the
+        flattened [B*K, T] block) equals demixing per-batch locally
+        and calling caviar_many on the result."""
+        import jax.numpy as jnp
+
+        from circuitmap_tpu.demix import NeuralDemixer
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.serve import FitService, _load_npz, _npz_bytes
+        from circuitmap_tpu.solvers import caviar_many
+
+        B, k = 2, 64
+        pscs = np.stack([sim["psc"][:k], sim["psc"][k:2 * k]])
+        stims = np.stack([sim["stim_matrix"][:, :k],
+                          sim["stim_matrix"][:, k:2 * k]])
+        svc = FitService(demixer_path="default")
+        opts = dict(iters=2, seeds=[1, 2], num_mc_samples=10,
+                    trace_wire="int8")
+        _, out = svc.do_fit_many(_npz_bytes(pscs=pscs, stims=stims),
+                                 json.dumps(opts))
+        assert svc.n_demixes == 1  # one flattened call, not B
+        flat = NeuralDemixer(seed=0)(
+            pscs.reshape(B * k, -1), verbose=False, keep_on_device=True,
+            transfer_dtype=np.int8)
+        obs = jnp.reshape(flat, (B, k, flat.shape[-1]))
+        pri = default_priors(N)
+        opts.pop("trace_wire")
+        res = caviar_many(obs, stims, pri["mu"], pri["beta"],
+                          pri["shape"], pri["rate"], pri["phi"],
+                          pri["phi_cov"], verbose=False, **opts)
+        np.testing.assert_allclose(
+            _load_npz(out)["mu"],
+            np.stack([np.asarray(r["mu"]) for r in res]),
+            rtol=1e-5, atol=1e-6)
+
     def test_resolve_transfer_dtype(self):
         """One vocabulary across serve / warm-cache / run_main — incl.
         'f32', which once crashed warm-cache deep in the demixer."""
