@@ -380,23 +380,14 @@ class NeuralDemixer:
                     self.params, jnp.asarray(packed), jnp.asarray(pscale),
                     int(monotone_filter_start), T)[:part.shape[0]]
             if wire == np.int8:
-                scale = (np.abs(part).max(axis=1) / 127.0).astype(np.float32)
-                if not np.isfinite(scale).all():
-                    # cheap [B]-sized check: with a finite per-trace
-                    # peak the quantised values cannot exceed ±127, so
-                    # this is the only way the unsafe int8 cast could
-                    # wrap — fail loudly instead (the f32/f16 wires
-                    # propagate NaN visibly; int8 would corrupt
-                    # silently)
-                    raise ValueError(
-                        "traces contain non-finite samples (or peaks "
-                        "above float32 range); the int8 wire format "
-                        "requires finite traces"
-                    )
-                scale_safe = np.where(scale > 0, scale, np.float32(1.0))
+                # one quantiser across the demixer/solver/HTTP wires
+                # (utils/quant.py — raises loudly on non-finite traces:
+                # the unsafe int8 cast would wrap silently)
+                from ..utils.quant import quantise_int8
+
                 padded = np.zeros((bucket, T), dtype=np.int8)
-                np.rint(part / scale_safe[:, None],
-                        out=padded[:part.shape[0]], casting="unsafe")
+                _, scale_safe = quantise_int8(
+                    part, out=padded[:part.shape[0]])
                 pscale = np.ones(bucket, dtype=np.float32)
                 pscale[:part.shape[0]] = scale_safe
                 return _demix_and_filter_quantised(

@@ -187,8 +187,16 @@ def _decode_stim_sparse(targets, codes, levels, n_neurons):
         n = int(np.asarray(n_neurons).reshape(()))
     except (TypeError, ValueError):
         raise _BadRequest("stim_sparse_n must be a scalar neuron count")
-    if n <= 0:
-        raise _BadRequest("stim_sparse_n must be positive")
+    if not 0 < n <= 32766:  # the encoder's own int16 target-space cap
+        raise _BadRequest(
+            f"stim_sparse_n={n} outside (0, 32766] — not a value "
+            "encode_stim_sparse produces")
+    if n * targets.shape[1] * max(levels.dtype.itemsize, 1) > (4 << 30):
+        # a few-hundred-byte body must not be able to allocate an
+        # arbitrarily large dense matrix in the daemon
+        raise _BadRequest(
+            f"sparse stim reconstructs to a {n} x {targets.shape[1]} "
+            "dense matrix (>4 GB) — ship a smaller design")
     h, k = np.nonzero(targets >= 0)
     t = targets[h, k].astype(np.int64)
     c = codes[h, k].astype(np.int64)
@@ -196,10 +204,10 @@ def _decode_stim_sparse(targets, codes, levels, n_neurons):
         raise _BadRequest(
             f"sparse stim target {int(t.max())} out of range for "
             f"N={n} neurons")
-    if c.size and int(c.max()) >= levels.size:
+    if c.size and (int(c.min()) < 0 or int(c.max()) >= levels.size):
+        # negative codes would wrap-index the level table silently
         raise _BadRequest(
-            f"sparse stim code {int(c.max())} out of range for "
-            f"{levels.size} levels")
+            f"sparse stim code(s) out of range for {levels.size} levels")
     stim = np.zeros((n, targets.shape[1]), dtype=levels.dtype)
     stim[t, k] = levels[c]
     return stim
@@ -207,20 +215,15 @@ def _decode_stim_sparse(targets, codes, levels, n_neurons):
 
 def encode_psc_int8(psc):
     """Per-trace peak/127 int8 codes + f32 scales for a [..., K, T]
-    block (the scale axis is the last one — one scale per trace)."""
+    block (the scale axis is the last one — one scale per trace).
+    Shares the one quantiser with the demixer/solver device wires
+    (utils/quant.py — that is what makes requantisation the identity)."""
+    from .utils.quant import quantise_int8
+
     psc = np.asarray(psc)
     if psc.ndim < 2:
         raise ValueError(f"psc must be [..., K, T], got shape {psc.shape}")
-    p32 = psc.astype(np.float32, copy=False)
-    if not np.isfinite(p32).all():
-        raise ValueError(
-            "psc carries non-finite values after f32 cast; clean the "
-            "traces (or drop psc_wire='int8')")
-    scale = (np.abs(p32).max(axis=-1) / np.float32(127.0)).astype(
-        np.float32)
-    scale = np.where(scale > 0, scale, np.float32(1.0))
-    codes = np.clip(np.rint(p32 / scale[..., None]), -127, 127).astype(
-        np.int8)
+    codes, scale = quantise_int8(psc)
     return {"psc_q8": codes, "psc_q8_scale": scale}
 
 
@@ -292,6 +295,10 @@ def _decode_arrays(arrays):
         if codes.ndim < 2 or scale.shape != codes.shape[:-1]:
             raise _BadRequest(
                 f"{qk} must be [..., K, T] with {sk} [..., K]")
+        if not (np.isfinite(scale).all() and (scale > 0).all()):
+            # the encoder guarantees finite positive scales; NaN or
+            # negative values would flow silently into the fit
+            raise _BadRequest(f"{sk} must be finite and positive")
         arrays[dense_key] = codes.astype(np.float32) * scale[..., None]
     return arrays
 

@@ -151,22 +151,14 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
         # saves (CLAUDE.md host-memory rule; the demixer wire chunks
         # for the same reason). Only the int8 output (1/4 size) and
         # the [K] scales are allocated at full height.
+        from ..utils.quant import quantise_int8
+
         q = np.empty(arr.shape, dtype=np.int8)
         scale = np.empty(K, dtype=np.float32)
         step = 4096
         for k0 in range(0, K, step):
-            part = arr[k0:k0 + step]
-            s = (np.abs(part).max(axis=1) / 127.0).astype(np.float32)
-            if not np.isfinite(s).all():
-                # same loud failure as the demixer wire: a non-finite
-                # peak would make the unsafe int8 cast wrap silently
-                raise ValueError(
-                    "traces contain non-finite samples; the int8 trace "
-                    "wire requires finite traces")
-            s = np.where(s > 0, s, np.float32(1.0))
-            np.rint(part / s[:, None], out=q[k0:k0 + step],
-                    casting="unsafe")
-            scale[k0:k0 + step] = s
+            _, scale[k0:k0 + step] = quantise_int8(
+                arr[k0:k0 + step], out=q[k0:k0 + step])
         return _dequantise_traces(jnp.asarray(q), jnp.asarray(scale), dtype)
     if trace_wire in ("int4", "int4d2"):
         from ..demix.demixer import _pool2, _quantise_pack_int4

@@ -134,7 +134,12 @@ def caviar_many(
     default; ``batched`` buys ~10% warm latency via its single
     dispatch when B is large and no single fit shares the process.
     """
-    if trace_wire is None:
+    if isinstance(y_pscs, jax.Array):
+        pass  # device-resident (e.g. a batched demixer output): keep it
+        # on device — a host round trip of the [B, K, T] block through
+        # the tunnel would dwarf the fit (same short-circuit as
+        # _common.prepare_traces; the wire is moot for device inputs)
+    elif trace_wire is None:
         y_pscs = np.asarray(y_pscs, dtype=np.float32)
     else:
         y_pscs = np.asarray(y_pscs)
@@ -187,7 +192,7 @@ def caviar_many(
         print(f"Running CAVIaR on {B} experiments "
               f"(compile_mode={mode}).")
 
-    if trace_wire is None:
+    if isinstance(y_pscs, jax.Array) or trace_wire is None:
         y_dev = jnp.asarray(y_pscs, dtype=dtype)
     else:
         # compressed trace upload, shared wire semantics with the

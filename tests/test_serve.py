@@ -674,6 +674,26 @@ class TestServiceUnit:
         bad["stim_sparse_codes"] = enc["stim_sparse_codes"] + 7
         with pytest.raises(_BadRequest, match="out of range"):
             _decode_arrays(_load_npz(_npz_bytes(**bad)))
+        # negative codes would wrap-index the level table (review fix)
+        bad = dict(enc)
+        bad["stim_sparse_codes"] = (
+            enc["stim_sparse_codes"].astype(np.int16) - 1)
+        with pytest.raises(_BadRequest, match="out of range"):
+            _decode_arrays(_load_npz(_npz_bytes(**bad)))
+        # a tiny body must not allocate an arbitrary dense matrix
+        bad = dict(enc)
+        bad["stim_sparse_n"] = np.int64(2**31)
+        with pytest.raises(_BadRequest, match="32766"):
+            _decode_arrays(_load_npz(_npz_bytes(**bad)))
+        # crafted scales: NaN / negative are client errors, not NaN fits
+        from circuitmap_tpu.serve import encode_psc_int8
+
+        enc8 = encode_psc_int8(np.ones((3, 8), np.float32))
+        for val in (np.nan, -1.0):
+            bad8 = dict(enc8)
+            bad8["psc_q8_scale"] = np.full(3, val, np.float32)
+            with pytest.raises(_BadRequest, match="finite and positive"):
+                _decode_arrays(_load_npz(_npz_bytes(**bad8)))
 
     def test_psc_int8_wire_requantises_identically(self):
         """Server-side dequantise → device-side int8 requantise is the
