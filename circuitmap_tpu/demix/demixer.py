@@ -91,36 +91,10 @@ def _upsample2(p, t_true, xp=np):
     return up[..., :t_true]
 
 
-def _quantise_pack_int4(src, out_rows=None):
-    """Host-side int4 quantise + nibble-pack: the ONE copy of the wire's
-    pack arithmetic (shared by the demixer upload path and the solver
-    trace wire, solvers/_common.prepare_traces).
-
-    ``src``: float32 [B, tw] (callers must cast first — quantising in
-    f32 regardless of input dtype keeps serve-time codes bit-for-bit
-    identical to the QAT train-time transform, :func:`wire_transform`).
-    ``out_rows``: pad the packed rows to this count (zero codes).
-    Returns (packed uint8 [out_rows, ceil(tw/2)], scale f32 [B]) where
-    scale is the per-trace step peak/7 (1.0 for all-zero traces).
-    Raises on non-finite samples — a non-finite peak would make the
-    unsafe int8 cast wrap silently.
-    """
-    assert src.dtype == np.float32, "int4 wire quantises in f32"
-    B, tw = src.shape
-    rows = B if out_rows is None else int(out_rows)
-    scale = (np.abs(src).max(axis=1) / 7.0).astype(np.float32)
-    if not np.isfinite(scale).all():
-        raise ValueError(
-            "traces contain non-finite samples (or peaks above float32 "
-            "range); the int4 wire format requires finite traces")
-    scale = np.where(scale > 0, scale, np.float32(1.0))
-    t_pad = -(-tw // 2) * 2
-    q = np.zeros((rows, t_pad), dtype=np.int8)
-    np.rint(src / scale[:, None], out=q[:B, :tw], casting="unsafe")
-    np.clip(q, -7, 7, out=q)
-    qu = q.view(np.uint8)
-    packed = (qu[:, 0::2] & 0x0F) | ((qu[:, 1::2] & 0x0F) << 4)
-    return packed, scale
+# host-side pack: one copy for all wires (incl. the jax-free HTTP
+# client), so it lives in utils/quant.py; this alias keeps the
+# historical import path working
+from ..utils.quant import quantise_pack_int4 as _quantise_pack_int4  # noqa: E402
 
 
 def _unpack_int4_codes(packed, n_codes):
@@ -128,7 +102,9 @@ def _unpack_int4_codes(packed, n_codes):
     each byte into two sign-extended 4-bit two's-complement codes in
     [-7, 7] (low nibble = even sample, high = odd) and trim the pad.
     Pure VPU work (shifts, masks, one reshape) that fuses into the
-    caller's dequantise multiply. The ONE copy of the unpack arithmetic.
+    caller's dequantise multiply. The host-side mirror (same arithmetic
+    verbatim, for the jax-free HTTP server decode) is
+    utils/quant.unpack_int4_codes — keep them in lockstep.
     """
     w = packed.astype(jnp.int32)
     low = w & 0xF

@@ -227,20 +227,42 @@ def encode_psc_int8(psc):
     return {"psc_q8": codes, "psc_q8_scale": scale}
 
 
+def encode_psc_int4(psc):
+    """Nibble-packed int4 codes + per-trace peak/7 f32 scales for a
+    [..., K, T] block (utils/quant.quantise_pack_int4 — the same pack
+    the device wire and the QAT train-time transform use, so the
+    server-side dequantise → device int4 requantise is the identity
+    and the WIRE_STUDY fidelity numbers carry over)."""
+    from .utils.quant import quantise_pack_int4
+
+    psc = np.asarray(psc)
+    if psc.ndim < 2:
+        raise ValueError(f"psc must be [..., K, T], got shape {psc.shape}")
+    t = psc.shape[-1]
+    flat = psc.reshape(-1, t).astype(np.float32)
+    packed, scale = quantise_pack_int4(flat)
+    return {"psc_q4": packed, "psc_q4_scale": scale,
+            "psc_q4_t": np.int64(t),
+            "psc_q4_lead": np.asarray(psc.shape[:-1], np.int64)}
+
+
 def _encode_psc(psc, wire):
     """Client-side trace typing: None keeps the caller's dtype; 'f32'/
-    'f16' cast; 'int8' quantises (``encode_psc_int8``)."""
+    'f16' cast; 'int8'/'int4' quantise (``encode_psc_int8`` /
+    ``encode_psc_int4``)."""
     if wire is None:
         return {"psc": np.asarray(psc)}
     if wire == "int8":
         return encode_psc_int8(psc)
+    if wire == "int4":
+        return encode_psc_int4(psc)
     if wire in ("f16", "f32"):
         return {"psc": np.asarray(psc).astype(
             np.float16 if wire == "f16" else np.float32)}
     raise ValueError(
-        f"unknown psc_wire {wire!r}; expected 'f32' | 'f16' | 'int8' "
-        "(this types the HTTP body; `trace_wire` in the options types "
-        "the server's host->device upload)")
+        f"unknown psc_wire {wire!r}; expected 'f32' | 'f16' | 'int8' | "
+        "'int4' (this types the HTTP body; `trace_wire` in the options "
+        "types the server's host->device upload)")
 
 
 def _decode_arrays(arrays):
@@ -281,6 +303,45 @@ def _decode_arrays(arrays):
                 f"{flat.shape[1]} shipped trial columns")
         arrays["stims"] = np.ascontiguousarray(
             flat.reshape(flat.shape[0], b, -1).transpose(1, 0, 2))
+    for dense_key in ("psc", "pscs"):
+        qk = f"{dense_key}_q4"
+        if qk not in arrays:
+            continue
+        from .utils.quant import unpack_int4_codes
+
+        missing = {f"{qk}_scale", f"{qk}_t", f"{qk}_lead"} - set(arrays)
+        if missing:
+            raise _BadRequest(f"{qk} missing key(s) {sorted(missing)}")
+        if dense_key in arrays:
+            raise _BadRequest(
+                f"body carries both raw and int4 {dense_key}")
+        packed = np.asarray(arrays.pop(qk))
+        scale = np.asarray(arrays.pop(f"{qk}_scale"), dtype=np.float32)
+        try:
+            t = int(np.asarray(arrays.pop(f"{qk}_t")).reshape(()))
+        except (TypeError, ValueError):
+            raise _BadRequest(f"{qk}_t must be a scalar sample count")
+        lead = tuple(int(x) for x in
+                     np.asarray(arrays.pop(f"{qk}_lead")).ravel())
+        if (packed.ndim != 2 or packed.dtype != np.uint8
+                or scale.shape != (packed.shape[0],)):
+            raise _BadRequest(
+                f"{qk} must be uint8 [rows, ceil(T/2)] with "
+                f"{qk}_scale [rows]")
+        if not 0 < t <= 2 * packed.shape[1]:
+            raise _BadRequest(
+                f"{qk}_t={t} inconsistent with {packed.shape[1]} "
+                "packed bytes per row")
+        if any(d <= 0 for d in lead) or int(
+                np.prod(lead, dtype=np.int64)) != packed.shape[0]:
+            raise _BadRequest(
+                f"{qk}_lead={list(lead)} does not match "
+                f"{packed.shape[0]} packed rows")
+        if not (np.isfinite(scale).all() and (scale > 0).all()):
+            raise _BadRequest(f"{qk}_scale must be finite and positive")
+        flat = unpack_int4_codes(packed, t).astype(np.float32)
+        flat *= scale[:, None]
+        arrays[dense_key] = flat.reshape(*lead, t)
     for dense_key, qk, sk in (("psc", "psc_q8", "psc_q8_scale"),
                               ("pscs", "pscs_q8", "pscs_q8_scale")):
         if qk not in arrays:
@@ -1185,9 +1246,10 @@ class FitClient:
         shapes, bit-identical fit — falling back to dense automatically
         when the matrix is not column-sparse. ``psc_wire`` types the
         trace payload: None ships the caller's dtype, 'f32'/'f16' cast
-        (2×/4× smaller than f64), 'int8' quantises with the demixer
-        wire's per-trace peak scale (8× smaller than f32; composes
-        exactly with the server's int8 device wire)."""
+        (2×/4× smaller than f64), 'int8'/'int4' quantise with the
+        device wires' per-trace peak scales (8×/16× smaller than f32;
+        requantisation on the server's matching device wire is the
+        identity)."""
         opts = {"method": method, **fit_options}
         if demix is not None:
             opts["demix"] = bool(demix)
@@ -1209,12 +1271,8 @@ class FitClient:
         opts = dict(fit_options)
         if demix is not None:
             opts["demix"] = bool(demix)
-        if psc_wire == "int8":
-            enc = encode_psc_int8(pscs)
-            arrays = {"pscs_q8": enc["psc_q8"],
-                      "pscs_q8_scale": enc["psc_q8_scale"]}
-        else:
-            arrays = {"pscs": _encode_psc(pscs, psc_wire)["psc"]}
+        arrays = {"pscs" + key[len("psc"):]: val
+                  for key, val in _encode_psc(pscs, psc_wire).items()}
         sparse = None
         if sparse_stim and stims.ndim == 3:
             flat = stims.transpose(1, 0, 2).reshape(stims.shape[1], -1)

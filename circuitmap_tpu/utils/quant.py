@@ -21,6 +21,53 @@ from __future__ import annotations
 import numpy as np
 
 
+def quantise_pack_int4(src, out_rows=None):
+    """Host-side int4 quantise + nibble-pack: the ONE copy of the
+    wire's pack arithmetic (demixer upload path, solver trace wire,
+    HTTP psc wire).
+
+    ``src``: float32 [B, tw] (callers must cast first — quantising in
+    f32 regardless of input dtype keeps serve-time codes bit-for-bit
+    identical to the QAT train-time transform,
+    demix.demixer.wire_transform). ``out_rows``: pad the packed rows to
+    this count (zero codes). Returns (packed uint8 [out_rows,
+    ceil(tw/2)], scale f32 [B]) where scale is the per-trace step
+    peak/7 (1.0 for all-zero traces). Raises on non-finite samples — a
+    non-finite peak would make the unsafe int8 cast wrap silently.
+    """
+    assert src.dtype == np.float32, "int4 wire quantises in f32"
+    B, tw = src.shape
+    rows = B if out_rows is None else int(out_rows)
+    scale = (np.abs(src).max(axis=1) / 7.0).astype(np.float32)
+    if not np.isfinite(scale).all():
+        raise ValueError(
+            "traces contain non-finite samples (or peaks above float32 "
+            "range); the int4 wire format requires finite traces")
+    scale = np.where(scale > 0, scale, np.float32(1.0))
+    t_pad = -(-tw // 2) * 2
+    q = np.zeros((rows, t_pad), dtype=np.int8)
+    np.rint(src / scale[:, None], out=q[:B, :tw], casting="unsafe")
+    np.clip(q, -7, 7, out=q)
+    qu = q.view(np.uint8)
+    packed = (qu[:, 0::2] & 0x0F) | ((qu[:, 1::2] & 0x0F) << 4)
+    return packed, scale
+
+
+def unpack_int4_codes(packed, n_codes):
+    """Host-side inverse of :func:`quantise_pack_int4`'s pack — the
+    numpy mirror of the device unpack (demix.demixer._unpack_int4_codes,
+    same arithmetic verbatim): split each byte into two sign-extended
+    4-bit two's-complement codes in [-7, 7] (low nibble = even sample,
+    high = odd) and trim the pad."""
+    w = np.asarray(packed).astype(np.int32)
+    low = w & 0xF
+    high = (w >> 4) & 0xF
+    low = low - ((low > 7).astype(np.int32) << 4)
+    high = high - ((high > 7).astype(np.int32) << 4)
+    return np.stack([low, high], axis=-1).reshape(
+        w.shape[0], -1)[:, :n_codes]
+
+
 def quantise_int8(part, out=None):
     """Per-trace peak/127 int8 codes for a [..., T] block.
 

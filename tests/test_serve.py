@@ -718,6 +718,44 @@ class TestServiceUnit:
         with pytest.raises(ValueError, match="non-finite"):
             encode_psc_int8(np.array([[1.0, np.nan]]))
 
+    def test_psc_int4_wire_matches_device_unpack(self):
+        """The HTTP int4 wire uses the ONE pack (utils/quant) and its
+        host unpack mirrors the device unpack bit-for-bit; dequantise →
+        re-encode is the identity (composition with the device int4
+        wire adds no error)."""
+        import jax.numpy as jnp
+
+        from circuitmap_tpu.demix.demixer import _unpack_int4_codes
+        from circuitmap_tpu.serve import (_decode_arrays, _load_npz,
+                                          _npz_bytes, encode_psc_int4)
+        from circuitmap_tpu.utils.quant import unpack_int4_codes
+
+        rng = np.random.RandomState(4)
+        psc = (rng.randn(12, 301) * rng.rand(12, 1) * 5)  # odd T
+        enc = encode_psc_int4(psc)
+        assert enc["psc_q4"].shape == (12, 151)  # two codes per byte
+        dec = _decode_arrays(_load_npz(_npz_bytes(**enc)))["psc"]
+        assert dec.shape == psc.shape
+        re_enc = encode_psc_int4(dec)
+        assert np.array_equal(enc["psc_q4"], re_enc["psc_q4"])
+        host = unpack_int4_codes(enc["psc_q4"], 301)
+        dev = np.asarray(_unpack_int4_codes(jnp.asarray(enc["psc_q4"]),
+                                            301))
+        assert np.array_equal(host, dev)
+        # batched [B, K, T] round-trips through the lead-dims key
+        p3 = rng.randn(2, 6, 64).astype(np.float32)
+        e3 = {"pscs" + k[len("psc"):]: v
+              for k, v in encode_psc_int4(p3).items()}
+        d3 = _decode_arrays(_load_npz(_npz_bytes(**e3)))["pscs"]
+        assert d3.shape == p3.shape
+        # malformed lead dims are a client error
+        from circuitmap_tpu.serve import _BadRequest
+
+        bad = dict(enc)
+        bad["psc_q4_lead"] = np.asarray([5], np.int64)
+        with pytest.raises(_BadRequest, match="packed rows"):
+            _decode_arrays(_load_npz(_npz_bytes(**bad)))
+
     def test_fit_sparse_body_equals_dense_body(self, sim):
         """POST /fit with the sparse-hologram body is bit-identical to
         the dense body (service-level; the HTTP layer adds nothing)."""
