@@ -120,12 +120,14 @@ def main():
         print(f"stream checkpointed ({saved}) — a daemon restart would "
               "restore it with stream_load('demo', create=...)")
 
-        # batch fit of the same trials through /fit, for comparison
+        # batch fit of the same trials through /fit, for comparison —
+        # the design ships sparse by default, and psc_wire='int8'
+        # quantises the traces client-side (the server's device wire
+        # requantises to the identical codes)
         psc_all = np.concatenate([b[0] for b in blocks], axis=0)
         stim_all = np.concatenate([b[1] for b in blocks], axis=1)
-        state = client.fit(psc_all.astype(np.float16),
-                           stim_all.astype(np.float32), demix=False,
-                           iters=30, verbose=False)
+        state = client.fit(psc_all, stim_all, demix=False,
+                           psc_wire="int8", iters=30, verbose=False)
         print(f"batch /fit over the same {stim_all.shape[1]} trials: "
               f"R² = {r2_score(truth['weights'], state['mu']):.3f} "
               f"(fit {float(state['fit_time_s']):.2f}s server-side)")
