@@ -630,10 +630,14 @@ class FitService:
     def do_warm(self, options_header):
         """Compile the demix+fit pipeline for given shapes in THIS
         process (in-process executables — beyond what the on-disk
-        cache gives a fresh process)."""
+        cache gives a fresh process). ``batch`` additionally warms the
+        /fit_many program at that experiment count (on a no-mesh
+        server its sequential mode shares the single-fit executable,
+        so this only matters for mesh servers / batched mode)."""
         opts = self._parse_options(
             options_header,
-            frozenset(("shapes", "iters", "powers", "trace_wire")), "warm")
+            frozenset(("shapes", "iters", "powers", "trace_wire",
+                       "batch")), "warm")
         from .utils.synthetic import synthetic_experiment
 
         shapes = opts.pop("shapes", None)
@@ -641,6 +645,7 @@ class FitService:
             raise _BadRequest('X-Options must carry {"shapes": [[N, K], ...]}')
         iters = int(opts.pop("iters", 50))
         powers = [float(p) for p in opts.pop("powers", (45.0, 55.0, 65.0))]
+        batch = int(opts.pop("batch", 0))
         timings = {}
         for shape in shapes:
             try:
@@ -653,6 +658,17 @@ class FitService:
             self.do_fit(body, json.dumps(
                 {"iters": iters, "powers": powers, **opts}))
             timings[f"{n}x{k}"] = round(time.perf_counter() - t0, 2)
+            if batch > 0:
+                body = _npz_bytes(
+                    pscs=np.broadcast_to(
+                        psc, (batch,) + psc.shape).copy(),
+                    stims=np.broadcast_to(
+                        stim, (batch,) + stim.shape).copy())
+                t0 = time.perf_counter()
+                self.do_fit_many(body, json.dumps(
+                    {"iters": iters, "powers": powers, **opts}))
+                timings[f"{batch}x{n}x{k}"] = round(
+                    time.perf_counter() - t0, 2)
         return "application/json", json.dumps(
             {"warmed": timings}).encode()
 

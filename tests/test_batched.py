@@ -41,6 +41,27 @@ def test_matches_individual_fits(sims):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_device_resident_input_matches_host_input(sims):
+    """A jax.Array y_pscs (e.g. a batched demixer output) must stay on
+    device — no host round trip — and fit identically to the same data
+    fed from host (review fix: caviar_many used to np.asarray device
+    inputs, pulling the whole [B, K, T] block through the tunnel)."""
+    import jax.numpy as jnp
+
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+    kw = dict(iters=4, fn_scan=False, analytic_mc=True, seeds=[0, 1, 2],
+              verbose=False)
+    host = np.stack([s["psc"] for s in sims]).astype(np.float32)
+    stims = np.stack([s["stim_matrix"] for s in sims])
+    a = caviar_many(host, stims, *prior_args, **kw)
+    b = caviar_many(jnp.asarray(host), stims, *prior_args, **kw)
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ra["mu"]),
+                                      np.asarray(rb["mu"]))
+
+
 def test_recovery_per_map(sims):
     # 12 iterations: small maps (N=24, 240 trials) are converged by then;
     # longer runs can over-prune borderline cells on this little data

@@ -292,6 +292,9 @@ class TestServer:
         # calls here are warm — guard against regression to recompiles)
         again = server.warm((N, K), iters=ITERS)
         assert again["warmed"][f"{N}x{K}"] <= out["warmed"][f"{N}x{K}"] + 5.0
+        # batch warm additionally compiles the /fit_many program
+        b = server.warm((N, 64), iters=2, batch=2)
+        assert f"2x{N}x64" in b["warmed"]
 
 
 class TestMeshServer:
