@@ -85,6 +85,8 @@ _LAZY = {
     "FitClient": ("circuitmap_tpu.serve", "FitClient"),
     "AdaptiveDesigner": ("circuitmap_tpu.design", "AdaptiveDesigner"),
     "closed_loop_map": ("circuitmap_tpu.design", "closed_loop_map"),
+    "summarize": ("circuitmap_tpu.summary", "summarize"),
+    "format_summary": ("circuitmap_tpu.summary", "format_summary"),
 }
 
 __all__ = list(_LAZY)

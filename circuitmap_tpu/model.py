@@ -66,6 +66,16 @@ class Model:
         self.time = time.time() - t0
         return self
 
+    def summary(self, stim=None, verbose=True):
+        """Per-neuron posterior summary (``circuitmap_tpu.summarize``);
+        prints the table unless ``verbose=False``. Returns the dict."""
+        from .summary import format_summary, summarize
+
+        out = summarize(self, stim=stim)
+        if verbose:
+            print(format_summary(out), end="")
+        return out
+
     # -- per-solver adapters ----------------------------------------------
 
     def _fit_caviar(self, obs, stimuli, fit_options):

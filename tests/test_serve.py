@@ -848,6 +848,44 @@ class TestServiceUnit:
             np.stack([np.asarray(r["mu"]) for r in res]),
             rtol=1e-5, atol=1e-6)
 
+    def test_decode_fuzz_never_escapes_bad_request(self):
+        """Arbitrary structurally-plausible bodies must surface as
+        _BadRequest (HTTP 400), never an unhandled exception class that
+        the handler would map to 500 — the decoders see untrusted rig
+        input first."""
+        from circuitmap_tpu.serve import (_BadRequest, _decode_arrays,
+                                          _load_npz, _npz_bytes)
+
+        rng = np.random.RandomState(7)
+        wire_keys = ["stim_sparse_targets", "stim_sparse_codes",
+                     "stim_sparse_levels", "stim_sparse_n",
+                     "stims_sparse_targets", "stims_sparse_codes",
+                     "stims_sparse_levels", "stims_sparse_n",
+                     "stims_sparse_b", "psc_q8", "psc_q8_scale",
+                     "psc_q4", "psc_q4_scale", "psc_q4_t", "psc_q4_lead",
+                     "psc", "stim"]
+        dtypes = [np.int8, np.uint8, np.int16, np.int64, np.float32,
+                  np.float64]
+        for trial in range(60):
+            n_keys = rng.randint(1, 6)
+            arrays = {}
+            for key in rng.choice(wire_keys, n_keys, replace=False):
+                shape = tuple(rng.randint(0, 5)
+                              for _ in range(rng.randint(0, 3)))
+                dt = dtypes[rng.randint(len(dtypes))]
+                arrays[key] = (rng.randint(-9, 9, size=shape) *
+                               rng.randn()).astype(dt)
+            try:
+                out = _decode_arrays(_load_npz(_npz_bytes(**arrays)))
+                for v in out.values():  # decoded output is always dense
+                    assert isinstance(v, np.ndarray)
+            except _BadRequest:
+                pass  # the intended failure mode
+            except Exception as exc:  # pragma: no cover
+                raise AssertionError(
+                    f"fuzz trial {trial} escaped with "
+                    f"{type(exc).__name__}: {exc} (keys: {sorted(arrays)})")
+
     def test_resolve_transfer_dtype(self):
         """One vocabulary across serve / warm-cache / run_main — incl.
         'f32', which once crashed warm-cache deep in the demixer."""
