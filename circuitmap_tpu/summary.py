@@ -27,7 +27,6 @@ def _state_of(model_or_state):
     state = getattr(model_or_state, "state", model_or_state)
     try:
         mu = np.asarray(state["mu"])
-        _ = state["lam"]
     except (TypeError, KeyError, IndexError):
         raise TypeError(
             "summarize() wants a fitted Model, a model.state dict, or a "
@@ -70,7 +69,12 @@ def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
     state = _state_of(model_or_state)
     mu = np.asarray(state["mu"], dtype=np.float64)
     beta = np.asarray(state["beta"], dtype=np.float64)
-    lam = np.asarray(state["lam"], dtype=np.float64)
+    # cosamp produces point weights only — the model deliberately
+    # leaves no spike posterior (model.py _fit_cosamp); summarise what
+    # exists rather than refusing
+    lam = state.get("lam")
+    lam = None if (lam is None or np.ndim(lam) != 2) else np.asarray(
+        lam, dtype=np.float64)
     n = mu.shape[0]
     sd = np.sqrt(np.maximum(beta, 0.0))
     connected = mu != 0
@@ -78,12 +82,13 @@ def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
         connected &= np.abs(mu) > weight_sd_threshold * sd
     out = {
         "n_neurons": n,
-        "n_trials": int(lam.shape[1]),
+        "n_trials": None if lam is None else int(lam.shape[1]),
         "connected": np.flatnonzero(connected),
         "weight_mean": mu,
         "weight_sd": sd,
-        "expected_spikes": lam.sum(axis=1),
     }
+    if lam is not None:
+        out["expected_spikes"] = lam.sum(axis=1)
     shape, rate = state.get("shape"), state.get("rate")
     if shape is not None and rate is not None and float(shape) > 0:
         out["noise_std"] = float(np.sqrt(float(rate) / float(shape)))
@@ -92,10 +97,11 @@ def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
         out["spont_trials"] = int(np.count_nonzero(np.asarray(z)))
     if stim is not None:
         stim = np.asarray(stim)
-        if stim.shape != lam.shape:
+        if stim.ndim != 2 or stim.shape[0] != n or (
+                lam is not None and stim.shape != lam.shape):
             raise ValueError(
                 f"stim has shape {stim.shape} but the fit covers "
-                f"{lam.shape} (neurons x trials)")
+                f"{(n, out['n_trials'])} (neurons x trials)")
         powers = np.unique(stim[stim != 0]).astype(np.float64)
         trials = np.zeros((n, powers.size))
         rates = np.zeros((n, powers.size))
@@ -105,10 +111,13 @@ def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
             mask = np.isclose(stim, p, rtol=1e-5, atol=0.0)
             cnt = mask.sum(axis=1)
             trials[:, j] = cnt
-            rates[:, j] = (lam * mask).sum(axis=1) / np.maximum(cnt, 1)
+            if lam is not None:
+                rates[:, j] = (lam * mask).sum(axis=1) / np.maximum(
+                    cnt, 1)
         out["powers"] = powers
         out["stim_trials"] = trials
-        out["spike_rate"] = rates
+        if lam is not None:
+            out["spike_rate"] = rates
     return out
 
 
@@ -118,16 +127,20 @@ def format_summary(summary, max_rows=30):
     buf = io.StringIO()
     n = summary["n_neurons"]
     conn = summary["connected"]
-    print(f"{n} neurons, {summary['n_trials']} trials — "
-          f"{conn.size} connected", file=buf)
+    trials = summary.get("n_trials")
+    trials_txt = "" if trials is None else f", {trials} trials"
+    print(f"{n} neurons{trials_txt} — {conn.size} connected", file=buf)
     if "noise_std" in summary:
         print(f"observation noise std ≈ {summary['noise_std']:.4g}",
               file=buf)
     if "spont_trials" in summary:
         print(f"spontaneous activity on {summary['spont_trials']} "
               "trials", file=buf)
-    have_powers = "powers" in summary
-    head = "neuron   weight ± sd        E[spikes]"
+    have_spikes = "expected_spikes" in summary
+    have_powers = "spike_rate" in summary
+    head = "neuron   weight ± sd      "
+    if have_spikes:
+        head += "  E[spikes]"
     if have_powers:
         head += "   spike rate @ " + "/".join(
             f"{p:g}" for p in summary["powers"])
@@ -135,8 +148,9 @@ def format_summary(summary, max_rows=30):
     order = conn[np.argsort(-np.abs(summary["weight_mean"][conn]))]
     for i in order[:max_rows]:
         row = (f"{i:>6}   {summary['weight_mean'][i]:+8.3f} ± "
-               f"{summary['weight_sd'][i]:<7.3f} "
-               f"{summary['expected_spikes'][i]:>9.1f}")
+               f"{summary['weight_sd'][i]:<7.3f}")
+        if have_spikes:
+            row += f" {summary['expected_spikes'][i]:>9.1f}"
         if have_powers:
             row += "   " + "/".join(
                 f"{r:.2f}" for r in summary["spike_rate"][i])

@@ -85,6 +85,21 @@ class TestSummarize:
         with pytest.raises(ValueError, match="fit_many"):
             summarize(batched)
 
+    def test_cosamp_point_weights_summarise(self, fitted):
+        """cosamp leaves no spike posterior (model.py _fit_cosamp) —
+        the summary degrades to point weights instead of refusing."""
+        sim, _ = fitted
+        model = cm.Model(N)
+        model.fit(sim["psc"], sim["stim_matrix"], method="cosamp",
+                  fit_options={"k": 5})
+        s = summarize(model, stim=sim["stim_matrix"])
+        assert s["n_trials"] is None
+        assert "expected_spikes" not in s and "spike_rate" not in s
+        assert s["stim_trials"].sum() == np.count_nonzero(
+            sim["stim_matrix"])
+        text = format_summary(s)
+        assert "connected" in text and "E[spikes]" not in text
+
     def test_format_summary_truncates(self, fitted):
         _, model = fitted
         s = summarize(model)
