@@ -98,22 +98,14 @@ from ..utils.quant import quantise_pack_int4 as _quantise_pack_int4  # noqa: E40
 
 
 def _unpack_int4_codes(packed, n_codes):
-    """Device-side inverse of :func:`_quantise_pack_int4`'s pack: split
-    each byte into two sign-extended 4-bit two's-complement codes in
-    [-7, 7] (low nibble = even sample, high = odd) and trim the pad.
-    Pure VPU work (shifts, masks, one reshape) that fuses into the
-    caller's dequantise multiply. The host-side mirror (same arithmetic
-    verbatim, for the jax-free HTTP server decode) is
-    utils/quant.unpack_int4_codes — keep them in lockstep.
-    """
-    w = packed.astype(jnp.int32)
-    low = w & 0xF
-    high = (w >> 4) & 0xF
-    # sign-extend 4-bit two's complement
-    low = low - ((low > 7) << 4)
-    high = high - ((high > 7) << 4)
-    return jnp.stack([low, high], axis=-1).reshape(
-        w.shape[0], -1)[:, :n_codes]
+    """Device-side unpack: the one implementation lives in
+    utils/quant.unpack_int4_codes (array-module-parameterised, like
+    ``_upsample2``); traced here with ``xp=jnp`` it is pure VPU work
+    (shifts, masks, one reshape) that fuses into the caller's
+    dequantise multiply."""
+    from ..utils.quant import unpack_int4_codes
+
+    return unpack_int4_codes(packed, n_codes, xp=jnp)
 
 
 def resolve_transfer_dtype(token):

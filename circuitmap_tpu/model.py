@@ -61,6 +61,7 @@ class Model:
         from . import _ensure_compile_cache
 
         _ensure_compile_cache()
+        self.fit_method = method  # summarize() keys its calls off this
         t0 = time.time()
         runner(obs, stimuli, fit_options)
         self.time = time.time() - t0

@@ -117,6 +117,11 @@ def _npz_bytes(**arrays):
     return buf.getvalue()
 
 
+# ceiling on what a sparse-stim body may reconstruct to — a
+# few-hundred-byte crafted body must not allocate the daemon to death
+_MAX_SPARSE_DENSE_BYTES = 16 << 30
+
+
 def _load_npz(body):
     try:
         with np.load(io.BytesIO(body), allow_pickle=False) as z:
@@ -191,12 +196,17 @@ def _decode_stim_sparse(targets, codes, levels, n_neurons):
         raise _BadRequest(
             f"stim_sparse_n={n} outside (0, 32766] — not a value "
             "encode_stim_sparse produces")
-    if n * targets.shape[1] * max(levels.dtype.itemsize, 1) > (4 << 30):
+    if (n * targets.shape[1] * max(levels.dtype.itemsize, 1)
+            > _MAX_SPARSE_DENSE_BYTES):
         # a few-hundred-byte body must not be able to allocate an
-        # arbitrarily large dense matrix in the daemon
+        # arbitrarily large dense matrix in the daemon. The bound is
+        # generous (16 GB ≈ a B=100 flagship-shape f64 fit_many batch —
+        # far past what one chip fits anyway); legitimate larger
+        # workloads should split the batch or cast the design to f32
         raise _BadRequest(
             f"sparse stim reconstructs to a {n} x {targets.shape[1]} "
-            "dense matrix (>4 GB) — ship a smaller design")
+            f"dense matrix (> {_MAX_SPARSE_DENSE_BYTES >> 30} GB) — "
+            "split the batch or ship an f32 design")
     h, k = np.nonzero(targets >= 0)
     t = targets[h, k].astype(np.int64)
     c = codes[h, k].astype(np.int64)
@@ -332,8 +342,11 @@ def _decode_arrays(arrays):
             raise _BadRequest(
                 f"{qk}_t={t} inconsistent with {packed.shape[1]} "
                 "packed bytes per row")
-        if any(d <= 0 for d in lead) or int(
+        if not lead or any(d <= 0 for d in lead) or int(
                 np.prod(lead, dtype=np.int64)) != packed.shape[0]:
+            # the encoder always emits >= 1 lead dim; an empty lead
+            # would reconstruct a 1-D psc that escapes the [..., K, T]
+            # contract downstream
             raise _BadRequest(
                 f"{qk}_lead={list(lead)} does not match "
                 f"{packed.shape[0]} packed rows")

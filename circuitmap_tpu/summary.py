@@ -38,7 +38,8 @@ def _state_of(model_or_state):
     return state
 
 
-def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
+def summarize(model_or_state, stim=None, weight_sd_threshold=0.0,
+              method=None):
     """Per-neuron summary of a fitted connectivity posterior.
 
     Parameters
@@ -49,15 +50,22 @@ def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
         counts and evoked spike rates.
     weight_sd_threshold : report a neuron as connected only when
         ``|mean| > threshold * sd`` in addition to the solver's own
-        pruning (default 0: the solver's call — CAVIaR hard-prunes, so
-        ``mu != 0`` IS its detection decision, the same call
-        ``design.AdaptiveDesigner.observe`` uses).
+        call (default 0: the solver decides).
+    method : which solver produced the state; taken from a fitted
+        ``Model`` automatically, pass it for raw dicts when it was not
+        ``'caviar'``. The connected call is solver-specific: CAVIaR /
+        MBCS / CoSaMP hard-prune, so ``mu != 0`` IS their detection
+        decision (the same call ``design.AdaptiveDesigner.observe``
+        uses); CAVI-SnS is spike-and-slab — its ``mu`` is nonzero
+        almost everywhere and inclusion lives in the posterior slab
+        probability ``alpha`` (> 0.5).
 
     Returns a dict of numpy arrays / scalars:
 
     - ``connected`` — indices the fit calls connected
     - ``weight_mean`` [N], ``weight_sd`` [N] (sqrt of the posterior
       variance diagonal ``beta`` — reference caviar.py state contract)
+    - ``connection_prob`` [N] — CAVI-SnS only (the ``alpha`` slab)
     - ``expected_spikes`` [N] — summed posterior spike probabilities
     - ``noise_std`` — sqrt(rate/shape), the gamma noise posterior's
       point estimate of the observation noise scale
@@ -65,36 +73,50 @@ def summarize(model_or_state, stim=None, weight_sd_threshold=0.0):
     - with ``stim``: ``powers`` [P], ``stim_trials`` [N, P] and
       ``spike_rate`` [N, P] (evoked spike probability per power —
       the empirical power curve the ``phi`` sigmoid models)
+
+    Point-estimate fits (CoSaMP) computed no posterior beyond the
+    weights — the model leaves the rest of the state at the priors
+    (model.py _fit_cosamp), so uncertainty/noise/spont fields are
+    omitted rather than reporting priors as posteriors.
     """
     state = _state_of(model_or_state)
+    if method is None:
+        method = getattr(model_or_state, "fit_method", None)
     mu = np.asarray(state["mu"], dtype=np.float64)
     beta = np.asarray(state["beta"], dtype=np.float64)
-    # cosamp produces point weights only — the model deliberately
-    # leaves no spike posterior (model.py _fit_cosamp); summarise what
-    # exists rather than refusing
     lam = state.get("lam")
     lam = None if (lam is None or np.ndim(lam) != 2) else np.asarray(
         lam, dtype=np.float64)
+    # no spike posterior == a point-estimate fit: everything but mu is
+    # still the prior, so don't present it as inference
+    point_estimate = lam is None
     n = mu.shape[0]
     sd = np.sqrt(np.maximum(beta, 0.0))
-    connected = mu != 0
-    if weight_sd_threshold > 0:
+    if method == "cavi_sns":
+        alpha = np.asarray(state["alpha"], dtype=np.float64)
+        connected = alpha > 0.5
+    else:
+        alpha = None
+        connected = mu != 0
+    if weight_sd_threshold > 0 and not point_estimate:
         connected &= np.abs(mu) > weight_sd_threshold * sd
     out = {
         "n_neurons": n,
         "n_trials": None if lam is None else int(lam.shape[1]),
         "connected": np.flatnonzero(connected),
         "weight_mean": mu,
-        "weight_sd": sd,
     }
-    if lam is not None:
+    if alpha is not None:
+        out["connection_prob"] = alpha
+    if not point_estimate:
+        out["weight_sd"] = sd
         out["expected_spikes"] = lam.sum(axis=1)
-    shape, rate = state.get("shape"), state.get("rate")
-    if shape is not None and rate is not None and float(shape) > 0:
-        out["noise_std"] = float(np.sqrt(float(rate) / float(shape)))
-    z = state.get("z")
-    if z is not None:
-        out["spont_trials"] = int(np.count_nonzero(np.asarray(z)))
+        shape, rate = state.get("shape"), state.get("rate")
+        if shape is not None and rate is not None and float(shape) > 0:
+            out["noise_std"] = float(np.sqrt(float(rate) / float(shape)))
+        z = state.get("z")
+        if z is not None:
+            out["spont_trials"] = int(np.count_nonzero(np.asarray(z)))
     if stim is not None:
         stim = np.asarray(stim)
         if stim.ndim != 2 or stim.shape[0] != n or (
@@ -136,9 +158,13 @@ def format_summary(summary, max_rows=30):
     if "spont_trials" in summary:
         print(f"spontaneous activity on {summary['spont_trials']} "
               "trials", file=buf)
+    have_sd = "weight_sd" in summary
+    have_prob = "connection_prob" in summary
     have_spikes = "expected_spikes" in summary
     have_powers = "spike_rate" in summary
-    head = "neuron   weight ± sd      "
+    head = "neuron   weight" + (" ± sd      " if have_sd else "   ")
+    if have_prob:
+        head += "   P(conn)"
     if have_spikes:
         head += "  E[spikes]"
     if have_powers:
@@ -147,8 +173,11 @@ def format_summary(summary, max_rows=30):
     print(head, file=buf)
     order = conn[np.argsort(-np.abs(summary["weight_mean"][conn]))]
     for i in order[:max_rows]:
-        row = (f"{i:>6}   {summary['weight_mean'][i]:+8.3f} ± "
-               f"{summary['weight_sd'][i]:<7.3f}")
+        row = f"{i:>6}   {summary['weight_mean'][i]:+8.3f}"
+        if have_sd:
+            row += f" ± {summary['weight_sd'][i]:<7.3f}"
+        if have_prob:
+            row += f"   {summary['connection_prob'][i]:>7.2f}"
         if have_spikes:
             row += f" {summary['expected_spikes'][i]:>9.1f}"
         if have_powers:

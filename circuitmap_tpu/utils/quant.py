@@ -53,18 +53,22 @@ def quantise_pack_int4(src, out_rows=None):
     return packed, scale
 
 
-def unpack_int4_codes(packed, n_codes):
-    """Host-side inverse of :func:`quantise_pack_int4`'s pack — the
-    numpy mirror of the device unpack (demix.demixer._unpack_int4_codes,
-    same arithmetic verbatim): split each byte into two sign-extended
-    4-bit two's-complement codes in [-7, 7] (low nibble = even sample,
-    high = odd) and trim the pad."""
-    w = np.asarray(packed).astype(np.int32)
+def unpack_int4_codes(packed, n_codes, xp=np):
+    """Inverse of :func:`quantise_pack_int4`'s pack: split each byte
+    into two sign-extended 4-bit two's-complement codes in [-7, 7]
+    (low nibble = even sample, high = odd) and trim the pad.
+
+    The ONE copy of the unpack arithmetic, array-module-parameterised
+    (the ``_upsample2`` pattern): ``xp=np`` on hosts (the jax-free HTTP
+    server decode), ``xp=jnp`` on device (demix.demixer), where it is
+    pure VPU work that fuses into the caller's dequantise multiply."""
+    w = packed.astype(xp.int32) if hasattr(packed, "astype") \
+        else np.asarray(packed).astype(xp.int32)
     low = w & 0xF
     high = (w >> 4) & 0xF
-    low = low - ((low > 7).astype(np.int32) << 4)
-    high = high - ((high > 7).astype(np.int32) << 4)
-    return np.stack([low, high], axis=-1).reshape(
+    low = low - ((low > 7).astype(xp.int32) << 4)
+    high = high - ((high > 7).astype(xp.int32) << 4)
+    return xp.stack([low, high], axis=-1).reshape(
         w.shape[0], -1)[:, :n_codes]
 
 

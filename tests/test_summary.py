@@ -95,10 +95,37 @@ class TestSummarize:
         s = summarize(model, stim=sim["stim_matrix"])
         assert s["n_trials"] is None
         assert "expected_spikes" not in s and "spike_rate" not in s
+        # cosamp computed no posterior beyond mu — priors must not be
+        # presented as uncertainty/noise estimates (review finding)
+        assert "weight_sd" not in s and "noise_std" not in s
         assert s["stim_trials"].sum() == np.count_nonzero(
             sim["stim_matrix"])
         text = format_summary(s)
         assert "connected" in text and "E[spikes]" not in text
+        assert "±" not in text
+
+    def test_cavi_sns_uses_alpha_call(self, fitted):
+        """CAVI-SnS is spike-and-slab: mu is nonzero almost everywhere;
+        the connected call is the posterior slab probability alpha
+        (review finding — mu != 0 reported ~all neurons connected)."""
+        sim, _ = fitted
+        model = cm.Model(N)
+        model.fit(sim["psc"], sim["stim_matrix"], method="cavi_sns",
+                  fit_options={"iters": 15, "verbose": False, "seed": 0})
+        s = summarize(model)
+        assert np.array_equal(
+            s["connected"], np.flatnonzero(model.state["alpha"] > 0.5))
+        # the alpha call is selective, not the near-full mu != 0 roster
+        assert s["connected"].size < 0.5 * N
+        true = np.flatnonzero(sim["weights"])
+        assert np.intersect1d(true, s["connected"]).size >= 0.6 * true.size
+        text = format_summary(s)
+        assert "P(conn)" in text
+        # raw-dict path needs the method hint
+        resp = {k: np.asarray(v) for k, v in model.state.items()
+                if isinstance(v, np.ndarray)}
+        s2 = summarize(resp, method="cavi_sns")
+        assert np.array_equal(s2["connected"], s["connected"])
 
     def test_format_summary_truncates(self, fitted):
         _, model = fitted
