@@ -49,6 +49,9 @@ _GROUPS = [
          "trial-count downsampling experiment"),
         ("signal-fidelity", "run_signal_fidelity.py",
          "demixing fidelity vs stimulation frequency"),
+        ("design-study", "design_study.py",
+         "adaptive closed-loop vs static design policy "
+         "(DESIGN_STUDY.json)"),
     ]),
     ("Operations", [
         ("serve", "serve.py",

@@ -248,3 +248,27 @@ class TestClosedLoopMap:
         with pytest.raises(ValueError):
             closed_loop_map(lambda s: np.zeros((3, 900)), N=10, H=2,
                             powers=POWERS, block_trials=20, max_rounds=1)
+
+
+class TestDesignStudyScript:
+    """scripts_tpu/design_study.py — the adaptive-vs-static policy study
+    behind DESIGN_STUDY.json (and `python -m circuitmap_tpu design-study`)."""
+
+    def test_tiny_study_end_to_end(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo/scripts_tpu")
+        import json
+
+        import design_study
+
+        out = tmp_path / "study.json"
+        design_study.main(["--N", "24", "--H", "4", "--block", "72",
+                           "--rounds", "2", "--seeds", "1",
+                           "--out", str(out)])
+        res = json.loads(out.read_text())
+        assert res["per_seed"][0]["adaptive_rounds"] >= 1
+        # the adaptive arm never spends MORE trials than the static one
+        assert (res["mean_adaptive_trials"] <= res["mean_static_trials"])
+        final = res["per_seed"][0]["adaptive_final"]
+        assert set(final) == {"trials", "r2", "precision", "recall",
+                              "unresolved"}
