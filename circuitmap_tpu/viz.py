@@ -37,7 +37,10 @@ def cell_order_from_weights(weight_sets):
     return np.array(order, dtype=int)
 
 
-get_cell_order = cell_order_from_weights  # reference-name alias
+def get_cell_order(weights):
+    """Reference-name alias (reference viz.py:183-191) — keyword
+    ``weights=`` included."""
+    return cell_order_from_weights(weights)
 
 
 def _trials_by_power(stim_row, powers, per_power):
@@ -121,6 +124,9 @@ def plot_checkerboard(
 
     if order is None:
         order = np.argsort(mu)[::-1]
+    # the reference indexes order[m] for m < n_plots and crashes when
+    # the circuit has fewer neurons than the default 15 rows; clamp.
+    n_plots = min(n_plots, len(order))
     if ymax is None:
         ymax = np.percentile(psc / np.max(psc), 99.99)
     ymin = -0.05 * ymax
@@ -265,6 +271,9 @@ def plot_spike_inference_comparison(
     states = [m.state if hasattr(m, "state") else m for m in models]
     if order is None:
         order = cell_order_from_weights([s["mu"] for s in states])
+    # same small-circuit clamp as plot_checkerboard (the reference
+    # crashes indexing order[m] when N < n_plots)
+    n_plots = min(n_plots, len(order))
     norm = np.max(np.abs(np.vstack(den_pscs)))
     ymin = -0.05 * ymax
 

@@ -214,6 +214,35 @@ class TestViz:
         assert list(order[:2]) == [1, 2]
         assert sorted(order) == [0, 1, 2, 3]
 
+
+    def test_cell_order_reference_keyword(self):
+        """get_cell_order(weights=...) — the reference spelling."""
+        from circuitmap_tpu.viz import get_cell_order
+
+        order = get_cell_order(weights=[np.array([0.0, -4.0, -1.5])])
+        # reference viz.py:183-191 sorts by RAW value descending
+        assert list(order) == [2, 1, 0]
+
+    def test_small_circuit_default_rows(self, tmp_path, rng):
+        """n_plots defaults past N: clamp instead of the reference's
+        order[m] IndexError (reference viz.py:62)."""
+        stim, state = self._fake_state(rng)  # N=6 < default n_plots=15
+        psc = np.abs(rng.normal(size=(40, 900)))
+        fig = plot_checkerboard(
+            psc, stim, state, max_trials_to_show=6, fig_width=8,
+            save=str(tmp_path / "cb_small.png"),
+        )
+        assert (tmp_path / "cb_small.png").exists()
+        fig2 = plot_spike_inference_comparison(
+            [psc], [stim], [state], max_trials_to_show=4,
+            save=str(tmp_path / "cmp_small.png"),
+        )
+        assert (tmp_path / "cmp_small.png").exists()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        plt.close(fig2)
+
     def test_checkerboard_renders(self, tmp_path, rng):
         stim, state = self._fake_state(rng)
         psc = np.abs(rng.normal(size=(40, 900)))
