@@ -109,6 +109,55 @@ def test_accepts_reference_keywords(filename, qualname, ours):
         f"{qualname}: reference keywords not accepted: {sorted(missing)}")
 
 
+def _ref_kw_params(filename, fn):
+    """KEYWORD parameter names (those with defaults) of a reference
+    optimise-solver def — this is exactly the ``fit_options`` surface,
+    because reference Model.fit forwards ``**fit_options`` into these
+    functions (reference model.py:49-52,96-99,143-146)."""
+    tree = ast.parse(
+        (REF / "optimise" / filename).read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == fn:
+            a = node.args
+            kw = [x.arg for x in a.args[len(a.args) - len(a.defaults):]]
+            return kw + [x.arg for x in a.kwonlyargs]
+    raise AssertionError(f"{fn} not found in optimise/{filename}")
+
+
+@pytest.mark.parametrize("filename,fn,ours", [
+    ("caviar.py", "caviar",
+     "circuitmap_tpu.solvers.caviar:caviar"),
+    ("cavi_sns.py", "cavi_sns",
+     "circuitmap_tpu.solvers.cavi_sns:cavi_sns"),
+    ("mbcs.py", "mbcs", "circuitmap_tpu.solvers.mbcs:mbcs"),
+    ("cosamp.py", "cosamp", "circuitmap_tpu.solvers.cosamp:cosamp"),
+], ids=["caviar", "cavi_sns", "mbcs", "cosamp"])
+def test_fit_options_surface(filename, fn, ours):
+    """Every fit_options key a reference user can pass is accepted by
+    our solver entry of the same name."""
+    import importlib
+
+    mod, _, attr = ours.partition(":")
+    func = getattr(importlib.import_module(mod), attr)
+    ref = set(_ref_kw_params(filename, fn))
+    accepted, has_var_kw = _accepted_params(func)
+    missing = set() if has_var_kw else ref - accepted
+    assert not missing, (
+        f"{fn}: reference fit_options not accepted: {sorted(missing)}")
+
+
+def test_unknown_fit_option_raises():
+    """A typo'd fit_options key fails loudly (TypeError), never a
+    silent drop — stricter than the reference (which also raises via
+    **fit_options) and pinned here so adapter refactors keep it."""
+    import numpy as np
+
+    m = cm.Model(5)
+    with pytest.raises(TypeError):
+        m.fit(np.zeros((8, 20)), np.zeros((5, 8)),
+              method="caviar", fit_options={"bogus_option": 1})
+
+
 def test_reference_surface_unchanged():
     """If the pinned reference grows/renames public sim entry points,
     surface it here so the audit list above gets extended."""
