@@ -65,30 +65,11 @@ def _demix_and_filter_quantised(params, wire, scale, start):
     return monotone_decay_filter(_demix_batch(params, traces), start=start)
 
 
-def _pool2(x, xp=np):
-    """Antialias mean-pool by 2 on the last axis; an odd tail keeps the
-    raw last sample. ONE implementation for host (numpy) and device
-    (pass ``xp=jnp``) — the wire's train-time corruption and serve-time
-    reconstruction must agree bit-for-bit, so there is exactly one copy
-    of this arithmetic (in f32 on both sides)."""
-    T = x.shape[-1]
-    T2 = T // 2
-    p = 0.5 * (x[..., : 2 * T2 : 2] + x[..., 1 : 2 * T2 : 2])
-    if T % 2:
-        p = xp.concatenate([p, x[..., -1:]], axis=-1)
-    return p
-
-
-def _upsample2(p, t_true, xp=np):
-    """Inverse of :func:`_pool2` up to quantisation: linear upsample —
-    even sample ``0.75*p[i] + 0.25*p[i-1]``, odd ``0.75*p[i] +
-    0.25*p[i+1]`` (clamped edges). Shared host/device (``xp``)."""
-    prev = xp.concatenate([p[..., :1], p[..., :-1]], axis=-1)
-    nxt = xp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
-    even = 0.75 * p + 0.25 * prev
-    odd = 0.75 * p + 0.25 * nxt
-    up = xp.stack([even, odd], axis=-1).reshape(*p.shape[:-1], -1)
-    return up[..., :t_true]
+# the wire's pool/upsample arithmetic lives in the jax-free
+# utils/quant.py (one copy shared with the HTTP client and the native
+# encoder's numpy fallback); these aliases keep historical imports
+# working
+from ..utils.quant import _pool2, _upsample2  # noqa: E402
 
 
 # host-side pack: one copy for all wires (incl. the jax-free HTTP
@@ -325,21 +306,16 @@ class NeuralDemixer:
         def _one(part):
             bucket = _bucket(part.shape[0])
             if int4_dec:
-                # quantise in f32 whatever the input dtype — the QAT
-                # train-time transform (wire_transform) runs in f32, so
-                # an f64 source quantised in f64 could round .5-boundary
-                # samples to different codes. The chunk-sized cast
-                # bounds the temporary (same rule as the solver wire,
-                # solvers/_common.prepare_traces).
-                src = np.asarray(part, dtype=np.float32)
-                if int4_dec == 2:
-                    # antialias mean-pool by 2 host-side (one pass over
-                    # the chunk; the wire then carries half the codes).
-                    # _pool2 in f32 IS the train-time transform
-                    # (wire_transform) — one arithmetic, no drift.
-                    src = _pool2(src)
-                packed, scale_safe = _quantise_pack_int4(
-                    src, out_rows=bucket)
+                # fused cast→pool→quantise→pack (native single pass
+                # when available; the numpy pipeline quantises in f32
+                # whatever the input dtype — the QAT train-time
+                # transform, wire_transform, runs in f32, so an f64
+                # source quantised in f64 could round .5-boundary
+                # samples to different codes)
+                from ..utils.quant import encode_int4_traces
+
+                packed, scale_safe = encode_int4_traces(
+                    part, decimate=int4_dec, out_rows=bucket)
                 pscale = np.ones(bucket, dtype=np.float32)
                 pscale[:part.shape[0]] = scale_safe
                 fn = (_demix_and_filter_int4d2 if int4_dec == 2

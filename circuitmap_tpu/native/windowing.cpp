@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -313,6 +314,148 @@ int64_t cm_sparsify_stim2_f32(const float* stim, int64_t N, int64_t K,
                               double* power_counts) {
     return sparsify_impl(stim, N, K, f_layout, levels, L, h_cap, targets,
                          tbucket, power_counts);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused trace-wire encoders.
+//
+// The quantised upload wires (demix/demixer.py int4/int4d2 paths,
+// solvers/_common.prepare_traces, serve's HTTP psc bodies) encode each
+// host chunk with several numpy passes: cast-to-f32, antialias
+// mean-pool, |x| peak, rint divide, clip, two strided nibble ops —
+// ~6 passes (~80-90 MB of traffic for a [4096, 900] f64 chunk) in
+// front of a ~1 MB transfer. These routines stream the SOURCE dtype
+// once per row and emit codes + scale directly.
+//
+// The arithmetic must stay bit-for-bit identical to the numpy
+// reference (utils/quant.quantise_pack_int4 / quantise_int8 composed
+// with utils/quant._pool2), because the QAT demixer checkpoints are
+// trained against exactly that transform:
+//   * every sample is cast to f32 BEFORE any arithmetic (the
+//     '.5-boundary' rule) — pooling is 0.5f * (a + b) in f32;
+//   * scale = f32 |peak| / qmax, 1.0f for all-zero rows;
+//   * codes = nearbyint(v / scale) (round-half-to-even, like np.rint)
+//     in f32, clipped to [-qmax, qmax] for int4;
+//   * int4 packs two's-complement nibbles (low = even sample).
+//
+// Returns 0, or -1 if any (pooled) sample is non-finite — callers
+// raise, exactly like the numpy wire does on a non-finite scale.
+
+namespace {
+
+// Round-half-to-even of a bounded value, matching np.rint /
+// nearbyintf bit-for-bit for |x| < 2^51 (the wire codes are bounded
+// by qmax * (1 + eps)), but branchless and auto-vectorisable — a
+// libm nearbyintf call per sample made the encoder SLOWER than the
+// numpy pipeline it replaces.
+inline int round_half_even(float x) {
+    constexpr double kMagic = 6755399441055744.0;  // 2^52 + 2^51
+    return static_cast<int>(
+        (static_cast<double>(x) + kMagic) - kMagic);
+}
+
+template <typename T, int BITS>
+int64_t encode_impl(const T* src, int64_t B, int64_t T_len,
+                    int64_t decimate, uint8_t* out, float* out_scale) {
+    const float qmax = BITS == 4 ? 7.0f : 127.0f;
+    const int64_t half = T_len / 2;
+    const int64_t t2 = decimate == 2 ? half + (T_len % 2) : T_len;
+    const int64_t out_w = BITS == 4 ? (t2 + 1) / 2 : t2;
+    std::atomic<bool> bad(false);
+
+    parallel_for(B, [&](long r) {
+        thread_local std::vector<float> tmp;
+        thread_local std::vector<int32_t> code_buf;
+        tmp.resize(static_cast<size_t>(t2));
+        code_buf.resize(static_cast<size_t>(t2 + 1));
+        float* __restrict tp = tmp.data();
+        int32_t* __restrict cp = code_buf.data();
+        const T* __restrict row = src + r * T_len;
+
+        // pass A: cast/pool into f32 scratch (pure elementwise)
+        if (decimate == 2) {
+            for (int64_t i = 0; i < half; ++i)
+                tp[i] = 0.5f * (static_cast<float>(row[2 * i]) +
+                                static_cast<float>(row[2 * i + 1]));
+            if (T_len % 2) tp[t2 - 1] = static_cast<float>(row[T_len - 1]);
+        } else {
+            for (int64_t i = 0; i < t2; ++i)
+                tp[i] = static_cast<float>(row[i]);
+        }
+
+        // pass B: |peak| and finiteness in ONE integer max reduction —
+        // for IEEE floats the absolute-value bit patterns compare like
+        // unsigned ints, with inf/nan above every finite value
+        uint32_t imax = 0;
+        const uint32_t* __restrict tb =
+            reinterpret_cast<const uint32_t*>(tp);
+        for (int64_t i = 0; i < t2; ++i) {
+            const uint32_t m = tb[i] & 0x7fffffffu;
+            imax = m > imax ? m : imax;
+        }
+        if (imax >= 0x7f800000u) {  // inf or nan somewhere in the row
+            bad.store(true);
+            return;
+        }
+        float peak;
+        std::memcpy(&peak, &imax, sizeof(peak));
+        float scale = peak / qmax;
+        if (!(scale > 0.0f)) scale = 1.0f;
+        out_scale[r] = scale;
+
+        // pass C: quantise (vectorisable div/round/clamp)
+        if (BITS == 4) {
+            for (int64_t i = 0; i < t2; ++i) {
+                const int q = round_half_even(tp[i] / scale);
+                cp[i] = std::min(7, std::max(-7, q));
+            }
+            cp[t2] = 0;  // odd-length pad nibble
+            uint8_t* __restrict dst = out + r * out_w;
+            for (int64_t i = 0; i < t2; i += 2)
+                dst[i / 2] = static_cast<uint8_t>(
+                    (cp[i] & 0x0F) | ((cp[i + 1] & 0x0F) << 4));
+        } else {
+            // int8: no clip, matching numpy's rint + unsafe cast (the
+            // ratio is bounded by qmax * (1 + eps), so rint never
+            // exceeds 127 anyway)
+            int8_t* __restrict dst =
+                reinterpret_cast<int8_t*>(out) + r * out_w;
+            for (int64_t i = 0; i < t2; ++i)
+                dst[i] = static_cast<int8_t>(
+                    round_half_even(tp[i] / scale));
+        }
+    });
+    return bad.load() ? -1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t cm_encode_traces_int4_f64(const double* src, int64_t B, int64_t T,
+                                  int64_t decimate, uint8_t* out,
+                                  float* out_scale) {
+    return encode_impl<double, 4>(src, B, T, decimate, out, out_scale);
+}
+
+int64_t cm_encode_traces_int4_f32(const float* src, int64_t B, int64_t T,
+                                  int64_t decimate, uint8_t* out,
+                                  float* out_scale) {
+    return encode_impl<float, 4>(src, B, T, decimate, out, out_scale);
+}
+
+int64_t cm_encode_traces_int8_f64(const double* src, int64_t B, int64_t T,
+                                  int64_t decimate, uint8_t* out,
+                                  float* out_scale) {
+    return encode_impl<double, 8>(src, B, T, decimate, out, out_scale);
+}
+
+int64_t cm_encode_traces_int8_f32(const float* src, int64_t B, int64_t T,
+                                  int64_t decimate, uint8_t* out,
+                                  float* out_scale) {
+    return encode_impl<float, 8>(src, B, T, decimate, out, out_scale);
 }
 
 }  // extern "C"

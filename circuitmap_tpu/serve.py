@@ -233,8 +233,11 @@ def encode_psc_int8(psc):
     psc = np.asarray(psc)
     if psc.ndim < 2:
         raise ValueError(f"psc must be [..., K, T], got shape {psc.shape}")
-    codes, scale = quantise_int8(psc)
-    return {"psc_q8": codes, "psc_q8_scale": scale}
+    # flatten to [B, T] so the native fused encoder can take the 2-D
+    # fast path; pure reshapes, same codes/scales either way
+    codes, scale = quantise_int8(psc.reshape(-1, psc.shape[-1]))
+    return {"psc_q8": codes.reshape(psc.shape),
+            "psc_q8_scale": scale.reshape(psc.shape[:-1])}
 
 
 def encode_psc_int4(psc):
@@ -243,14 +246,15 @@ def encode_psc_int4(psc):
     the device wire and the QAT train-time transform use, so the
     server-side dequantise → device int4 requantise is the identity
     and the WIRE_STUDY fidelity numbers carry over)."""
-    from .utils.quant import quantise_pack_int4
+    from .utils.quant import encode_int4_traces
 
     psc = np.asarray(psc)
     if psc.ndim < 2:
         raise ValueError(f"psc must be [..., K, T], got shape {psc.shape}")
     t = psc.shape[-1]
-    flat = psc.reshape(-1, t).astype(np.float32)
-    packed, scale = quantise_pack_int4(flat)
+    # fused native encode when available; the numpy fallback casts to
+    # f32 and packs identically (utils/quant.quantise_pack_int4)
+    packed, scale = encode_int4_traces(psc.reshape(-1, t))
     return {"psc_q4": packed, "psc_q4_scale": scale,
             "psc_q4_t": np.int64(t),
             "psc_q4_lead": np.asarray(psc.shape[:-1], np.int64)}

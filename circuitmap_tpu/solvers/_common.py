@@ -161,7 +161,7 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
                 arr[k0:k0 + step], out=q[k0:k0 + step])
         return _dequantise_traces(jnp.asarray(q), jnp.asarray(scale), dtype)
     if trace_wire in ("int4", "int4d2"):
-        from ..demix.demixer import _pool2, _quantise_pack_int4
+        from ..utils.quant import encode_int4_traces
 
         arr = np.asarray(y_psc)
         K, T = arr.shape
@@ -170,15 +170,15 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
         packed = np.empty((K, t_pad // 2), dtype=np.uint8)
         scale = np.empty(K, dtype=np.float32)
         step = 4096
+        dec = 2 if trace_wire == "int4d2" else 1
         for k0 in range(0, K, step):
-            # quantise in f32 like the reference transform
-            # (demix.demixer.wire_transform) so codes agree bit-for-bit
-            # whatever the input dtype; per-chunk cast bounds the temp
-            part = np.asarray(arr[k0:k0 + step], dtype=np.float32)
-            if trace_wire == "int4d2":
-                part = _pool2(part)
+            # fused cast→pool→quantise→pack (native single pass when
+            # available; numpy fallback quantises in f32 like the
+            # reference transform, demix.demixer.wire_transform, so
+            # codes agree bit-for-bit whatever the input dtype;
+            # per-chunk processing bounds the temporaries)
             packed[k0:k0 + step], scale[k0:k0 + step] = \
-                _quantise_pack_int4(part)
+                encode_int4_traces(arr[k0:k0 + step], decimate=dec)
         return _unpack_int4_traces(
             jnp.asarray(packed), jnp.asarray(scale), tw, T,
             trace_wire == "int4d2", dtype)

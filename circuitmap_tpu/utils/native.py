@@ -76,6 +76,22 @@ def _get_lib():
                 i16p, i8p, f64p,
             ]
             fn.restype = ctypes.c_int64
+        # fused trace-wire encoders (newer again — probe separately so
+        # an older prebuilt .so only loses this accelerator)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        for name, src_p in (("cm_encode_traces_int4_f64", f64p),
+                            ("cm_encode_traces_int4_f32", f32p),
+                            ("cm_encode_traces_int8_f64", f64p),
+                            ("cm_encode_traces_int8_f32", f32p)):
+            try:
+                fn = getattr(lib, name)
+            except AttributeError:
+                continue
+            fn.argtypes = [
+                src_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                u8p, f32p,
+            ]
+            fn.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _load_failed = True
@@ -198,6 +214,80 @@ def sparsify_stim(stim_np, levels_np, h_cap):
     if H == 0:
         return None  # no stimulation anywhere: caller handles
     return targets[:H], tbucket[:H], power_counts
+
+
+def _encode_fn(lib, part, bits):
+    """Pick the native encoder for ``part``'s dtype, or None."""
+    name = f"cm_encode_traces_int{bits}_"
+    if not hasattr(lib, name + "f64"):
+        return None, None
+    if part.dtype == np.float64:
+        return getattr(lib, name + "f64"), ctypes.c_double
+    if part.dtype == np.float32:
+        return getattr(lib, name + "f32"), ctypes.c_float
+    return None, None
+
+
+def encode_traces_int4(part, decimate=1, out_rows=None):
+    """Native fused int4 trace-wire encode of a C-contiguous [B, T]
+    f32/f64 chunk: cast→(mean-pool by ``decimate``)→quantise→nibble
+    pack in ONE streaming pass over the source. Bit-for-bit identical
+    to utils/quant.quantise_pack_int4 composed with _pool2 (equality
+    tested). Returns ``(packed uint8 [out_rows or B, ceil(T'/2)],
+    scale f32 [B])``; None when the library/dtype/layout is
+    unsupported (caller falls back to the numpy pipeline). Raises on
+    non-finite samples, exactly like the numpy wire."""
+    lib = _get_lib()
+    if (lib is None or part.ndim != 2
+            or not part.flags["C_CONTIGUOUS"]):
+        return None
+    fn, cptr = _encode_fn(lib, part, 4)
+    if fn is None:
+        return None
+    B, T = part.shape
+    rows = B if out_rows is None else int(out_rows)
+    if rows < B:
+        raise ValueError(f"out_rows={rows} smaller than the chunk ({B})")
+    t2 = (T // 2 + (T % 2)) if decimate == 2 else T
+    packed = np.zeros((rows, (t2 + 1) // 2), dtype=np.uint8)
+    scale = np.empty(B, dtype=np.float32)
+    rc = fn(_ptr(part, cptr), B, T, int(decimate),
+            _ptr(packed, ctypes.c_uint8), _ptr(scale, ctypes.c_float))
+    if rc == -1:
+        raise ValueError(
+            "traces contain non-finite samples (or peaks above float32 "
+            "range); the int4 wire format requires finite traces")
+    return packed, scale
+
+
+def encode_traces_int8(part, out=None):
+    """Native fused int8 trace-wire encode of a C-contiguous [B, T]
+    f32/f64 chunk; the int8 twin of :func:`encode_traces_int4`
+    (bit-identical to utils/quant.quantise_int8). ``out`` optionally
+    receives the codes in place (C-contiguous int8 [B, T] — e.g. a
+    leading slice of a padded upload buffer). Returns ``(codes, scale
+    f32 [B])`` or None when unsupported."""
+    lib = _get_lib()
+    if (lib is None or part.ndim != 2
+            or not part.flags["C_CONTIGUOUS"]):
+        return None
+    fn, cptr = _encode_fn(lib, part, 8)
+    if fn is None:
+        return None
+    B, T = part.shape
+    if out is None:
+        out = np.empty((B, T), dtype=np.int8)
+    elif (out.dtype != np.int8 or out.shape != (B, T)
+          or not out.flags["C_CONTIGUOUS"]):
+        return None
+    scale = np.empty(B, dtype=np.float32)
+    rc = fn(_ptr(part, cptr), B, T, 1,
+            _ptr(out, ctypes.c_uint8), _ptr(scale, ctypes.c_float))
+    if rc == -1:
+        raise ValueError(
+            "traces contain non-finite samples (or peaks above float32 "
+            "range); the int8 trace wire requires finite traces")
+    return out, scale
 
 
 def _extract_windows_np(timeline, stim_times, pre, width):

@@ -21,6 +21,62 @@ from __future__ import annotations
 import numpy as np
 
 
+def _pool2(x, xp=np):
+    """Antialias mean-pool by 2 on the last axis; an odd tail keeps the
+    raw last sample. ONE implementation for host (numpy) and device
+    (pass ``xp=jnp``) — the wire's train-time corruption and serve-time
+    reconstruction must agree bit-for-bit, so there is exactly one copy
+    of this arithmetic (in f32 on both sides)."""
+    T = x.shape[-1]
+    T2 = T // 2
+    p = 0.5 * (x[..., : 2 * T2 : 2] + x[..., 1 : 2 * T2 : 2])
+    if T % 2:
+        p = xp.concatenate([p, x[..., -1:]], axis=-1)
+    return p
+
+
+def _upsample2(p, t_true, xp=np):
+    """Inverse of :func:`_pool2` up to quantisation: linear upsample —
+    even sample ``0.75*p[i] + 0.25*p[i-1]``, odd ``0.75*p[i] +
+    0.25*p[i+1]`` (clamped edges). Shared host/device (``xp``)."""
+    prev = xp.concatenate([p[..., :1], p[..., :-1]], axis=-1)
+    nxt = xp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
+    even = 0.75 * p + 0.25 * prev
+    odd = 0.75 * p + 0.25 * nxt
+    up = xp.stack([even, odd], axis=-1).reshape(*p.shape[:-1], -1)
+    return up[..., :t_true]
+
+
+def encode_int4_traces(part, decimate=1, out_rows=None):
+    """Fused trace-wire encode of a [B, T] chunk in the SOURCE dtype:
+    cast-to-f32 → (mean-pool by ``decimate``) → int4 quantise → nibble
+    pack, returning ``(packed uint8 [rows, ceil(T'/2)], scale f32
+    [B])`` exactly like :func:`quantise_pack_int4` composed with
+    :func:`_pool2`.
+
+    Routes through the native single-pass encoder when available
+    (utils/native.encode_traces_int4 — one read of the source instead
+    of ~6 numpy passes; equality-tested bit-for-bit), with the numpy
+    pipeline as the always-correct fallback. This is the entry the
+    chunked upload loops should call: handing it the original f64/f32
+    chunk lets the native path skip the full-size f32 cast too.
+    """
+    part = np.asarray(part)
+    if part.ndim != 2:
+        raise ValueError(f"expected a [B, T] chunk, got {part.shape}")
+    if decimate not in (1, 2):
+        raise ValueError(f"decimate must be 1 or 2, got {decimate!r}")
+    from . import native
+
+    res = native.encode_traces_int4(part, decimate, out_rows)
+    if res is not None:
+        return res
+    src = np.asarray(part, dtype=np.float32)
+    if decimate == 2:
+        src = _pool2(src)
+    return quantise_pack_int4(src, out_rows=out_rows)
+
+
 def quantise_pack_int4(src, out_rows=None):
     """Host-side int4 quantise + nibble-pack: the ONE copy of the
     wire's pack arithmetic (demixer upload path, solver trace wire,
@@ -81,7 +137,14 @@ def quantise_int8(part, out=None):
     of a preallocated padded buffer). Raises on non-finite input: the
     unsafe int8 cast would otherwise wrap silently.
     """
-    part = np.asarray(part, dtype=np.float32)
+    part_src = np.asarray(part)
+    if part_src.ndim == 2:
+        from . import native
+
+        res = native.encode_traces_int8(part_src, out=out)
+        if res is not None:
+            return res
+    part = np.asarray(part_src, dtype=np.float32)
     scale = (np.abs(part).max(axis=-1) / np.float32(127.0)).astype(
         np.float32)
     if not np.isfinite(scale).all():

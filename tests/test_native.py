@@ -66,6 +66,133 @@ class TestEdgeCases:
         assert np.all(w2 == 0.0) and np.all(c == 0.0)
 
 
+class TestTraceEncoders:
+    """The fused native trace-wire encoders must be bit-for-bit
+    identical to the numpy pipeline they replace (cast-to-f32 →
+    _pool2 → quantise → pack) — the QAT demixer checkpoints are
+    trained against exactly that transform, so ANY code difference is
+    an out-of-distribution wire."""
+
+    def _numpy_int4(self, part, decimate=1, out_rows=None):
+        from circuitmap_tpu.utils.quant import _pool2, quantise_pack_int4
+
+        src = np.asarray(part, dtype=np.float32)
+        if decimate == 2:
+            src = _pool2(src)
+        return quantise_pack_int4(src, out_rows=out_rows)
+
+    def _traces(self, B=64, T=900, dtype=np.float64, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(B, T)) * rng.gamma(2.0, 40.0, size=(B, 1))
+        if B >= 6 and T >= 8:
+            x[:4] = 0.0  # all-zero rows exercise the scale=1 branch
+            # plant exact .5-boundary code values: peak 7 -> scale 0.25
+            x[5, :8] = [7.0, 1.125, -1.125, 0.625, -0.625, 0.375,
+                        3.625, 0]
+        return np.ascontiguousarray(x.astype(dtype))
+
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    @pytest.mark.parametrize("decimate", [1, 2])
+    @pytest.mark.parametrize("T", [900, 901])
+    def test_int4_matches_numpy(self, dtype, decimate, T):
+        part = self._traces(T=T, dtype=dtype)
+        nat = native.encode_traces_int4(part, decimate=decimate)
+        if nat is None:
+            pytest.skip("native encoder unavailable")
+        ref = self._numpy_int4(part, decimate=decimate)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        np.testing.assert_array_equal(nat[1], ref[1])
+        assert nat[0].dtype == np.uint8 and nat[1].dtype == np.float32
+
+    def test_int4_out_rows_padding(self):
+        part = self._traces(B=13, T=640)
+        nat = native.encode_traces_int4(part, decimate=2, out_rows=16)
+        if nat is None:
+            pytest.skip("native encoder unavailable")
+        ref = self._numpy_int4(part, decimate=2, out_rows=16)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        assert np.all(nat[0][13:] == 0)
+        with pytest.raises(ValueError):
+            native.encode_traces_int4(part, out_rows=8)
+
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_int8_matches_numpy(self, dtype, monkeypatch):
+        from circuitmap_tpu.utils import quant
+        import circuitmap_tpu.utils.native as nmod
+
+        part = self._traces(T=777, dtype=dtype)
+        nat = native.encode_traces_int8(part)
+        if nat is None:
+            pytest.skip("native encoder unavailable")
+        # force quantise_int8 down the numpy path for the reference
+        monkeypatch.setattr(nmod, "encode_traces_int8",
+                            lambda *a, **k: None)
+        ref = quant.quantise_int8(part)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        np.testing.assert_array_equal(nat[1], ref[1])
+
+    def test_int8_out_in_place(self):
+        part = self._traces(B=8, T=200)
+        buf = np.zeros((8, 200), dtype=np.int8)
+        res = native.encode_traces_int8(part, out=buf)
+        if res is None:
+            pytest.skip("native encoder unavailable")
+        assert res[0] is buf
+        ref = native.encode_traces_int8(part)
+        np.testing.assert_array_equal(buf, ref[0])
+
+    @pytest.mark.parametrize("bad", [np.nan, np.inf, -np.inf, 1e200])
+    def test_non_finite_raises(self, bad):
+        part = self._traces(B=8, T=64)
+        part[3, 10] = bad
+        if native.encode_traces_int4(self._traces(B=1, T=4)) is None:
+            pytest.skip("native encoder unavailable")
+        with pytest.raises(ValueError):
+            native.encode_traces_int4(part)
+        with pytest.raises(ValueError):
+            native.encode_traces_int8(part)
+
+    def test_dispatcher_native_equals_fallback(self, monkeypatch):
+        """encode_int4_traces must return the same wire whether the
+        native library is present or not (the serve/solver/demixer
+        callers all route through it)."""
+        from circuitmap_tpu.utils import quant
+        import circuitmap_tpu.utils.native as nmod
+
+        part = self._traces(B=32, T=901)
+        for dec in (1, 2):
+            a = quant.encode_int4_traces(part, decimate=dec)
+            monkeypatch.setattr(nmod, "encode_traces_int4",
+                                lambda *a_, **k_: None)
+            b = quant.encode_int4_traces(part, decimate=dec)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+
+    def test_dispatcher_validation(self):
+        from circuitmap_tpu.utils import quant
+
+        with pytest.raises(ValueError):
+            quant.encode_int4_traces(np.zeros(8, np.float32))
+        with pytest.raises(ValueError):
+            quant.encode_int4_traces(np.zeros((2, 8), np.float32),
+                                     decimate=3)
+
+    def test_noncontiguous_falls_back(self):
+        """A strided view must not be handed to the pointer-walking C
+        code; the dispatcher's numpy fallback covers it."""
+        from circuitmap_tpu.utils import quant
+
+        base = self._traces(B=16, T=300)
+        view = base[::2]
+        assert not view.flags["C_CONTIGUOUS"]
+        assert native.encode_traces_int4(view) is None
+        a = quant.encode_int4_traces(view)
+        b = quant.encode_int4_traces(np.ascontiguousarray(view))
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
 class TestSparsifyStim:
     def _stim(self, N=137, K=700, H=6, seed=0):
         rng = np.random.default_rng(seed)
