@@ -283,14 +283,20 @@ class NeuralDemixer:
         fidelity at half the transfer.
         """
         del monotone_filter_inplace  # functional; kept for API parity
-        # NO full-size dtype cast here: a fresh [K, T] host buffer costs
-        # more than the cast itself (first-touch page faults, measured
-        # ~1.5 s / 80 MB in this container). Chunks cast into the small
-        # per-chunk wire buffer instead.
-        traces = np.asarray(traces)
-        squeeze = traces.ndim == 1
-        if squeeze:
-            traces = traces[None]
+        from ..utils.quant import PackedInt4Traces
+
+        packed_in = traces if isinstance(traces, PackedInt4Traces) \
+            else None
+        squeeze = False
+        if packed_in is None:
+            # NO full-size dtype cast here: a fresh [K, T] host buffer
+            # costs more than the cast itself (first-touch page faults,
+            # measured ~1.5 s / 80 MB in this container). Chunks cast
+            # into the small per-chunk wire buffer instead.
+            traces = np.asarray(traces)
+            squeeze = traces.ndim == 1
+            if squeeze:
+                traces = traces[None]
         K, T = traces.shape
         if isinstance(transfer_dtype, str):
             # one vocabulary for every string token ('f32'→None,
@@ -302,6 +308,19 @@ class NeuralDemixer:
             if isinstance(transfer_dtype, str) else 0
         wire = np.float32 if (transfer_dtype is None or int4_dec) \
             else np.dtype(transfer_dtype)
+        if packed_in is not None:
+            # traces arrived in int4 wire form (the HTTP fit server's
+            # psc_q4 bodies): ship the codes as-is — device dequantise
+            # reconstructs EXACTLY the dense host reconstruction, so
+            # re-encoding could only lose information. One exception:
+            # an int4d2-requested wire over non-pooled codes (a QAT-d2
+            # checkpoint wants its train-time pooled transform) —
+            # densify and take the normal encode path.
+            if int4_dec == 2 and packed_in.decimate == 1:
+                traces = packed_in.dense()
+                packed_in = None
+            else:
+                int4_dec = packed_in.decimate
 
         def _one(part):
             bucket = _bucket(part.shape[0])
@@ -342,11 +361,28 @@ class NeuralDemixer:
             return _demix_and_filter(self.params, jnp.asarray(padded),
                                      int(monotone_filter_start))[:part.shape[0]]
 
+        def _one_packed(k0, k1):
+            # pass-through: pad the already-packed rows to the bucket
+            # (zero codes / unit scales, like the encode path) and hand
+            # them straight to the int4 forward — zero host codec
+            n = k1 - k0
+            bucket = _bucket(n)
+            pk = np.zeros((bucket, packed_in.packed.shape[1]), np.uint8)
+            pk[:n] = packed_in.packed[k0:k1]
+            ps = np.ones(bucket, dtype=np.float32)
+            ps[:n] = packed_in.scale[k0:k1]
+            fn = (_demix_and_filter_int4d2 if int4_dec == 2
+                  else _demix_and_filter_int4)
+            return fn(self.params, jnp.asarray(pk), jnp.asarray(ps),
+                      int(monotone_filter_start), T)[:n]
+
+        one = (_one_packed if packed_in is not None
+               else lambda k0, k1: _one(traces[k0:k1]))
         t0 = time.time()
         if K <= chunk_size:
-            dev = _one(traces)
+            dev = one(0, K)
         else:
-            chunks = [_one(traces[k0:k0 + chunk_size])
+            chunks = [one(k0, min(k0 + chunk_size, K))
                       for k0 in range(0, K, chunk_size)]
             dev = jnp.concatenate(chunks, axis=0)
         out = dev if keep_on_device else np.asarray(dev)

@@ -458,4 +458,57 @@ int64_t cm_encode_traces_int8_f32(const float* src, int64_t B, int64_t T,
     return encode_impl<float, 8>(src, B, T, decimate, out, out_scale);
 }
 
+// Fused int4 trace-wire DECODE: nibble-unpack + dequantise (+ the
+// int4d2 wire's linear 2x upsample) in one pass per row, emitting
+// dense f32 [B, t_true]. The numpy decode (utils/quant
+// unpack_int4_codes: int32 widen, two mask/shift passes, a stack/
+// reshape, an astype, a scale multiply, then _upsample2's three more
+// passes) costs ~340 ms at the flagship [20000, 900] shape — all in
+// front of the server handing the traces BACK to an encoder. The
+// arithmetic here must match the numpy/device reference bit-for-bit:
+//   * codes are two's-complement nibbles (low = even sample);
+//   * sample = f32(code) * scale[r] (exact: |code| <= 7);
+//   * upsample (decimate == 2, _upsample2): even out = 0.75f*p[i] +
+//     0.25f*p[i-1], odd out = 0.75f*p[i] + 0.25f*p[i+1], edges
+//     clamped, trimmed to t_true.
+// packed row stride is ceil(t2/2) bytes where t2 = ceil(t_true/2) for
+// decimate == 2 else t_true. Returns 0 (no failure modes: any byte
+// decodes).
+int64_t cm_decode_traces_int4(const uint8_t* packed, int64_t B,
+                              int64_t t_true, int64_t decimate,
+                              const float* scale, float* out) {
+    const int64_t t2 = decimate == 2 ? (t_true + 1) / 2 : t_true;
+    const int64_t stride = (t2 + 1) / 2;
+    parallel_for(B, [&](long r) {
+        thread_local std::vector<float> tmp;
+        const uint8_t* __restrict src = packed + r * stride;
+        const float s = scale[r];
+        float* __restrict dst;
+        if (decimate == 2) {
+            tmp.resize(static_cast<size_t>(t2));
+            dst = tmp.data();
+        } else {
+            dst = out + r * t_true;
+        }
+        for (int64_t i = 0; i < t2; ++i) {
+            const uint8_t byte = src[i >> 1];
+            const int nib = (i & 1) ? (byte >> 4) : (byte & 0x0F);
+            const int code = ((nib ^ 8) - 8);  // sign-extend 4 bits
+            dst[i] = static_cast<float>(code) * s;
+        }
+        if (decimate == 2) {
+            float* __restrict o = out + r * t_true;
+            const float* __restrict p = tmp.data();
+            for (int64_t i = 0; i < t2; ++i) {
+                const float prev = p[i > 0 ? i - 1 : 0];
+                const float nxt = p[i + 1 < t2 ? i + 1 : t2 - 1];
+                const int64_t e = 2 * i, od = 2 * i + 1;
+                if (e < t_true) o[e] = 0.75f * p[i] + 0.25f * prev;
+                if (od < t_true) o[od] = 0.75f * p[i] + 0.25f * nxt;
+            }
+        }
+    });
+    return 0;
+}
+
 }  // extern "C"

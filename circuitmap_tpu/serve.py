@@ -33,8 +33,10 @@ needs numpy and nothing else):
 * the client compresses the design by default: column-sparse stim
   matrices ship in an exact sparse-hologram form (~200× fewer bytes,
   bit-identical fit; see the "HTTP wire encodings" section below), and
-  ``psc_wire='f16'/'int8'`` optionally types/quantises the trace
-  payload;
+  ``psc_wire='f16'/'int8'/'int4'/'int4d2'`` optionally types/quantises
+  the trace payload (int4 bodies are forwarded to the chip in their
+  wire form — the server never decodes them to dense just to
+  re-encode);
 * scalar/structured options ride the ``X-Options`` header as JSON
   (ASCII — header-safe), so array payloads and knobs never mix;
 * the server is single-threaded by design: requests queue and run one
@@ -240,12 +242,15 @@ def encode_psc_int8(psc):
             "psc_q8_scale": scale.reshape(psc.shape[:-1])}
 
 
-def encode_psc_int4(psc):
+def encode_psc_int4(psc, decimate=1):
     """Nibble-packed int4 codes + per-trace peak/7 f32 scales for a
     [..., K, T] block (utils/quant.quantise_pack_int4 — the same pack
     the device wire and the QAT train-time transform use, so the
     server-side dequantise → device int4 requantise is the identity
-    and the WIRE_STUDY fidelity numbers carry over)."""
+    and the WIRE_STUDY fidelity numbers carry over). ``decimate=2`` is
+    the int4d2 wire: antialias mean-pool by 2 before quantising
+    (demix.demixer.wire_transform(decimate=2) exactly — pair the fit
+    with a *_int4d2qat.npz server demixer), halving the body again."""
     from .utils.quant import encode_int4_traces
 
     psc = np.asarray(psc)
@@ -253,16 +258,21 @@ def encode_psc_int4(psc):
         raise ValueError(f"psc must be [..., K, T], got shape {psc.shape}")
     t = psc.shape[-1]
     # fused native encode when available; the numpy fallback casts to
-    # f32 and packs identically (utils/quant.quantise_pack_int4)
-    packed, scale = encode_int4_traces(psc.reshape(-1, t))
-    return {"psc_q4": packed, "psc_q4_scale": scale,
-            "psc_q4_t": np.int64(t),
-            "psc_q4_lead": np.asarray(psc.shape[:-1], np.int64)}
+    # f32, pools and packs identically (utils/quant.quantise_pack_int4)
+    packed, scale = encode_int4_traces(psc.reshape(-1, t),
+                                       decimate=decimate)
+    out = {"psc_q4": packed, "psc_q4_scale": scale,
+           "psc_q4_t": np.int64(t),
+           "psc_q4_lead": np.asarray(psc.shape[:-1], np.int64)}
+    if decimate != 1:
+        # key omitted for decimate=1: older servers reject unknown keys
+        out["psc_q4_dec"] = np.int64(decimate)
+    return out
 
 
 def _encode_psc(psc, wire):
     """Client-side trace typing: None keeps the caller's dtype; 'f32'/
-    'f16' cast; 'int8'/'int4' quantise (``encode_psc_int8`` /
+    'f16' cast; 'int8'/'int4'/'int4d2' quantise (``encode_psc_int8`` /
     ``encode_psc_int4``)."""
     if wire is None:
         return {"psc": np.asarray(psc)}
@@ -270,13 +280,15 @@ def _encode_psc(psc, wire):
         return encode_psc_int8(psc)
     if wire == "int4":
         return encode_psc_int4(psc)
+    if wire == "int4d2":
+        return encode_psc_int4(psc, decimate=2)
     if wire in ("f16", "f32"):
         return {"psc": np.asarray(psc).astype(
             np.float16 if wire == "f16" else np.float32)}
     raise ValueError(
         f"unknown psc_wire {wire!r}; expected 'f32' | 'f16' | 'int8' | "
-        "'int4' (this types the HTTP body; `trace_wire` in the options "
-        "types the server's host->device upload)")
+        "'int4' | 'int4d2' (this types the HTTP body; `trace_wire` in "
+        "the options types the server's host->device upload)")
 
 
 def _decode_arrays(arrays):
@@ -321,7 +333,7 @@ def _decode_arrays(arrays):
         qk = f"{dense_key}_q4"
         if qk not in arrays:
             continue
-        from .utils.quant import unpack_int4_codes
+        from .utils.quant import PackedInt4Traces, decode_int4_traces
 
         missing = {f"{qk}_scale", f"{qk}_t", f"{qk}_lead"} - set(arrays)
         if missing:
@@ -335,17 +347,24 @@ def _decode_arrays(arrays):
             t = int(np.asarray(arrays.pop(f"{qk}_t")).reshape(()))
         except (TypeError, ValueError):
             raise _BadRequest(f"{qk}_t must be a scalar sample count")
+        try:
+            dec = int(np.asarray(arrays.pop(f"{qk}_dec", 1)).reshape(()))
+        except (TypeError, ValueError):
+            raise _BadRequest(f"{qk}_dec must be the scalar 1 or 2")
+        if dec not in (1, 2):
+            raise _BadRequest(f"{qk}_dec must be 1 or 2, got {dec}")
         lead = tuple(int(x) for x in
                      np.asarray(arrays.pop(f"{qk}_lead")).ravel())
         if (packed.ndim != 2 or packed.dtype != np.uint8
                 or scale.shape != (packed.shape[0],)):
             raise _BadRequest(
-                f"{qk} must be uint8 [rows, ceil(T/2)] with "
+                f"{qk} must be uint8 [rows, ceil(T'/2)] with "
                 f"{qk}_scale [rows]")
-        if not 0 < t <= 2 * packed.shape[1]:
+        t2 = (t + 1) // 2 if dec == 2 else t
+        if not 0 < t2 <= 2 * packed.shape[1]:
             raise _BadRequest(
-                f"{qk}_t={t} inconsistent with {packed.shape[1]} "
-                "packed bytes per row")
+                f"{qk}_t={t} (dec={dec}) inconsistent with "
+                f"{packed.shape[1]} packed bytes per row")
         if not lead or any(d <= 0 for d in lead) or int(
                 np.prod(lead, dtype=np.int64)) != packed.shape[0]:
             # the encoder always emits >= 1 lead dim; an empty lead
@@ -356,9 +375,15 @@ def _decode_arrays(arrays):
                 f"{packed.shape[0]} packed rows")
         if not (np.isfinite(scale).all() and (scale > 0).all()):
             raise _BadRequest(f"{qk}_scale must be finite and positive")
-        flat = unpack_int4_codes(packed, t).astype(np.float32)
-        flat *= scale[:, None]
-        arrays[dense_key] = flat.reshape(*lead, t)
+        if len(lead) == 1 and packed.shape[1] == (t2 + 1) // 2:
+            # keep the wire form: trace consumers that understand it
+            # (the demixer upload, the solver trace wire) ship these
+            # codes to the device without any host recode (requantise
+            # identity); everything else densifies via __array__
+            arrays[dense_key] = PackedInt4Traces(packed, scale, t, dec)
+        else:
+            flat = decode_int4_traces(packed, scale, t, dec)
+            arrays[dense_key] = flat.reshape(*lead, t)
     for dense_key, qk, sk in (("psc", "psc_q8", "psc_q8_scale"),
                               ("pscs", "pscs_q8", "pscs_q8_scale")):
         if qk not in arrays:
@@ -1279,10 +1304,12 @@ class FitClient:
         shapes, bit-identical fit — falling back to dense automatically
         when the matrix is not column-sparse. ``psc_wire`` types the
         trace payload: None ships the caller's dtype, 'f32'/'f16' cast
-        (2×/4× smaller than f64), 'int8'/'int4' quantise with the
-        device wires' per-trace peak scales (8×/16× smaller than f32;
-        requantisation on the server's matching device wire is the
-        identity)."""
+        (2×/4× smaller than f64), 'int8'/'int4'/'int4d2' quantise with
+        the device wires' per-trace peak scales (8×/16×/32× smaller
+        than f32; the server ships matching int4 bodies to the chip in
+        their wire form with no host recode — 'int4d2' additionally
+        mean-pools 2× exactly like the *_int4d2qat.npz train-time
+        transform, so pair it with that server demixer)."""
         opts = {"method": method, **fit_options}
         if demix is not None:
             opts["demix"] = bool(demix)

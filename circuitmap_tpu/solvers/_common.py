@@ -124,6 +124,28 @@ def prepare_traces(y_psc, dtype, trace_wire=None):
         raise ValueError(
             f"trace_wire must be None, 'f32', 'f16', 'int8', 'int4' or "
             f"'int4d2', got {trace_wire!r}")
+    from ..utils.quant import PackedInt4Traces
+
+    if isinstance(y_psc, PackedInt4Traces):
+        # traces arrived already in int4 wire form (the HTTP fit
+        # server's psc_q4 bodies): ship the codes as-is — the device
+        # dequantise reconstructs exactly the dense host reconstruction
+        # (requantise identity), so any recode could only lose
+        # information or bytes. Exception: an explicitly-requested
+        # int4d2 wire over non-pooled codes re-encodes (the caller
+        # asked for half the upload bytes).
+        if jnp.dtype(dtype).itemsize > 4:
+            raise ValueError(
+                "int4-wire trace bodies are incompatible with "
+                "dtype=float64 fits (the wire already quantised the "
+                "traces; parity-oracle fits need the raw f64 block)")
+        if not (trace_wire == "int4d2" and y_psc.decimate == 1):
+            K, T = y_psc.shape
+            tw = (T + 1) // 2 if y_psc.decimate == 2 else T
+            return _unpack_int4_traces(
+                jnp.asarray(y_psc.packed), jnp.asarray(y_psc.scale),
+                tw, T, y_psc.decimate == 2, dtype)
+        y_psc = y_psc.dense()
     if jnp.dtype(dtype).itemsize > 4:
         if trace_wire is not None:
             raise ValueError(

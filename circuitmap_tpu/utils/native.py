@@ -92,6 +92,15 @@ def _get_lib():
                 u8p, f32p,
             ]
             fn.restype = ctypes.c_int64
+        try:
+            fn = lib.cm_decode_traces_int4
+            fn.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                f32p, f32p,
+            ]
+            fn.restype = ctypes.c_int64
+        except AttributeError:
+            pass
         _lib = lib
     except Exception:
         _load_failed = True
@@ -288,6 +297,33 @@ def encode_traces_int8(part, out=None):
             "traces contain non-finite samples (or peaks above float32 "
             "range); the int8 trace wire requires finite traces")
     return out, scale
+
+
+def decode_traces_int4(packed, scale, t_true, decimate=1):
+    """Native fused int4 trace-wire decode: nibble-unpack + dequantise
+    (+ the int4d2 wire's device-reference 2x linear upsample) in one
+    pass per row, returning dense f32 [B, t_true]. Bit-for-bit equal
+    to utils/quant's numpy decode (unpack_int4_codes * scale, then
+    _upsample2 for decimate=2; equality tested). Returns None when the
+    library is unavailable or inputs aren't the C-contiguous layout
+    the kernel walks (caller falls back to numpy)."""
+    lib = _get_lib()
+    if (lib is None or not hasattr(lib, "cm_decode_traces_int4")
+            or packed.ndim != 2 or packed.dtype != np.uint8
+            or not packed.flags["C_CONTIGUOUS"]):
+        return None
+    scale = np.ascontiguousarray(scale, dtype=np.float32)
+    B = packed.shape[0]
+    if scale.shape != (B,):
+        return None
+    t2 = (t_true + 1) // 2 if decimate == 2 else t_true
+    if packed.shape[1] != (t2 + 1) // 2:
+        return None
+    out = np.empty((B, t_true), dtype=np.float32)
+    lib.cm_decode_traces_int4(
+        _ptr(packed, ctypes.c_uint8), B, int(t_true), int(decimate),
+        _ptr(scale, ctypes.c_float), _ptr(out, ctypes.c_float))
+    return out
 
 
 def _extract_windows_np(timeline, stim_times, pre, width):

@@ -128,6 +128,96 @@ def unpack_int4_codes(packed, n_codes, xp=np):
         w.shape[0], -1)[:, :n_codes]
 
 
+def decode_int4_traces(packed, scale, t_true, decimate=1, xp=np):
+    """Dense f32 reconstruction of an int4/int4d2 trace wire:
+    unpack codes, multiply the per-trace scale, and (``decimate=2``)
+    linearly upsample back to ``t_true`` — exactly the device unpack
+    (solvers/_common._unpack_int4_traces) on the host. With ``xp=np``
+    the native single-pass decoder handles it when available
+    (utils/native.decode_traces_int4, bit-identical by test)."""
+    if xp is np:
+        from . import native
+
+        out = native.decode_traces_int4(
+            np.asarray(packed), np.asarray(scale), int(t_true), decimate)
+        if out is not None:
+            return out
+    th = (t_true + 1) // 2 if decimate == 2 else t_true
+    traces = unpack_int4_codes(packed, th, xp=xp).astype(np.float32)
+    traces = traces * xp.asarray(scale, dtype=np.float32)[:, None]
+    if decimate == 2:
+        traces = _upsample2(traces, t_true, xp=xp)
+    return traces
+
+
+class PackedInt4Traces:
+    """A [K, T] trace block held in its int4/int4d2 wire form.
+
+    The HTTP fit server receives quantised trace bodies (serve
+    ``psc_q4*`` keys) whose codes are EXACTLY what a matching device
+    wire would re-derive from the dense reconstruction (the requantise
+    identity: the per-row peak code is qmax by construction). Decoding
+    to dense f32 only for the device wire to re-encode wastes ~0.4 s
+    of host codec and a full-size temporary per flagship request —
+    this container defers that: consumers that understand the wire
+    (demix.demixer.NeuralDemixer.__call__, solvers/_common.
+    prepare_traces) ship the codes as-is, and every other consumer
+    transparently gets the dense reconstruction via ``__array__``
+    (memoised — serve handlers may touch the body several times).
+
+    ``packed``: uint8 [K, ceil(t2/2)] nibble pairs (t2 = code count:
+    ceil(T/2) for ``decimate=2`` else T); ``scale``: f32 [K];
+    ``t_true``: T of the reconstructed traces.
+    """
+
+    __slots__ = ("packed", "scale", "t_true", "decimate", "_dense")
+    ndim = 2
+
+    def __init__(self, packed, scale, t_true, decimate=1):
+        packed = np.asarray(packed)
+        scale = np.asarray(scale, dtype=np.float32)
+        t_true = int(t_true)
+        if decimate not in (1, 2):
+            raise ValueError(f"decimate must be 1 or 2, got {decimate!r}")
+        t2 = (t_true + 1) // 2 if decimate == 2 else t_true
+        if (packed.ndim != 2 or packed.dtype != np.uint8
+                or t_true <= 0 or packed.shape[1] != (t2 + 1) // 2):
+            raise ValueError(
+                f"packed must be uint8 [K, {(t2 + 1) // 2}] for "
+                f"t_true={t_true}, decimate={decimate}; got "
+                f"{packed.dtype} {packed.shape}")
+        if scale.shape != (packed.shape[0],):
+            raise ValueError(
+                f"scale must be [K={packed.shape[0]}], got {scale.shape}")
+        self.packed = packed
+        self.scale = scale
+        self.t_true = t_true
+        self.decimate = decimate
+        self._dense = None
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.t_true)
+
+    def __len__(self):
+        return self.packed.shape[0]
+
+    def dense(self):
+        """Dense f32 [K, T] reconstruction (memoised)."""
+        if self._dense is None:
+            self._dense = decode_int4_traces(
+                self.packed, self.scale, self.t_true, self.decimate)
+        return self._dense
+
+    def __array__(self, dtype=None, copy=None):
+        d = self.dense()
+        if dtype is not None and np.dtype(dtype) != d.dtype:
+            return d.astype(dtype)
+        if copy:
+            return d.copy()
+        return d
+
+
 def quantise_int8(part, out=None):
     """Per-trace peak/127 int8 codes for a [..., T] block.
 

@@ -238,6 +238,40 @@ class TestFacade:
                         verbose=False)
             np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
 
+    def test_packed_input_passthrough(self, state_dict, rng):
+        """A PackedInt4Traces input (the HTTP fit server's psc_q4
+        bodies) ships its codes to the device with no host recode:
+        output must EXACTLY equal both (a) the f32 path on the dense
+        reconstruction and (b) the matching transfer_dtype wire on the
+        raw traces (same codes end to end). Chunking must slice packed
+        rows identically."""
+        from circuitmap_tpu.utils.quant import (PackedInt4Traces,
+                                                encode_int4_traces)
+
+        demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))
+        for T, dec, tok in ((900, 1, "int4"), (899, 2, "int4d2")):
+            traces = np.abs(rng.normal(size=(9, T))).astype(np.float32)
+            traces[2] = 0.0
+            packed, scale = encode_int4_traces(traces, decimate=dec)
+            cont = PackedInt4Traces(packed, scale, T, dec)
+            out = demix(cont, verbose=False)
+            np.testing.assert_array_equal(
+                out, demix(cont.dense(), verbose=False))
+            np.testing.assert_array_equal(
+                out, demix(traces, verbose=False, transfer_dtype=tok))
+            # chunked == monolithic (packed-row slicing path)
+            np.testing.assert_array_equal(
+                out, demix(cont, verbose=False, chunk_size=4))
+        # wire-mismatch fallback: an int4d2-requested upload over
+        # non-pooled codes densifies and re-encodes (QAT-d2 checkpoints
+        # want their train-time pooled transform)
+        traces = np.abs(rng.normal(size=(5, 900))).astype(np.float32)
+        packed, scale = encode_int4_traces(traces, decimate=1)
+        cont = PackedInt4Traces(packed, scale, 900, 1)
+        np.testing.assert_array_equal(
+            demix(cont, verbose=False, transfer_dtype="int4d2"),
+            demix(cont.dense(), verbose=False, transfer_dtype="int4d2"))
+
     def test_unknown_transfer_token_rejected(self, state_dict):
         import pytest
         demix = NeuralDemixer(params=convert.params_from_state_dict(state_dict))

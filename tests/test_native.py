@@ -152,6 +152,63 @@ class TestTraceEncoders:
         with pytest.raises(ValueError):
             native.encode_traces_int8(part)
 
+    @pytest.mark.parametrize("decimate", [1, 2])
+    @pytest.mark.parametrize("T", [900, 901])
+    def test_decode_matches_numpy(self, decimate, T):
+        """The fused native int4 decode (unpack + dequantise + d2
+        upsample) must reproduce the numpy/device reference decode
+        bit for bit."""
+        from circuitmap_tpu.utils.quant import (
+            _upsample2, encode_int4_traces, unpack_int4_codes)
+
+        part = self._traces(B=48, T=T, dtype=np.float32)
+        packed, scale = encode_int4_traces(part, decimate=decimate)
+        th = (T + 1) // 2 if decimate == 2 else T
+        ref = unpack_int4_codes(packed, th).astype(np.float32)
+        ref = ref * scale[:, None]
+        if decimate == 2:
+            ref = _upsample2(ref, T)
+        nat = native.decode_traces_int4(packed, scale, T, decimate)
+        if nat is None:
+            pytest.skip("native decoder unavailable")
+        np.testing.assert_array_equal(nat, ref)
+        assert nat.dtype == np.float32
+
+    def test_decode_dispatcher_native_equals_fallback(self, monkeypatch):
+        from circuitmap_tpu.utils import quant
+        import circuitmap_tpu.utils.native as nmod
+
+        part = self._traces(B=16, T=333)
+        for dec in (1, 2):
+            packed, scale = quant.encode_int4_traces(part, decimate=dec)
+            a = quant.decode_int4_traces(packed, scale, 333, dec)
+            monkeypatch.setattr(nmod, "decode_traces_int4",
+                                lambda *a_, **k_: None)
+            b = quant.decode_int4_traces(packed, scale, 333, dec)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(a, b)
+
+    def test_packed_container(self):
+        """PackedInt4Traces: shape contract, memoised dense, __array__
+        fallback, and constructor validation."""
+        from circuitmap_tpu.utils.quant import (PackedInt4Traces,
+                                                encode_int4_traces)
+
+        part = self._traces(B=16, T=301)
+        packed, scale = encode_int4_traces(part, decimate=2)
+        c = PackedInt4Traces(packed, scale, 301, 2)
+        assert c.shape == (16, 301) and c.ndim == 2 and len(c) == 16
+        d1 = c.dense()
+        assert d1 is c.dense()  # memoised
+        np.testing.assert_array_equal(np.asarray(c), d1)
+        assert np.asarray(c, dtype=np.float64).dtype == np.float64
+        with pytest.raises(ValueError, match="decimate"):
+            PackedInt4Traces(packed, scale, 301, 3)
+        with pytest.raises(ValueError, match="packed must be"):
+            PackedInt4Traces(packed, scale, 301, 1)  # wrong width for d1
+        with pytest.raises(ValueError, match="scale"):
+            PackedInt4Traces(packed, scale[:4], 301, 2)
+
     def test_dispatcher_native_equals_fallback(self, monkeypatch):
         """encode_int4_traces must return the same wire whether the
         native library is present or not (the serve/solver/demixer

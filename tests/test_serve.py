@@ -759,6 +759,91 @@ class TestServiceUnit:
         with pytest.raises(_BadRequest, match="packed rows"):
             _decode_arrays(_load_npz(_npz_bytes(**bad)))
 
+    def test_psc_int4d2_wire_decodes_to_packed_container(self):
+        """psc_wire='int4d2' pools 2x before quantising (the QAT
+        train-time transform) and the server keeps the wire form: a
+        2-D psc body decodes to PackedInt4Traces, whose dense
+        reconstruction equals demixer.wire_transform(decimate=2)."""
+        from circuitmap_tpu.demix.demixer import wire_transform
+        from circuitmap_tpu.serve import (_BadRequest, _decode_arrays,
+                                          _load_npz, _npz_bytes,
+                                          _encode_psc)
+        from circuitmap_tpu.utils.quant import PackedInt4Traces
+
+        rng = np.random.RandomState(5)
+        psc = rng.randn(10, 301) * rng.rand(10, 1) * 4  # odd T
+        enc = _encode_psc(psc, "int4d2")
+        assert int(enc["psc_q4_dec"]) == 2
+        assert enc["psc_q4"].shape == (10, 76)  # ceil(ceil(301/2)/2)
+        dec = _decode_arrays(_load_npz(_npz_bytes(**enc)))["psc"]
+        assert isinstance(dec, PackedInt4Traces)
+        assert dec.decimate == 2 and dec.shape == (10, 301)
+        np.testing.assert_array_equal(
+            dec.dense(), wire_transform(psc, bits=4, decimate=2))
+        # the plain int4 wire also arrives packed now
+        d1 = _decode_arrays(_load_npz(_npz_bytes(
+            **_encode_psc(psc, "int4"))))["psc"]
+        assert isinstance(d1, PackedInt4Traces) and d1.decimate == 1
+        # a bad dec token is a client error
+        bad = dict(enc)
+        bad["psc_q4_dec"] = np.int64(3)
+        with pytest.raises(_BadRequest, match="dec"):
+            _decode_arrays(_load_npz(_npz_bytes(**bad)))
+
+    def test_fit_int4_body_passthrough_equals_recode(self, sim):
+        """An int4/int4d2 psc body reaches the solver in wire form (no
+        host decode→re-encode): the fit is bit-identical to feeding
+        the dense reconstruction through the equivalent path."""
+        import circuitmap_tpu as cm
+        from circuitmap_tpu.serve import (FitService, _encode_psc,
+                                          _load_npz, _npz_bytes)
+        from circuitmap_tpu.utils.quant import PackedInt4Traces
+
+        from circuitmap_tpu.serve import _decode_arrays
+
+        svc = FitService()
+        psc = sim["psc"][:64]
+        stim = sim["stim_matrix"][:, :64]
+        opts = dict(FIT_OPTS, iters=2, demix=False)
+        for wire, local_wire in (("int4", "int4"), ("int4d2", None)):
+            enc = _encode_psc(psc, wire)
+            _, out = svc.do_fit(_npz_bytes(stim=stim, **enc),
+                                json.dumps(opts))
+            got = _load_npz(out)
+            cont = _decode_arrays(_load_npz(_npz_bytes(**enc)))["psc"]
+            assert isinstance(cont, PackedInt4Traces)
+            model = cm.Model(N)
+            lo = dict(FIT_OPTS, iters=2)
+            if local_wire:
+                lo["trace_wire"] = local_wire
+            model.fit(cont.dense(), stim, fit_options=lo)
+            assert np.array_equal(got["mu"], model.state["mu"]), wire
+
+    def test_demix_fit_int4d2_body_equals_local_wire_chain(self, sim):
+        """demix=True over an int4d2 body: the packed codes feed the
+        demixer's int4d2 device wire directly; the result equals the
+        local demixer(transfer_dtype='int4d2') → fit chain on the raw
+        traces (same codes end to end)."""
+        import circuitmap_tpu as cm
+        from circuitmap_tpu.demix import NeuralDemixer
+        from circuitmap_tpu.serve import (FitService, _encode_psc,
+                                          _load_npz, _npz_bytes)
+
+        ckpt = os.path.join(REPO, "demixers",
+                            "nwd_ie_ChroME2f_int4d2qat.npz")
+        svc = FitService(demixer_path=ckpt)
+        psc = sim["psc"][:64]
+        stim = sim["stim_matrix"][:, :64]
+        _, out = svc.do_fit(
+            _npz_bytes(stim=stim, **_encode_psc(psc, "int4d2")),
+            json.dumps(dict(FIT_OPTS, iters=2, demix=True)))
+        got = _load_npz(out)
+        dem = NeuralDemixer(path=ckpt)
+        obs = dem(psc, verbose=False, transfer_dtype="int4d2")
+        model = cm.Model(N)
+        model.fit(obs, stim, fit_options=dict(FIT_OPTS, iters=2))
+        assert np.array_equal(got["mu"], model.state["mu"])
+
     def test_fit_sparse_body_equals_dense_body(self, sim):
         """POST /fit with the sparse-hologram body is bit-identical to
         the dense body (service-level; the HTTP layer adds nothing)."""
@@ -863,7 +948,7 @@ class TestServiceUnit:
                      "stims_sparse_levels", "stims_sparse_n",
                      "stims_sparse_b", "psc_q8", "psc_q8_scale",
                      "psc_q4", "psc_q4_scale", "psc_q4_t", "psc_q4_lead",
-                     "psc", "stim"]
+                     "psc_q4_dec", "psc", "stim"]
         dtypes = [np.int8, np.uint8, np.int16, np.int64, np.float32,
                   np.float64]
         for trial in range(60):
@@ -876,9 +961,11 @@ class TestServiceUnit:
                 arrays[key] = (rng.randint(-9, 9, size=shape) *
                                rng.randn()).astype(dt)
             try:
+                from circuitmap_tpu.utils.quant import PackedInt4Traces
+
                 out = _decode_arrays(_load_npz(_npz_bytes(**arrays)))
-                for v in out.values():  # decoded output is always dense
-                    assert isinstance(v, np.ndarray)
+                for v in out.values():  # dense or the packed container
+                    assert isinstance(v, (np.ndarray, PackedInt4Traces))
             except _BadRequest:
                 pass  # the intended failure mode
             except Exception as exc:  # pragma: no cover

@@ -542,6 +542,43 @@ class TestTraceWire:
                 ref = wire_transform(x, 4, decimate=dec)
                 np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
 
+    def test_packed_input_passthrough(self):
+        """PackedInt4Traces solver inputs (HTTP psc_q4 bodies) feed the
+        device unpack directly: exactly equal to the dense
+        reconstruction through the f32 wire (dec=2) / the int4 wire's
+        requantise identity (dec=1); f64 fits reject them; an explicit
+        int4d2 request over non-pooled codes re-encodes."""
+        import jax.numpy as jnp
+
+        from circuitmap_tpu.solvers._common import prepare_traces
+        from circuitmap_tpu.utils.quant import (PackedInt4Traces,
+                                                encode_int4_traces)
+
+        rng = np.random.default_rng(2)
+        for T, dec in ((900, 1), (899, 2)):
+            x = rng.standard_normal((6, T)).astype(np.float32)
+            x[3] = 0.0
+            packed, scale = encode_int4_traces(x, decimate=dec)
+            cont = PackedInt4Traces(packed, scale, T, dec)
+            out = np.asarray(prepare_traces(cont, jnp.float32))
+            np.testing.assert_array_equal(out, cont.dense())
+            if dec == 1:
+                # requantise identity: same as the int4 wire on the recon
+                via_wire = np.asarray(prepare_traces(
+                    cont.dense(), jnp.float32, trace_wire="int4"))
+                np.testing.assert_array_equal(out, via_wire)
+            with pytest.raises(ValueError, match="float64"):
+                prepare_traces(cont, jnp.float64)
+        # explicit int4d2 over dec=1 codes: honoured via re-encode
+        x = rng.standard_normal((4, 900)).astype(np.float32)
+        packed, scale = encode_int4_traces(x, decimate=1)
+        cont = PackedInt4Traces(packed, scale, 900, 1)
+        np.testing.assert_array_equal(
+            np.asarray(prepare_traces(cont, jnp.float32,
+                                      trace_wire="int4d2")),
+            np.asarray(prepare_traces(cont.dense(), jnp.float32,
+                                      trace_wire="int4d2")))
+
     def test_int4_wire_fit_recovery(self):
         from circuitmap_tpu.model import default_priors
         from circuitmap_tpu.solvers import caviar
