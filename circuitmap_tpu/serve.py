@@ -375,12 +375,14 @@ def _decode_arrays(arrays):
                 f"{packed.shape[0]} packed rows")
         if not (np.isfinite(scale).all() and (scale > 0).all()):
             raise _BadRequest(f"{qk}_scale must be finite and positive")
-        if len(lead) == 1 and packed.shape[1] == (t2 + 1) // 2:
+        if packed.shape[1] == (t2 + 1) // 2:
             # keep the wire form: trace consumers that understand it
-            # (the demixer upload, the solver trace wire) ship these
-            # codes to the device without any host recode (requantise
-            # identity); everything else densifies via __array__
-            arrays[dense_key] = PackedInt4Traces(packed, scale, t, dec)
+            # (the demixer upload, the solver trace wire, caviar_many's
+            # flattened batch upload) ship these codes to the device
+            # without any host recode (requantise identity);
+            # everything else densifies via __array__
+            arrays[dense_key] = PackedInt4Traces(packed, scale, t, dec,
+                                                 lead=lead)
         else:
             flat = decode_int4_traces(packed, scale, t, dec)
             arrays[dense_key] = flat.reshape(*lead, t)
@@ -612,9 +614,13 @@ class FitService:
                 "demixer (pass --demixer to `circuitmap_tpu serve`)")
         import jax.numpy as jnp
 
+        from .utils.quant import PackedInt4Traces
+
         b, k, t = pscs.shape
         self.n_demixes += 1
-        flat = self.demixer(pscs.reshape(b * k, t), verbose=False,
+        flat_in = (pscs.flat() if isinstance(pscs, PackedInt4Traces)
+                   else pscs.reshape(b * k, t))
+        flat = self.demixer(flat_in, verbose=False,
                             keep_on_device=True, transfer_dtype=wire)
         return jnp.reshape(flat, (b, k, flat.shape[-1]))
 

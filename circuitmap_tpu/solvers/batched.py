@@ -134,10 +134,13 @@ def caviar_many(
     default; ``batched`` buys ~10% warm latency via its single
     dispatch when B is large and no single fit shares the process.
     """
-    if isinstance(y_pscs, jax.Array):
-        pass  # device-resident (e.g. a batched demixer output): keep it
-        # on device — a host round trip of the [B, K, T] block through
-        # the tunnel would dwarf the fit (same short-circuit as
+    from ..utils.quant import PackedInt4Traces
+
+    if isinstance(y_pscs, (jax.Array, PackedInt4Traces)):
+        pass  # device-resident (e.g. a batched demixer output) or an
+        # already-quantised wire body (the fit server's int4 pscs):
+        # keep as-is — a host round trip / dense decode of the
+        # [B, K, T] block would dwarf the fit (same short-circuit as
         # _common.prepare_traces; the wire is moot for device inputs)
     elif trace_wire is None:
         y_pscs = np.asarray(y_pscs, dtype=np.float32)
@@ -192,7 +195,14 @@ def caviar_many(
         print(f"Running CAVIaR on {B} experiments "
               f"(compile_mode={mode}).")
 
-    if isinstance(y_pscs, jax.Array) or trace_wire is None:
+    if isinstance(y_pscs, PackedInt4Traces):
+        # wire-form batch body: one flattened device unpack, no host
+        # codec (prepare_traces applies the same pass-through rules as
+        # the single-fit entry, incl. the explicit-int4d2 re-encode)
+        y_dev = prepare_traces(
+            y_pscs.flat(), dtype, trace_wire=trace_wire,
+        ).reshape(y_pscs.shape)
+    elif isinstance(y_pscs, jax.Array) or trace_wire is None:
         y_dev = jnp.asarray(y_pscs, dtype=dtype)
     else:
         # compressed trace upload, shared wire semantics with the

@@ -165,15 +165,18 @@ class PackedInt4Traces:
     transparently gets the dense reconstruction via ``__array__``
     (memoised — serve handlers may touch the body several times).
 
-    ``packed``: uint8 [K, ceil(t2/2)] nibble pairs (t2 = code count:
-    ceil(T/2) for ``decimate=2`` else T); ``scale``: f32 [K];
-    ``t_true``: T of the reconstructed traces.
+    ``packed``: uint8 [rows, ceil(t2/2)] nibble pairs (t2 = code
+    count: ceil(T/2) for ``decimate=2`` else T); ``scale``: f32
+    [rows]; ``t_true``: T of the reconstructed traces; ``lead``: the
+    logical leading dims — default ``(rows,)`` for a [K, T] block,
+    ``(B, K)`` for a /fit_many batch (rows = B*K; ``flat()`` views
+    the same buffers as the 2-D block the demixer/solver wires take).
     """
 
-    __slots__ = ("packed", "scale", "t_true", "decimate", "_dense")
-    ndim = 2
+    __slots__ = ("packed", "scale", "t_true", "decimate", "lead",
+                 "_dense")
 
-    def __init__(self, packed, scale, t_true, decimate=1):
+    def __init__(self, packed, scale, t_true, decimate=1, lead=None):
         packed = np.asarray(packed)
         scale = np.asarray(scale, dtype=np.float32)
         t_true = int(t_true)
@@ -183,31 +186,56 @@ class PackedInt4Traces:
         if (packed.ndim != 2 or packed.dtype != np.uint8
                 or t_true <= 0 or packed.shape[1] != (t2 + 1) // 2):
             raise ValueError(
-                f"packed must be uint8 [K, {(t2 + 1) // 2}] for "
+                f"packed must be uint8 [rows, {(t2 + 1) // 2}] for "
                 f"t_true={t_true}, decimate={decimate}; got "
                 f"{packed.dtype} {packed.shape}")
         if scale.shape != (packed.shape[0],):
             raise ValueError(
-                f"scale must be [K={packed.shape[0]}], got {scale.shape}")
+                f"scale must be [rows={packed.shape[0]}], got "
+                f"{scale.shape}")
+        lead = (packed.shape[0],) if lead is None \
+            else tuple(int(d) for d in lead)
+        if (not lead or any(d <= 0 for d in lead)
+                or int(np.prod(lead, dtype=np.int64)) != packed.shape[0]):
+            raise ValueError(
+                f"lead={lead} does not match {packed.shape[0]} "
+                "packed rows")
         self.packed = packed
         self.scale = scale
         self.t_true = t_true
         self.decimate = decimate
+        self.lead = lead
         self._dense = None
 
     @property
     def shape(self):
-        return (self.packed.shape[0], self.t_true)
+        return (*self.lead, self.t_true)
+
+    @property
+    def ndim(self):
+        return len(self.lead) + 1
 
     def __len__(self):
-        return self.packed.shape[0]
+        return self.lead[0]
+
+    def flat(self):
+        """The [rows, T] view of the same codes (shared buffers and
+        dense memo) — what the 2-D trace wires consume."""
+        if len(self.lead) == 1:
+            return self
+        out = PackedInt4Traces(self.packed, self.scale, self.t_true,
+                               self.decimate)
+        out._dense = self._dense
+        return out
 
     def dense(self):
-        """Dense f32 [K, T] reconstruction (memoised)."""
+        """Dense f32 [*lead, T] reconstruction (memoised flat)."""
         if self._dense is None:
             self._dense = decode_int4_traces(
                 self.packed, self.scale, self.t_true, self.decimate)
-        return self._dense
+        if len(self.lead) == 1:
+            return self._dense
+        return self._dense.reshape(*self.lead, self.t_true)
 
     def __array__(self, dtype=None, copy=None):
         d = self.dense()

@@ -62,6 +62,33 @@ def test_device_resident_input_matches_host_input(sims):
                                       np.asarray(rb["mu"]))
 
 
+def test_packed_input_matches_dense(sims):
+    """A PackedInt4Traces batch body (the fit server's /fit_many int4
+    wire) flattens to ONE device unpack — bit-identical to feeding the
+    dense reconstruction."""
+    from circuitmap_tpu.utils.quant import (PackedInt4Traces,
+                                            encode_int4_traces)
+
+    p = default_priors(24)
+    prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+                  p["phi_cov"])
+    kw = dict(iters=4, fn_scan=False, analytic_mc=True, seeds=[0, 1, 2],
+              verbose=False)
+    host = np.stack([s["psc"] for s in sims])
+    stims = np.stack([s["stim_matrix"] for s in sims])
+    B, K, T = host.shape
+    packed, scale = encode_int4_traces(
+        np.ascontiguousarray(host.reshape(B * K, T)), decimate=2)
+    cont = PackedInt4Traces(packed, scale, T, 2, lead=(B, K))
+    a = caviar_many(cont, stims, *prior_args, **kw)
+    b = caviar_many(cont.dense(), stims, *prior_args, **kw)
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ra["mu"]),
+                                      np.asarray(rb["mu"]))
+        np.testing.assert_array_equal(np.asarray(ra["lam"]),
+                                      np.asarray(rb["lam"]))
+
+
 def test_recovery_per_map(sims):
     # 12 iterations: small maps (N=24, 240 trials) are converged by then;
     # longer runs can over-prune borderline cells on this little data

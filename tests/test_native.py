@@ -208,6 +208,16 @@ class TestTraceEncoders:
             PackedInt4Traces(packed, scale, 301, 1)  # wrong width for d1
         with pytest.raises(ValueError, match="scale"):
             PackedInt4Traces(packed, scale[:4], 301, 2)
+        # batch lead dims: [B, K, T] view over the same flat rows
+        c3 = PackedInt4Traces(packed, scale, 301, 2, lead=(4, 4))
+        assert c3.shape == (4, 4, 301) and c3.ndim == 3 and len(c3) == 4
+        np.testing.assert_array_equal(c3.dense(),
+                                      d1.reshape(4, 4, 301))
+        flat = c3.flat()
+        assert flat.shape == (16, 301) and flat.packed is c3.packed
+        np.testing.assert_array_equal(flat.dense(), d1)
+        with pytest.raises(ValueError, match="lead"):
+            PackedInt4Traces(packed, scale, 301, 2, lead=(3, 4))
 
     def test_dispatcher_native_equals_fallback(self, monkeypatch):
         """encode_int4_traces must return the same wire whether the

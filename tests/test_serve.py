@@ -862,6 +862,36 @@ class TestServiceUnit:
         for key in set(a) - {"fit_time_s"}:  # wall-clock differs
             assert np.array_equal(a[key], b[key]), key
 
+    def test_fit_many_int4_body_passthrough_equals_dense(self, sim):
+        """/fit_many int4d2 pscs bodies stay in wire form end to end
+        (PackedInt4Traces with batch lead dims -> caviar_many's one
+        flattened device unpack): results are bit-identical to posting
+        the dense reconstruction."""
+        from circuitmap_tpu.serve import (FitService, _decode_arrays,
+                                          _encode_psc, _load_npz,
+                                          _npz_bytes)
+        from circuitmap_tpu.utils.quant import PackedInt4Traces
+
+        svc = FitService()
+        B, k = 2, 64
+        pscs = np.stack([sim["psc"][:k], sim["psc"][k:2 * k]])
+        stims = np.stack([sim["stim_matrix"][:, :k],
+                          sim["stim_matrix"][:, k:2 * k]])
+        opts = json.dumps({"iters": 2, "seeds": [1, 2],
+                           "num_mc_samples": 20})
+        enc = {"pscs" + key[len("psc"):]: val
+               for key, val in _encode_psc(pscs, "int4d2").items()}
+        cont = _decode_arrays(_load_npz(_npz_bytes(**enc)))["pscs"]
+        assert isinstance(cont, PackedInt4Traces)
+        assert cont.shape == pscs.shape and cont.decimate == 2
+        _, a = svc.do_fit_many(_npz_bytes(stims=stims, **enc), opts)
+        _, b = svc.do_fit_many(
+            _npz_bytes(stims=stims, pscs=cont.dense()), opts)
+        da, db = _load_npz(a), _load_npz(b)
+        assert set(da) == set(db)
+        for key in da:
+            assert np.array_equal(da[key], db[key]), key
+
     def test_fit_many_sparse_body_equals_dense(self, sim):
         """The batched sparse-stims wire ([N, B*K] hologram matrix +
         experiment count) reconstructs exactly: /fit_many results are
