@@ -60,6 +60,13 @@ Endpoints
 ``DELETE /stream/<name>``         → JSON
 ``POST /shutdown``                → JSON (graceful stop; auto-saves
                                     live streams under --state-dir)
+
+Operations: ``--status-port`` runs a read-only liveness sidecar on its
+own thread+port (``GET /health`` → ``status_payload()``, never touches
+jax) so probes keep working while the single-threaded main port is
+busy — or wedged on a dead device tunnel; ``--request-timeout-s`` arms
+a watchdog that turns such a wedge into exit code 86 (a supervisor
+restart) after a bounded stream auto-save. Both are opt-in.
 """
 
 from __future__ import annotations
@@ -71,6 +78,10 @@ import time
 import numpy as np
 
 DEFAULT_PORT = 8799
+# process exit code when --request-timeout-s fires: distinct from
+# crash codes so a supervisor (systemd Restart=always, runit, a shell
+# loop) can tell "watchdog killed a wedged daemon" from "bug".
+WATCHDOG_EXIT_CODE = 86
 
 # fit_options the HTTP layer accepts for POST /fit. Everything here is
 # a JSON-safe scalar/list knob of the batch solvers; mesh= (a live jax
@@ -466,6 +477,11 @@ class FitService:
         self.designers = {}  # stream name -> AdaptiveDesigner
         self.n_fits = 0
         self.n_demixes = 0
+        # (method, path, monotonic start) while a request is being
+        # served on the main thread; None when idle. Written by the
+        # request handler, read by the status sidecar and the watchdog
+        # (single reference assignment — safe under the GIL).
+        self.inflight = None
 
     # -- helpers -----------------------------------------------------------
 
@@ -533,6 +549,37 @@ class FitService:
             "mesh_devices": (int(self.mesh.devices.size)
                              if self.mesh is not None else 0),
         }).encode()
+
+    def status_payload(self):
+        """Wedge-proof liveness snapshot for the status sidecar.
+
+        Reads ONLY plain-Python fields (device/platform are strings
+        cached at init; stream counters are ints) — it must never
+        dispatch to jax or the device, so it keeps answering while a
+        long fit, a cold compile, or a dead TPU tunnel has the main
+        serving thread blocked. That is the whole point of the
+        sidecar: a supervisor's liveness probe can tell "busy on a
+        real request for 40 s" from "wedged for 40 minutes".
+        """
+        snap = self.inflight  # one read: (method, path, t0) or None
+        payload = {
+            "status": "ok",
+            "busy": snap is not None,
+            "device": self.device,
+            "platform": self.platform,
+            "uptime_s": round(time.time() - self._t0, 1),
+            "fits": self.n_fits,
+            "demixes": self.n_demixes,
+            "streams": {name: {"trials": s.trial_count,
+                               "iterations": s.iteration}
+                        for name, s in self.streams.items()},
+        }
+        if snap is not None:
+            method, path, t0 = snap
+            payload["inflight"] = {
+                "method": method, "path": path,
+                "seconds": round(time.monotonic() - t0, 2)}
+        return payload
 
     def do_demix(self, body, options_header):
         opts = self._parse_options(options_header,
@@ -1110,6 +1157,15 @@ def _make_handler(service, server_box):
                 pass
 
         def _handle(self):
+            service.inflight = (self.command,
+                                self.path.split("?", 1)[0],
+                                time.monotonic())
+            try:
+                self._handle_tracked()
+            finally:
+                service.inflight = None
+
+        def _handle_tracked(self):
             t0 = time.perf_counter()
             try:
                 routed = self._route()
@@ -1147,10 +1203,120 @@ def _make_handler(service, server_box):
     return Handler
 
 
+def start_status_server(service, host="127.0.0.1", port=0):
+    """Read-only status sidecar: GET /health (or /status) on its OWN
+    thread and port, answering from ``FitService.status_payload()``.
+
+    The main server is single-threaded by design (one chip, one
+    request at a time), which means it cannot answer a liveness probe
+    while a fit runs — and cannot answer at all if the device tunnel
+    dies mid-dispatch (the jax call never returns). The sidecar
+    touches no jax state, so it stays responsive through both, and its
+    ``inflight.seconds`` field is what lets a supervisor distinguish
+    a long compile from a wedge. Returns the bound ``HTTPServer``
+    (already serving; ``shutdown()`` + ``server_close()`` to stop).
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class StatusHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.0"
+        timeout = 30
+
+        def log_message(self, fmt, *args):  # monitoring endpoint: quiet
+            pass
+
+        def do_GET(self):
+            path = self.path.split("?", 1)[0].rstrip("/")
+            if path in ("", "/health", "/status"):
+                code, payload = 200, json.dumps(
+                    service.status_payload()).encode()
+            else:
+                code, payload = 404, json.dumps(
+                    {"error": f"no route GET {path} (status sidecar "
+                              "serves /health only)"}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    httpd = HTTPServer((host, port), StatusHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True,
+                     name="status-sidecar").start()
+    return httpd
+
+
+def start_watchdog(service, timeout_s, exit_fn=None, grace_s=10.0):
+    """Kill the daemon if ONE request runs longer than ``timeout_s``.
+
+    The failure mode this targets is real on this rig: the TPU tunnel
+    dies (it has, repeatedly), the in-flight jax dispatch never
+    returns, and the single-threaded daemon wedges forever holding
+    its port — no error, no exit, nothing for a supervisor to react
+    to. The watchdog turns that into a crash a supervisor CAN react
+    to: it logs a JSON diagnostic (stderr + the --metrics log), makes
+    a bounded best-effort ``save_all_streams()`` (in a side thread
+    with a ``grace_s`` join — the saver itself may hang on a dead
+    device), then ``os._exit(WATCHDOG_EXIT_CODE)``.
+
+    Opt-in (``--request-timeout-s``), and the bound must cover the
+    slowest legitimate request INCLUDING cold compiles — a fused-fit
+    cold compile through the remote compiler is minutes (PERF.md), so
+    600+ is a sensible floor unless every shape is pre-warmed.
+
+    Returns a ``threading.Event``; ``set()`` cancels the watchdog
+    (tests). ``exit_fn`` overrides ``os._exit`` (tests).
+    """
+    import os as _os
+    import sys as _sys
+    import threading
+
+    if exit_fn is None:
+        def exit_fn(code):
+            _os._exit(code)
+    timeout_s = float(timeout_s)
+    stop = threading.Event()
+
+    def _run():
+        poll = max(0.05, min(1.0, timeout_s / 10))
+        while not stop.wait(poll):
+            snap = service.inflight
+            if snap is None:
+                continue
+            method, path, t0 = snap
+            elapsed = time.monotonic() - t0
+            if elapsed <= timeout_s:
+                continue
+            msg = {"watchdog_fired": True, "method": method,
+                   "path": path, "seconds": round(elapsed, 1),
+                   "timeout_s": timeout_s,
+                   "exit_code": WATCHDOG_EXIT_CODE}
+            print(json.dumps(msg), file=_sys.stderr, flush=True)
+            fh = getattr(service, "metrics_fh", None)
+            if fh is not None:
+                try:
+                    fh.write(json.dumps(msg) + "\n")
+                    fh.flush()
+                except Exception:
+                    pass
+            if service.state_dir and service.streams:
+                saver = threading.Thread(
+                    target=service.save_all_streams, daemon=True)
+                saver.start()
+                saver.join(grace_s)
+            exit_fn(WATCHDOG_EXIT_CODE)
+            return
+
+    threading.Thread(target=_run, daemon=True, name="watchdog").start()
+    return stop
+
+
 def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
                default_wire=None, max_mb=2048, warm_shapes=(),
                verbose=False, ready_fd=None, mesh_devices=0,
-               state_dir=None, metrics_path=None, auth_token=None):
+               state_dir=None, metrics_path=None, auth_token=None,
+               status_port=None, request_timeout_s=None):
     """Build the service, bind, optionally pre-warm, then serve forever.
 
     ``port=0`` lets the OS assign one; the bound port is printed as
@@ -1173,6 +1339,15 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
     httpd = HTTPServer((host, port), _make_handler(service, server_box))
     server_box[0] = httpd
     bound = httpd.server_address[1]
+    status_httpd = None
+    if status_port is not None:
+        # announce BEFORE the SERVING line: supervisors parse stdout
+        # up to SERVING, so both ports are known by then
+        status_httpd = start_status_server(service, host, status_port)
+        print(f"STATUS host={host} port={status_httpd.server_address[1]}",
+              flush=True)
+    if request_timeout_s:
+        start_watchdog(service, request_timeout_s)
     print(f"SERVING host={host} port={bound} device={service.device}",
           flush=True)
     if ready_fd is not None:
@@ -1223,6 +1398,9 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
             except ValueError:
                 pass
         httpd.server_close()
+        if status_httpd is not None:
+            status_httpd.shutdown()
+            status_httpd.server_close()
         if state_dir and service.streams:
             # a graceful stop must not lose live closed-loop experiments
             saved = service.save_all_streams()

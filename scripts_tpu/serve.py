@@ -68,6 +68,27 @@ def main(argv=None):
                         help="append one JSON line per request (ts, "
                              "method, path, status, seconds, bytes) — "
                              "tail-able production request log")
+    parser.add_argument("--status-port", type=int, default=None,
+                        metavar="P",
+                        help="read-only liveness sidecar on its own "
+                             "thread+port (GET /health; 0 = OS-"
+                             "assigned, printed as 'STATUS ... "
+                             "port=<p>'): answers while the single-"
+                             "threaded main port is busy fitting — or "
+                             "wedged on a dead device tunnel — and "
+                             "reports the in-flight request + elapsed "
+                             "seconds so probes can tell the two apart")
+    parser.add_argument("--request-timeout-s", type=float, default=None,
+                        metavar="S",
+                        help="watchdog: if one request runs past S "
+                             "seconds, log a JSON diagnostic, best-"
+                             "effort-save streams (--state-dir), and "
+                             "exit with code 86 so a supervisor "
+                             "restarts the daemon (the dead-TPU-tunnel "
+                             "wedge has no other exit). Set S above "
+                             "the slowest legitimate request INCLUDING "
+                             "cold compiles (minutes unless pre-warmed "
+                             "with --warm); 600+ is a sensible floor")
     parser.add_argument("--verbose", action="store_true",
                         help="log every request")
     args = parser.parse_args(argv)
@@ -81,7 +102,8 @@ def main(argv=None):
                    max_mb=args.max_mb, warm_shapes=args.warm,
                    verbose=args.verbose, mesh_devices=args.mesh,
                    state_dir=args.state_dir, metrics_path=args.metrics,
-                   auth_token=args.token)
+                   auth_token=args.token, status_port=args.status_port,
+                   request_timeout_s=args.request_timeout_s)
     except KeyboardInterrupt:
         print("fit server stopped", file=sys.stderr)
 

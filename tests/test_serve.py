@@ -76,6 +76,10 @@ def _start_server(*extra_args, force_devices=None):
             proc.wait(timeout=10)
             raise RuntimeError(
                 f"fit server exited before SERVING:\n{_err_tail()}")
+        if line.startswith("STATUS"):
+            # --status-port sidecar announces before SERVING
+            proc.status_port = int(line.split("port=")[1].split()[0])
+            continue
         if line.startswith("SERVING"):
             port = int(line.split("port=")[1].split()[0])
             break
@@ -1018,3 +1022,167 @@ class TestServiceUnit:
         assert resolve_transfer_dtype(np.int8) is np.int8  # passthrough
         with pytest.raises(ValueError, match="trace wire"):
             resolve_transfer_dtype("int2")
+
+
+class _FakeSvc:
+    """Minimal stand-in for FitService in watchdog unit tests."""
+
+    def __init__(self):
+        self.inflight = None
+        self.state_dir = None
+        self.streams = {}
+        self.metrics_fh = None
+        self.saved = 0
+
+    def save_all_streams(self):
+        self.saved += 1
+        return {}
+
+
+class TestOperations:
+    """Liveness sidecar + wedge watchdog (--status-port /
+    --request-timeout-s): the dead-device-tunnel failure mode."""
+
+    def test_status_sidecar_busy_idle_and_404(self):
+        import urllib.error
+        import urllib.request
+
+        from circuitmap_tpu.serve import FitService, start_status_server
+
+        svc = FitService()
+        httpd = start_status_server(svc, port=0)
+        try:
+            port = httpd.server_address[1]
+
+            def get(path):
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+                    return json.loads(r.read())
+
+            h = get("/health")
+            assert h["status"] == "ok" and h["busy"] is False
+            assert "inflight" not in h
+            # /status is an alias; inflight surfaces method/path/elapsed
+            svc.inflight = ("POST", "/fit", time.monotonic() - 3)
+            h = get("/status")
+            assert h["busy"] is True
+            assert h["inflight"]["method"] == "POST"
+            assert h["inflight"]["path"] == "/fit"
+            assert h["inflight"]["seconds"] >= 3
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                get("/fit")  # sidecar is read-only: no other routes
+            assert ei.value.code == 404
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def test_handler_sets_and_clears_inflight(self):
+        import threading
+        import urllib.request
+        from http.server import HTTPServer
+
+        from circuitmap_tpu.serve import FitService, _make_handler
+
+        svc = FitService()
+        seen = []
+        orig = svc.do_health
+
+        def spy():
+            seen.append(svc.inflight)
+            return orig()
+
+        svc.do_health = spy
+        box = [None]
+        httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc, box))
+        box[0] = httpd
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            port = httpd.server_address[1]
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=10) as r:
+                json.loads(r.read())
+            assert len(seen) == 1 and seen[0] is not None
+            method, path, t0 = seen[0]
+            assert (method, path) == ("GET", "/health")
+            assert svc.inflight is None  # cleared after the response
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def test_watchdog_fires_only_past_timeout(self):
+        from circuitmap_tpu.serve import (WATCHDOG_EXIT_CODE,
+                                          start_watchdog)
+
+        svc = _FakeSvc()
+        fired = []
+        stop = start_watchdog(svc, 0.5, exit_fn=fired.append)
+        try:
+            time.sleep(0.8)  # idle: must not fire
+            assert fired == []
+            svc.inflight = ("POST", "/fit", time.monotonic())
+            assert fired == []  # just started: under the bound
+            deadline = time.time() + 15
+            while not fired and time.time() < deadline:
+                time.sleep(0.05)
+            assert fired == [WATCHDOG_EXIT_CODE]
+        finally:
+            stop.set()
+
+    def test_watchdog_cancel(self):
+        from circuitmap_tpu.serve import start_watchdog
+
+        svc = _FakeSvc()
+        fired = []
+        stop = start_watchdog(svc, 0.1, exit_fn=fired.append)
+        stop.set()
+        svc.inflight = ("POST", "/fit", time.monotonic() - 60)
+        time.sleep(0.5)
+        assert fired == []
+
+    def test_watchdog_saves_streams_before_exit(self, tmp_path):
+        from circuitmap_tpu.serve import (WATCHDOG_EXIT_CODE,
+                                          start_watchdog)
+
+        svc = _FakeSvc()
+        svc.state_dir = str(tmp_path)
+        svc.streams = {"live": object()}
+        fired = []
+        stop = start_watchdog(svc, 0.1, exit_fn=fired.append, grace_s=10)
+        try:
+            svc.inflight = ("POST", "/stream/live/update",
+                            time.monotonic() - 60)
+            deadline = time.time() + 10
+            while not fired and time.time() < deadline:
+                time.sleep(0.05)
+            assert fired == [WATCHDOG_EXIT_CODE]
+            assert svc.saved == 1  # bounded best-effort checkpoint ran
+        finally:
+            stop.set()
+
+
+class TestOperationsCLI:
+    """--status-port / --request-timeout-s through the real daemon."""
+
+    def test_status_port_works_and_watchdog_kills_wedged_daemon(self, sim):
+        import urllib.request
+
+        from circuitmap_tpu.serve import WATCHDOG_EXIT_CODE
+
+        # 2 s bound: the first /fit's cold trace+compile far exceeds it,
+        # standing in for a wedged device dispatch
+        client, proc = _start_server(
+            "--status-port", "0", "--request-timeout-s", "2")
+        try:
+            sp = getattr(proc, "status_port", None)
+            assert sp, "no STATUS line before SERVING"
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{sp}/health", timeout=10) as r:
+                h = json.loads(r.read())
+            assert h["status"] == "ok" and h["busy"] is False
+            with pytest.raises(Exception):
+                client.fit(sim["psc"][:64], sim["stim_matrix"][:, :64],
+                           iters=2, verbose=False)
+            assert proc.wait(timeout=60) == WATCHDOG_EXIT_CODE
+        finally:
+            if proc.poll() is None:
+                proc.kill()
