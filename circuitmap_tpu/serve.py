@@ -1420,11 +1420,26 @@ class FitClient:
     >>> state["mu"]          # posterior weight means, [N]
     """
 
+    # endpoints safe to re-send after a CONNECTION-level failure (no
+    # HTTP response at all — server down/restarting, refused, reset):
+    # stateless requests whose replay changes nothing. Stream
+    # mutations (/stream/<n>/update advances trial counters) and
+    # /shutdown are deliberately absent: replaying them after an
+    # ambiguous failure could double-apply.
+    _RETRY_SAFE = frozenset(("/health", "/fit", "/fit_many", "/demix",
+                             "/warm"))
+
     def __init__(self, base_url=f"http://127.0.0.1:{DEFAULT_PORT}",
-                 timeout=600.0, token=None):
+                 timeout=600.0, token=None, retries=0,
+                 retry_backoff_s=1.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.token = token
+        # retries > 0: re-send stateless requests that failed at the
+        # connection level (see _RETRY_SAFE) with exponential backoff —
+        # rides out a supervisor restart of a watchdog-killed daemon
+        self.retries = int(retries)
+        self.retry_backoff_s = float(retry_backoff_s)
 
     def _request(self, method, path, body=None, options=None):
         import urllib.error
@@ -1439,18 +1454,30 @@ class FitClient:
             headers["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(
             self.base_url + path, data=body, headers=headers, method=method)
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                payload = resp.read()
-                ctype = resp.headers.get("Content-Type", "")
-        except urllib.error.HTTPError as exc:
-            detail = exc.read().decode(errors="replace")
+        attempts = 1 + (self.retries if path in self._RETRY_SAFE else 0)
+        for attempt in range(attempts):
             try:
-                detail = json.loads(detail)["error"]
-            except Exception:
-                pass
-            raise RuntimeError(
-                f"{method} {path} → HTTP {exc.code}: {detail}") from None
+                with urllib.request.urlopen(
+                        req, timeout=self.timeout) as resp:
+                    payload = resp.read()
+                    ctype = resp.headers.get("Content-Type", "")
+                break
+            except urllib.error.HTTPError as exc:
+                # the server answered: a real 4xx/5xx, never retried
+                detail = exc.read().decode(errors="replace")
+                try:
+                    detail = json.loads(detail)["error"]
+                except Exception:
+                    pass
+                raise RuntimeError(
+                    f"{method} {path} → HTTP {exc.code}: {detail}"
+                ) from None
+            except OSError:
+                # no HTTP response (URLError wraps refused/reset/DNS;
+                # socket timeouts are OSError too): retry if allowed
+                if attempt + 1 >= attempts:
+                    raise
+                time.sleep(self.retry_backoff_s * (2 ** attempt))
         if ctype.startswith("application/npz"):
             return {k: v for k, v in
                     np.load(io.BytesIO(payload), allow_pickle=False).items()}
@@ -1458,6 +1485,24 @@ class FitClient:
 
     def health(self):
         return self._request("GET", "/health")
+
+    def wait_ready(self, timeout_s=120.0, poll_s=1.0):
+        """Block until the server answers ``/health`` — e.g. right
+        after a supervisor restarted a watchdog-killed daemon, or
+        while a fresh one is still loading its demixer. Returns the
+        health payload; raises ``TimeoutError`` if it never comes up.
+        (An HTTP-level error — wrong token, bad route — raises
+        immediately: the server is up, waiting won't fix it.)"""
+        deadline = time.monotonic() + float(timeout_s)
+        while True:
+            try:
+                return self.health()
+            except OSError:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"server at {self.base_url} not ready after "
+                        f"{timeout_s:.0f}s")
+                time.sleep(poll_s)
 
     def demix(self, psc, trace_wire=None, psc_wire=None):
         opts = {"trace_wire": trace_wire} if trace_wire else None

@@ -1186,3 +1186,107 @@ class TestOperationsCLI:
         finally:
             if proc.poll() is None:
                 proc.kill()
+
+
+class TestClientRetries:
+    """FitClient connection-level retries + wait_ready: the rig-side
+    half of the supervisor-restart story."""
+
+    class _FakeResp:
+        headers = {"Content-Type": "application/json"}
+
+        def read(self):
+            return b'{"ok": true}'
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def test_retries_stateless_endpoints_only(self, monkeypatch):
+        import urllib.error
+        import urllib.request
+
+        from circuitmap_tpu.serve import FitClient
+
+        calls = []
+
+        def fake_urlopen(req, timeout=None):
+            calls.append(req.selector)
+            if len(calls) < 3:
+                raise urllib.error.URLError(
+                    ConnectionRefusedError(111, "refused"))
+            return self._FakeResp()
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        cli = FitClient("http://127.0.0.1:1", retries=2,
+                        retry_backoff_s=0.01)
+        assert cli.health() == {"ok": True}
+        assert len(calls) == 3  # two refused attempts, then success
+
+        # stream mutations are NOT replay-safe: exactly one attempt
+        calls.clear()
+        with pytest.raises(OSError):
+            cli.stream_save("exp")
+        assert len(calls) == 1
+
+        # default client: no retries anywhere
+        calls.clear()
+        with pytest.raises(OSError):
+            FitClient("http://127.0.0.1:1").health()
+        assert len(calls) == 1
+
+    def test_http_errors_never_retried(self, monkeypatch):
+        import urllib.error
+        import urllib.request
+
+        from circuitmap_tpu.serve import FitClient
+
+        calls = []
+
+        import io
+
+        def fake_urlopen(req, timeout=None):
+            calls.append(1)
+            raise urllib.error.HTTPError(
+                req.full_url, 400, "Bad Request", {},
+                io.BytesIO(b'{"error": "bad"}'))
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        cli = FitClient("http://127.0.0.1:1", retries=5,
+                        retry_backoff_s=0.01)
+        with pytest.raises(RuntimeError, match="HTTP 400: bad"):
+            cli.health()
+        assert len(calls) == 1  # the server answered: no replay
+
+    def test_wait_ready_rides_out_a_restart(self):
+        import threading
+        from http.server import HTTPServer
+
+        from circuitmap_tpu.serve import (FitClient, FitService,
+                                          _make_handler)
+
+        svc = FitService()
+        box = [None]
+        httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc, box))
+        box[0] = httpd
+        port = httpd.server_address[1]
+        cli = FitClient(f"http://127.0.0.1:{port}")
+        # not serving yet: wait_ready must block, then succeed once
+        # the accept loop starts 0.3 s later
+        threading.Timer(0.3, lambda: threading.Thread(
+            target=httpd.serve_forever, daemon=True).start()).start()
+        try:
+            h = cli.wait_ready(timeout_s=30, poll_s=0.1)
+            assert h["status"] == "ok"
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def test_wait_ready_times_out(self):
+        from circuitmap_tpu.serve import FitClient
+
+        cli = FitClient("http://127.0.0.1:1", timeout=1)
+        with pytest.raises(TimeoutError, match="not ready"):
+            cli.wait_ready(timeout_s=0.3, poll_s=0.05)
