@@ -10,7 +10,10 @@
 // trapezoidal reduction with parallel streaming passes so the TPU
 // pipeline is fed at memory bandwidth.
 //
-// Build: g++ -O3 -march=native -shared -fPIC windowing.cpp -o libwindowing.so
+// Build: g++ -O3 -ffp-contract=off -shared -fPIC windowing.cpp -o libwindowing.so
+// (-ffp-contract=off: the int4d2 decode upsample must stay bit-for-bit
+// equal to the numpy/device mul+add — an FMA contraction would break
+// the requantise-identity contract on FMA targets)
 // ABI: plain C, used via ctypes (circuitmap_tpu/utils/native.py).
 
 #include <algorithm>
@@ -387,12 +390,15 @@ int64_t encode_impl(const T* src, int64_t B, int64_t T_len,
 
         // pass B: |peak| and finiteness in ONE integer max reduction —
         // for IEEE floats the absolute-value bit patterns compare like
-        // unsigned ints, with inf/nan above every finite value
+        // unsigned ints, with inf/nan above every finite value.
+        // (memcpy, not a uint32_t* cast: two restrict pointers of
+        // different types aliasing tmp is UB; memcpy of 4 bytes
+        // compiles to the same plain load)
         uint32_t imax = 0;
-        const uint32_t* __restrict tb =
-            reinterpret_cast<const uint32_t*>(tp);
         for (int64_t i = 0; i < t2; ++i) {
-            const uint32_t m = tb[i] & 0x7fffffffu;
+            uint32_t m;
+            std::memcpy(&m, tp + i, sizeof(m));
+            m &= 0x7fffffffu;
             imax = m > imax ? m : imax;
         }
         if (imax >= 0x7f800000u) {  // inf or nan somewhere in the row

@@ -535,20 +535,16 @@ class FitService:
     # -- endpoints ----------------------------------------------------------
 
     def do_health(self):
-        return "application/json", json.dumps({
-            "status": "ok",
-            "device": self.device,
-            "platform": self.platform,
-            "uptime_s": round(time.time() - self._t0, 1),
-            "fits": self.n_fits,
-            "demixes": self.n_demixes,
-            "streams": {name: {"trials": s.trial_count,
-                               "iterations": s.iteration}
-                        for name, s in self.streams.items()},
-            "demixer": self.demixer_path,
-            "mesh_devices": (int(self.mesh.devices.size)
-                             if self.mesh is not None else 0),
-        }).encode()
+        # one source of truth with the sidecar's payload; busy/inflight
+        # are dropped — the main thread answering /health at all means
+        # it is not wedged (and inflight would just name this request)
+        payload = self.status_payload()
+        payload.pop("busy", None)
+        payload.pop("inflight", None)
+        payload["demixer"] = self.demixer_path
+        payload["mesh_devices"] = (int(self.mesh.devices.size)
+                                   if self.mesh is not None else 0)
+        return "application/json", json.dumps(payload).encode()
 
     def status_payload(self):
         """Wedge-proof liveness snapshot for the status sidecar.
@@ -570,9 +566,11 @@ class FitService:
             "uptime_s": round(time.time() - self._t0, 1),
             "fits": self.n_fits,
             "demixes": self.n_demixes,
+            # snapshot first: the main serving thread mutates the dict
+            # (stream create/delete) while the sidecar thread iterates
             "streams": {name: {"trials": s.trial_count,
                                "iterations": s.iteration}
-                        for name, s in self.streams.items()},
+                        for name, s in list(self.streams.items())},
         }
         if snap is not None:
             method, path, t0 = snap
@@ -1421,10 +1419,11 @@ class FitClient:
     """
 
     # endpoints safe to re-send after a CONNECTION-level failure (no
-    # HTTP response at all — server down/restarting, refused, reset):
-    # stateless requests whose replay changes nothing. Stream
-    # mutations (/stream/<n>/update advances trial counters) and
-    # /shutdown are deliberately absent: replaying them after an
+    # HTTP response at all — server down/restarting, refused, reset;
+    # a client-side read timeout is NOT one of these and is never
+    # retried): stateless requests whose replay changes nothing.
+    # Stream mutations (/stream/<n>/update advances trial counters)
+    # and /shutdown are deliberately absent: replaying them after an
     # ambiguous failure could double-apply.
     _RETRY_SAFE = frozenset(("/health", "/fit", "/fit_many", "/demix",
                              "/warm"))
@@ -1472,9 +1471,16 @@ class FitClient:
                 raise RuntimeError(
                     f"{method} {path} → HTTP {exc.code}: {detail}"
                 ) from None
-            except OSError:
-                # no HTTP response (URLError wraps refused/reset/DNS;
-                # socket timeouts are OSError too): retry if allowed
+            except OSError as exc:
+                # no HTTP response (URLError wraps refused/reset/DNS).
+                # A client-side read TIMEOUT is NOT retried: the
+                # single-threaded server may still be working on the
+                # original request, and a re-send would queue a
+                # duplicate fit behind it exactly when it is slowest —
+                # raise so the caller can lengthen `timeout` instead.
+                reason = getattr(exc, "reason", exc)
+                if isinstance(reason, TimeoutError):
+                    raise
                 if attempt + 1 >= attempts:
                     raise
                 time.sleep(self.retry_backoff_s * (2 ** attempt))

@@ -27,7 +27,8 @@ _load_failed = False
 
 def _build():
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+        "-std=c++17", "-pthread",
         str(_SRC), "-o", str(_LIB),
     ]
     subprocess.run(cmd, check=True, capture_output=True)

@@ -205,7 +205,9 @@ class PackedInt4Traces:
         self.t_true = t_true
         self.decimate = decimate
         self.lead = lead
-        self._dense = None
+        # one-slot holder so flat() views SHARE the memo with their
+        # parent (a dense() on either fills it for both)
+        self._dense = [None]
 
     @property
     def shape(self):
@@ -230,12 +232,12 @@ class PackedInt4Traces:
 
     def dense(self):
         """Dense f32 [*lead, T] reconstruction (memoised flat)."""
-        if self._dense is None:
-            self._dense = decode_int4_traces(
+        if self._dense[0] is None:
+            self._dense[0] = decode_int4_traces(
                 self.packed, self.scale, self.t_true, self.decimate)
         if len(self.lead) == 1:
-            return self._dense
-        return self._dense.reshape(*self.lead, self.t_true)
+            return self._dense[0]
+        return self._dense[0].reshape(*self.lead, self.t_true)
 
     def __array__(self, dtype=None, copy=None):
         d = self.dense()

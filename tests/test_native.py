@@ -216,6 +216,13 @@ class TestTraceEncoders:
         flat = c3.flat()
         assert flat.shape == (16, 301) and flat.packed is c3.packed
         np.testing.assert_array_equal(flat.dense(), d1)
+        # the memo is SHARED both ways: densifying the flat view must
+        # fill the parent's memo too (and vice versa) — the flagship
+        # decode would otherwise run twice per request
+        c4 = PackedInt4Traces(packed, scale, 301, 2, lead=(4, 4))
+        f4 = c4.flat()
+        base = f4.dense()
+        assert c4.dense().base is base or c4._dense[0] is base
         with pytest.raises(ValueError, match="lead"):
             PackedInt4Traces(packed, scale, 301, 2, lead=(3, 4))
 

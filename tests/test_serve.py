@@ -1237,6 +1237,41 @@ class TestClientRetries:
             FitClient("http://127.0.0.1:1").health()
         assert len(calls) == 1
 
+    def test_read_timeouts_never_retried(self, monkeypatch):
+        """A client-side read timeout means the single-threaded server
+        may still be WORKING on the original request — replaying would
+        queue a duplicate fit behind it. Both the bare socket.timeout
+        (read phase) and a URLError-wrapped one (connect phase) must
+        raise immediately, even with retries enabled."""
+        import socket
+        import urllib.error
+        import urllib.request
+
+        from circuitmap_tpu.serve import FitClient
+
+        calls = []
+
+        def raw_timeout(req, timeout=None):
+            calls.append(1)
+            raise socket.timeout("timed out")
+
+        monkeypatch.setattr(urllib.request, "urlopen", raw_timeout)
+        cli = FitClient("http://127.0.0.1:1", retries=5,
+                        retry_backoff_s=0.01)
+        with pytest.raises(OSError):
+            cli.health()
+        assert len(calls) == 1
+
+        def wrapped_timeout(req, timeout=None):
+            calls.append(1)
+            raise urllib.error.URLError(socket.timeout("timed out"))
+
+        calls.clear()
+        monkeypatch.setattr(urllib.request, "urlopen", wrapped_timeout)
+        with pytest.raises(OSError):
+            cli.health()
+        assert len(calls) == 1
+
     def test_http_errors_never_retried(self, monkeypatch):
         import urllib.error
         import urllib.request
