@@ -35,6 +35,17 @@ _laplace_refit_many = jax.jit(
     jax.vmap(laplace_phi_update, in_axes=(0, 0, None, None, None))
 )
 
+# the ragged-batch variant: lam/stim carry inert padded columns beyond
+# each experiment's true trial count, so the bucket-0 counts need the
+# per-experiment total_trials correction (powercurve_stats contract)
+_laplace_refit_many_kt = jax.jit(
+    jax.vmap(
+        lambda lam, stim, phi_p, phi_cov_p, powers, kt: laplace_phi_update(
+            lam, stim, phi_p, phi_cov_p, powers, total_trials=kt),
+        in_axes=(0, 0, None, None, None, 0),
+    )
+)
+
 
 @jax.jit
 def _many_init(stim_dev, actives):
@@ -43,6 +54,16 @@ def _many_init(stim_dev, actives):
     lam0 = jnp.where(stim_dev > 0, jnp.asarray(0.95, stim_dev.dtype), 0.0) \
         * lam_masks[:, None, :]
     return lam_masks, lam0
+
+
+@jax.jit
+def _many_init_ragged(stim_dev, actives, kts):
+    """_many_init with per-experiment true trial counts: the activity
+    mask is zeroed beyond each k_true, guaranteeing the padded columns
+    enter the fit exactly like _run_caviar's own inert 128-alignment
+    padding (zero traces, zero stim, zero mask — caviar.py:515)."""
+    valid = jnp.arange(stim_dev.shape[-1])[None, :] < kts[:, None]
+    return _many_init(stim_dev, jnp.logical_and(actives, valid))
 
 
 def caviar_many(
@@ -81,6 +102,20 @@ def caviar_many(
 
     Priors are shared across maps. Returns a list of B result dicts
     with keys mu/beta/lam/shape/rate/phi/phi_cov/z.
+
+    RAGGED batches — experiments with different trial counts — are
+    accepted as a list/tuple of [K_b, T] trace blocks with a matching
+    list of [N, K_b] stims (same N, T and power levels). The stack is
+    padded to one shared 128-aligned K and fit with per-experiment
+    traced ``k_true`` (the streaming solver's capacity-buffer
+    contract: padded columns are inert, caviar.py:515), so the whole
+    ragged stack still shares ONE compiled program; per-experiment
+    results come back at each experiment's true width. Each fit
+    matches the same experiment fit alone to the inert-padding
+    tolerance (~1e-6 absolute), not bit-for-bit — the 128-padding
+    width differs. Host padding cost is B*K_max-sized, so a stack
+    with one giant and many tiny experiments wastes wire and compute
+    on the padding; split such stacks by size class.
 
     With ``mesh`` the *experiment* axis shards over the mesh devices —
     each device vmaps over its local slice of experiments, with zero
@@ -135,6 +170,55 @@ def caviar_many(
     dispatch when B is large and no single fit shares the process.
     """
     from ..utils.quant import PackedInt4Traces
+
+    # ragged batches: a list/tuple of per-experiment [K_b, T] trace
+    # blocks with DIFFERENT trial counts (matching [N, K_b] stims) —
+    # cross-session folds, variable-length maps. Padded to one shared
+    # 128-aligned K and fit with per-experiment TRACED k_true, so the
+    # whole ragged stack shares a single compiled program; the padded
+    # columns are inert (the capacity-buffer contract the streaming
+    # solver is built on, caviar.py:515 / solvers/online.py)
+    k_trues = None
+    stims_true = None  # per-experiment true-width stims (host fn-scan)
+    if isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0:
+        ks = [int(np.shape(a)[0]) for a in y_pscs]
+        if len(set(ks)) > 1:
+            if any(isinstance(a, (jax.Array, PackedInt4Traces))
+                   for a in y_pscs):
+                raise ValueError(
+                    "ragged batches take host trace arrays; device or "
+                    "wire-form bodies must share one shape")
+            if not isinstance(stims, (list, tuple)) or len(stims) != len(
+                    y_pscs):
+                raise ValueError(
+                    f"ragged y_pscs ({len(y_pscs)} experiments) needs a "
+                    "matching list of per-experiment [N, K_b] stims")
+            ys_list = [np.asarray(a) for a in y_pscs]
+            st_list = [np.asarray(s) for s in stims]
+            t_len = ys_list[0].shape[1] if ys_list[0].ndim == 2 else -1
+            n_cells = st_list[0].shape[0] if st_list[0].ndim == 2 else -1
+            for b, (a, s) in enumerate(zip(ys_list, st_list)):
+                if a.ndim != 2 or a.shape[1] != t_len:
+                    raise ValueError(
+                        f"experiment {b}: traces must be [K_b, {t_len}], "
+                        f"got {a.shape}")
+                if s.shape != (n_cells, a.shape[0]):
+                    raise ValueError(
+                        f"experiment {b}: stim must be "
+                        f"[{n_cells}, {a.shape[0]}], got {s.shape}")
+            k_pad = -(-max(ks) // 128) * 128
+            t_dt = (np.float64 if any(a.dtype == np.float64
+                                      for a in ys_list) else np.float32)
+            y_pad = np.zeros((len(ys_list), k_pad, t_len), t_dt)
+            s_pad = np.zeros(
+                (len(st_list), n_cells, k_pad),
+                np.result_type(*[s.dtype for s in st_list]))
+            for b, (a, s) in enumerate(zip(ys_list, st_list)):
+                y_pad[b, :ks[b]] = a
+                s_pad[b, :, :ks[b]] = s
+            y_pscs, stims = y_pad, s_pad
+            k_trues = np.asarray(ks, np.int32)
+            stims_true = st_list
 
     if isinstance(y_pscs, (jax.Array, PackedInt4Traces)):
         pass  # device-resident (e.g. a batched demixer output) or an
@@ -192,8 +276,11 @@ def caviar_many(
                 )
 
     if verbose:
+        ragged = ("" if k_trues is None else
+                  f", ragged trials {k_trues.min()}-{k_trues.max()} "
+                  f"padded to {K}")
         print(f"Running CAVIaR on {B} experiments "
-              f"(compile_mode={mode}).")
+              f"(compile_mode={mode}{ragged}).")
 
     if isinstance(y_pscs, PackedInt4Traces):
         # wire-form batch body: one flattened device unpack, no host
@@ -235,7 +322,11 @@ def caviar_many(
     ys, actives = jax.vmap(prepare_observations, in_axes=(0, None))(
         y_dev, y_xcorr_thresh
     )
-    lam_masks, lam0 = _many_init(stim_dev, actives)
+    kts = None if k_trues is None else jnp.asarray(k_trues, jnp.int32)
+    if kts is None:
+        lam_masks, lam0 = _many_init(stim_dev, actives)
+    else:
+        lam_masks, lam0 = _many_init_ragged(stim_dev, actives, kts)
     # device powers from the uploaded-stim level table (f64 contract)
     powers = jnp.asarray(powers_dev_np, dtype=dtype)
 
@@ -268,9 +359,10 @@ def caviar_many(
             "auto", sweep_block_size, k=stim_dev.shape[-1])
         seq_block, seq_impl = block_sz, sweep_impl_res
 
-    def one(y, stim, l0, mask, key):
+    def one(y, stim, l0, mask, key, kt=None):
         final, _, _ = _run_caviar(
             y, stim, l0, mask, powers, *priors, key,
+            k_true=kt,
             iters=int(iters),
             num_mc_samples=int(num_mc_samples),
             minimum_spike_count=int(minimum_spike_count),
@@ -304,6 +396,10 @@ def caviar_many(
             final_b, _, _ = _run_caviar(
                 ys[b], stim_dev[b], lam0[b], lam_masks[b], powers,
                 *priors, keys[b],
+                # host scalar, not an eager kts[b] slice: one tiny
+                # transfer per experiment, same class as keys[b]
+                k_true=(None if k_trues is None
+                        else jnp.asarray(k_trues[b], jnp.int32)),
                 iters=int(iters),
                 num_mc_samples=int(num_mc_samples),
                 minimum_spike_count=int(minimum_spike_count),
@@ -324,7 +420,11 @@ def caviar_many(
         finals = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *finals_list)
     elif mesh is None:
-        finals = jax.vmap(one)(ys, stim_dev, lam0, lam_masks, keys)
+        if kts is None:
+            finals = jax.vmap(one)(ys, stim_dev, lam0, lam_masks, keys)
+        else:
+            finals = jax.vmap(one)(ys, stim_dev, lam0, lam_masks, keys,
+                                   kts)
     else:
         from jax.sharding import PartitionSpec as P
 
@@ -332,18 +432,15 @@ def caviar_many(
 
         n_dev = mesh.devices.size
         pad_b = (-B) % n_dev
+        args = [ys, stim_dev, lam0, lam_masks, keys]
+        if kts is not None:
+            args.append(kts)
         if pad_b:
             def _pad(a):
                 return jnp.concatenate(
                     [a, jnp.repeat(a[-1:], pad_b, axis=0)], axis=0
                 )
-            ys_p, stim_p, lam0_p, masks_p, keys_p = map(
-                _pad, (ys, stim_dev, lam0, lam_masks, keys)
-            )
-        else:
-            ys_p, stim_p, lam0_p, masks_p, keys_p = (
-                ys, stim_dev, lam0, lam_masks, keys
-            )
+            args = [_pad(a) for a in args]
         from .caviar import CaviarState
 
         spec = P(TRIAL_AXIS)  # leading (experiment) axis over the 1-D mesh
@@ -354,10 +451,10 @@ def caviar_many(
         finals = jax.shard_map(
             jax.vmap(one),
             mesh=mesh,
-            in_specs=(spec,) * 5,
+            in_specs=(spec,) * len(args),
             out_specs=out_spec,
             check_vma=False,
-        )(ys_p, stim_p, lam0_p, masks_p, keys_p)
+        )(*args)
         if pad_b:
             finals = jax.tree_util.tree_map(lambda a: a[:B], finals)
 
@@ -375,13 +472,17 @@ def caviar_many(
     results = []
     reconnected_idx = []
     for b in range(B):
+        # ragged: results carry each experiment's TRUE width (the
+        # padded columns are implementation detail, not posteriors)
+        kb = K if k_trues is None else int(k_trues[b])
+        stim_b = stims_np[b] if stims_true is None else stims_true[b]
         mu = host["mu"][b].copy()
         beta = host["beta"][b].copy()
-        lam = host["lam"][b]
-        z = host["z"][b].copy()
+        lam = host["lam"][b][:, :kb]
+        z = host["z"][b][:kb].copy()
         if fn_scan:
             mu, beta, lam, z, reconnected = reconnect_from_spontaneous(
-                None, stims_np[b], lam, mu, beta, z,
+                None, stim_b, lam, mu, beta, z,
                 msrmp=msrmp, minimum_spike_count=minimum_spike_count,
                 powers=powers_np, verbose=False,
             )
@@ -399,10 +500,25 @@ def caviar_many(
         })
     if reconnected_idx:
         idx = np.asarray(reconnected_idx)
-        lam_sel = jnp.asarray(
-            np.stack([results[b]["lam"] for b in reconnected_idx]), dtype)
-        phi_sel, phi_cov_sel = _laplace_refit_many(
-            lam_sel, stim_dev[idx], priors[4], priors[5], powers)
+        if k_trues is None:
+            lam_sel = jnp.asarray(
+                np.stack([results[b]["lam"] for b in reconnected_idx]),
+                dtype)
+            phi_sel, phi_cov_sel = _laplace_refit_many(
+                lam_sel, stim_dev[idx], priors[4], priors[5], powers)
+        else:
+            # ragged: pad the true-width lam back to the shared K so
+            # the batched refit can run against the padded stim stack;
+            # total_trials keeps the bucket-0 counts exact
+            lam_pad = np.zeros(
+                (len(reconnected_idx), stims_np.shape[1], K),
+                results[reconnected_idx[0]]["lam"].dtype)
+            for j, b in enumerate(reconnected_idx):
+                lam_pad[j, :, :int(k_trues[b])] = results[b]["lam"]
+            phi_sel, phi_cov_sel = _laplace_refit_many_kt(
+                jnp.asarray(lam_pad, dtype), stim_dev[idx],
+                priors[4], priors[5], powers,
+                jnp.asarray(k_trues[idx], dtype))
         phi_sel = np.asarray(phi_sel)
         phi_cov_sel = np.asarray(phi_cov_sel)
         for j, b in enumerate(reconnected_idx):

@@ -267,3 +267,109 @@ def test_trace_wire_matches_plain_upload(sims):
                                       wired[b]["mu"] != 0)
         np.testing.assert_allclose(plain[b]["mu"], wired[b]["mu"],
                                    rtol=0.1, atol=0.05)
+
+
+@pytest.fixture(scope="module")
+def ragged_sims():
+    """Three maps of the same rig with DIFFERENT trial counts."""
+    out = []
+    for seed, k in ((41, 192), (42, 320), (43, 256)):
+        np.random.seed(seed)
+        out.append(simulate(N=24, trials=k, H=3, connection_prob=0.2,
+                            spont_prob=0.01, gp_scale=1e-3, verbose=False))
+    return out
+
+
+class TestRagged:
+    """Ragged batches: experiments with different trial counts padded
+    to one shared K and fit with per-experiment traced k_true (the
+    streaming solver's inert-padding contract)."""
+
+    P = default_priors(24)
+    PRIOR_ARGS = (P["mu"], P["beta"], P["shape"], P["rate"], P["phi"],
+                  P["phi_cov"])
+
+    @staticmethod
+    def _lists(ragged_sims):
+        return ([s["psc"] for s in ragged_sims],
+                [s["stim_matrix"] for s in ragged_sims])
+
+    def test_matches_individual_fits(self, ragged_sims):
+        """Each ragged-batch posterior equals the same experiment fit
+        alone (to the inert-padding tolerance: the 128-padded widths
+        differ, 384 shared vs per-experiment)."""
+        ys, sts = self._lists(ragged_sims)
+        kw = dict(iters=10, fn_scan=False, analytic_mc=True)
+        batch = caviar_many(ys, sts, *self.PRIOR_ARGS,
+                            seeds=[0, 1, 2], verbose=False, **kw)
+        for b, s in enumerate(ragged_sims):
+            k_b = s["psc"].shape[0]
+            assert batch[b]["lam"].shape == (24, k_b)
+            assert batch[b]["z"].shape == (k_b,)
+            single = caviar(s["psc"], s["stim_matrix"], *self.PRIOR_ARGS,
+                            seed=b, verbose=False, sweep_impl="xla", **kw)
+            np.testing.assert_allclose(np.asarray(single[0]),
+                                       batch[b]["mu"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(single[2]),
+                                       batch[b]["lam"],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_modes_agree(self, ragged_sims):
+        ys, sts = self._lists(ragged_sims)
+        kw = dict(iters=8, fn_scan=False, analytic_mc=True,
+                  seeds=[0, 1, 2], verbose=False)
+        seq = caviar_many(ys, sts, *self.PRIOR_ARGS,
+                          compile_mode="sequential", **kw)
+        bat = caviar_many(ys, sts, *self.PRIOR_ARGS,
+                          compile_mode="batched", **kw)
+        for b in range(3):
+            np.testing.assert_allclose(seq[b]["mu"], bat[b]["mu"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(seq[b]["lam"], bat[b]["lam"],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_mesh_matches_local(self, ragged_sims):
+        from circuitmap_tpu.parallel import trial_mesh
+
+        ys, sts = self._lists(ragged_sims)
+        kw = dict(iters=8, fn_scan=False, analytic_mc=True,
+                  seeds=[0, 1, 2], verbose=False)
+        local = caviar_many(ys, sts, *self.PRIOR_ARGS,
+                            compile_mode="batched", **kw)
+        mesh = caviar_many(ys, sts, *self.PRIOR_ARGS,
+                           mesh=trial_mesh(4), **kw)
+        for b in range(3):
+            np.testing.assert_allclose(local[b]["mu"], mesh[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(local[b]["lam"], mesh[b]["lam"],
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_fn_scan_reconnect_and_recovery(self, ragged_sims):
+        """fn_scan=True exercises the ragged reconnect + the padded
+        batched power-curve refit; recovery must hold per map."""
+        ys, sts = self._lists(ragged_sims)
+        batch = caviar_many(ys, sts, *self.PRIOR_ARGS, iters=15,
+                            fn_scan=True, analytic_mc=True,
+                            seeds=[0, 1, 2], verbose=False)
+        for b, s in enumerate(ragged_sims):
+            assert batch[b]["lam"].shape[1] == s["psc"].shape[0]
+            r2 = r2_score(s["weights"], batch[b]["mu"])
+            assert r2 > 0.9, f"map {b}: R2={r2:.3f}"
+
+    def test_validation(self, ragged_sims):
+        import jax.numpy as jnp
+
+        ys, sts = self._lists(ragged_sims)
+        with pytest.raises(ValueError, match="matching list"):
+            caviar_many(ys, np.stack([s[:, :192] for s in sts]),
+                        *self.PRIOR_ARGS, verbose=False)
+        with pytest.raises(ValueError, match="stim must be"):
+            caviar_many(ys, [sts[0], sts[0], sts[2]],
+                        *self.PRIOR_ARGS, verbose=False)
+        with pytest.raises(ValueError, match="traces must be"):
+            caviar_many([ys[0], ys[1][:, :-1], ys[2]], sts,
+                        *self.PRIOR_ARGS, verbose=False)
+        with pytest.raises(ValueError, match="host trace arrays"):
+            caviar_many([jnp.asarray(ys[0]), ys[1], ys[2]], sts,
+                        *self.PRIOR_ARGS, verbose=False)
