@@ -669,17 +669,129 @@ class FitService:
                             keep_on_device=True, transfer_dtype=wire)
         return jnp.reshape(flat, (b, k, flat.shape[-1]))
 
+    def _resolve_many_mesh(self, opts):
+        """Shared /fit_many mesh-option handling (sharded= knob)."""
+        sharded = opts.pop("sharded", None)
+        if sharded is not None:
+            sharded = bool(sharded)
+        if sharded and self.mesh is None:
+            raise _BadRequest("sharded fit_many requested but the server "
+                              "has no mesh (start it with --mesh N)")
+        if self.mesh is not None and sharded is not False:
+            opts["mesh"] = self.mesh
+
+    def _run_caviar_many(self, obs, stims, opts, **extra):
+        """Shared /fit_many solver call: default priors + 400 on
+        solver-level rejections."""
+        from .model import default_priors
+        from .solvers import caviar_many
+
+        opts.setdefault("verbose", False)
+        priors = dict(self.priors or {})
+        for key, val in default_priors(stims.shape[1]).items():
+            priors.setdefault(key, val)
+        try:
+            results = caviar_many(
+                obs, stims, priors["mu"], priors["beta"], priors["shape"],
+                priors["rate"], priors["phi"], priors["phi_cov"],
+                **extra, **opts)
+        except (ValueError, TypeError) as exc:
+            raise _BadRequest(f"caviar_many rejected the request: {exc}")
+        self.n_fits += len(results)
+        return results
+
+    def _fit_many_ragged(self, arrays, opts):
+        """Ragged /fit_many: ``k_trues`` splits a concatenated
+        single-experiment-wire body ('psc' [sum_K, T] — dense or any
+        quantised psc_* wire — + 'stim' [N, sum_K]) into B experiments
+        with different trial counts. The server pads to one shared
+        128-aligned K (int4 bodies pad at the WIRE level and keep the
+        device pass-through) and runs caviar_many's traced-k_true path:
+        ONE compiled program for the whole ragged stack. lam/z return
+        zero-padded to the shared K with k_trues echoed so the client
+        slices true widths."""
+        from .utils.quant import PackedInt4Traces
+
+        ks = np.asarray(arrays.pop("k_trues")).ravel()
+        if (ks.size == 0 or not np.issubdtype(ks.dtype, np.integer)
+                or (ks <= 0).any()):
+            raise _BadRequest("k_trues must be positive integer trial "
+                              "counts")
+        ks = ks.astype(np.int64)
+        B, sum_k = int(ks.size), int(ks.sum())
+        if "psc" not in arrays or "stim" not in arrays:
+            raise _BadRequest(
+                "ragged fit_many bodies carry 'psc' [sum_K, T] (or a "
+                "quantised psc_* wire) + 'stim' [N, sum_K] + 'k_trues'")
+        psc, stim = arrays["psc"], arrays["stim"]
+        if psc.ndim != 2 or len(psc) != sum_k:
+            raise _BadRequest(
+                f"psc must be [sum(k_trues)={sum_k}, T]; got "
+                f"{tuple(psc.shape)}")
+        if stim.ndim != 2 or stim.shape[1] != sum_k:
+            raise _BadRequest(
+                f"stim must be [N, sum(k_trues)={sum_k}]; got "
+                f"{tuple(stim.shape)}")
+        k_pad = -(-int(ks.max()) // 128) * 128
+        offs = np.concatenate([[0], np.cumsum(ks)])
+        if isinstance(psc, PackedInt4Traces):
+            # pad at the wire level (16x smaller than dense): zero
+            # packed rows at scale 1 decode to exact zeros
+            packed_pad = np.zeros((B * k_pad, psc.packed.shape[1]),
+                                  np.uint8)
+            scale_pad = np.ones((B * k_pad,), np.float32)
+            for b in range(B):
+                lo, hi = int(offs[b]), int(offs[b + 1])
+                packed_pad[b * k_pad:b * k_pad + hi - lo] = \
+                    psc.packed[lo:hi]
+                scale_pad[b * k_pad:b * k_pad + hi - lo] = \
+                    psc.scale[lo:hi]
+            pscs = PackedInt4Traces(packed_pad, scale_pad, psc.t_true,
+                                    psc.decimate, lead=(B, k_pad))
+        else:
+            pscs = np.zeros((B, k_pad, psc.shape[1]), psc.dtype)
+            for b in range(B):
+                pscs[b, :int(ks[b])] = psc[int(offs[b]):int(offs[b + 1])]
+        stims = np.zeros((B, stim.shape[0], k_pad), stim.dtype)
+        for b in range(B):
+            stims[b, :, :int(ks[b])] = stim[:, int(offs[b]):
+                                            int(offs[b + 1])]
+        self._resolve_many_mesh(opts)
+        obs = self._maybe_demix_many(pscs, opts)
+        results = self._run_caviar_many(obs, stims, opts, k_trues=ks)
+        out = {}
+        for key in results[0]:
+            vals = [np.asarray(r[key]) for r in results]
+            if key == "lam":
+                stack = np.zeros((B, vals[0].shape[0], k_pad),
+                                 vals[0].dtype)
+                for b, v in enumerate(vals):
+                    stack[b, :, :v.shape[1]] = v
+            elif key == "z":
+                stack = np.zeros((B, k_pad), vals[0].dtype)
+                for b, v in enumerate(vals):
+                    stack[b, :v.shape[0]] = v
+            else:
+                stack = np.stack(vals)
+            out[key] = stack
+        out["k_trues"] = ks.astype(np.int32)
+        return "application/npz", _npz_bytes(**out)
+
     def do_fit_many(self, body, options_header):
         """Fit B same-shape experiments in one dispatch
         (``solvers.caviar_many``) — the daemon's replacement for a
         SLURM job array: one warm executable serves every batch of the
-        same shape, and ``--mesh N`` shards the experiment axis."""
-        from .model import default_priors
-        from .solvers import caviar_many
-
+        same shape, and ``--mesh N`` shards the experiment axis.
+        Ragged batches (different trial counts) arrive as a
+        concatenated body + 'k_trues' (``_fit_many_ragged``)."""
         opts = self._parse_options(options_header, _FIT_MANY_OPTION_KEYS,
                                    "fit_many")
         arrays = _decode_arrays(_load_npz(body))
+        if "k_trues" in arrays:
+            # ragged batch: one concatenated [sum_K, T] trace block +
+            # one flat [N, sum_K] stim (the SINGLE-experiment wire,
+            # reused verbatim) + per-experiment trial counts
+            return self._fit_many_ragged(arrays, opts)
         if "pscs" not in arrays or "stims" not in arrays:
             raise _BadRequest("npz must carry 'pscs' [B, K, T|1] and "
                               "'stims' [B, N, K]")
@@ -696,26 +808,9 @@ class FitService:
             raise _BadRequest(
                 f"pscs carries {pscs.shape[1]} trials but stims "
                 f"{stims.shape[2]} — pscs is [B, K, T], stims [B, N, K]")
-        sharded = opts.pop("sharded", None)
-        if sharded is not None:
-            sharded = bool(sharded)
-        if sharded and self.mesh is None:
-            raise _BadRequest("sharded fit_many requested but the server "
-                              "has no mesh (start it with --mesh N)")
-        if self.mesh is not None and sharded is not False:
-            opts["mesh"] = self.mesh
+        self._resolve_many_mesh(opts)
         obs = self._maybe_demix_many(pscs, opts)
-        opts.setdefault("verbose", False)
-        priors = dict(self.priors or {})
-        for key, val in default_priors(stims.shape[1]).items():
-            priors.setdefault(key, val)
-        try:
-            results = caviar_many(
-                obs, stims, priors["mu"], priors["beta"], priors["shape"],
-                priors["rate"], priors["phi"], priors["phi_cov"], **opts)
-        except (ValueError, TypeError) as exc:
-            raise _BadRequest(f"caviar_many rejected the request: {exc}")
-        self.n_fits += len(results)
+        results = self._run_caviar_many(obs, stims, opts)
         out = {key: np.stack([np.asarray(r[key]) for r in results])
                for key in results[0]}
         return "application/npz", _npz_bytes(**out)
@@ -1561,11 +1656,24 @@ class FitClient:
         ``stims``: [B, N, K]. Returns a dict of stacked arrays
         (``mu`` [B, N], ``lam`` [B, N, K], ...). Wire levers as in
         ``fit`` — the batched design ships as one sparse [N, B*K]
-        hologram matrix when column-sparse."""
-        pscs, stims = np.asarray(pscs), np.asarray(stims)
+        hologram matrix when column-sparse.
+
+        RAGGED batches — a list of [K_b, T] trace blocks with
+        DIFFERENT trial counts and a matching list of [N, K_b] stims —
+        ship as one concatenated single-experiment-wire body (no
+        padding bytes on the wire) plus ``k_trues``; the server pads
+        and fits them through caviar_many's traced-k_true path. The
+        return is then a LIST of per-experiment dicts at each
+        experiment's true width (mirroring ``caviar_many``)."""
         opts = dict(fit_options)
         if demix is not None:
             opts["demix"] = bool(demix)
+        if isinstance(pscs, (list, tuple)) and len(pscs) > 0:
+            ks = [int(np.shape(p)[0]) for p in pscs]
+            if len(set(ks)) > 1:
+                return self._fit_many_ragged(pscs, stims, ks, sparse_stim,
+                                             psc_wire, opts)
+        pscs, stims = np.asarray(pscs), np.asarray(stims)
         arrays = {"pscs" + key[len("psc"):]: val
                   for key, val in _encode_psc(pscs, psc_wire).items()}
         sparse = None
@@ -1580,6 +1688,40 @@ class FitClient:
             arrays["stims"] = stims
         return self._request("POST", "/fit_many",
                              body=_npz_bytes(**arrays), options=opts)
+
+    def _fit_many_ragged(self, pscs, stims, ks, sparse_stim, psc_wire,
+                         opts):
+        if not isinstance(stims, (list, tuple)) or len(stims) != len(
+                pscs):
+            raise ValueError(
+                f"ragged pscs ({len(pscs)} experiments) needs a matching "
+                "list of per-experiment [N, K_b] stims")
+        for b, (p, s) in enumerate(zip(pscs, stims)):
+            if np.shape(s)[-1] != ks[b]:
+                raise ValueError(
+                    f"experiment {b}: stim carries {np.shape(s)[-1]} "
+                    f"trials but traces {ks[b]}")
+        cat = np.concatenate([np.asarray(p) for p in pscs], axis=0)
+        flat = np.concatenate([np.asarray(s) for s in stims], axis=1)
+        arrays = _encode_psc(cat, psc_wire)
+        sparse = encode_stim_sparse(flat) if sparse_stim else None
+        arrays.update(sparse if sparse is not None else {"stim": flat})
+        arrays["k_trues"] = np.asarray(ks, np.int32)
+        out = self._request("POST", "/fit_many",
+                            body=_npz_bytes(**arrays), options=opts)
+        out.pop("k_trues", None)  # we know the true widths we sent
+        results = []
+        for b, kb in enumerate(ks):
+            d = {}
+            for key, val in out.items():
+                v = val[b]
+                if key == "lam":
+                    v = v[:, :kb]
+                elif key == "z":
+                    v = v[:kb]
+                d[key] = v
+            results.append(d)
+        return results
 
     def warm(self, shapes, iters=50, **options):
         shapes = [list(map(int, s)) for s in

@@ -57,13 +57,19 @@ def _many_init(stim_dev, actives):
 
 
 @jax.jit
-def _many_init_ragged(stim_dev, actives, kts):
-    """_many_init with per-experiment true trial counts: the activity
-    mask is zeroed beyond each k_true, guaranteeing the padded columns
-    enter the fit exactly like _run_caviar's own inert 128-alignment
-    padding (zero traces, zero stim, zero mask — caviar.py:515)."""
-    valid = jnp.arange(stim_dev.shape[-1])[None, :] < kts[:, None]
-    return _many_init(stim_dev, jnp.logical_and(actives, valid))
+def _many_init_ragged(ys, actives, stim_dev, kts):
+    """_many_init with per-experiment true trial counts: charges,
+    stim and activity masks are zeroed beyond each k_true, so the
+    padded columns enter the fit exactly like _run_caviar's own inert
+    128-alignment padding (zero traces, zero stim, zero mask —
+    caviar.py:515) REGARDLESS of what the caller left in them (an
+    explicitly pre-padded stack may carry garbage there)."""
+    valid = jnp.arange(ys.shape[-1])[None, :] < kts[:, None]
+    ys = jnp.where(valid, ys, jnp.zeros((), ys.dtype))
+    stim_dev = jnp.where(valid[:, None, :], stim_dev,
+                         jnp.zeros((), stim_dev.dtype))
+    lam_masks, lam0 = _many_init(stim_dev, jnp.logical_and(actives, valid))
+    return ys, stim_dev, lam_masks, lam0
 
 
 def caviar_many(
@@ -96,6 +102,7 @@ def caviar_many(
     laplace_impl="auto",
     compile_mode="auto",
     trace_wire=None,
+    k_trues=None,
     verbose=True,
 ):
     """Fit B experiments at once. y_pscs: [B, K, T]; stims: [B, N, K].
@@ -116,6 +123,13 @@ def caviar_many(
     width differs. Host padding cost is B*K_max-sized, so a stack
     with one giant and many tiny experiments wastes wire and compute
     on the padding; split such stacks by size class.
+
+    ``k_trues`` alternatively marks an ALREADY-padded stack as ragged:
+    a [B] array of true trial counts for a stacked [B, K, T] body
+    (dense, device-resident, or a PackedInt4Traces wire body — the fit
+    server's ragged /fit_many path). Columns at or beyond each k_true
+    are masked out on device (charge, stim, activity), so their
+    contents never reach the fit.
 
     With ``mesh`` the *experiment* axis shards over the mesh devices —
     each device vmaps over its local slice of experiments, with zero
@@ -178,11 +192,16 @@ def caviar_many(
     # whole ragged stack shares a single compiled program; the padded
     # columns are inert (the capacity-buffer contract the streaming
     # solver is built on, caviar.py:515 / solvers/online.py)
-    k_trues = None
+    if k_trues is not None:
+        k_trues = np.asarray(k_trues, dtype=np.int32)
     stims_true = None  # per-experiment true-width stims (host fn-scan)
     if isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0:
         ks = [int(np.shape(a)[0]) for a in y_pscs]
         if len(set(ks)) > 1:
+            if k_trues is not None:
+                raise ValueError(
+                    "pass EITHER a ragged list of experiments OR "
+                    "k_trues= with an already-padded stack, not both")
             if any(isinstance(a, (jax.Array, PackedInt4Traces))
                    for a in y_pscs):
                 raise ValueError(
@@ -232,6 +251,26 @@ def caviar_many(
         y_pscs = np.asarray(y_pscs)
     stims_np = np.asarray(stims)  # no full-size cast (see _common)
     B, K, _T = y_pscs.shape
+    if k_trues is not None:
+        if (k_trues.shape != (B,)
+                or int(k_trues.min(initial=1)) < 1
+                or int(k_trues.max(initial=1)) > K):
+            raise ValueError(
+                f"k_trues must be [B={B}] trial counts in [1, {K}]; got "
+                f"shape {k_trues.shape}, range "
+                f"[{k_trues.min(initial=0)}, {k_trues.max(initial=0)}]")
+        if stims_true is None:
+            # explicit padded stack: padded stim columns must be ZERO —
+            # nonzero values would pollute the shared level table (the
+            # scan reads experiment 0's full width) or spuriously fail
+            # the per-experiment coverage check. Reads only the padding.
+            for b in range(B):
+                pad_cols = stims_np[b][:, int(k_trues[b]):]
+                if pad_cols.size and np.any(pad_cols):
+                    raise ValueError(
+                        f"experiment {b}: stim columns at or beyond "
+                        f"k_trues[{b}]={int(k_trues[b])} must be zero "
+                        "(padding enters the power-level scan)")
     # the stacked device stim is [B, N, K], so the single-chip working
     # set scales with B x N; a mesh shards the experiment axis, so its
     # per-device share is the sharded paths' business (no warning)
@@ -326,7 +365,8 @@ def caviar_many(
     if kts is None:
         lam_masks, lam0 = _many_init(stim_dev, actives)
     else:
-        lam_masks, lam0 = _many_init_ragged(stim_dev, actives, kts)
+        ys, stim_dev, lam_masks, lam0 = _many_init_ragged(
+            ys, actives, stim_dev, kts)
     # device powers from the uploaded-stim level table (f64 contract)
     powers = jnp.asarray(powers_dev_np, dtype=dtype)
 
@@ -475,7 +515,12 @@ def caviar_many(
         # ragged: results carry each experiment's TRUE width (the
         # padded columns are implementation detail, not posteriors)
         kb = K if k_trues is None else int(k_trues[b])
-        stim_b = stims_np[b] if stims_true is None else stims_true[b]
+        if stims_true is not None:
+            stim_b = stims_true[b]
+        elif k_trues is not None:  # explicit padded stack: slice true K
+            stim_b = stims_np[b][:, :kb]
+        else:
+            stim_b = stims_np[b]
         mu = host["mu"][b].copy()
         beta = host["beta"][b].copy()
         lam = host["lam"][b][:, :kb]

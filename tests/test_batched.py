@@ -373,3 +373,48 @@ class TestRagged:
         with pytest.raises(ValueError, match="host trace arrays"):
             caviar_many([jnp.asarray(ys[0]), ys[1], ys[2]], sts,
                         *self.PRIOR_ARGS, verbose=False)
+
+    def test_explicit_k_trues_matches_list(self, ragged_sims):
+        """k_trues= over an already-padded stack (the fit server's
+        ragged wire) equals the list form; garbage left in the padded
+        TRACE columns is masked out on device."""
+        ys, sts = self._lists(ragged_sims)
+        kw = dict(iters=8, fn_scan=False, analytic_mc=True,
+                  seeds=[0, 1, 2], verbose=False)
+        ref = caviar_many(ys, sts, *self.PRIOR_ARGS, **kw)
+        ks = [y.shape[0] for y in ys]
+        k_pad = 384
+        y_pad = np.full((3, k_pad, ys[0].shape[1]), 7.7, np.float32)
+        s_pad = np.zeros((3, 24, k_pad), np.float32)
+        for b in range(3):
+            y_pad[b, :ks[b]] = ys[b]
+            s_pad[b, :, :ks[b]] = sts[b]
+        out = caviar_many(y_pad, s_pad, *self.PRIOR_ARGS,
+                          k_trues=ks, **kw)
+        for b in range(3):
+            assert out[b]["lam"].shape == (24, ks[b])
+            np.testing.assert_allclose(ref[b]["mu"], out[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_explicit_k_trues_validation(self, ragged_sims):
+        ys, sts = self._lists(ragged_sims)
+        ks = [y.shape[0] for y in ys]
+        y_pad = np.zeros((3, 384, ys[0].shape[1]), np.float32)
+        s_pad = np.zeros((3, 24, 384), np.float32)
+        for b in range(3):
+            y_pad[b, :ks[b]] = ys[b]
+            s_pad[b, :, :ks[b]] = sts[b]
+        with pytest.raises(ValueError, match="k_trues must be"):
+            caviar_many(y_pad, s_pad, *self.PRIOR_ARGS,
+                        k_trues=[1, 2], verbose=False)
+        with pytest.raises(ValueError, match="k_trues must be"):
+            caviar_many(y_pad, s_pad, *self.PRIOR_ARGS,
+                        k_trues=[192, 320, 999], verbose=False)
+        bad = s_pad.copy()
+        bad[1, :, 350:] = 55.0  # garbage power levels in the padding
+        with pytest.raises(ValueError, match="must be zero"):
+            caviar_many(y_pad, bad, *self.PRIOR_ARGS,
+                        k_trues=ks, verbose=False)
+        with pytest.raises(ValueError, match="not both"):
+            caviar_many(ys, sts, *self.PRIOR_ARGS,
+                        k_trues=ks, verbose=False)

@@ -967,6 +967,127 @@ class TestServiceUnit:
             np.stack([np.asarray(r["mu"]) for r in res]),
             rtol=1e-5, atol=1e-6)
 
+    def test_fit_many_ragged_matches_library(self, sim):
+        """A ragged /fit_many body (concatenated single-experiment
+        wire + k_trues) equals the library's ragged caviar_many; lam/z
+        return zero-padded to the shared K with k_trues echoed."""
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.serve import (FitService, _load_npz,
+                                          _npz_bytes, encode_stim_sparse)
+        from circuitmap_tpu.solvers import caviar_many
+
+        svc = FitService()
+        ks = [64, 96]
+        pscs = [sim["psc"][:64], sim["psc"][64:160]]
+        stims = [sim["stim_matrix"][:, :64], sim["stim_matrix"][:, 64:160]]
+        opts = dict(iters=3, seeds=[1, 2], num_mc_samples=20)
+        body = _npz_bytes(
+            psc=np.concatenate(pscs, axis=0),
+            k_trues=np.asarray(ks, np.int32),
+            **encode_stim_sparse(np.concatenate(stims, axis=1)))
+        _, out = svc.do_fit_many(body, json.dumps(opts))
+        got = _load_npz(out)
+        np.testing.assert_array_equal(got["k_trues"], ks)
+        pri = default_priors(N)
+        ref = caviar_many(pscs, stims, pri["mu"], pri["beta"],
+                          pri["shape"], pri["rate"], pri["phi"],
+                          pri["phi_cov"], verbose=False, **opts)
+        k_pad = 128  # max(ks)=96 -> one 128 bucket
+        assert got["lam"].shape == (2, N, k_pad)
+        for b in range(2):
+            np.testing.assert_allclose(got["mu"][b], ref[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(got["lam"][b][:, :ks[b]],
+                                       ref[b]["lam"], rtol=1e-5,
+                                       atol=1e-5)
+            assert np.abs(got["lam"][b][:, ks[b]:]).max() == 0.0
+
+    def test_fit_many_ragged_int4_passthrough(self, sim):
+        """Ragged int4 bodies pad at the WIRE level and keep the device
+        pass-through: bit-identical to posting the dense
+        reconstruction."""
+        from circuitmap_tpu.serve import (FitService, _decode_arrays,
+                                          _encode_psc, _load_npz,
+                                          _npz_bytes)
+        from circuitmap_tpu.utils.quant import PackedInt4Traces
+
+        svc = FitService()
+        ks = np.asarray([64, 96], np.int32)
+        cat = np.concatenate([sim["psc"][:64], sim["psc"][64:160]], 0)
+        stim_flat = sim["stim_matrix"][:, :160]
+        opts = json.dumps({"iters": 2, "seeds": [1, 2],
+                           "num_mc_samples": 20})
+        enc = _encode_psc(cat, "int4")
+        cont = _decode_arrays(_load_npz(_npz_bytes(**enc)))["psc"]
+        assert isinstance(cont, PackedInt4Traces)
+        _, a = svc.do_fit_many(
+            _npz_bytes(k_trues=ks, stim=stim_flat, **enc), opts)
+        _, b = svc.do_fit_many(
+            _npz_bytes(k_trues=ks, stim=stim_flat, psc=cont.dense()),
+            opts)
+        da, db = _load_npz(a), _load_npz(b)
+        assert set(da) == set(db)
+        for key in da:
+            assert np.array_equal(da[key], db[key]), key
+
+    def test_fit_many_ragged_validation(self, sim):
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        cat = sim["psc"][:160]
+        stim_flat = sim["stim_matrix"][:, :160]
+        opts = json.dumps({"iters": 2})
+        with pytest.raises(_BadRequest, match="positive integer"):
+            svc.do_fit_many(_npz_bytes(
+                psc=cat, stim=stim_flat,
+                k_trues=np.asarray([64.0, 96.0])), opts)
+        with pytest.raises(_BadRequest, match="sum"):
+            svc.do_fit_many(_npz_bytes(
+                psc=cat, stim=stim_flat,
+                k_trues=np.asarray([64, 64], np.int32)), opts)
+        with pytest.raises(_BadRequest, match="ragged fit_many"):
+            svc.do_fit_many(_npz_bytes(
+                psc=cat, k_trues=np.asarray([64, 96], np.int32)), opts)
+
+    def test_client_ragged_fit_many_loopback(self, sim):
+        """FitClient.fit_many with ragged lists returns a LIST of
+        per-experiment dicts at true widths, through a real HTTP
+        loopback."""
+        import threading
+        from http.server import HTTPServer
+
+        from circuitmap_tpu.serve import (FitClient, FitService,
+                                          _make_handler)
+
+        svc = FitService()
+        box = [None]
+        httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc, box))
+        box[0] = httpd
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            cli = FitClient(
+                f"http://127.0.0.1:{httpd.server_address[1]}")
+            ks = [64, 96]
+            pscs = [sim["psc"][:64], sim["psc"][64:160]]
+            stims = [sim["stim_matrix"][:, :64],
+                     sim["stim_matrix"][:, 64:160]]
+            res = cli.fit_many(pscs, stims, psc_wire="int4",
+                               iters=3, seeds=[1, 2], num_mc_samples=20)
+            assert isinstance(res, list) and len(res) == 2
+            for b in range(2):
+                assert res[b]["lam"].shape == (N, ks[b])
+                assert res[b]["z"].shape == (ks[b],)
+                assert res[b]["mu"].shape == (N,)
+            with pytest.raises(ValueError, match="matching list"):
+                cli.fit_many(pscs, np.stack(
+                    [s[:, :64] for s in stims]), iters=2)
+            with pytest.raises(ValueError, match="stim carries"):
+                cli.fit_many(pscs, [stims[0], stims[0]], iters=2)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
     def test_decode_fuzz_never_escapes_bad_request(self):
         """Arbitrary structurally-plausible bodies must surface as
         _BadRequest (HTTP 400), never an unhandled exception class that
