@@ -48,14 +48,22 @@ def main():
     # fewest bytes whose fidelity beats the f32 wire.
     qat_d2 = os.path.join(here, "demixers", "nwd_ie_ChroME2f_int4d2qat.npz")
     qat = os.path.join(here, "demixers", "nwd_ie_ChroME2f_int4qat.npz")
+    stock = os.path.join(here, "demixers", "nwd_ie_ChroME2f.npz")
+    # (checkpoint, wire, sweep kwargs): the last two rungs step the
+    # SWEEP implementation down too (resolver default, then the plain
+    # XLA sweep, which always lowers) so a kernel-level regression on
+    # fresh hardware degrades the number instead of failing the run
     candidates = [
-        (qat_d2, "int4d2"),
-        (qat, "int4"),
-        (os.path.join(here, "demixers", "nwd_ie_ChroME2f.npz"), np.int8),
-        ("/root/reference/demixers/nwd_ie_ChroME2f.ckpt", np.int8),
+        (qat_d2, "int4d2", {"sweep_block_size": 8}),
+        (qat, "int4", {"sweep_block_size": 8}),
+        (stock, np.int8, {"sweep_block_size": 8}),
+        ("/root/reference/demixers/nwd_ie_ChroME2f.ckpt", np.int8,
+         {"sweep_block_size": 8}),
+        (stock, np.int8, {}),
+        (stock, np.int8, {"sweep_impl": "xla"}),
     ]
-    candidates = [(c, w) for c, w in candidates if os.path.exists(c)]
-    candidates = candidates or [(None, np.int8)]
+    candidates = [(c, w, s) for c, w, s in candidates if os.path.exists(c)]
+    candidates = candidates or [(None, np.int8, {})]
 
     priors = default_priors(N)
 
@@ -70,12 +78,13 @@ def main():
             priors["rate"], priors["phi"], priors["phi_cov"], iters=iters,
             msrmp=0.3, powers=[45.0, 55.0, 65.0],  # rig config, as in the
             verbose=False,                         # reference harness YAMLs
-            # blocked manual-DMA sweep: 8-row blocks over the native 2-D
-            # layout — no per-iteration [N,1,K] relayout, N/8 sequential
-            # steps. Device fit 149 -> 105 ms; truth-R2 unchanged
-            # (measured 0.9911 vs 0.9888 at this config, within seed
-            # noise — see ops/sweep_pallas.sweep_spikes_pallas_dma_blocked)
-            sweep_block_size=8,
+            # blocked manual-DMA sweep (sweep_block_size=8 on the top
+            # rungs): 8-row blocks over the native 2-D layout — no
+            # per-iteration [N,1,K] relayout, N/8 sequential steps.
+            # Device fit 149 -> 105 ms; truth-R2 unchanged (measured
+            # 0.9911 vs 0.9888, within seed noise — see
+            # ops/sweep_pallas.sweep_spikes_pallas_dma_blocked)
+            **sweep_kwargs,
         )
         return out
 
@@ -84,7 +93,7 @@ def main():
     # checkpoint pair fails for any reason, step down to the next one
     # rather than failing the benchmark run.
     warm_psc = sim["psc"][:K].copy()
-    for i, (ckpt, wire) in enumerate(candidates):
+    for i, (ckpt, wire, sweep_kwargs) in enumerate(candidates):
         demixer = NeuralDemixer(path=ckpt) if ckpt else NeuralDemixer()
         try:
             np.asarray(pipeline(warm_psc, sim["stim_matrix"])[0][:1])
@@ -92,8 +101,8 @@ def main():
         except Exception:
             if i == len(candidates) - 1:
                 raise
-            print(f"# wire {wire!r} failed on warm-up; falling back",
-                  file=sys.stderr)
+            print(f"# wire {wire!r} / sweep {sweep_kwargs} failed on "
+                  "warm-up; falling back", file=sys.stderr)
 
     # best of 5: the tunneled-TPU link adds +-0.5s of run-to-run noise,
     # and the public entry keeps warming over its first ~3 in-process
@@ -125,7 +134,7 @@ def main():
             dem, sim["stim_matrix"], priors["mu"], priors["beta"],
             priors["shape"], priors["rate"], priors["phi"],
             priors["phi_cov"], iters=iters, msrmp=0.3,
-            powers=[45.0, 55.0, 65.0], verbose=False, sweep_block_size=8,
+            powers=[45.0, 55.0, 65.0], verbose=False, **sweep_kwargs,
         )
         np.asarray(out_f[0][:1])
         fit_only = min(fit_only, time.time() - t0)

@@ -95,16 +95,24 @@ _FIT_OPTION_KEYS = frozenset((
     "fn_scan", "trace_wire", "verbose", "k",
 ))
 
-# caviar_many knobs for POST /fit_many (solvers/batched.py — JSON-safe
-# only; mesh= comes from the server's --mesh, opt out per request with
-# {"sharded": false}).
+# batched-solver knobs for POST /fit_many (solvers/batched.py —
+# JSON-safe only; mesh= comes from the server's --mesh, opt out per
+# request with {"sharded": false}). The union across methods: each
+# *_many signature rejects knobs foreign to the chosen method (400).
 _FIT_MANY_OPTION_KEYS = frozenset((
+    "method",
     "iters", "msrmp", "powers", "seeds", "num_mc_samples",
     "y_xcorr_thresh", "minimum_spike_count", "delay_spont_est",
     "scale_factor", "penalty", "max_backtrack_iters", "tol",
     "spont_orthogonality", "fn_scan", "analytic_mc", "sweep_block_size",
     "laplace_impl", "compile_mode", "trace_wire", "verbose",
     "demix", "sharded",
+    # cavi_sns / mbcs extras
+    "analytic_noise", "learn_lam", "constrain_weights", "noise_scale",
+    "num_mc_samples_noise_model", "outlier_penalty", "init_spike_prior",
+    "outlier_tol", "spont_rate", "lam_mask_fraction",
+    "delay_spont_estimation", "minimum_maximal_spike_prob",
+    "orthogonal_outliers", "max_penalty_iters", "max_lasso_iters",
 ))
 
 # OnlineCaviar constructor knobs creatable over the wire (subset of
@@ -680,27 +688,44 @@ class FitService:
         if self.mesh is not None and sharded is not False:
             opts["mesh"] = self.mesh
 
-    def _run_caviar_many(self, obs, stims, opts, **extra):
-        """Shared /fit_many solver call: default priors + 400 on
-        solver-level rejections."""
+    def _run_many(self, obs, stims, opts, method="caviar", **extra):
+        """Shared /fit_many solver call: method dispatch over the
+        batched solver family, default priors, 400 on solver-level
+        rejections (bad values AND unknown knobs for the chosen
+        method — each *_many signature rejects foreign kwargs)."""
         from .model import default_priors
-        from .solvers import caviar_many
+        from .solvers import caviar_many, mbcs_many, sns_many
 
         opts.setdefault("verbose", False)
         priors = dict(self.priors or {})
         for key, val in default_priors(stims.shape[1]).items():
             priors.setdefault(key, val)
+        if method == "caviar":
+            fn, prior_args = caviar_many, (
+                priors["mu"], priors["beta"], priors["shape"],
+                priors["rate"], priors["phi"], priors["phi_cov"])
+        elif method == "cavi_sns":
+            fn, prior_args = sns_many, (
+                priors["mu"], priors["beta"], priors["alpha"],
+                priors["shape"], priors["rate"], priors["phi"],
+                priors["phi_cov"])
+        elif method == "mbcs":
+            fn, prior_args = mbcs_many, (
+                priors["mu"], priors["beta"], priors["shape"],
+                priors["rate"])
+        else:
+            raise _BadRequest(
+                f"unknown fit_many method {method!r}; expected 'caviar' "
+                "| 'cavi_sns' | 'mbcs'")
         try:
-            results = caviar_many(
-                obs, stims, priors["mu"], priors["beta"], priors["shape"],
-                priors["rate"], priors["phi"], priors["phi_cov"],
-                **extra, **opts)
+            results = fn(obs, stims, *prior_args, **extra, **opts)
         except (ValueError, TypeError) as exc:
-            raise _BadRequest(f"caviar_many rejected the request: {exc}")
+            raise _BadRequest(
+                f"{fn.__name__} rejected the request: {exc}")
         self.n_fits += len(results)
         return results
 
-    def _fit_many_ragged(self, arrays, opts):
+    def _fit_many_ragged(self, arrays, opts, method="caviar"):
         """Ragged /fit_many: ``k_trues`` splits a concatenated
         single-experiment-wire body ('psc' [sum_K, T] — dense or any
         quantised psc_* wire — + 'stim' [N, sum_K]) into B experiments
@@ -758,7 +783,8 @@ class FitService:
                                             int(offs[b + 1])]
         self._resolve_many_mesh(opts)
         obs = self._maybe_demix_many(pscs, opts)
-        results = self._run_caviar_many(obs, stims, opts, k_trues=ks)
+        results = self._run_many(obs, stims, opts, method=method,
+                                 k_trues=ks)
         out = {}
         for key in results[0]:
             vals = [np.asarray(r[key]) for r in results]
@@ -779,19 +805,25 @@ class FitService:
 
     def do_fit_many(self, body, options_header):
         """Fit B same-shape experiments in one dispatch
-        (``solvers.caviar_many``) — the daemon's replacement for a
-        SLURM job array: one warm executable serves every batch of the
-        same shape, and ``--mesh N`` shards the experiment axis.
-        Ragged batches (different trial counts) arrive as a
-        concatenated body + 'k_trues' (``_fit_many_ragged``)."""
+        (``solvers.caviar_many`` — or ``sns_many``/``mbcs_many`` via
+        the ``method`` option) — the daemon's replacement for a SLURM
+        job array: one warm executable serves every batch of the same
+        shape, and ``--mesh N`` shards the experiment axis. Ragged
+        batches (different trial counts) arrive as a concatenated
+        body + 'k_trues' (``_fit_many_ragged``; caviar-only)."""
         opts = self._parse_options(options_header, _FIT_MANY_OPTION_KEYS,
                                    "fit_many")
+        method = str(opts.pop("method", "caviar"))
         arrays = _decode_arrays(_load_npz(body))
         if "k_trues" in arrays:
             # ragged batch: one concatenated [sum_K, T] trace block +
             # one flat [N, sum_K] stim (the SINGLE-experiment wire,
             # reused verbatim) + per-experiment trial counts
-            return self._fit_many_ragged(arrays, opts)
+            if method != "caviar":
+                raise _BadRequest(
+                    "ragged fit_many (k_trues) is caviar-only — the "
+                    "other solvers have no traced-k_true path")
+            return self._fit_many_ragged(arrays, opts, method)
         if "pscs" not in arrays or "stims" not in arrays:
             raise _BadRequest("npz must carry 'pscs' [B, K, T|1] and "
                               "'stims' [B, N, K]")
@@ -810,7 +842,7 @@ class FitService:
                 f"{stims.shape[2]} — pscs is [B, K, T], stims [B, N, K]")
         self._resolve_many_mesh(opts)
         obs = self._maybe_demix_many(pscs, opts)
-        results = self._run_caviar_many(obs, stims, opts)
+        results = self._run_many(obs, stims, opts, method=method)
         out = {key: np.stack([np.asarray(r[key]) for r in results])
                for key in results[0]}
         return "application/npz", _npz_bytes(**out)

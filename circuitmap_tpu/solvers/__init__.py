@@ -15,9 +15,9 @@ from .resumable import caviar_resumable  # noqa: E402
 
 __all__.append("caviar_resumable")
 
-from .batched import caviar_many  # noqa: E402
+from .batched import caviar_many, mbcs_many, sns_many  # noqa: E402
 
-__all__.append("caviar_many")
+__all__ += ["caviar_many", "mbcs_many", "sns_many"]
 
 from .online import OnlineCaviar  # noqa: E402
 

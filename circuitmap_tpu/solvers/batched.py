@@ -72,6 +72,120 @@ def _many_init_ragged(ys, actives, stim_dev, kts):
     return ys, stim_dev, lam_masks, lam0
 
 
+def _resolve_mode(compile_mode, mesh):
+    """Validate + resolve the *_many compile mode (shared contract:
+    'sequential' reuses the single-fit executable and has no mesh
+    path; 'auto' = sequential without a mesh, batched under one)."""
+    if compile_mode not in ("auto", "sequential", "batched"):
+        raise ValueError(
+            f"compile_mode must be 'auto', 'sequential' or 'batched'; "
+            f"got {compile_mode!r}")
+    if compile_mode == "sequential" and mesh is not None:
+        raise ValueError(
+            "compile_mode='sequential' has no mesh path — experiment "
+            "sharding needs the batched program; drop mesh= or use "
+            "compile_mode='batched'")
+    return (("sequential" if mesh is None else "batched")
+            if compile_mode == "auto" else compile_mode)
+
+
+def _validate_shared_levels(stims_np, powers):
+    """One level scan over experiment 0, plus explicit coverage
+    validation of the rest when >127 levels forces the dense upload
+    (whose prepare path has no coverage check — round-2 advisor
+    finding: the dense path used to skip the validation silently)."""
+    powers_np, levels_np = _levels(stims_np[0], powers)
+    if levels_np.size > 127:
+        table = np.concatenate([[0.0], powers_np])
+        for b in range(1, stims_np.shape[0]):
+            extra = np.setdiff1d(np.unique(stims_np[b]), table)
+            if extra.size:
+                raise ValueError(
+                    "all experiments must share the same power levels: "
+                    f"experiment {b} contains values {extra[:5].tolist()} "
+                    "outside experiment 0's level table"
+                )
+    return powers_np, levels_np
+
+
+def _upload_trace_stack(y_pscs, dtype, trace_wire):
+    """[B, K, T] device traces with the single-fit wire semantics:
+    PackedInt4Traces bodies pass through (one flattened device unpack,
+    no host codec), device-resident inputs stay put, host arrays ship
+    through prepare_traces' compressed wire when requested."""
+    from ..utils.quant import PackedInt4Traces
+
+    if isinstance(y_pscs, PackedInt4Traces):
+        return prepare_traces(
+            y_pscs.flat(), dtype, trace_wire=trace_wire,
+        ).reshape(y_pscs.shape)
+    if isinstance(y_pscs, jax.Array) or trace_wire is None:
+        return jnp.asarray(y_pscs, dtype=dtype)
+    flat_rows = y_pscs.shape[0] * y_pscs.shape[1]
+    return prepare_traces(
+        y_pscs.reshape(flat_rows, y_pscs.shape[2]), dtype,
+        trace_wire=trace_wire,
+    ).reshape(y_pscs.shape)
+
+
+def _upload_stim_stack(stims_np, dtype, powers_np):
+    """Per-experiment compressed stim uploads (sparse hologram / int8
+    buckets — ~0.6 MB instead of 80 MB f32 per experiment at the
+    flagship shape), stacked on device. Returns (stim_dev [B, N, K],
+    powers_dev_np) with every experiment validated against the shared
+    level table."""
+    stim_rows = []
+    powers_dev_np = None
+    for b in range(stims_np.shape[0]):
+        try:
+            s_dev, _snp, _pnp, pdev = prepare_stim(
+                stims_np[b], dtype, powers=powers_np)
+            stim_rows.append(s_dev)
+            if powers_dev_np is None:
+                powers_dev_np = pdev
+        except ValueError as e:
+            raise ValueError(
+                "all experiments must share the same power levels: "
+                f"experiment {b} contains values outside experiment 0's "
+                f"levels {powers_np.tolist()}"
+            ) from e
+    return jnp.stack(stim_rows), powers_dev_np
+
+
+def _fanout(one, args, mesh, mode, B):
+    """Dispatch ``one(*per_experiment_slices)`` across the experiment
+    axis and stack the results: 'sequential' dispatches the single-fit
+    executable per experiment (async — the B fits pipeline on device),
+    'batched' runs one vmapped program, and a mesh shard_maps the
+    vmapped program over the experiment axis (zero collectives — each
+    fit is independent). Output sharding specs are derived from the
+    vmapped program's output structure, so any solver state pytree
+    works."""
+    if mesh is None and mode == "sequential":
+        finals = [one(*(a[b] for a in args)) for b in range(B)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *finals)
+    if mesh is None:
+        return jax.vmap(one)(*args)
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import TRIAL_AXIS
+
+    pad_b = (-B) % mesh.devices.size
+    if pad_b:
+        args = [jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad_b, axis=0)], axis=0) for a in args]
+    spec = P(TRIAL_AXIS)  # leading (experiment) axis over the 1-D mesh
+    out_struct = jax.eval_shape(jax.vmap(one), *args)
+    out_spec = jax.tree_util.tree_map(lambda _: spec, out_struct)
+    out = jax.shard_map(
+        jax.vmap(one), mesh=mesh, in_specs=(spec,) * len(args),
+        out_specs=out_spec, check_vma=False,
+    )(*args)
+    if pad_b:
+        out = jax.tree_util.tree_map(lambda a: a[:B], out)
+    return out
+
+
 def caviar_many(
     y_pscs,
     stims,
@@ -282,37 +396,12 @@ def caviar_many(
     # validate + resolve the compile mode up front (before any upload
     # work), so the verbose banner can report the mode that actually
     # runs rather than echoing 'auto'
-    if compile_mode not in ("auto", "sequential", "batched"):
-        raise ValueError(
-            f"compile_mode must be 'auto', 'sequential' or 'batched'; "
-            f"got {compile_mode!r}")
-    if compile_mode == "sequential" and mesh is not None:
-        raise ValueError(
-            "compile_mode='sequential' has no mesh path — experiment "
-            "sharding needs the batched program; drop mesh= or use "
-            "compile_mode='batched'")
-    mode = ("sequential" if mesh is None else "batched") \
-        if compile_mode == "auto" else compile_mode
+    mode = _resolve_mode(compile_mode, mesh)
 
     # one level scan (or none, with powers=); the per-experiment
     # compressed uploads below validate that every experiment's values
     # are covered by this shared level table and raise otherwise
-    powers_np, levels_np = _levels(stims_np[0], powers)
-    # >127 levels falls back to the dense upload, whose prepare path has
-    # no coverage check — validate explicitly so mismatched experiments
-    # still raise (round-2 advisor finding: the dense path used to skip
-    # the shared-level validation silently)
-    dense_fallback = levels_np.size > 127
-    if dense_fallback:
-        table = np.concatenate([[0.0], powers_np])
-        for b in range(1, B):
-            extra = np.setdiff1d(np.unique(stims_np[b]), table)
-            if extra.size:
-                raise ValueError(
-                    "all experiments must share the same power levels: "
-                    f"experiment {b} contains values {extra[:5].tolist()} "
-                    "outside experiment 0's level table"
-                )
+    powers_np, _levels_np = _validate_shared_levels(stims_np, powers)
 
     if verbose:
         ragged = ("" if k_trues is None else
@@ -321,43 +410,9 @@ def caviar_many(
         print(f"Running CAVIaR on {B} experiments "
               f"(compile_mode={mode}{ragged}).")
 
-    if isinstance(y_pscs, PackedInt4Traces):
-        # wire-form batch body: one flattened device unpack, no host
-        # codec (prepare_traces applies the same pass-through rules as
-        # the single-fit entry, incl. the explicit-int4d2 re-encode)
-        y_dev = prepare_traces(
-            y_pscs.flat(), dtype, trace_wire=trace_wire,
-        ).reshape(y_pscs.shape)
-    elif isinstance(y_pscs, jax.Array) or trace_wire is None:
-        y_dev = jnp.asarray(y_pscs, dtype=dtype)
-    else:
-        # compressed trace upload, shared wire semantics with the
-        # single-fit entry (solvers/_common.prepare_traces): the [B*K]
-        # flattened block packs host-side, unpacks on device
-        Bk = y_pscs.shape[0] * y_pscs.shape[1]
-        y_dev = prepare_traces(
-            y_pscs.reshape(Bk, y_pscs.shape[2]), dtype,
-            trace_wire=trace_wire,
-        ).reshape(y_pscs.shape)
-    # compressed per-experiment stim upload (sparse hologram / int8
-    # buckets — ~0.6 MB instead of 80 MB f32 per experiment at the
-    # flagship shape), stacked on device
-    stim_rows = []
-    powers_dev_np = None
-    for b in range(B):
-        try:
-            s_dev, _snp, _pnp, pdev = prepare_stim(
-                stims_np[b], dtype, powers=powers_np)
-            stim_rows.append(s_dev)
-            if powers_dev_np is None:
-                powers_dev_np = pdev
-        except ValueError as e:
-            raise ValueError(
-                "all experiments must share the same power levels: "
-                f"experiment {b} contains values outside experiment 0's "
-                f"levels {powers_np.tolist()}"
-            ) from e
-    stim_dev = jnp.stack(stim_rows)
+    y_dev = _upload_trace_stack(y_pscs, dtype, trace_wire)
+    stim_dev, powers_dev_np = _upload_stim_stack(stims_np, dtype,
+                                                 powers_np)
     ys, actives = jax.vmap(prepare_observations, in_axes=(0, None))(
         y_dev, y_xcorr_thresh
     )
@@ -459,44 +514,11 @@ def caviar_many(
             finals_list.append(final_b)
         finals = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *finals_list)
-    elif mesh is None:
-        if kts is None:
-            finals = jax.vmap(one)(ys, stim_dev, lam0, lam_masks, keys)
-        else:
-            finals = jax.vmap(one)(ys, stim_dev, lam0, lam_masks, keys,
-                                   kts)
     else:
-        from jax.sharding import PartitionSpec as P
-
-        from ..parallel.mesh import TRIAL_AXIS
-
-        n_dev = mesh.devices.size
-        pad_b = (-B) % n_dev
         args = [ys, stim_dev, lam0, lam_masks, keys]
         if kts is not None:
             args.append(kts)
-        if pad_b:
-            def _pad(a):
-                return jnp.concatenate(
-                    [a, jnp.repeat(a[-1:], pad_b, axis=0)], axis=0
-                )
-            args = [_pad(a) for a in args]
-        from .caviar import CaviarState
-
-        spec = P(TRIAL_AXIS)  # leading (experiment) axis over the 1-D mesh
-        out_spec = CaviarState(
-            mu=spec, beta=spec, lam=spec, shape=spec, rate=spec, phi=spec,
-            phi_cov=spec, z=spec, spont_rate=spec, key=spec,
-        )
-        finals = jax.shard_map(
-            jax.vmap(one),
-            mesh=mesh,
-            in_specs=(spec,) * len(args),
-            out_specs=out_spec,
-            check_vma=False,
-        )(*args)
-        if pad_b:
-            finals = jax.tree_util.tree_map(lambda a: a[:B], finals)
+        finals = _fanout(one, args, mesh, "batched", B)
 
     # ONE device->host pull per field for the whole stack — per-b eager
     # slices would cost ~8 dispatches + 8 pulls per experiment on the
@@ -570,3 +592,240 @@ def caviar_many(
             results[b]["phi"] = phi_sel[j]
             results[b]["phi_cov"] = phi_cov_sel[j]
     return results
+
+
+def sns_many(
+    y_pscs,
+    stims,
+    mu_prior,
+    beta_prior,
+    alpha_prior,
+    shape_prior,
+    rate_prior,
+    phi_prior,
+    phi_cov_prior,
+    iters=50,
+    seeds=None,
+    num_mc_samples=100,
+    minimum_spike_count=3,
+    analytic_mc=False,
+    laplace_impl="auto",
+    dtype=jnp.float32,
+    mesh=None,
+    powers=None,
+    compile_mode="auto",
+    trace_wire=None,
+    verbose=True,
+):
+    """Fit B same-shape experiments with CAVI-SnS in one program.
+
+    The spike-and-slab sibling of ``caviar_many`` — same compile_mode /
+    mesh / trace_wire semantics ('sequential' reuses the single-fit
+    ``_run_sns`` executable per experiment; 'batched' vmaps the fused
+    scan; ``mesh=`` shards the experiment axis with zero collectives).
+    Priors are shared across maps. Returns a list of B dicts with keys
+    mu/beta/alpha/lam/shape/rate/phi/phi_cov.
+
+    Ragged trial counts are not supported here (CAVI-SnS has no traced
+    k_true path) — use ``caviar_many`` for ragged stacks.
+    """
+    from ..ops.charge import integrated_charge
+    from .cavi_sns import _run_sns, _sns_init
+
+    y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
+                                         "sns_many")
+    B, K, _T = y_pscs.shape
+    if mesh is None:
+        warn_single_chip_envelope(
+            B * stims_np.shape[1], K,
+            what=f"sns_many() over {B} experiments", dtype=dtype)
+    mode = _resolve_mode(compile_mode, mesh)
+    powers_np, _lv = _validate_shared_levels(stims_np, powers)
+    if verbose:
+        print(f"Running CAVI-SnS on {B} experiments "
+              f"(compile_mode={mode}).")
+    y_dev = _upload_trace_stack(y_pscs, dtype, trace_wire)
+    stim_dev, powers_dev_np = _upload_stim_stack(stims_np, dtype,
+                                                 powers_np)
+    ys = jax.vmap(integrated_charge)(y_dev)
+    lam_masks, lam0 = jax.vmap(_sns_init)(stim_dev)
+    powers_dev = jnp.asarray(powers_dev_np, dtype=dtype)
+    if seeds is None:
+        seeds = np.arange(B)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    priors = tuple(jnp.asarray(p, dtype) for p in (
+        mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
+        phi_prior, phi_cov_prior))
+    lap = _resolve_laplace_impl(laplace_impl, dtype)
+
+    def one(y, stim, l0, mask, key):
+        final, _ = _run_sns(
+            y, stim, l0, mask, powers_dev, *priors, key,
+            iters=int(iters), num_mc_samples=int(num_mc_samples),
+            minimum_spike_count=int(minimum_spike_count),
+            analytic_mc=bool(analytic_mc), save_histories=False,
+            laplace_impl=lap,
+        )
+        return final
+
+    finals = _fanout(one, [ys, stim_dev, lam0, lam_masks, keys],
+                     mesh, mode, B)
+    # ONE device->host pull per field for the whole stack (tunnel
+    # dispatch hygiene, as caviar_many)
+    host = {k: np.asarray(v) for k, v in finals._asdict().items()
+            if k != "key"}
+    return [{k: host[k][b] for k in host} for b in range(B)]
+
+
+@jax.jit
+def _mbcs_mask_init(y_psc, stim, y_xcorr_thresh, lam_mask_fraction,
+                    init_spike_prior):
+    """MBCS activity mask + lam init for one experiment, fused (the
+    single-fit entry computes this on host numpy, mbcs.py; device here
+    so the stack needs no host pass per experiment)."""
+    energy = jnp.sum(y_psc * y_psc, axis=-1)
+    mask = (energy > y_xcorr_thresh).astype(y_psc.dtype)
+    peaks = jnp.max(y_psc, axis=1)
+    mask = jnp.where(peaks < lam_mask_fraction * jnp.max(y_psc),
+                     jnp.zeros((), y_psc.dtype), mask)
+    lam0 = jnp.where(stim > 0, init_spike_prior, 0.0) * mask
+    return mask, lam0
+
+
+def mbcs_many(
+    y_pscs,
+    stims,
+    mu_prior,
+    beta_prior,
+    shape_prior,
+    rate_prior,
+    iters=50,
+    seeds=None,
+    penalty=5e0,
+    scale_factor=0.5,
+    max_penalty_iters=10,
+    max_lasso_iters=100,
+    constrain_weights="positive",
+    learn_lam=True,
+    delay_spont_estimation=1,
+    minimum_spike_count=1,
+    noise_scale=0.5,
+    num_mc_samples_noise_model=10,
+    minimum_maximal_spike_prob=0.2,
+    orthogonal_outliers=True,
+    outlier_penalty=5e1,
+    init_spike_prior=0.75,
+    outlier_tol=0.05,
+    spont_rate=0,
+    y_xcorr_thresh=0.05,
+    lam_mask_fraction=0.05,
+    analytic_noise=False,
+    dtype=jnp.float32,
+    mesh=None,
+    powers=None,
+    compile_mode="auto",
+    trace_wire=None,
+    verbose=True,
+):
+    """Fit B same-shape experiments with MBCS in one program.
+
+    Same compile_mode / mesh / trace_wire semantics as ``caviar_many``.
+    Priors are shared; per-experiment mu inits draw from each seed
+    exactly like the single fit. Returns a list of B dicts with keys
+    mu/beta/lam/shape/rate/z/receptive_fields.
+
+    The activity mask is computed ON DEVICE (one fused vmapped pass)
+    rather than the single fit's host-numpy pass — identical in f32;
+    feed demixed traces, as ``mbcs`` documents.
+
+    Ragged trial counts are not supported here (MBCS has no traced
+    k_true path) — use ``caviar_many`` for ragged stacks.
+    """
+    from .mbcs import _run_mbcs
+
+    y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
+                                         "mbcs_many")
+    B, K, _T = y_pscs.shape
+    N = np.asarray(mu_prior).shape[0]
+    if mesh is None:
+        warn_single_chip_envelope(
+            B * stims_np.shape[1], K,
+            what=f"mbcs_many() over {B} experiments", dtype=dtype)
+    mode = _resolve_mode(compile_mode, mesh)
+    powers_np, _lv = _validate_shared_levels(stims_np, powers)
+    if verbose:
+        print(f"Running MBCS on {B} experiments (compile_mode={mode}).")
+    y_dev = _upload_trace_stack(y_pscs, dtype, trace_wire)
+    stim_dev, powers_dev_np = _upload_stim_stack(stims_np, dtype,
+                                                 powers_np)
+    from ..ops.charge import integrated_charge
+
+    ys = jax.vmap(integrated_charge)(y_dev)
+    lam_masks, lam0 = jax.vmap(
+        _mbcs_mask_init, in_axes=(0, 0, None, None, None))(
+        y_dev, stim_dev,
+        jnp.asarray(y_xcorr_thresh, dtype),
+        jnp.asarray(lam_mask_fraction, dtype),
+        jnp.asarray(init_spike_prior, dtype))
+    powers_with_zero = jnp.asarray(
+        np.concatenate([[0.0], powers_dev_np]), dtype)
+    if seeds is None:
+        seeds = np.arange(B)
+    # per-experiment lognormal mu inits, exactly the single fit's rule
+    mu0 = jnp.asarray(np.stack([
+        np.random.default_rng(int(s)).lognormal(1.0, 1.0, N)
+        for s in seeds]), dtype)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    beta_p = jnp.asarray(beta_prior, dtype)
+    shape0 = jnp.full((K,), float(shape_prior), dtype=dtype)
+    rate0 = jnp.full((K,), float(rate_prior), dtype=dtype)
+
+    def one(y, stim, l0, mask, m0, key):
+        final, _ = _run_mbcs(
+            y, stim, l0, mask, powers_with_zero, m0, beta_p, shape0,
+            rate0, key,
+            jnp.asarray(penalty, dtype), jnp.asarray(scale_factor, dtype),
+            jnp.asarray(outlier_penalty, dtype),
+            jnp.asarray(minimum_maximal_spike_prob, dtype),
+            jnp.asarray(spont_rate, dtype),
+            jnp.asarray(outlier_tol, dtype),
+            jnp.asarray(noise_scale, dtype),
+            iters=int(iters),
+            max_penalty_iters=int(max_penalty_iters),
+            max_lasso_iters=int(max_lasso_iters),
+            constrain_weights=str(constrain_weights),
+            learn_lam=bool(learn_lam),
+            delay_spont_estimation=int(delay_spont_estimation),
+            minimum_spike_count=int(minimum_spike_count),
+            num_mc_samples_noise_model=int(num_mc_samples_noise_model),
+            orthogonal_outliers=bool(orthogonal_outliers),
+            save_histories=False,
+            analytic_noise=bool(analytic_noise),
+        )
+        (mu, beta, lam, shape, rate, z, _spont, _prior, rf, _key) = final
+        return {"mu": mu, "beta": beta, "lam": lam, "shape": shape,
+                "rate": rate, "z": z, "receptive_fields": rf}
+
+    finals = _fanout(one, [ys, stim_dev, lam0, lam_masks, mu0, keys],
+                     mesh, mode, B)
+    host = {k: np.asarray(v) for k, v in finals.items()}
+    return [{k: host[k][b] for k in host} for b in range(B)]
+
+
+def _same_shape_stack(y_pscs, stims, trace_wire, name):
+    """Normalise same-shape *_many inputs (lists stack; ragged lists
+    are rejected with a pointer at caviar_many)."""
+    from ..utils.quant import PackedInt4Traces
+
+    if isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0:
+        if len({int(np.shape(a)[0]) for a in y_pscs}) > 1:
+            raise ValueError(
+                f"{name} takes same-shape experiments; ragged trial "
+                "counts are only supported by caviar_many")
+    if isinstance(y_pscs, (jax.Array, PackedInt4Traces)):
+        pass
+    elif trace_wire is None:
+        y_pscs = np.asarray(y_pscs, dtype=np.float32)
+    else:
+        y_pscs = np.asarray(y_pscs)
+    return y_pscs, np.asarray(stims)

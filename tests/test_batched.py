@@ -418,3 +418,102 @@ class TestRagged:
         with pytest.raises(ValueError, match="not both"):
             caviar_many(ys, sts, *self.PRIOR_ARGS,
                         k_trues=ks, verbose=False)
+
+
+class TestSolverFamilyMany:
+    """sns_many / mbcs_many: the solver-family siblings of caviar_many
+    (same compile_mode / mesh semantics, shared fan-out engine)."""
+
+    P = default_priors(24)
+
+    @staticmethod
+    def _stack(sims):
+        return (np.stack([s["psc"] for s in sims]),
+                np.stack([s["stim_matrix"] for s in sims]))
+
+    def test_sns_matches_individual_fits(self, sims):
+        from circuitmap_tpu.solvers import sns_many
+        from circuitmap_tpu.solvers.cavi_sns import cavi_sns
+
+        p = self.P
+        args = (p["mu"], p["beta"], p["alpha"], p["shape"], p["rate"],
+                p["phi"], p["phi_cov"])
+        kw = dict(iters=6, num_mc_samples=20, analytic_mc=True)
+        batch = sns_many(*self._stack(sims), *args, seeds=[0, 1, 2],
+                         verbose=False, **kw)
+        for b, s in enumerate(sims):
+            single = cavi_sns(s["psc"], s["stim_matrix"], *args, seed=b,
+                              save_histories=False, verbose=False, **kw)
+            np.testing.assert_allclose(np.asarray(single[0]),
+                                       batch[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(single[2]),
+                                       batch[b]["alpha"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(single[3]),
+                                       batch[b]["lam"],
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_mbcs_matches_individual_fits(self, sims):
+        from circuitmap_tpu.solvers import mbcs_many
+        from circuitmap_tpu.solvers.mbcs import mbcs
+
+        p = self.P
+        kw = dict(iters=6, analytic_noise=True)
+        batch = mbcs_many(*self._stack(sims), p["mu"], p["beta"],
+                          p["shape"], p["rate"], seeds=[0, 1, 2],
+                          verbose=False, **kw)
+        for b, s in enumerate(sims):
+            single = mbcs(s["psc"], s["stim_matrix"], p["mu"], p["beta"],
+                          p["shape"], p["rate"], seed=b,
+                          save_histories=False, verbose=False, **kw)
+            np.testing.assert_allclose(np.asarray(single[0]),
+                                       batch[b]["mu"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(single[2]),
+                                       batch[b]["lam"],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(single[6]),
+                                       batch[b]["receptive_fields"],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_modes_agree_and_mesh_matches_local(self, sims):
+        from circuitmap_tpu.parallel import trial_mesh
+        from circuitmap_tpu.solvers import mbcs_many, sns_many
+
+        p = self.P
+        stack = self._stack(sims)
+        sns_args = (p["mu"], p["beta"], p["alpha"], p["shape"], p["rate"],
+                    p["phi"], p["phi_cov"])
+        kw = dict(iters=4, num_mc_samples=20, analytic_mc=True,
+                  seeds=[0, 1, 2], verbose=False)
+        seq = sns_many(*stack, *sns_args, compile_mode="sequential", **kw)
+        bat = sns_many(*stack, *sns_args, compile_mode="batched", **kw)
+        mesh = sns_many(*stack, *sns_args, mesh=trial_mesh(4), **kw)
+        for b in range(3):
+            np.testing.assert_allclose(seq[b]["mu"], bat[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(bat[b]["mu"], mesh[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+        mkw = dict(iters=4, analytic_noise=True, seeds=[0, 1, 2],
+                   verbose=False)
+        seq = mbcs_many(*stack, p["mu"], p["beta"], p["shape"], p["rate"],
+                        compile_mode="sequential", **mkw)
+        mesh = mbcs_many(*stack, p["mu"], p["beta"], p["shape"], p["rate"],
+                         mesh=trial_mesh(4), **mkw)
+        for b in range(3):
+            np.testing.assert_allclose(seq[b]["mu"], mesh[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_ragged_rejected_with_pointer(self, sims):
+        from circuitmap_tpu.solvers import mbcs_many, sns_many
+
+        p = self.P
+        ys = [sims[0]["psc"][:128], sims[1]["psc"]]
+        sts = [sims[0]["stim_matrix"][:, :128], sims[1]["stim_matrix"]]
+        with pytest.raises(ValueError, match="caviar_many"):
+            sns_many(ys, sts, p["mu"], p["beta"], p["alpha"], p["shape"],
+                     p["rate"], p["phi"], p["phi_cov"], verbose=False)
+        with pytest.raises(ValueError, match="caviar_many"):
+            mbcs_many(ys, sts, p["mu"], p["beta"], p["shape"], p["rate"],
+                      verbose=False)

@@ -967,6 +967,60 @@ class TestServiceUnit:
             np.stack([np.asarray(r["mu"]) for r in res]),
             rtol=1e-5, atol=1e-6)
 
+    def test_fit_many_method_dispatch(self, sim):
+        """/fit_many method= routes to sns_many / mbcs_many; results
+        equal the library calls; unknown or foreign-knob combinations
+        are client errors."""
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _load_npz, _npz_bytes)
+        from circuitmap_tpu.solvers import mbcs_many, sns_many
+
+        svc = FitService()
+        B, k = 2, 64
+        pscs = np.stack([sim["psc"][:k], sim["psc"][k:2 * k]])
+        stims = np.stack([sim["stim_matrix"][:, :k],
+                          sim["stim_matrix"][:, k:2 * k]])
+        body = _npz_bytes(pscs=pscs, stims=stims)
+        pri = default_priors(N)
+
+        _, out = svc.do_fit_many(body, json.dumps(
+            {"method": "cavi_sns", "iters": 3, "seeds": [1, 2],
+             "num_mc_samples": 10, "analytic_mc": True}))
+        ref = sns_many(pscs, stims, pri["mu"], pri["beta"], pri["alpha"],
+                       pri["shape"], pri["rate"], pri["phi"],
+                       pri["phi_cov"], iters=3, seeds=[1, 2],
+                       num_mc_samples=10, analytic_mc=True, verbose=False)
+        got = _load_npz(out)
+        assert "alpha" in got
+        np.testing.assert_allclose(
+            got["mu"], np.stack([r["mu"] for r in ref]),
+            rtol=1e-5, atol=1e-6)
+
+        _, out = svc.do_fit_many(body, json.dumps(
+            {"method": "mbcs", "iters": 3, "seeds": [1, 2],
+             "analytic_noise": True}))
+        ref = mbcs_many(pscs, stims, pri["mu"], pri["beta"], pri["shape"],
+                        pri["rate"], iters=3, seeds=[1, 2],
+                        analytic_noise=True, verbose=False)
+        got = _load_npz(out)
+        assert "receptive_fields" in got
+        np.testing.assert_allclose(
+            got["mu"], np.stack([r["mu"] for r in ref]),
+            rtol=1e-5, atol=1e-6)
+
+        with pytest.raises(_BadRequest, match="unknown fit_many method"):
+            svc.do_fit_many(body, json.dumps({"method": "cosamp"}))
+        with pytest.raises(_BadRequest, match="rejected the request"):
+            # msrmp is a caviar knob: foreign to mbcs_many -> 400
+            svc.do_fit_many(body, json.dumps(
+                {"method": "mbcs", "iters": 2, "msrmp": 0.3}))
+        with pytest.raises(_BadRequest, match="caviar-only"):
+            svc.do_fit_many(_npz_bytes(
+                psc=sim["psc"][:128], stim=sim["stim_matrix"][:, :128],
+                k_trues=np.asarray([64, 64], np.int32)),
+                json.dumps({"method": "mbcs", "iters": 2}))
+
     def test_fit_many_ragged_matches_library(self, sim):
         """A ragged /fit_many body (concatenated single-experiment
         wire + k_trues) equals the library's ragged caviar_many; lam/z
