@@ -82,6 +82,9 @@ _LAZY = {
         "simulate_continuous_experiment",
     ),
     "OnlineCaviar": ("circuitmap_tpu.solvers.online", "OnlineCaviar"),
+    "caviar_many": ("circuitmap_tpu.solvers.batched", "caviar_many"),
+    "sns_many": ("circuitmap_tpu.solvers.batched", "sns_many"),
+    "mbcs_many": ("circuitmap_tpu.solvers.batched", "mbcs_many"),
     "FitClient": ("circuitmap_tpu.serve", "FitClient"),
     "AdaptiveDesigner": ("circuitmap_tpu.design", "AdaptiveDesigner"),
     "closed_loop_map": ("circuitmap_tpu.design", "closed_loop_map"),

@@ -1690,13 +1690,18 @@ class FitClient:
         ``fit`` — the batched design ships as one sparse [N, B*K]
         hologram matrix when column-sparse.
 
+        ``method=`` (a fit option) picks the batched solver:
+        'caviar' (default) | 'cavi_sns' | 'mbcs'
+        (``sns_many``/``mbcs_many`` on the server).
+
         RAGGED batches — a list of [K_b, T] trace blocks with
         DIFFERENT trial counts and a matching list of [N, K_b] stims —
         ship as one concatenated single-experiment-wire body (no
         padding bytes on the wire) plus ``k_trues``; the server pads
-        and fits them through caviar_many's traced-k_true path. The
-        return is then a LIST of per-experiment dicts at each
-        experiment's true width (mirroring ``caviar_many``)."""
+        and fits them through caviar_many's traced-k_true path
+        (caviar-only). The return is then a LIST of per-experiment
+        dicts at each experiment's true width (mirroring
+        ``caviar_many``)."""
         opts = dict(fit_options)
         if demix is not None:
             opts["demix"] = bool(demix)
