@@ -779,17 +779,17 @@ def mbcs_many(
     beta_p = jnp.asarray(beta_prior, dtype)
     shape0 = jnp.full((K,), float(shape_prior), dtype=dtype)
     rate0 = jnp.full((K,), float(rate_prior), dtype=dtype)
+    # device scalars hoisted out of one(): eager jnp.asarray inside the
+    # per-experiment loop would cost 7 tiny dispatches per fit
+    scalars = tuple(jnp.asarray(v, dtype) for v in (
+        penalty, scale_factor, outlier_penalty,
+        minimum_maximal_spike_prob, spont_rate, outlier_tol,
+        noise_scale))
 
     def one(y, stim, l0, mask, m0, key):
         final, _ = _run_mbcs(
             y, stim, l0, mask, powers_with_zero, m0, beta_p, shape0,
-            rate0, key,
-            jnp.asarray(penalty, dtype), jnp.asarray(scale_factor, dtype),
-            jnp.asarray(outlier_penalty, dtype),
-            jnp.asarray(minimum_maximal_spike_prob, dtype),
-            jnp.asarray(spont_rate, dtype),
-            jnp.asarray(outlier_tol, dtype),
-            jnp.asarray(noise_scale, dtype),
+            rate0, key, *scalars,
             iters=int(iters),
             max_penalty_iters=int(max_penalty_iters),
             max_lasso_iters=int(max_lasso_iters),
