@@ -1084,6 +1084,26 @@ class TestServiceUnit:
         for key in da:
             assert np.array_equal(da[key], db[key]), key
 
+    def test_fit_many_ragged_with_demix(self, sim):
+        """Ragged bodies + server-side demixing: one flattened demixer
+        call over the padded stack; zero padding rows demix harmlessly
+        (their charge is masked by k_true anyway)."""
+        from circuitmap_tpu.serve import (FitService, _load_npz,
+                                          _npz_bytes)
+
+        svc = FitService(demixer_path="default")
+        ks = np.asarray([64, 96], np.int32)
+        body = _npz_bytes(
+            psc=np.concatenate([sim["psc"][:64], sim["psc"][64:160]], 0),
+            stim=sim["stim_matrix"][:, :160], k_trues=ks)
+        _, out = svc.do_fit_many(body, json.dumps(
+            {"iters": 2, "seeds": [1, 2], "num_mc_samples": 10,
+             "demix": True, "trace_wire": "int8"}))
+        got = _load_npz(out)
+        assert svc.n_demixes == 1  # one flattened call over the stack
+        assert got["mu"].shape == (2, N)
+        assert np.isfinite(got["mu"]).all()
+
     def test_fit_many_ragged_validation(self, sim):
         from circuitmap_tpu.serve import (FitService, _BadRequest,
                                           _npz_bytes)
