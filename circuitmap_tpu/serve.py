@@ -485,6 +485,7 @@ class FitService:
         self.designers = {}  # stream name -> AdaptiveDesigner
         self.n_fits = 0
         self.n_demixes = 0
+        self._profile_dir = None  # active jax.profiler trace dir
         # (method, path, monotonic start) while a request is being
         # served on the main thread; None when idle. Written by the
         # request handler, read by the status sidecar and the watchdog
@@ -1153,6 +1154,62 @@ class FitService:
             "designer": name in self.designers,
         }).encode()
 
+    def do_profile(self, options_header):
+        """Capture a ``jax.profiler`` device trace around LIVE requests:
+        ``{"action": "start"}`` begins a trace in this process, every
+        subsequent request (fit, demix, stream update) records into it,
+        ``{"action": "stop"}`` finalises and returns the trace
+        directory (xplane ``.pb`` files — parse with the
+        PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python recipe in
+        PERF.md, or load in TensorBoard). One trace at a time; the
+        trace is also closed on graceful shutdown so a forgotten stop
+        never loses the capture."""
+        opts = self._parse_options(options_header,
+                                   frozenset(("action", "dir")),
+                                   "profile")
+        action = str(opts.pop("action", ""))
+        import jax
+
+        if action == "start":
+            if self._profile_dir is not None:
+                raise _BadRequest(
+                    "a profile is already active (dir="
+                    f"{self._profile_dir}); POST {{\"action\": "
+                    "\"stop\"}} first")
+            import tempfile
+
+            trace_dir = str(opts.pop("dir", None)
+                            or tempfile.mkdtemp(prefix="cm_profile_"))
+            try:
+                jax.profiler.start_trace(trace_dir)
+            except Exception as exc:
+                raise _BadRequest(f"profiler failed to start: {exc}")
+            self._profile_dir = trace_dir
+            return "application/json", json.dumps(
+                {"profiling": True, "dir": trace_dir}).encode()
+        if action == "stop":
+            if self._profile_dir is None:
+                raise _BadRequest("no active profile; POST "
+                                  '{"action": "start"} first')
+            trace_dir = self.stop_profile()
+            return "application/json", json.dumps(
+                {"profiling": False, "dir": trace_dir}).encode()
+        raise _BadRequest(
+            'X-Options must carry {"action": "start" | "stop"}')
+
+    def stop_profile(self):
+        """Finalise an active profiler trace (no-op when none)."""
+        if self._profile_dir is None:
+            return None
+        import jax
+
+        trace_dir, self._profile_dir = self._profile_dir, None
+        try:
+            jax.profiler.stop_trace()
+        except Exception as exc:
+            raise _BadRequest(f"profiler failed to stop: {exc}")
+        return trace_dir
+
     def save_all_streams(self):
         """Checkpoint every live stream (used on graceful shutdown when
         --state-dir is set). Returns {name: path or error}."""
@@ -1254,6 +1311,8 @@ def _make_handler(service, server_box):
                     return service.do_fit_many(self._body(), opts)
                 if path == "/warm":
                     return service.do_warm(opts)
+                if path == "/profile":
+                    return service.do_profile(opts)
                 if path == "/shutdown":
                     import threading
 
@@ -1526,6 +1585,12 @@ def run_server(host="127.0.0.1", port=DEFAULT_PORT, demixer_path=None,
         if status_httpd is not None:
             status_httpd.shutdown()
             status_httpd.server_close()
+        try:
+            where = service.stop_profile()  # don't lose a live capture
+            if where:
+                print(f"profile trace -> {where}", flush=True)
+        except Exception:
+            pass
         if state_dir and service.streams:
             # a graceful stop must not lose live closed-loop experiments
             saved = service.save_all_streams()
@@ -1759,6 +1824,19 @@ class FitClient:
                 d[key] = v
             results.append(d)
         return results
+
+    def profile_start(self, dir=None):
+        """Begin a jax.profiler device trace on the server; every
+        subsequent request records into it until ``profile_stop()``.
+        Returns {'profiling': True, 'dir': <trace dir on the server>}."""
+        opts = {"action": "start"}
+        if dir:
+            opts["dir"] = str(dir)
+        return self._request("POST", "/profile", options=opts)
+
+    def profile_stop(self):
+        return self._request("POST", "/profile",
+                             options={"action": "stop"})
 
     def warm(self, shapes, iters=50, **options):
         shapes = [list(map(int, s)) for s in

@@ -1162,6 +1162,34 @@ class TestServiceUnit:
             httpd.shutdown()
             httpd.server_close()
 
+    def test_profile_endpoint_captures_a_trace(self, sim, tmp_path):
+        """POST /profile start -> fit -> stop writes an xplane trace of
+        the live request; double-start and stop-without-start are 400s."""
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        d = str(tmp_path / "trace")
+        _, out = svc.do_profile(json.dumps({"action": "start", "dir": d}))
+        assert json.loads(out)["profiling"] is True
+        with pytest.raises(_BadRequest, match="already active"):
+            svc.do_profile(json.dumps({"action": "start"}))
+        svc.do_fit(
+            _npz_bytes(psc=sim["psc"][:64],
+                       stim=sim["stim_matrix"][:, :64]),
+            json.dumps({"iters": 2, "num_mc_samples": 10}))
+        _, out = svc.do_profile(json.dumps({"action": "stop"}))
+        payload = json.loads(out)
+        assert payload["profiling"] is False and payload["dir"] == d
+        import glob
+
+        assert glob.glob(os.path.join(d, "**", "*.xplane.pb"),
+                         recursive=True), "no xplane trace written"
+        with pytest.raises(_BadRequest, match="no active profile"):
+            svc.do_profile(json.dumps({"action": "stop"}))
+        with pytest.raises(_BadRequest, match="action"):
+            svc.do_profile(json.dumps({"action": "bogus"}))
+
     def test_decode_fuzz_never_escapes_bad_request(self):
         """Arbitrary structurally-plausible bodies must surface as
         _BadRequest (HTTP 400), never an unhandled exception class that
