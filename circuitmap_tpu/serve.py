@@ -759,6 +759,22 @@ class FitService:
                 f"stim must be [N, sum(k_trues)={sum_k}]; got "
                 f"{tuple(stim.shape)}")
         k_pad = -(-int(ks.max()) // 128) * 128
+        # the server pads EVERY experiment to the longest one's width,
+        # so one giant + many tiny k_trues amplifies a small wire body
+        # into B*k_pad rows — bound the padded allocations with the
+        # same named cap as the sparse-stim decode (a wire body must
+        # not drive an unbounded server-side allocation)
+        row_bytes = (psc.packed.shape[1]
+                     if isinstance(psc, PackedInt4Traces)
+                     else psc.shape[1] * psc.dtype.itemsize)
+        pad_bytes = max(B * k_pad * row_bytes,
+                        B * stim.shape[0] * k_pad * stim.dtype.itemsize)
+        if pad_bytes > _MAX_SPARSE_DENSE_BYTES:
+            raise _BadRequest(
+                f"ragged fit_many would pad to {B} x {k_pad} trials "
+                f"(~{pad_bytes >> 30} GB server-side, > "
+                f"{_MAX_SPARSE_DENSE_BYTES >> 30} GB) — split the "
+                "batch, or group experiments of similar length")
         offs = np.concatenate([[0], np.cumsum(ks)])
         if isinstance(psc, PackedInt4Traces):
             # pad at the wire level (16x smaller than dense): zero
@@ -1182,8 +1198,18 @@ class FitService:
                             or tempfile.mkdtemp(prefix="cm_profile_"))
             try:
                 jax.profiler.start_trace(trace_dir)
-            except Exception as exc:
-                raise _BadRequest(f"profiler failed to start: {exc}")
+            except Exception:
+                # self-heal a diverged profiler session: if a previous
+                # stop_trace raised after our flag was cleared, jax's
+                # global session may still be live and every start
+                # would fail "already started" forever — close it and
+                # retry once before giving up
+                try:
+                    jax.profiler.stop_trace()
+                    jax.profiler.start_trace(trace_dir)
+                except Exception as exc:
+                    raise _BadRequest(
+                        f"profiler failed to start: {exc}")
             self._profile_dir = trace_dir
             return "application/json", json.dumps(
                 {"profiling": True, "dir": trace_dir}).encode()
@@ -1203,11 +1229,19 @@ class FitService:
             return None
         import jax
 
-        trace_dir, self._profile_dir = self._profile_dir, None
+        trace_dir = self._profile_dir
         try:
             jax.profiler.stop_trace()
         except Exception as exc:
-            raise _BadRequest(f"profiler failed to stop: {exc}")
+            # a failed finalise is a SERVER failure (the client's
+            # request was well-formed): clear our flag so the service
+            # isn't wedged believing a profile is active, and let the
+            # start-path self-heal close any still-live jax session
+            self._profile_dir = None
+            raise RuntimeError(
+                f"profiler failed to stop (capture in {trace_dir} may "
+                f"be incomplete): {exc}")
+        self._profile_dir = None
         return trace_dir
 
     def save_all_streams(self):
@@ -1750,10 +1784,13 @@ class FitClient:
         """Fit B same-shape experiments in one request
         (``solvers.caviar_many`` on the server — the job-array
         workload through one warm executable). ``pscs``: [B, K, T];
-        ``stims``: [B, N, K]. Returns a dict of stacked arrays
-        (``mu`` [B, N], ``lam`` [B, N, K], ...). Wire levers as in
-        ``fit`` — the batched design ships as one sparse [N, B*K]
-        hologram matrix when column-sparse.
+        ``stims``: [B, N, K]. An ARRAY input returns a dict of stacked
+        arrays (``mu`` [B, N], ``lam`` [B, N, K], ...); a LIST input
+        always returns a list of B per-experiment dicts — same-shape
+        or ragged, so the return type never depends on whether trial
+        counts happen to coincide. Wire levers as in ``fit`` — the
+        batched design ships as one sparse [N, B*K] hologram matrix
+        when column-sparse.
 
         ``method=`` (a fit option) picks the batched solver:
         'caviar' (default) | 'cavi_sns' | 'mbcs'
@@ -1770,7 +1807,12 @@ class FitClient:
         opts = dict(fit_options)
         if demix is not None:
             opts["demix"] = bool(demix)
-        if isinstance(pscs, (list, tuple)) and len(pscs) > 0:
+        # a LIST input always returns a list of per-experiment dicts
+        # (never silently flips to the stacked dict the day two folds
+        # happen to record the same trial count); an array input
+        # returns the stacked dict
+        as_list = isinstance(pscs, (list, tuple)) and len(pscs) > 0
+        if as_list:
             ks = [int(np.shape(p)[0]) for p in pscs]
             if len(set(ks)) > 1:
                 return self._fit_many_ragged(pscs, stims, ks, sparse_stim,
@@ -1788,8 +1830,12 @@ class FitClient:
             arrays["stims_sparse_b"] = np.int32(stims.shape[0])
         else:
             arrays["stims"] = stims
-        return self._request("POST", "/fit_many",
-                             body=_npz_bytes(**arrays), options=opts)
+        out = self._request("POST", "/fit_many",
+                            body=_npz_bytes(**arrays), options=opts)
+        if as_list:
+            return [{key: val[b] for key, val in out.items()}
+                    for b in range(len(pscs))]
+        return out
 
     def _fit_many_ragged(self, pscs, stims, ks, sparse_stim, psc_wire,
                          opts):

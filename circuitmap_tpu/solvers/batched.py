@@ -340,8 +340,13 @@ def caviar_many(
                         f"experiment {b}: stim must be "
                         f"[{n_cells}, {a.shape[0]}], got {s.shape}")
             k_pad = -(-max(ks) // 128) * 128
-            t_dt = (np.float64 if any(a.dtype == np.float64
-                                      for a in ys_list) else np.float32)
+            # pad straight into the wire dtype: f32 unless this is an
+            # f64 fit fed f64 blocks (parity-oracle exactness — the
+            # downstream cast must not strip mantissa bits)
+            t_dt = (np.float64 if (jnp.dtype(dtype).itemsize > 4
+                                   and any(a.dtype == np.float64
+                                           for a in ys_list))
+                    else np.float32)
             y_pad = np.zeros((len(ys_list), k_pad, t_len), t_dt)
             s_pad = np.zeros(
                 (len(st_list), n_cells, k_pad),
@@ -353,17 +358,11 @@ def caviar_many(
             k_trues = np.asarray(ks, np.int32)
             stims_true = st_list
 
-    if isinstance(y_pscs, (jax.Array, PackedInt4Traces)):
-        pass  # device-resident (e.g. a batched demixer output) or an
-        # already-quantised wire body (the fit server's int4 pscs):
-        # keep as-is — a host round trip / dense decode of the
-        # [B, K, T] block would dwarf the fit (same short-circuit as
-        # _common.prepare_traces; the wire is moot for device inputs)
-    elif trace_wire is None:
-        y_pscs = np.asarray(y_pscs, dtype=np.float32)
-    else:
-        y_pscs = np.asarray(y_pscs)
-    stims_np = np.asarray(stims)  # no full-size cast (see _common)
+    # same normalisation as the sibling *_many entries (device-resident
+    # and wire-form bodies pass through; host arrays cast per the fit
+    # dtype) — the ragged branch above already stacked ragged lists
+    y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
+                                         "caviar_many", dtype=dtype)
     B, K, _T = y_pscs.shape
     if k_trues is not None:
         if (k_trues.shape != (B,)
@@ -633,7 +632,7 @@ def sns_many(
     from .cavi_sns import _run_sns, _sns_init
 
     y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
-                                         "sns_many")
+                                         "sns_many", dtype=dtype)
     B, K, _T = y_pscs.shape
     if mesh is None:
         warn_single_chip_envelope(
@@ -744,7 +743,7 @@ def mbcs_many(
     from .mbcs import _run_mbcs
 
     y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
-                                         "mbcs_many")
+                                         "mbcs_many", dtype=dtype)
     B, K, _T = y_pscs.shape
     N = np.asarray(mu_prior).shape[0]
     if mesh is None:
@@ -812,9 +811,17 @@ def mbcs_many(
     return [{k: host[k][b] for k in host} for b in range(B)]
 
 
-def _same_shape_stack(y_pscs, stims, trace_wire, name):
+def _same_shape_stack(y_pscs, stims, trace_wire, name, dtype=jnp.float32):
     """Normalise same-shape *_many inputs (lists stack; ragged lists
-    are rejected with a pointer at caviar_many)."""
+    are rejected with a pointer at caviar_many).
+
+    Device-resident stacks (e.g. a batched demixer output) and
+    PackedInt4Traces wire bodies pass through untouched; host arrays
+    on the exact wire cast to f32 (halves the upload) — UNLESS the
+    fit dtype is wider than f32: an explicit dtype=float64 fit must
+    not lose mantissa bits in transit (the prepare_traces contract,
+    _common.py), so f64 inputs ship as-is and _upload_trace_stack
+    widens narrower inputs on device."""
     from ..utils.quant import PackedInt4Traces
 
     if isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0:
@@ -824,8 +831,11 @@ def _same_shape_stack(y_pscs, stims, trace_wire, name):
                 "counts are only supported by caviar_many")
     if isinstance(y_pscs, (jax.Array, PackedInt4Traces)):
         pass
-    elif trace_wire is None:
+    elif trace_wire is None and jnp.dtype(dtype).itemsize <= 4:
         y_pscs = np.asarray(y_pscs, dtype=np.float32)
     else:
+        # compressed wires validate/cast inside prepare_traces (and
+        # reject f64 fits there); uncompressed f64 fits keep the
+        # input dtype on the wire
         y_pscs = np.asarray(y_pscs)
     return y_pscs, np.asarray(stims)

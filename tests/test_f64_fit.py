@@ -64,3 +64,67 @@ def test_f64_caviar_fit_with_non_f32_powers():
     )
     assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
     assert proc.stdout.startswith("OK")
+
+
+BATCHED_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+from circuitmap_tpu.model import default_priors
+from circuitmap_tpu.simulation import simulate
+from circuitmap_tpu.solvers import caviar, caviar_many
+from circuitmap_tpu.solvers.batched import (_same_shape_stack,
+                                            _upload_trace_stack)
+
+# unit: the *_many host wire must not strip mantissa bits for f64 fits
+# (review fix: an unconditional f32 cast used to sit between the
+# ragged pad's f64 dtype selection and the device upload)
+y64 = np.full((2, 8, 4), 1.0 + 2.0**-40, np.float64)
+stims0 = np.zeros((2, 3, 8))
+out, _ = _same_shape_stack(y64, stims0, None, "x", dtype=jnp.float64)
+assert out.dtype == np.float64, out.dtype
+dev = _upload_trace_stack(out, jnp.float64, None)
+np.testing.assert_array_equal(np.asarray(dev), y64)
+# f32 fits keep the halved wire
+out32, _ = _same_shape_stack(y64, stims0, None, "x", dtype=jnp.float32)
+assert out32.dtype == np.float32, out32.dtype
+
+# integration: a ragged f64 batch equals the single f64 fits it holds
+sims = []
+for seed, k in ((51, 192), (52, 256)):
+    np.random.seed(seed)
+    sims.append(simulate(N=16, trials=k, H=3, connection_prob=0.2,
+                         spont_prob=0.01, gp_scale=1e-3, verbose=False))
+p = default_priors(16)
+prior_args = (p["mu"], p["beta"], p["shape"], p["rate"], p["phi"],
+              p["phi_cov"])
+kw = dict(iters=6, fn_scan=False, analytic_mc=True, dtype=jnp.float64)
+batch = caviar_many([np.asarray(s["psc"], np.float64) for s in sims],
+                    [s["stim_matrix"] for s in sims],
+                    *prior_args, seeds=[0, 1], verbose=False, **kw)
+for b, s in enumerate(sims):
+    single = caviar(np.asarray(s["psc"], np.float64), s["stim_matrix"],
+                    *prior_args, seed=b, verbose=False,
+                    sweep_impl="xla", **kw)
+    np.testing.assert_allclose(np.asarray(single[0]), batch[b]["mu"],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(single[2]), batch[b]["lam"],
+                               rtol=1e-6, atol=1e-7)
+print("OK")
+"""
+
+
+def test_f64_batched_wire_keeps_mantissa():
+    """caviar_many dtype=float64 must keep f64 through the host wire
+    (the prepare_traces parity contract) — ragged and stacked."""
+    proc = subprocess.run(
+        [sys.executable, "-c", BATCHED_SCRIPT],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
+    assert proc.stdout.startswith("OK")

@@ -1124,6 +1124,24 @@ class TestServiceUnit:
             svc.do_fit_many(_npz_bytes(
                 psc=cat, k_trues=np.asarray([64, 96], np.int32)), opts)
 
+    def test_fit_many_ragged_pad_amplification_rejected(self):
+        """One giant + many tiny k_trues pads EVERY experiment to the
+        giant's width server-side: a few-MB wire body must not drive a
+        multi-TB allocation (the sparse-stim decode's named cap applies
+        to the padded stack too)."""
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        ks = np.asarray([128001] + [1] * 4999, np.int64)
+        sum_k = int(ks.sum())
+        body = _npz_bytes(
+            psc=np.zeros((sum_k, 4), np.float64),
+            stim=np.zeros((2, sum_k), np.float64),
+            k_trues=ks.astype(np.int32))
+        with pytest.raises(_BadRequest, match="would pad"):
+            svc.do_fit_many(body, json.dumps({"iters": 2}))
+
     def test_client_ragged_fit_many_loopback(self, sim):
         """FitClient.fit_many with ragged lists returns a LIST of
         per-experiment dicts at true widths, through a real HTTP
@@ -1158,6 +1176,23 @@ class TestServiceUnit:
                     [s[:, :64] for s in stims]), iters=2)
             with pytest.raises(ValueError, match="stim carries"):
                 cli.fit_many(pscs, [stims[0], stims[0]], iters=2)
+            # a LIST input whose trial counts happen to COINCIDE must
+            # still return a list (review fix: it used to silently flip
+            # to the stacked-dict return the day two folds recorded the
+            # same K) — and an array input keeps the stacked dict
+            pscs_eq = [sim["psc"][:64], sim["psc"][64:128]]
+            stims_eq = [sim["stim_matrix"][:, :64],
+                        sim["stim_matrix"][:, 64:128]]
+            res_eq = cli.fit_many(pscs_eq, stims_eq, iters=2,
+                                  seeds=[1, 2], num_mc_samples=10)
+            assert isinstance(res_eq, list) and len(res_eq) == 2
+            assert res_eq[0]["lam"].shape == (N, 64)
+            assert res_eq[0]["mu"].shape == (N,)
+            res_arr = cli.fit_many(np.stack(pscs_eq), np.stack(stims_eq),
+                                   iters=2, seeds=[1, 2],
+                                   num_mc_samples=10)
+            assert isinstance(res_arr, dict)
+            assert res_arr["lam"].shape == (2, N, 64)
         finally:
             httpd.shutdown()
             httpd.server_close()
@@ -1189,6 +1224,49 @@ class TestServiceUnit:
             svc.do_profile(json.dumps({"action": "stop"}))
         with pytest.raises(_BadRequest, match="action"):
             svc.do_profile(json.dumps({"action": "bogus"}))
+
+    def test_profile_stop_failure_never_wedges(self, monkeypatch,
+                                               tmp_path):
+        """A failed stop_trace is a 500 (not a 400) and must not wedge
+        /profile: the service flag clears, and a later start self-heals
+        a still-live jax profiler session (review fix: the flag used to
+        clear BEFORE stop_trace, so a stop failure left no API path to
+        recovery short of a daemon restart)."""
+        import jax
+
+        from circuitmap_tpu.serve import FitService
+
+        svc = FitService()
+        monkeypatch.setattr(jax.profiler, "start_trace",
+                            lambda d, *a, **k: None)
+        svc.do_profile(json.dumps(
+            {"action": "start", "dir": str(tmp_path / "a")}))
+
+        def boom():
+            raise RuntimeError("finalise failed")
+
+        monkeypatch.setattr(jax.profiler, "stop_trace", boom)
+        with pytest.raises(RuntimeError, match="may be incomplete"):
+            svc.do_profile(json.dumps({"action": "stop"}))
+        assert svc._profile_dir is None  # service no longer wedged
+
+        # jax's global session survived the failed stop: the next
+        # start must close it and retry instead of 400ing forever
+        state = {"live": True}
+
+        def start2(d, *a, **k):
+            if state["live"]:
+                raise RuntimeError("profiler already started")
+
+        def stop2():
+            state["live"] = False
+
+        monkeypatch.setattr(jax.profiler, "start_trace", start2)
+        monkeypatch.setattr(jax.profiler, "stop_trace", stop2)
+        _, out = svc.do_profile(json.dumps(
+            {"action": "start", "dir": str(tmp_path / "b")}))
+        assert json.loads(out)["profiling"] is True
+        assert not state["live"]  # the stale session was closed
 
     def test_decode_fuzz_never_escapes_bad_request(self):
         """Arbitrary structurally-plausible bodies must surface as
