@@ -60,6 +60,9 @@ _GROUPS = [
         ("doctor", "doctor.py",
          "diagnose the runtime environment (accelerator link, native "
          "lib, zoo, compile cache) with hang-proof probes"),
+        ("hw-smoke", "hw_smoke.py",
+         "exercise the full TPU compute path on the real chip "
+         "(run after an accelerator-link restore)"),
         ("warm-cache", "warm_cache.py",
          "pre-compile the pipeline for deployment shapes into the "
          "persistent XLA cache"),
