@@ -767,8 +767,13 @@ class FitService:
         row_bytes = (psc.packed.shape[1]
                      if isinstance(psc, PackedInt4Traces)
                      else psc.shape[1] * psc.dtype.itemsize)
-        pad_bytes = max(B * k_pad * row_bytes,
-                        B * stim.shape[0] * k_pad * stim.dtype.itemsize)
+        # floor the stim itemsize at f32's: the fit itself and the
+        # [B, N, k_pad] output stack are f32 regardless of the wire
+        # dtype, so a narrow (int8/f16) stim body must not undercut
+        # the cap that bounds those allocations
+        pad_bytes = max(
+            B * k_pad * row_bytes,
+            B * stim.shape[0] * k_pad * max(stim.dtype.itemsize, 4))
         if pad_bytes > _MAX_SPARSE_DENSE_BYTES:
             raise _BadRequest(
                 f"ragged fit_many would pad to {B} x {k_pad} trials "
@@ -1192,24 +1197,50 @@ class FitService:
                     "a profile is already active (dir="
                     f"{self._profile_dir}); POST {{\"action\": "
                     "\"stop\"}} first")
+            import os
             import tempfile
 
-            trace_dir = str(opts.pop("dir", None)
-                            or tempfile.mkdtemp(prefix="cm_profile_"))
+            # a client-named dir is a SERVER filesystem path: confine
+            # it to the temp dir (or the operator-chosen --state-dir)
+            # — the same "a wire request must not name an arbitrary
+            # server location" policy as _stream_path. The profiler
+            # creates directories and writes files at this path.
+            client_dir = opts.pop("dir", None)
+            if client_dir is None:
+                trace_dir = tempfile.mkdtemp(prefix="cm_profile_")
+            else:
+                bases = [tempfile.gettempdir()]
+                if self.state_dir:
+                    bases.append(self.state_dir)
+                real = os.path.realpath(str(client_dir))
+                if not any(
+                        real == os.path.realpath(b)
+                        or real.startswith(os.path.realpath(b) + os.sep)
+                        for b in bases):
+                    raise _BadRequest(
+                        "profile dir must live under the server's temp "
+                        f"dir ({tempfile.gettempdir()}) or --state-dir; "
+                        "omit it for a fresh temp directory")
+                trace_dir = str(client_dir)
             try:
                 jax.profiler.start_trace(trace_dir)
-            except Exception:
+            except Exception as exc:
                 # self-heal a diverged profiler session: if a previous
                 # stop_trace raised after our flag was cleared, jax's
                 # global session may still be live and every start
                 # would fail "already started" forever — close it and
-                # retry once before giving up
+                # retry once. Any OTHER start failure surfaces its own
+                # message (closing a non-existent session would mask
+                # the root cause with "no trace running").
+                if "already" not in str(exc).lower():
+                    raise _BadRequest(
+                        f"profiler failed to start: {exc}")
                 try:
                     jax.profiler.stop_trace()
                     jax.profiler.start_trace(trace_dir)
-                except Exception as exc:
+                except Exception as exc2:
                     raise _BadRequest(
-                        f"profiler failed to start: {exc}")
+                        f"profiler failed to start: {exc2}")
             self._profile_dir = trace_dir
             return "application/json", json.dumps(
                 {"profiling": True, "dir": trace_dir}).encode()

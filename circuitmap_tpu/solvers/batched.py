@@ -108,6 +108,15 @@ def _validate_shared_levels(stims_np, powers):
     return powers_np, levels_np
 
 
+def _widen_jit(dtype_name, _cache={}):
+    """Cached device-side widening program (one per target dtype)."""
+    fn = _cache.get(dtype_name)
+    if fn is None:
+        fn = _cache[dtype_name] = jax.jit(
+            lambda x: x.astype(dtype_name))
+    return fn
+
+
 def _upload_trace_stack(y_pscs, dtype, trace_wire):
     """[B, K, T] device traces with the single-fit wire semantics:
     PackedInt4Traces bodies pass through (one flattened device unpack,
@@ -119,8 +128,18 @@ def _upload_trace_stack(y_pscs, dtype, trace_wire):
         return prepare_traces(
             y_pscs.flat(), dtype, trace_wire=trace_wire,
         ).reshape(y_pscs.shape)
-    if isinstance(y_pscs, jax.Array) or trace_wire is None:
-        return jnp.asarray(y_pscs, dtype=dtype)
+    if isinstance(y_pscs, jax.Array):
+        return jnp.asarray(y_pscs, dtype=dtype)  # casts on device
+    if trace_wire is None:
+        y_np = np.asarray(y_pscs)
+        if y_np.dtype.itemsize < jnp.dtype(dtype).itemsize:
+            # ship NARROW, widen in jit: jnp.asarray(np_arr, dtype=)
+            # host-casts FIRST (round-2 lesson) — a full-size host f64
+            # temp plus double the wire bytes for an f64 fit fed f32
+            # traces
+            return _widen_jit(jnp.dtype(dtype).name)(y_np)
+        return jnp.asarray(y_np, dtype=dtype)  # narrowing host cast
+                                               # shrinks the wire
     flat_rows = y_pscs.shape[0] * y_pscs.shape[1]
     return prepare_traces(
         y_pscs.reshape(flat_rows, y_pscs.shape[2]), dtype,

@@ -39,18 +39,14 @@ def _run_probe(code, timeout):
     err_string is None on rc==0, else a short diagnosis ("timeout" or
     the tail of stderr). The child inherits the environment untouched
     so any site customisation (accelerator plugins) applies exactly as
-    it would for a real fit.
+    it would for a real fit. One shared hang-proof core with hw_smoke
+    (circuitmap_tpu.utils.probes).
     """
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True,
-            text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return "", "timeout after %.0fs" % timeout
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout or "").strip()[-400:]
-        return proc.stdout or "", "exit %d: %s" % (proc.returncode, tail)
-    return proc.stdout, None
+    if str(_REPO) not in sys.path:
+        sys.path.insert(0, str(_REPO))
+    from circuitmap_tpu.utils.probes import run_probe_cmd
+
+    return run_probe_cmd([sys.executable, "-c", code], timeout)
 
 
 def _marker(stdout, key):

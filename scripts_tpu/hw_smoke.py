@@ -39,7 +39,6 @@ this command exercises the compute path itself.
 from __future__ import annotations
 
 import argparse
-import subprocess
 import sys
 import time
 from pathlib import Path
@@ -51,6 +50,13 @@ _REPO = Path(__file__).resolve().parent.parent
 _TUNNEL = r"""
 import numpy as np, jax, jax.numpy as jnp
 d = jax.devices()[0]
+# a CPU backend (e.g. JAX_PLATFORMS=cpu exported while the link was
+# down) must FAIL here, not validate the "TPU compute path" on the
+# host: every later probe would pass via the auto resolvers' CPU
+# routes and say nothing about the chip
+assert d.platform in ("tpu", "axon"), (
+    "backend is %r, not a TPU-class platform — unset JAX_PLATFORMS "
+    "overrides before smoking the chip" % d.platform)
 x = jnp.ones((8, 128), jnp.float32)
 v = float(np.asarray(x @ x.T)[0, 0])
 assert v == 128.0, v
@@ -59,7 +65,9 @@ print("SMOKE tunnel ok", d.platform, flush=True)
 
 _ENTRY = r"""
 import time, numpy as np, jax
-import sys; sys.path.insert(0, "/root/repo")
+# no sys.path edits: the parent runs this probe with cwd = the repo
+# this hw_smoke.py lives in, and `python -c` puts cwd on sys.path —
+# a hardcoded path would validate a DIFFERENT checkout's driver
 import __graft_entry__ as g
 fn, args = g.entry()
 t0 = time.time()
@@ -139,28 +147,35 @@ _PROBES = [
 
 
 def _run(name, kind, payload, timeout):
-    """Run one probe in a fresh interpreter; return (ok, detail)."""
+    """Run one probe in a fresh interpreter; return (ok, detail).
+
+    The hang-proof subprocess core is shared with ``doctor``
+    (circuitmap_tpu.utils.probes) — one copy of the timeout/diagnosis
+    contract.
+    """
+    if str(_REPO) not in sys.path:
+        sys.path.insert(0, str(_REPO))
+    from circuitmap_tpu.utils.probes import run_probe_cmd
+
     if kind == "code":
         cmd = [sys.executable, "-c", payload]
     else:
         cmd = [sys.executable, str(_REPO / payload[0]), *payload[1:]]
     t0 = time.time()
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout, cwd=str(_REPO))
-    except subprocess.TimeoutExpired:
-        return False, "timeout after %.0fs (link dead or compile " \
-                      "stuck — see doctor)" % timeout
+    stdout, err = run_probe_cmd(cmd, timeout, cwd=str(_REPO))
     wall = time.time() - t0
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout or "").strip()[-400:]
-        return False, "exit %d after %.0fs: %s" % (
-            proc.returncode, wall, tail)
+    if err is not None:
+        if err.startswith("timeout"):
+            err += " (link dead or compile stuck — see doctor)"
+        else:
+            err = err.replace("exit ", "exit code ", 1) \
+                  + " [after %.0fs]" % wall
+        return False, err
     if kind == "script":  # bench prints its one JSON result line
-        line = next((ln for ln in proc.stdout.splitlines()
+        line = next((ln for ln in stdout.splitlines()
                      if ln.startswith("{")), "")
         return True, "%.0fs  %s" % (wall, line[:160])
-    marks = [ln for ln in proc.stdout.splitlines()
+    marks = [ln for ln in stdout.splitlines()
              if ln.startswith("SMOKE ")]
     return True, "%.0fs  %s" % (wall, "; ".join(
         m[len("SMOKE "):] for m in marks))

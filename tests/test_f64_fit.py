@@ -92,6 +92,16 @@ np.testing.assert_array_equal(np.asarray(dev), y64)
 out32, _ = _same_shape_stack(y64, stims0, None, "x", dtype=jnp.float32)
 assert out32.dtype == np.float32, out32.dtype
 
+# f64 fit fed f32 traces: ship NARROW, widen on device (review fix:
+# jnp.asarray(np_f32, dtype=f64) would host-cast first — a full-size
+# host temp and double the wire bytes)
+y32 = np.linspace(-1, 1, 2 * 8 * 4, dtype=np.float32).reshape(2, 8, 4)
+out_n, _ = _same_shape_stack(y32, stims0, None, "x", dtype=jnp.float64)
+assert out_n.dtype == np.float32, out_n.dtype  # host wire stays narrow
+dev_n = _upload_trace_stack(out_n, jnp.float64, None)
+assert dev_n.dtype == jnp.float64, dev_n.dtype
+np.testing.assert_array_equal(np.asarray(dev_n), y32.astype(np.float64))
+
 # integration: a ragged f64 batch equals the single f64 fits it holds
 sims = []
 for seed, k in ((51, 192), (52, 256)):

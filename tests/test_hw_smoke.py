@@ -33,6 +33,19 @@ class TestRun:
         assert "timeout" in detail
 
 
+class TestTunnelProbe:
+    def test_cpu_backend_is_rejected(self):
+        """The tunnel probe must FAIL on a CPU backend (a leftover
+        JAX_PLATFORMS=cpu override would otherwise let every probe
+        'validate the TPU path' on the host — review fix)."""
+        code = ("import jax\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                + hw_smoke._TUNNEL)
+        ok, detail = hw_smoke._run("tunnel", "code", code, 300)
+        assert not ok
+        assert "not a TPU-class platform" in detail
+
+
 class TestMain:
     def _patched(self, monkeypatch, probes):
         monkeypatch.setattr(hw_smoke, "_PROBES", probes)

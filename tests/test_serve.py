@@ -1225,6 +1225,82 @@ class TestServiceUnit:
         with pytest.raises(_BadRequest, match="action"):
             svc.do_profile(json.dumps({"action": "bogus"}))
 
+    def test_profile_dir_is_confined(self, monkeypatch, tmp_path):
+        """A client-named profile dir is a SERVER filesystem path: only
+        locations under the temp dir (or --state-dir) are accepted —
+        a wire request must not write at an arbitrary server path
+        (the _stream_path policy, review fix)."""
+        import jax
+
+        from circuitmap_tpu.serve import FitService, _BadRequest
+
+        svc = FitService()
+        with pytest.raises(_BadRequest, match="temp dir"):
+            svc.do_profile(json.dumps(
+                {"action": "start", "dir": "/etc/cron.d/x"}))
+        # ../ traversal out of the temp dir is caught by realpath
+        import tempfile
+
+        escape = os.path.join(tempfile.gettempdir(), "..", "etc", "x")
+        with pytest.raises(_BadRequest, match="temp dir"):
+            svc.do_profile(json.dumps({"action": "start", "dir": escape}))
+        # a dir under --state-dir is allowed
+        svc2 = FitService(state_dir=str(tmp_path / "state"))
+        seen = {}
+        monkeypatch.setattr(jax.profiler, "start_trace",
+                            lambda d, *a, **k: seen.setdefault("d", d))
+        monkeypatch.setattr(jax.profiler, "stop_trace", lambda: None)
+        d = str(tmp_path / "state" / "prof")
+        _, out = svc2.do_profile(json.dumps({"action": "start", "dir": d}))
+        assert json.loads(out)["dir"] == d and seen["d"] == d
+        svc2.do_profile(json.dumps({"action": "stop"}))
+
+    def test_profile_start_failure_surfaces_root_cause(self, monkeypatch,
+                                                       tmp_path):
+        """A start_trace failure that is NOT a stale live session must
+        surface its own message — the self-heal's stop_trace would
+        mask it with 'no trace running' (review fix) — and must not
+        call stop_trace at all."""
+        import jax
+
+        from circuitmap_tpu.serve import FitService, _BadRequest
+
+        svc = FitService()
+
+        def bad_start(d, *a, **k):
+            raise RuntimeError("profiler plugin unavailable")
+
+        def never(*a, **k):
+            raise AssertionError("stop_trace must not run")
+
+        monkeypatch.setattr(jax.profiler, "start_trace", bad_start)
+        monkeypatch.setattr(jax.profiler, "stop_trace", never)
+        with pytest.raises(_BadRequest, match="plugin unavailable"):
+            svc.do_profile(json.dumps(
+                {"action": "start", "dir": str(tmp_path / "t")}))
+        assert svc._profile_dir is None
+
+    def test_fit_many_ragged_pad_cap_floors_stim_dtype(self):
+        """The ragged pad cap bounds the f32 fit/output allocations, so
+        a narrow (int8) stim body must hit the cap at the same k_trues
+        as an f32 one (review fix: itemsize=1 used to undercut it 4x)."""
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        # chosen so the STIM term is the binding one: psc f32 term is
+        # 2000*128128*4 B ~ 1 GB (under the cap); the f32-floored stim
+        # term is 2000*20*128128*4 B ~ 20 GB (over), while the raw
+        # int8 itemsize would read it as ~5 GB and let it through
+        ks = np.asarray([128001] + [1] * 1999, np.int64)
+        sum_k = int(ks.sum())
+        body = _npz_bytes(
+            psc=np.zeros((sum_k, 1), np.float32),
+            stim=np.zeros((20, sum_k), np.int8),
+            k_trues=ks.astype(np.int32))
+        with pytest.raises(_BadRequest, match="would pad"):
+            svc.do_fit_many(body, json.dumps({"iters": 2}))
+
     def test_profile_stop_failure_never_wedges(self, monkeypatch,
                                                tmp_path):
         """A failed stop_trace is a 500 (not a 400) and must not wedge
