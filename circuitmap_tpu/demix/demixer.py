@@ -251,13 +251,15 @@ class NeuralDemixer:
             )
         self.training_data = None
         self.test_data = None
+        # one-slot cache: (mesh, replicated params) for __call__(mesh=)
+        self._mesh_params = None
 
     # -- inference ---------------------------------------------------------
 
     def __call__(self, traces, monotone_filter_start=500,
                  monotone_filter_inplace=True, verbose=True,
                  keep_on_device=False, chunk_size=4096,
-                 transfer_dtype=None):
+                 transfer_dtype=None, mesh=None):
         """Demix a trace block. ``keep_on_device=True`` returns a device
         array — use it when the output feeds a solver directly, so the
         [K, T] block never round-trips through host memory.
@@ -281,6 +283,17 @@ class NeuralDemixer:
         WIRE_STUDY.json) — pair it with a quantisation-aware-trained
         checkpoint (demixers/*_int4qat.npz), which recovers int8-level
         fidelity at half the transfer.
+
+        ``mesh``: shard the forward pass over the trial axis of a
+        device mesh. Eval-mode BatchNorm normalises with running
+        statistics (unet.py:219), so every row is independent and the
+        sharded forward is EXACTLY the single-device one — no
+        cross-device reductions, each chip demixes its row block.
+        Params replicate once per mesh (cached); the row buffers ship
+        with a trial-axis NamedSharding, so each host→device chunk
+        transfer splits across the slice. Pair with the sharded
+        solver family: ``keep_on_device=True`` hands them a
+        trial-sharded array directly.
         """
         del monotone_filter_inplace  # functional; kept for API parity
         from ..utils.quant import PackedInt4Traces
@@ -322,6 +335,40 @@ class NeuralDemixer:
             else:
                 int4_dec = packed_in.decimate
 
+        if mesh is None:
+            _dev1 = _dev2 = jnp.asarray
+            params_use = self.params
+        else:
+            ndev = int(mesh.devices.size)
+            # buckets are powers of two >=64 or multiples of 1024
+            # (_bucket), so any power-of-two mesh up to 64 divides
+            # every bucket exactly — no padding logic needed beyond
+            # what the bucket already provides
+            if 64 % ndev and 1024 % ndev:
+                raise ValueError(
+                    f"mesh size {ndev} does not divide the demixer's "
+                    "row buckets (powers of two / multiples of 1024); "
+                    "use a power-of-two mesh")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import TRIAL_AXIS
+
+            sh1 = NamedSharding(mesh, PartitionSpec(TRIAL_AXIS))
+            sh2 = NamedSharding(mesh, PartitionSpec(TRIAL_AXIS, None))
+            sh_rep = NamedSharding(mesh, PartitionSpec())
+            _dev1 = lambda a: jax.device_put(a, sh1)  # noqa: E731
+            _dev2 = lambda a: jax.device_put(a, sh2)  # noqa: E731
+            cached = self._mesh_params
+            # keyed on BOTH identities: train() rebinds self.params
+            # every epoch, and a stale replicated copy would silently
+            # demix with pre-training weights
+            if (cached is not None and cached[0] is mesh
+                    and cached[1] is self.params):
+                params_use = cached[2]
+            else:
+                params_use = jax.device_put(self.params, sh_rep)
+                self._mesh_params = (mesh, self.params, params_use)
+
         def _one(part):
             bucket = _bucket(part.shape[0])
             if int4_dec:
@@ -340,7 +387,7 @@ class NeuralDemixer:
                 fn = (_demix_and_filter_int4d2 if int4_dec == 2
                       else _demix_and_filter_int4)
                 return fn(
-                    self.params, jnp.asarray(packed), jnp.asarray(pscale),
+                    params_use, _dev2(packed), _dev1(pscale),
                     int(monotone_filter_start), T)[:part.shape[0]]
             if wire == np.int8:
                 # one quantiser across the demixer/solver/HTTP wires
@@ -354,11 +401,11 @@ class NeuralDemixer:
                 pscale = np.ones(bucket, dtype=np.float32)
                 pscale[:part.shape[0]] = scale_safe
                 return _demix_and_filter_quantised(
-                    self.params, jnp.asarray(padded), jnp.asarray(pscale),
+                    params_use, _dev2(padded), _dev1(pscale),
                     int(monotone_filter_start))[:part.shape[0]]
             padded = np.zeros((bucket, T), dtype=wire)
             padded[:part.shape[0]] = part  # casts into the wire buffer
-            return _demix_and_filter(self.params, jnp.asarray(padded),
+            return _demix_and_filter(params_use, _dev2(padded),
                                      int(monotone_filter_start))[:part.shape[0]]
 
         def _one_packed(k0, k1):
@@ -373,7 +420,7 @@ class NeuralDemixer:
             ps[:n] = packed_in.scale[k0:k1]
             fn = (_demix_and_filter_int4d2 if int4_dec == 2
                   else _demix_and_filter_int4)
-            return fn(self.params, jnp.asarray(pk), jnp.asarray(ps),
+            return fn(params_use, _dev2(pk), _dev1(ps),
                       int(monotone_filter_start), T)[:n]
 
         one = (_one_packed if packed_in is not None

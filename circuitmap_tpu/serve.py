@@ -538,8 +538,11 @@ class FitService:
                 "demix requested but the server was started without a "
                 "demixer (pass --demixer to `circuitmap_tpu serve`)")
         self.n_demixes += 1
+        # a --mesh server demixes sharded too: rows split over the
+        # trial axis (exact — eval-mode BN), and the device-resident
+        # output hands the sharded solver a trial-sharded array
         return self.demixer(psc, verbose=False, keep_on_device=True,
-                            transfer_dtype=wire)
+                            transfer_dtype=wire, mesh=self.mesh)
 
     # -- endpoints ----------------------------------------------------------
 

@@ -639,3 +639,78 @@ class TestToeplitzHead:
             a, want = np.asarray(a), np.asarray(want)
             scale = max(np.abs(want).max(), 1.0)
             assert np.abs(a - want).max() < 1e-4 * scale
+
+
+class TestMeshInference:
+    """__call__(mesh=): trial-sharded demixing equals single-device.
+
+    Eval-mode BN uses running statistics (unet.py:219), so rows are
+    independent and sharding the trial axis must not change the result
+    beyond compilation-order float noise.
+    """
+
+    @pytest.mark.parametrize("wire", [None, "f16", "int8", "int4",
+                                      "int4d2"])
+    def test_mesh_matches_single_device(self, wire):
+        from circuitmap_tpu.parallel import trial_mesh
+
+        demix = NeuralDemixer(seed=0)
+        rng = np.random.default_rng(3)
+        traces = rng.normal(size=(100, 900)).astype(np.float32) * 40
+        ref = demix(traces, verbose=False, transfer_dtype=wire)
+        out = demix(traces, verbose=False, transfer_dtype=wire,
+                    mesh=trial_mesh(8))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_mesh_packed_passthrough(self):
+        """int4 wire bodies (HTTP pass-through) shard identically."""
+        from circuitmap_tpu.parallel import trial_mesh
+        from circuitmap_tpu.utils.quant import (PackedInt4Traces,
+                                                quantise_pack_int4)
+
+        demix = NeuralDemixer(seed=0)
+        rng = np.random.default_rng(4)
+        traces = rng.normal(size=(72, 900)).astype(np.float32) * 25
+        packed, scale = quantise_pack_int4(traces)
+        body = PackedInt4Traces(packed, scale, t_true=900)
+        ref = demix(body, verbose=False)
+        out = demix(body, verbose=False, mesh=trial_mesh(8))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_mesh_output_feeds_sharded_array(self):
+        """keep_on_device over a mesh returns a trial-sharded array."""
+        from circuitmap_tpu.parallel import trial_mesh
+
+        demix = NeuralDemixer(seed=0)
+        rng = np.random.default_rng(5)
+        traces = rng.normal(size=(64, 900)).astype(np.float32) * 10
+        dev = demix(traces, verbose=False, keep_on_device=True,
+                    mesh=trial_mesh(8))
+        assert isinstance(dev, jax.Array)
+        assert len(dev.sharding.device_set) == 8
+
+    def test_mesh_params_cache_tracks_training(self):
+        """Rebinding params (what train() does) must invalidate the
+        replicated-params cache — a stale copy would demix with the
+        pre-training weights."""
+        from circuitmap_tpu.parallel import trial_mesh
+
+        mesh = trial_mesh(8)
+        demix = NeuralDemixer(seed=0)
+        rng = np.random.default_rng(6)
+        traces = rng.normal(size=(64, 900)).astype(np.float32)
+        demix(traces, verbose=False, mesh=mesh)  # prime the cache
+        demix.params = jax.tree_util.tree_map(
+            lambda a: a * 0, demix.params)
+        out = demix(traces, verbose=False, mesh=mesh)
+        ref = demix(traces, verbose=False)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_mesh_size_must_divide_buckets(self):
+        from jax.sharding import Mesh
+
+        demix = NeuralDemixer(seed=0)
+        devs = np.array(jax.devices()[:3])
+        with pytest.raises(ValueError, match="power-of-two"):
+            demix(np.zeros((16, 900), np.float32), verbose=False,
+                  mesh=Mesh(devs, ("trial",)))
