@@ -58,6 +58,17 @@ def main():
                          "(solvers/_common.prepare_traces)")
     ap.add_argument("--solver", choices=("caviar", "sns", "mbcs"),
                     default="caviar")
+    ap.add_argument("--demixer", default=None,
+                    help="demix this process's raw trace shard first "
+                         "(.npz/.ckpt checkpoint path). Demixing is "
+                         "row-independent, so at pod scale each host "
+                         "demixes its own shard on its own devices — "
+                         "no collectives, no extra wire")
+    ap.add_argument("--demix-wire", default=None,
+                    choices=("f32", "f16", "int8", "int4", "int4d2"),
+                    help="host->device transfer format for the "
+                         "demixer upload (pair int4* with a QAT "
+                         "checkpoint)")
     ap.add_argument("--checkpoint", default=None,
                     help="segmented caviar fit with checkpoint/resume "
                          "(parallel.caviar_resumable_distributed); path "
@@ -86,6 +97,12 @@ def main():
 
     data = np.load(args.data)
     psc, stim = data["psc"], data["stim"]
+    if args.demixer:
+        from circuitmap_tpu.demix import NeuralDemixer
+
+        demixer = NeuralDemixer(path=args.demixer)
+        psc = demixer(psc, verbose=jax.process_index() == 0,
+                      transfer_dtype=args.demix_wire)
     N = stim.shape[0]
     p = default_priors(N)
 

@@ -329,3 +329,50 @@ class TestGlobalPowersValidation:
         out = _global_powers(stim, [45.0, 55.0, 65.0],
                              np.dtype(np.float32))
         np.testing.assert_allclose(out, [45.0, 55.0, 65.0])
+
+
+class TestDistributedDemix:
+    def test_demixed_shards_match_single_process_chain(self, sim, tmp_path):
+        """--demixer: each worker demixes its OWN trial shard (rows are
+        independent under eval-mode BN, so per-host demixing needs no
+        collectives) before the distributed fit. Must agree with the
+        single-process demix -> caviar_sharded chain to collective-
+        reduction rounding."""
+        iters = 3
+        ckpt = os.path.join(REPO, "demixers", "nwd_ie_ChroME2f.npz")
+        a, b = _launch_pair(tmp_path, sim["psc"], sim["stim_matrix"],
+                            k_split=24, iters=iters, port=29543,
+                            extra=("--demixer", ckpt,
+                                   "--demix-wire", "int8"))
+        np.testing.assert_array_equal(a["mu"], b["mu"])
+
+        from circuitmap_tpu.demix import NeuralDemixer
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.parallel import caviar_sharded, trial_mesh
+
+        # demix shard-wise exactly as the workers do: a different
+        # forward batch size changes XLA fusion order (~1e-6 on the
+        # demixed traces), which 3 CAVI iterations amplify past any
+        # tight tolerance on the weakly-identified entries
+        demixer = NeuralDemixer(path=ckpt)
+        dem = np.concatenate([
+            demixer(sim["psc"][:24], verbose=False, transfer_dtype="int8"),
+            demixer(sim["psc"][24:], verbose=False, transfer_dtype="int8"),
+        ])
+        p = default_priors(16)
+        ref = caviar_sharded(
+            dem, sim["stim_matrix"], p["mu"], p["beta"], p["shape"],
+            p["rate"], p["phi"], p["phi_cov"], mesh=trial_mesh(8),
+            iters=iters, fn_scan=False, analytic_mc=True, verbose=False)
+        mu_ref = np.asarray(ref[0])
+        np.testing.assert_array_equal(a["mu"] != 0, mu_ref != 0)
+        # identified connections agree tightly; sub-threshold entries
+        # (|mu| < 0.1 here vs true weights O(5)) only to an absolute
+        # bound — gloo's cross-process reduction order differs from the
+        # single-process XLA all-reduce and the fit's gate feedback
+        # amplifies that ~1e-4 noise to %-level on barely-supported mu
+        strong = np.abs(mu_ref) > 0.1
+        np.testing.assert_allclose(a["mu"][strong], mu_ref[strong],
+                                   rtol=5e-4)
+        np.testing.assert_allclose(a["mu"][~strong], mu_ref[~strong],
+                                   atol=1e-3)
