@@ -702,7 +702,11 @@ class FitService:
 
         opts.setdefault("verbose", False)
         priors = dict(self.priors or {})
-        for key, val in default_priors(stims.shape[1]).items():
+        # stims is [B, N, K] for stacked batches, a list of [N, K_b]
+        # for ragged sequential ones
+        n_cells = (stims[0].shape[0] if isinstance(stims, (list, tuple))
+                   else stims.shape[1])
+        for key, val in default_priors(n_cells).items():
             priors.setdefault(key, val)
         if method == "caviar":
             fn, prior_args = caviar_many, (
@@ -733,12 +737,14 @@ class FitService:
         """Ragged /fit_many: ``k_trues`` splits a concatenated
         single-experiment-wire body ('psc' [sum_K, T] — dense or any
         quantised psc_* wire — + 'stim' [N, sum_K]) into B experiments
-        with different trial counts. The server pads to one shared
-        128-aligned K (int4 bodies pad at the WIRE level and keep the
-        device pass-through) and runs caviar_many's traced-k_true path:
-        ONE compiled program for the whole ragged stack. lam/z return
-        zero-padded to the shared K with k_trues echoed so the client
-        slices true widths."""
+        with different trial counts. For caviar the server pads to one
+        shared 128-aligned K (int4 bodies pad at the WIRE level and
+        keep the device pass-through) and runs caviar_many's
+        traced-k_true path: ONE compiled program for the whole ragged
+        stack. sns/mbcs instead split the flat block and run
+        per-experiment true-shape sequential fits (their *_many ragged
+        contract). Trial-axis outputs return zero-padded to the shared
+        K with k_trues echoed so the client slices true widths."""
         from .utils.quant import PackedInt4Traces
 
         ks = np.asarray(arrays.pop("k_trues")).ravel()
@@ -762,6 +768,24 @@ class FitService:
                 f"stim must be [N, sum(k_trues)={sum_k}]; got "
                 f"{tuple(stim.shape)}")
         k_pad = -(-int(ks.max()) // 128) * 128
+        offs = np.concatenate([[0], np.cumsum(ks)])
+        if method != "caviar":
+            # sns/mbcs have no traced-k_true program; their ragged
+            # path is per-experiment TRUE-SHAPE sequential fits
+            # (solvers/batched.py), so the server pads nothing: demix
+            # once over the flat block, split at the offsets, hand the
+            # ragged lists over. A --mesh server still serves these —
+            # sequential-only, so the mesh stays out of the options.
+            self._resolve_many_mesh(opts)
+            opts.pop("mesh", None)
+            obs_flat = np.asarray(self._maybe_demix(psc, opts))
+            ys_list = [obs_flat[int(offs[b]):int(offs[b + 1])]
+                       for b in range(B)]
+            st_list = [stim[:, int(offs[b]):int(offs[b + 1])]
+                       for b in range(B)]
+            results = self._run_many(ys_list, st_list, opts,
+                                     method=method)
+            return self._pack_ragged_results(results, ks, k_pad)
         # the server pads EVERY experiment to the longest one's width,
         # so one giant + many tiny k_trues amplifies a small wire body
         # into B*k_pad rows — bound the padded allocations with the
@@ -783,7 +807,6 @@ class FitService:
                 f"(~{pad_bytes >> 30} GB server-side, > "
                 f"{_MAX_SPARSE_DENSE_BYTES >> 30} GB) — split the "
                 "batch, or group experiments of similar length")
-        offs = np.concatenate([[0], np.cumsum(ks)])
         if isinstance(psc, PackedInt4Traces):
             # pad at the wire level (16x smaller than dense): zero
             # packed rows at scale 1 decode to exact zeros
@@ -810,6 +833,15 @@ class FitService:
         obs = self._maybe_demix_many(pscs, opts)
         results = self._run_many(obs, stims, opts, method=method,
                                  k_trues=ks)
+        return self._pack_ragged_results(results, ks, k_pad)
+
+    @staticmethod
+    def _pack_ragged_results(results, ks, k_pad):
+        """Stack true-width per-experiment result dicts into one npz:
+        trial-axis fields (lam [N, K_b], z [K_b]) zero-pad to the
+        shared k_pad; k_trues echoes so the client slices true
+        widths."""
+        B = len(results)
         out = {}
         for key in results[0]:
             vals = [np.asarray(r[key]) for r in results]
@@ -822,6 +854,15 @@ class FitService:
                 stack = np.zeros((B, k_pad), vals[0].dtype)
                 for b, v in enumerate(vals):
                     stack[b, :v.shape[0]] = v
+            elif len({v.shape for v in vals}) > 1:
+                # other true-width fields (mbcs shape/rate are [K_b];
+                # receptive_fields is [N, P_b] when experiments scan
+                # different level tables) — zero-pad each dim to max
+                dims = [max(v.shape[d] for v in vals)
+                        for d in range(vals[0].ndim)]
+                stack = np.zeros((B, *dims), vals[0].dtype)
+                for b, v in enumerate(vals):
+                    stack[(b, *map(slice, v.shape))] = v
             else:
                 stack = np.stack(vals)
             out[key] = stack
@@ -835,7 +876,7 @@ class FitService:
         job array: one warm executable serves every batch of the same
         shape, and ``--mesh N`` shards the experiment axis. Ragged
         batches (different trial counts) arrive as a concatenated
-        body + 'k_trues' (``_fit_many_ragged``; caviar-only)."""
+        body + 'k_trues' (``_fit_many_ragged``; all three methods)."""
         opts = self._parse_options(options_header, _FIT_MANY_OPTION_KEYS,
                                    "fit_many")
         method = str(opts.pop("method", "caviar"))
@@ -843,11 +884,9 @@ class FitService:
         if "k_trues" in arrays:
             # ragged batch: one concatenated [sum_K, T] trace block +
             # one flat [N, sum_K] stim (the SINGLE-experiment wire,
-            # reused verbatim) + per-experiment trial counts
-            if method != "caviar":
-                raise _BadRequest(
-                    "ragged fit_many (k_trues) is caviar-only — the "
-                    "other solvers have no traced-k_true path")
+            # reused verbatim) + per-experiment trial counts. caviar
+            # runs the traced-k_true padded program; sns/mbcs run
+            # per-experiment true-shape sequential fits
             return self._fit_many_ragged(arrays, opts, method)
         if "pscs" not in arrays or "stims" not in arrays:
             raise _BadRequest("npz must carry 'pscs' [B, K, T|1] and "
@@ -1833,11 +1872,12 @@ class FitClient:
         RAGGED batches — a list of [K_b, T] trace blocks with
         DIFFERENT trial counts and a matching list of [N, K_b] stims —
         ship as one concatenated single-experiment-wire body (no
-        padding bytes on the wire) plus ``k_trues``; the server pads
-        and fits them through caviar_many's traced-k_true path
-        (caviar-only). The return is then a LIST of per-experiment
-        dicts at each experiment's true width (mirroring
-        ``caviar_many``)."""
+        padding bytes on the wire) plus ``k_trues``; the server fits
+        them through caviar_many's traced-k_true path ('caviar') or
+        per-experiment true-shape sequential fits ('cavi_sns'/'mbcs').
+        The return is then a LIST of per-experiment dicts at each
+        experiment's true width (mirroring the library's ragged
+        ``*_many`` contract)."""
         opts = dict(fit_options)
         if demix is not None:
             opts["demix"] = bool(demix)

@@ -328,54 +328,33 @@ def caviar_many(
     if k_trues is not None:
         k_trues = np.asarray(k_trues, dtype=np.int32)
     stims_true = None  # per-experiment true-width stims (host fn-scan)
-    if isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0:
-        ks = [int(np.shape(a)[0]) for a in y_pscs]
-        if len(set(ks)) > 1:
-            if k_trues is not None:
-                raise ValueError(
-                    "pass EITHER a ragged list of experiments OR "
-                    "k_trues= with an already-padded stack, not both")
-            if any(isinstance(a, (jax.Array, PackedInt4Traces))
-                   for a in y_pscs):
-                raise ValueError(
-                    "ragged batches take host trace arrays; device or "
-                    "wire-form bodies must share one shape")
-            if not isinstance(stims, (list, tuple)) or len(stims) != len(
-                    y_pscs):
-                raise ValueError(
-                    f"ragged y_pscs ({len(y_pscs)} experiments) needs a "
-                    "matching list of per-experiment [N, K_b] stims")
-            ys_list = [np.asarray(a) for a in y_pscs]
-            st_list = [np.asarray(s) for s in stims]
-            t_len = ys_list[0].shape[1] if ys_list[0].ndim == 2 else -1
-            n_cells = st_list[0].shape[0] if st_list[0].ndim == 2 else -1
-            for b, (a, s) in enumerate(zip(ys_list, st_list)):
-                if a.ndim != 2 or a.shape[1] != t_len:
-                    raise ValueError(
-                        f"experiment {b}: traces must be [K_b, {t_len}], "
-                        f"got {a.shape}")
-                if s.shape != (n_cells, a.shape[0]):
-                    raise ValueError(
-                        f"experiment {b}: stim must be "
-                        f"[{n_cells}, {a.shape[0]}], got {s.shape}")
-            k_pad = -(-max(ks) // 128) * 128
-            # pad straight into the wire dtype: f32 unless this is an
-            # f64 fit fed f64 blocks (parity-oracle exactness — the
-            # downstream cast must not strip mantissa bits)
-            t_dt = (np.float64 if (jnp.dtype(dtype).itemsize > 4
-                                   and any(a.dtype == np.float64
-                                           for a in ys_list))
-                    else np.float32)
-            y_pad = np.zeros((len(ys_list), k_pad, t_len), t_dt)
-            s_pad = np.zeros(
-                (len(st_list), n_cells, k_pad),
-                np.result_type(*[s.dtype for s in st_list]))
-            for b, (a, s) in enumerate(zip(ys_list, st_list)):
-                y_pad[b, :ks[b]] = a
-                s_pad[b, :, :ks[b]] = s
-            y_pscs, stims = y_pad, s_pad
-            k_trues = np.asarray(ks, np.int32)
-            stims_true = st_list
+    ragged_in = _ragged_lists(y_pscs, stims, "caviar_many")
+    if ragged_in is not None:
+        if k_trues is not None:
+            raise ValueError(
+                "pass EITHER a ragged list of experiments OR "
+                "k_trues= with an already-padded stack, not both")
+        ys_list, st_list, ks = ragged_in
+        t_len = ys_list[0].shape[1]
+        n_cells = st_list[0].shape[0]
+        k_pad = -(-max(ks) // 128) * 128
+        # pad straight into the wire dtype: f32 unless this is an
+        # f64 fit fed f64 blocks (parity-oracle exactness — the
+        # downstream cast must not strip mantissa bits)
+        t_dt = (np.float64 if (jnp.dtype(dtype).itemsize > 4
+                               and any(a.dtype == np.float64
+                                       for a in ys_list))
+                else np.float32)
+        y_pad = np.zeros((len(ys_list), k_pad, t_len), t_dt)
+        s_pad = np.zeros(
+            (len(st_list), n_cells, k_pad),
+            np.result_type(*[s.dtype for s in st_list]))
+        for b, (a, s) in enumerate(zip(ys_list, st_list)):
+            y_pad[b, :ks[b]] = a
+            s_pad[b, :, :ks[b]] = s
+        y_pscs, stims = y_pad, s_pad
+        k_trues = np.asarray(ks, np.int32)
+        stims_true = st_list
 
     # same normalisation as the sibling *_many entries (device-resident
     # and wire-form bodies pass through; host arrays cast per the fit
@@ -644,11 +623,43 @@ def sns_many(
     Priors are shared across maps. Returns a list of B dicts with keys
     mu/beta/alpha/lam/shape/rate/phi/phi_cov.
 
-    Ragged trial counts are not supported here (CAVI-SnS has no traced
-    k_true path) — use ``caviar_many`` for ragged stacks.
+    Ragged input (a list of [K_b, T] blocks with differing trial
+    counts + matching [N, K_b] stims) runs per-experiment TRUE-SHAPE
+    sequential fits — CAVI-SnS has no traced k_true path, so instead
+    of one padded program each experiment reuses the public single-fit
+    executable at its own K_b (one compile per distinct trial count;
+    the persistent compile cache amortises across processes). Results
+    are exactly the single fits'. Sequential-only: ``mesh=`` /
+    ``compile_mode='batched'`` with ragged input raise (use
+    ``caviar_many`` for a mesh-sharded ragged stack).
     """
     from ..ops.charge import integrated_charge
-    from .cavi_sns import _run_sns, _sns_init
+    from .cavi_sns import _run_sns, _sns_init, cavi_sns
+
+    ragged_in = _ragged_lists(y_pscs, stims, "sns_many")
+    if ragged_in is not None:
+        _ragged_sequential_guard("sns_many", mesh, compile_mode, powers)
+        ys_list, st_list, ks = ragged_in
+        if seeds is None:
+            seeds = np.arange(len(ys_list))
+        if verbose:
+            print(f"Running CAVI-SnS on {len(ys_list)} experiments "
+                  f"(ragged trials {min(ks)}-{max(ks)}, sequential "
+                  "true-shape fits).")
+        out = []
+        for b, (yb, sb) in enumerate(zip(ys_list, st_list)):
+            r = cavi_sns(
+                yb, sb, mu_prior, beta_prior, alpha_prior, shape_prior,
+                rate_prior, phi_prior, phi_cov_prior, iters=iters,
+                num_mc_samples=num_mc_samples, seed=int(seeds[b]),
+                minimum_spike_count=minimum_spike_count,
+                analytic_mc=analytic_mc, laplace_impl=laplace_impl,
+                dtype=dtype, trace_wire=trace_wire,
+                save_histories=False, verbose=False)
+            out.append(dict(zip(
+                ("mu", "beta", "alpha", "lam", "shape", "rate", "phi",
+                 "phi_cov"), (np.asarray(v) for v in r[:8]))))
+        return out
 
     y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
                                          "sns_many", dtype=dtype)
@@ -756,10 +767,59 @@ def mbcs_many(
     rather than the single fit's host-numpy pass — identical in f32;
     feed demixed traces, as ``mbcs`` documents.
 
-    Ragged trial counts are not supported here (MBCS has no traced
-    k_true path) — use ``caviar_many`` for ragged stacks.
+    Ragged input (a list of [K_b, T] blocks with differing trial
+    counts + matching [N, K_b] stims) runs per-experiment TRUE-SHAPE
+    sequential fits, exactly as ``sns_many`` — each experiment reuses
+    the public single-fit executable at its own K_b. Note the single
+    fit computes its activity mask on host numpy (identical to the
+    stacked path's device mask in f32). Sequential-only: ``mesh=`` /
+    ``compile_mode='batched'`` with ragged input raise.
     """
-    from .mbcs import _run_mbcs
+    from .mbcs import _run_mbcs, mbcs as mbcs_single
+
+    ragged_in = _ragged_lists(y_pscs, stims, "mbcs_many")
+    if ragged_in is not None:
+        _ragged_sequential_guard("mbcs_many", mesh, compile_mode, powers)
+        if trace_wire is not None:
+            raise ValueError(
+                "ragged mbcs_many has no trace_wire path (the single "
+                "fit computes its activity mask from the host traces); "
+                "ship f32 or use caviar_many for a compressed ragged "
+                "wire")
+        ys_list, st_list, ks = ragged_in
+        if seeds is None:
+            seeds = np.arange(len(ys_list))
+        if verbose:
+            print(f"Running MBCS on {len(ys_list)} experiments "
+                  f"(ragged trials {min(ks)}-{max(ks)}, sequential "
+                  "true-shape fits).")
+        out = []
+        for b, (yb, sb) in enumerate(zip(ys_list, st_list)):
+            r = mbcs_single(
+                yb, sb, mu_prior, beta_prior, shape_prior, rate_prior,
+                iters=iters, seed=int(seeds[b]),
+                y_xcorr_thresh=y_xcorr_thresh, penalty=penalty,
+                scale_factor=scale_factor,
+                max_penalty_iters=max_penalty_iters,
+                max_lasso_iters=max_lasso_iters,
+                constrain_weights=constrain_weights,
+                learn_lam=learn_lam,
+                delay_spont_estimation=delay_spont_estimation,
+                minimum_spike_count=minimum_spike_count,
+                noise_scale=noise_scale,
+                num_mc_samples_noise_model=num_mc_samples_noise_model,
+                minimum_maximal_spike_prob=minimum_maximal_spike_prob,
+                orthogonal_outliers=orthogonal_outliers,
+                outlier_penalty=outlier_penalty,
+                init_spike_prior=init_spike_prior,
+                outlier_tol=outlier_tol, spont_rate=spont_rate,
+                lam_mask_fraction=lam_mask_fraction,
+                analytic_noise=analytic_noise, dtype=dtype,
+                save_histories=False, verbose=False)
+            out.append(dict(zip(
+                ("mu", "beta", "lam", "shape", "rate", "z",
+                 "receptive_fields"), (np.asarray(v) for v in r[:7]))))
+        return out
 
     y_pscs, stims_np = _same_shape_stack(y_pscs, stims, trace_wire,
                                          "mbcs_many", dtype=dtype)
@@ -828,6 +888,62 @@ def mbcs_many(
                      mesh, mode, B)
     host = {k: np.asarray(v) for k, v in finals.items()}
     return [{k: host[k][b] for k in host} for b in range(B)]
+
+
+def _ragged_lists(y_pscs, stims, name):
+    """Detect a ragged list-of-experiments input.
+
+    Returns ``(ys_list, st_list, ks)`` when ``y_pscs`` is a list/tuple
+    of [K_b, T] host arrays with DIFFERING trial counts; ``None`` for
+    every same-shape input (including same-K lists, which take the
+    stacked path). Shared by all three *_many entries so the shape
+    validation cannot drift between solvers.
+    """
+    from ..utils.quant import PackedInt4Traces
+
+    if not (isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0):
+        return None
+    ks = [int(np.shape(a)[0]) for a in y_pscs]
+    if len(set(ks)) <= 1:
+        return None
+    if any(isinstance(a, (jax.Array, PackedInt4Traces)) for a in y_pscs):
+        raise ValueError(
+            "ragged batches take host trace arrays; device or "
+            "wire-form bodies must share one shape")
+    if not isinstance(stims, (list, tuple)) or len(stims) != len(y_pscs):
+        raise ValueError(
+            f"ragged y_pscs ({len(y_pscs)} experiments) needs a "
+            "matching list of per-experiment [N, K_b] stims")
+    ys_list = [np.asarray(a) for a in y_pscs]
+    st_list = [np.asarray(s) for s in stims]
+    t_len = ys_list[0].shape[1] if ys_list[0].ndim == 2 else -1
+    n_cells = st_list[0].shape[0] if st_list[0].ndim == 2 else -1
+    for b, (a, s) in enumerate(zip(ys_list, st_list)):
+        if a.ndim != 2 or a.shape[1] != t_len:
+            raise ValueError(
+                f"experiment {b}: traces must be [K_b, {t_len}], "
+                f"got {a.shape}")
+        if s.shape != (n_cells, a.shape[0]):
+            raise ValueError(
+                f"experiment {b}: stim must be "
+                f"[{n_cells}, {a.shape[0]}], got {s.shape}")
+    return ys_list, st_list, ks
+
+
+def _ragged_sequential_guard(name, mesh, compile_mode, powers):
+    """Ragged sns/mbcs stacks run per-experiment TRUE-SHAPE fits (the
+    sequential-mode contract: reuse of the public single-fit
+    executable, one compile per distinct K_b). Reject knobs that only
+    make sense for one shared compiled program."""
+    if mesh is not None or compile_mode == "batched":
+        raise ValueError(
+            f"ragged {name} runs per-experiment sequential fits; "
+            "mesh=/compile_mode='batched' need a same-shape stack — "
+            "or caviar_many, whose traced k_true supports both")
+    if powers is not None:
+        raise ValueError(
+            f"ragged {name} scans each experiment's own stim levels; "
+            "powers= applies only to same-shape stacks")
 
 
 def _same_shape_stack(y_pscs, stims, trace_wire, name, dtype=jnp.float32):

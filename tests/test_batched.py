@@ -505,15 +505,66 @@ class TestSolverFamilyMany:
             np.testing.assert_allclose(seq[b]["mu"], mesh[b]["mu"],
                                        rtol=1e-5, atol=1e-6)
 
-    def test_ragged_rejected_with_pointer(self, sims):
+    def test_ragged_sns_matches_individual_fits(self, ragged_sims):
+        """Ragged sns_many IS the per-experiment single fits (the
+        sequential true-shape contract) — bit-identical, true widths."""
+        from circuitmap_tpu.solvers import sns_many
+        from circuitmap_tpu.solvers.cavi_sns import cavi_sns
+
+        p = self.P
+        args = (p["mu"], p["beta"], p["alpha"], p["shape"], p["rate"],
+                p["phi"], p["phi_cov"])
+        kw = dict(iters=5, num_mc_samples=20, analytic_mc=True)
+        ys = [s["psc"] for s in ragged_sims]
+        sts = [s["stim_matrix"] for s in ragged_sims]
+        batch = sns_many(ys, sts, *args, seeds=[0, 1, 2],
+                         verbose=False, **kw)
+        for b, s in enumerate(ragged_sims):
+            single = cavi_sns(s["psc"], s["stim_matrix"], *args, seed=b,
+                              save_histories=False, verbose=False, **kw)
+            np.testing.assert_array_equal(np.asarray(single[0]),
+                                          batch[b]["mu"])
+            np.testing.assert_array_equal(np.asarray(single[3]),
+                                          batch[b]["lam"])
+            assert batch[b]["lam"].shape == (24, s["psc"].shape[0])
+
+    def test_ragged_mbcs_matches_individual_fits(self, ragged_sims):
+        from circuitmap_tpu.solvers import mbcs_many
+        from circuitmap_tpu.solvers.mbcs import mbcs
+
+        p = self.P
+        kw = dict(iters=5, analytic_noise=True)
+        ys = [s["psc"] for s in ragged_sims]
+        sts = [s["stim_matrix"] for s in ragged_sims]
+        batch = mbcs_many(ys, sts, p["mu"], p["beta"], p["shape"],
+                          p["rate"], seeds=[0, 1, 2], verbose=False, **kw)
+        for b, s in enumerate(ragged_sims):
+            single = mbcs(s["psc"], s["stim_matrix"], p["mu"], p["beta"],
+                          p["shape"], p["rate"], seed=b,
+                          save_histories=False, verbose=False, **kw)
+            np.testing.assert_array_equal(np.asarray(single[0]),
+                                          batch[b]["mu"])
+            np.testing.assert_array_equal(np.asarray(single[2]),
+                                          batch[b]["lam"])
+            assert batch[b]["z"].shape == (s["psc"].shape[0],)
+
+    def test_ragged_sequential_only_guards(self, ragged_sims):
+        from circuitmap_tpu.parallel import trial_mesh
         from circuitmap_tpu.solvers import mbcs_many, sns_many
 
         p = self.P
-        ys = [sims[0]["psc"][:128], sims[1]["psc"]]
-        sts = [sims[0]["stim_matrix"][:, :128], sims[1]["stim_matrix"]]
-        with pytest.raises(ValueError, match="caviar_many"):
-            sns_many(ys, sts, p["mu"], p["beta"], p["alpha"], p["shape"],
-                     p["rate"], p["phi"], p["phi_cov"], verbose=False)
-        with pytest.raises(ValueError, match="caviar_many"):
-            mbcs_many(ys, sts, p["mu"], p["beta"], p["shape"], p["rate"],
-                      verbose=False)
+        ys = [s["psc"] for s in ragged_sims]
+        sts = [s["stim_matrix"] for s in ragged_sims]
+        sns_args = (p["mu"], p["beta"], p["alpha"], p["shape"],
+                    p["rate"], p["phi"], p["phi_cov"])
+        with pytest.raises(ValueError, match="sequential"):
+            sns_many(ys, sts, *sns_args, mesh=trial_mesh(4),
+                     verbose=False)
+        with pytest.raises(ValueError, match="sequential"):
+            sns_many(ys, sts, *sns_args, compile_mode="batched",
+                     verbose=False)
+        with pytest.raises(ValueError, match="powers"):
+            sns_many(ys, sts, *sns_args, powers=[1.0], verbose=False)
+        with pytest.raises(ValueError, match="trace_wire"):
+            mbcs_many(ys, sts, p["mu"], p["beta"], p["shape"],
+                      p["rate"], trace_wire="int8", verbose=False)

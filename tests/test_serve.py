@@ -1015,11 +1015,16 @@ class TestServiceUnit:
             # msrmp is a caviar knob: foreign to mbcs_many -> 400
             svc.do_fit_many(body, json.dumps(
                 {"method": "mbcs", "iters": 2, "msrmp": 0.3}))
-        with pytest.raises(_BadRequest, match="caviar-only"):
-            svc.do_fit_many(_npz_bytes(
-                psc=sim["psc"][:128], stim=sim["stim_matrix"][:, :128],
-                k_trues=np.asarray([64, 64], np.int32)),
-                json.dumps({"method": "mbcs", "iters": 2}))
+        # ragged + non-caviar methods run per-experiment sequential
+        # fits (round-4 session 10; used to 400 as "caviar-only")
+        _, out2 = svc.do_fit_many(_npz_bytes(
+            psc=sim["psc"][:128], stim=sim["stim_matrix"][:, :128],
+            k_trues=np.asarray([64, 64], np.int32)),
+            json.dumps({"method": "mbcs", "iters": 2,
+                        "analytic_noise": True}))
+        got2 = _load_npz(out2)
+        assert got2["mu"].shape == (2, N)
+        assert np.isfinite(got2["mu"]).all()
 
     def test_fit_many_ragged_matches_library(self, sim):
         """A ragged /fit_many body (concatenated single-experiment
@@ -1103,6 +1108,43 @@ class TestServiceUnit:
         assert svc.n_demixes == 1  # one flattened call over the stack
         assert got["mu"].shape == (2, N)
         assert np.isfinite(got["mu"]).all()
+
+    def test_fit_many_ragged_sns_matches_library(self, sim):
+        """Ragged /fit_many with method='cavi_sns' splits the flat body
+        and runs per-experiment true-shape sequential fits — equal to
+        the library's ragged sns_many, trial fields padded + k_trues
+        echoed."""
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.serve import (FitService, _load_npz,
+                                          _npz_bytes, encode_stim_sparse)
+        from circuitmap_tpu.solvers import sns_many
+
+        svc = FitService()
+        ks = [64, 96]
+        pscs = [sim["psc"][:64], sim["psc"][64:160]]
+        stims = [sim["stim_matrix"][:, :64], sim["stim_matrix"][:, 64:160]]
+        opts = dict(iters=3, seeds=[1, 2], num_mc_samples=20,
+                    analytic_mc=True)
+        body = _npz_bytes(
+            psc=np.concatenate(pscs, axis=0),
+            k_trues=np.asarray(ks, np.int32),
+            **encode_stim_sparse(np.concatenate(stims, axis=1)))
+        _, out = svc.do_fit_many(
+            body, json.dumps(dict(opts, method="cavi_sns")))
+        got = _load_npz(out)
+        np.testing.assert_array_equal(got["k_trues"], ks)
+        pri = default_priors(N)
+        ref = sns_many(pscs, stims, pri["mu"], pri["beta"], pri["alpha"],
+                       pri["shape"], pri["rate"], pri["phi"],
+                       pri["phi_cov"], verbose=False, **opts)
+        assert got["lam"].shape == (2, N, 128)
+        for b in range(2):
+            np.testing.assert_allclose(got["mu"][b], ref[b]["mu"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(got["lam"][b][:, :ks[b]],
+                                       ref[b]["lam"], rtol=1e-5,
+                                       atol=1e-5)
+            assert np.abs(got["lam"][b][:, ks[b]:]).max() == 0.0
 
     def test_fit_many_ragged_validation(self, sim):
         from circuitmap_tpu.serve import (FitService, _BadRequest,
