@@ -714,3 +714,15 @@ class TestMeshInference:
         with pytest.raises(ValueError, match="power-of-two"):
             demix(np.zeros((16, 900), np.float32), verbose=False,
                   mesh=Mesh(devs, ("trial",)))
+
+    def test_mesh_chunked_matches_single_call(self):
+        """K > chunk_size: sharded chunks concatenate on device."""
+        from circuitmap_tpu.parallel import trial_mesh
+
+        demix = NeuralDemixer(seed=0)
+        rng = np.random.default_rng(7)
+        traces = rng.normal(size=(160, 900)).astype(np.float32) * 15
+        mesh = trial_mesh(8)
+        ref = demix(traces, verbose=False, mesh=mesh)
+        out = demix(traces, verbose=False, mesh=mesh, chunk_size=64)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
