@@ -335,20 +335,24 @@ class NeuralDemixer:
             else:
                 int4_dec = packed_in.decimate
 
+        bucket_min = 64
         if mesh is None:
             _dev1 = _dev2 = jnp.asarray
             params_use = self.params
         else:
             ndev = int(mesh.devices.size)
-            # buckets are powers of two >=64 or multiples of 1024
-            # (_bucket), so any power-of-two mesh up to 64 divides
-            # every bucket exactly — no padding logic needed beyond
-            # what the bucket already provides
-            if 64 % ndev and 1024 % ndev:
+            # every row buffer pads to a bucket (powers of two from
+            # bucket_min up to 1024, then multiples of 1024 — _bucket),
+            # so a power-of-two mesh <=1024 divides every bucket once
+            # the bucket floor is raised to the mesh size; anything
+            # else would fail device_put's even-sharding requirement
+            # mid-run on some chunk size
+            if ndev & (ndev - 1) or ndev > 1024:
                 raise ValueError(
                     f"mesh size {ndev} does not divide the demixer's "
-                    "row buckets (powers of two / multiples of 1024); "
-                    "use a power-of-two mesh")
+                    "row buckets; use a power-of-two mesh (<= 1024 "
+                    "devices)")
+            bucket_min = max(bucket_min, ndev)
             from jax.sharding import NamedSharding, PartitionSpec
 
             from ..parallel.mesh import TRIAL_AXIS
@@ -359,10 +363,13 @@ class NeuralDemixer:
             _dev1 = lambda a: jax.device_put(a, sh1)  # noqa: E731
             _dev2 = lambda a: jax.device_put(a, sh2)  # noqa: E731
             cached = self._mesh_params
-            # keyed on BOTH identities: train() rebinds self.params
-            # every epoch, and a stale replicated copy would silently
-            # demix with pre-training weights
-            if (cached is not None and cached[0] is mesh
+            # mesh compares by EQUALITY (trial_mesh() constructs a
+            # fresh Mesh per call — an identity key would re-replicate
+            # the whole param pytree every demix); params by IDENTITY
+            # (train() rebinds self.params every epoch, and a stale
+            # replicated copy would silently demix with pre-training
+            # weights)
+            if (cached is not None and cached[0] == mesh
                     and cached[1] is self.params):
                 params_use = cached[2]
             else:
@@ -370,7 +377,7 @@ class NeuralDemixer:
                 self._mesh_params = (mesh, self.params, params_use)
 
         def _one(part):
-            bucket = _bucket(part.shape[0])
+            bucket = _bucket(part.shape[0], minimum=bucket_min)
             if int4_dec:
                 # fused cast→pool→quantise→pack (native single pass
                 # when available; the numpy pipeline quantises in f32
@@ -413,7 +420,7 @@ class NeuralDemixer:
             # (zero codes / unit scales, like the encode path) and hand
             # them straight to the int4 forward — zero host codec
             n = k1 - k0
-            bucket = _bucket(n)
+            bucket = _bucket(n, minimum=bucket_min)
             pk = np.zeros((bucket, packed_in.packed.shape[1]), np.uint8)
             pk[:n] = packed_in.packed[k0:k1]
             ps = np.ones(bucket, dtype=np.float32)

@@ -540,9 +540,29 @@ class FitService:
         self.n_demixes += 1
         # a --mesh server demixes sharded too: rows split over the
         # trial axis (exact — eval-mode BN), and the device-resident
-        # output hands the sharded solver a trial-sharded array
+        # output hands the sharded solver a trial-sharded array. The
+        # mesh comes from THIS REQUEST's resolved options, not
+        # self.mesh: a {'sharded': false} opt-out (or a cosamp fit)
+        # runs the single-device solver, which must not be handed a
+        # multi-device-sharded array (on TPU that would force GSPMD
+        # partitioning of the Mosaic kernels inside the unsharded jit)
         return self.demixer(psc, verbose=False, keep_on_device=True,
-                            transfer_dtype=wire, mesh=self.mesh)
+                            transfer_dtype=wire,
+                            mesh=self._demix_mesh(opts))
+
+    @staticmethod
+    def _demix_mesh(opts):
+        """The mesh the demixer may shard over for this request: the
+        request's resolved solver mesh (``opts['mesh']``, set by the
+        per-endpoint sharded= handling before any demix), and only
+        when its size divides the demixer's row buckets — a
+        non-power-of-two --mesh still serves sharded fits; demixing
+        then stays single-device instead of 500ing every request."""
+        mesh = opts.get("mesh")
+        if mesh is None:
+            return None
+        n = int(mesh.devices.size)
+        return mesh if (n & (n - 1)) == 0 and n <= 1024 else None
 
     # -- endpoints ----------------------------------------------------------
 
@@ -678,7 +698,8 @@ class FitService:
         flat_in = (pscs.flat() if isinstance(pscs, PackedInt4Traces)
                    else pscs.reshape(b * k, t))
         flat = self.demixer(flat_in, verbose=False,
-                            keep_on_device=True, transfer_dtype=wire)
+                            keep_on_device=True, transfer_dtype=wire,
+                            mesh=self._demix_mesh(opts))
         return jnp.reshape(flat, (b, k, flat.shape[-1]))
 
     def _resolve_many_mesh(self, opts):
@@ -769,23 +790,6 @@ class FitService:
                 f"{tuple(stim.shape)}")
         k_pad = -(-int(ks.max()) // 128) * 128
         offs = np.concatenate([[0], np.cumsum(ks)])
-        if method != "caviar":
-            # sns/mbcs have no traced-k_true program; their ragged
-            # path is per-experiment TRUE-SHAPE sequential fits
-            # (solvers/batched.py), so the server pads nothing: demix
-            # once over the flat block, split at the offsets, hand the
-            # ragged lists over. A --mesh server still serves these —
-            # sequential-only, so the mesh stays out of the options.
-            self._resolve_many_mesh(opts)
-            opts.pop("mesh", None)
-            obs_flat = np.asarray(self._maybe_demix(psc, opts))
-            ys_list = [obs_flat[int(offs[b]):int(offs[b + 1])]
-                       for b in range(B)]
-            st_list = [stim[:, int(offs[b]):int(offs[b + 1])]
-                       for b in range(B)]
-            results = self._run_many(ys_list, st_list, opts,
-                                     method=method)
-            return self._pack_ragged_results(results, ks, k_pad)
         # the server pads EVERY experiment to the longest one's width,
         # so one giant + many tiny k_trues amplifies a small wire body
         # into B*k_pad rows — bound the padded allocations with the
@@ -807,6 +811,33 @@ class FitService:
                 f"(~{pad_bytes >> 30} GB server-side, > "
                 f"{_MAX_SPARSE_DENSE_BYTES >> 30} GB) — split the "
                 "batch, or group experiments of similar length")
+        if method != "caviar":
+            # sns/mbcs have no traced-k_true program; their ragged
+            # path is per-experiment TRUE-SHAPE sequential fits
+            # (solvers/batched.py), so the server pads nothing wire-
+            # side: demix once over the flat block, split at the
+            # offsets, hand the ragged lists over. (The pad_bytes cap
+            # above still applies — _pack_ragged_results allocates the
+            # [B, N, k_pad] response stack either way.) A --mesh
+            # server still serves these, sequential-only; an EXPLICIT
+            # sharded request must fail loudly, not silently downgrade
+            if bool(opts.get("sharded")):
+                raise _BadRequest(
+                    f"ragged fit_many with method={method!r} runs "
+                    "per-experiment sequential fits (no traced-k_true "
+                    "program to shard) — drop 'sharded', or use "
+                    "method='caviar'")
+            self._resolve_many_mesh(opts)
+            opts.pop("mesh", None)
+            obs_flat = np.asarray(self._maybe_demix(psc, opts))
+            ys_list = [obs_flat[int(offs[b]):int(offs[b + 1])]
+                       for b in range(B)]
+            st_list = [stim[:, int(offs[b]):int(offs[b + 1])]
+                       for b in range(B)]
+            results = self._run_many(ys_list, st_list, opts,
+                                     method=method)
+            return self._pack_ragged_results(results, np.asarray(ks),
+                                             k_pad)
         if isinstance(psc, PackedInt4Traces):
             # pad at the wire level (16x smaller than dense): zero
             # packed rows at scale 1 decode to exact zeros
@@ -837,27 +868,32 @@ class FitService:
 
     @staticmethod
     def _pack_ragged_results(results, ks, k_pad):
-        """Stack true-width per-experiment result dicts into one npz:
-        trial-axis fields (lam [N, K_b], z [K_b]) zero-pad to the
-        shared k_pad; k_trues echoes so the client slices true
-        widths."""
+        """Stack true-width per-experiment result dicts into one npz.
+
+        Trial-axis fields — any field whose LAST dim equals each
+        experiment's true trial count in every experiment (lam
+        [N, K_b], z [K_b], mbcs' per-trial shape/rate [K_b]) —
+        zero-pad that dim to the shared k_pad and are named in
+        ``_k_fields`` so the client can slice them back to true
+        widths. Other per-experiment shape mismatches (mbcs
+        receptive_fields [N, P_b] when experiments scan different
+        level tables) zero-pad each dim to the max — those are NOT
+        trial-indexed, so they are not listed."""
         B = len(results)
         out = {}
+        k_fields = []
         for key in results[0]:
             vals = [np.asarray(r[key]) for r in results]
-            if key == "lam":
-                stack = np.zeros((B, vals[0].shape[0], k_pad),
+            trialish = all(
+                v.ndim >= 1 and v.shape[-1] == int(ks[b])
+                for b, v in enumerate(vals))
+            if trialish:
+                k_fields.append(key)
+                stack = np.zeros((B, *vals[0].shape[:-1], k_pad),
                                  vals[0].dtype)
                 for b, v in enumerate(vals):
-                    stack[b, :, :v.shape[1]] = v
-            elif key == "z":
-                stack = np.zeros((B, k_pad), vals[0].dtype)
-                for b, v in enumerate(vals):
-                    stack[b, :v.shape[0]] = v
+                    stack[(b, *map(slice, v.shape))] = v
             elif len({v.shape for v in vals}) > 1:
-                # other true-width fields (mbcs shape/rate are [K_b];
-                # receptive_fields is [N, P_b] when experiments scan
-                # different level tables) — zero-pad each dim to max
                 dims = [max(v.shape[d] for v in vals)
                         for d in range(vals[0].ndim)]
                 stack = np.zeros((B, *dims), vals[0].dtype)
@@ -867,6 +903,7 @@ class FitService:
                 stack = np.stack(vals)
             out[key] = stack
         out["k_trues"] = ks.astype(np.int32)
+        out["_k_fields"] = np.asarray(k_fields)
         return "application/npz", _npz_bytes(**out)
 
     def do_fit_many(self, body, options_header):
@@ -1932,15 +1969,19 @@ class FitClient:
         out = self._request("POST", "/fit_many",
                             body=_npz_bytes(**arrays), options=opts)
         out.pop("k_trues", None)  # we know the true widths we sent
+        # the server names every trial-axis field it padded (lam, z,
+        # and e.g. mbcs' per-trial shape/rate) — slice those back to
+        # true widths on their last axis
+        kf = out.pop("_k_fields", None)
+        k_fields = ({str(k) for k in kf} if kf is not None
+                    else {"lam", "z"})  # pre-_k_fields servers
         results = []
         for b, kb in enumerate(ks):
             d = {}
             for key, val in out.items():
                 v = val[b]
-                if key == "lam":
-                    v = v[:, :kb]
-                elif key == "z":
-                    v = v[:kb]
+                if key in k_fields:
+                    v = v[..., :kb]
                 d[key] = v
             results.append(d)
         return results
