@@ -190,25 +190,50 @@ def main(argv=None):
                          "(tunnel,entry,kernels,bench,fit_many)")
     ap.add_argument("--timeout-scale", type=float, default=1.0,
                     help="multiply every probe timeout (slow links)")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="also write a machine-readable per-probe "
+                         "record (e.g. HW_SMOKE.json) for audit")
     args = ap.parse_args(argv)
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
 
     failures = 0
     link_ok = True
+    records = []
     for name, kind, payload, timeout in _PROBES:
         if name in skip:
             print(f"[{SKIP}] {name:<9} (requested)")
+            records.append({"probe": name, "status": SKIP,
+                            "detail": "requested"})
             continue
         if not link_ok:
             print(f"[{SKIP}] {name:<9} (no accelerator link)")
+            records.append({"probe": name, "status": SKIP,
+                            "detail": "no accelerator link"})
             continue
         ok, detail = _run(name, kind, payload,
                           timeout * args.timeout_scale)
         print(f"[{PASS if ok else FAIL}] {name:<9} {detail}")
+        records.append({"probe": name,
+                        "status": PASS if ok else FAIL,
+                        "detail": detail})
         if not ok:
             failures += 1
             if name == "tunnel":
                 link_ok = False
+    if args.json:
+        import datetime
+        import json
+        payload = {
+            "date": datetime.date.today().isoformat(),
+            "ok": failures == 0,
+            "probes": records,
+        }
+        tmp = args.json + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        import os
+        os.replace(tmp, args.json)
     return 1 if failures else 0
 
 
