@@ -186,6 +186,22 @@ def _bucket(n, minimum=64):
     return b
 
 
+def mesh_compatible(mesh):
+    """True iff ``NeuralDemixer.__call__(mesh=mesh)`` can shard rows.
+
+    The ONE statement of the divisibility rule (callers like the fit
+    server must not re-encode it): row buffers pad to ``_bucket``
+    sizes — powers of two up to 1024, then multiples of 1024 — so a
+    power-of-two device count <= 1024 divides every bucket once the
+    bucket floor is raised to the mesh size; anything else would fail
+    device_put's even-sharding requirement mid-run on some chunk size.
+    """
+    if mesh is None:
+        return False
+    n = int(mesh.devices.size)
+    return n > 0 and (n & (n - 1)) == 0 and n <= 1024
+
+
 @jax.jit
 def _train_step(params, x, y, lr):
     """One SGD step on MSE; returns (params with fresh BN stats, loss).
@@ -347,7 +363,7 @@ class NeuralDemixer:
             # the bucket floor is raised to the mesh size; anything
             # else would fail device_put's even-sharding requirement
             # mid-run on some chunk size
-            if ndev & (ndev - 1) or ndev > 1024:
+            if not mesh_compatible(mesh):
                 raise ValueError(
                     f"mesh size {ndev} does not divide the demixer's "
                     "row buckets; use a power-of-two mesh (<= 1024 "

@@ -113,6 +113,8 @@ _FIT_MANY_OPTION_KEYS = frozenset((
     "outlier_tol", "spont_rate", "lam_mask_fraction",
     "delay_spont_estimation", "minimum_maximal_spike_prob",
     "orthogonal_outliers", "max_penalty_iters", "max_lasso_iters",
+    # response-wire levers (serve-level, not solver knobs)
+    "return_fields", "wire_meta",
 ))
 
 # OnlineCaviar constructor knobs creatable over the wire (subset of
@@ -136,6 +138,37 @@ def _npz_bytes(**arrays):
     np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()
                      if v is not None})
     return buf.getvalue()
+
+
+# response fields that ride along regardless of a return_fields filter:
+# scalars/metadata the client-side protocol needs to interpret the body
+_ALWAYS_FIELDS = frozenset(("fit_time_s", "k_trues", "_k_fields",
+                            "_shape_fields"))
+
+
+def _filter_fields(out, fields, what="fit"):
+    """Apply a ``return_fields`` response filter to a result dict.
+
+    The flagship posterior is dominated by [N, K]-sized fields (``lam``
+    alone is 80 MB f32 at N=1000/K=20000 — measured as the bulk of the
+    warm /fit serving tax, SERVE_TPU.json); callers that only need the
+    [N]-sized summaries (``mu``/``beta``/``alpha``) cut the response
+    ~2000×. A requested name absent from the results is a client error
+    (a typo silently dropping 'mu' would be worse than a 400)."""
+    if fields is None:
+        return out
+    if isinstance(fields, str):
+        fields = [fields]
+    if (not isinstance(fields, (list, tuple))
+            or not all(isinstance(f, str) for f in fields)):
+        raise _BadRequest("return_fields must be a list of field names")
+    missing = [f for f in fields if f not in out]
+    if missing:
+        raise _BadRequest(
+            f"return_fields {missing} not produced by this {what}; "
+            f"available: {sorted(k for k in out if k not in _ALWAYS_FIELDS)}")
+    keep = set(fields) | _ALWAYS_FIELDS
+    return {k: v for k, v in out.items() if k in keep}
 
 
 # ceiling on what a sparse-stim body may reconstruct to — a
@@ -555,14 +588,15 @@ class FitService:
         """The mesh the demixer may shard over for this request: the
         request's resolved solver mesh (``opts['mesh']``, set by the
         per-endpoint sharded= handling before any demix), and only
-        when its size divides the demixer's row buckets — a
-        non-power-of-two --mesh still serves sharded fits; demixing
-        then stays single-device instead of 500ing every request."""
+        when the demixer itself says it can shard over it
+        (``demix.demixer.mesh_compatible`` — the one copy of the
+        bucket-divisibility rule) — a non-power-of-two --mesh still
+        serves sharded fits; demixing then stays single-device
+        instead of 500ing every request."""
+        from .demix.demixer import mesh_compatible
+
         mesh = opts.get("mesh")
-        if mesh is None:
-            return None
-        n = int(mesh.devices.size)
-        return mesh if (n & (n - 1)) == 0 and n <= 1024 else None
+        return mesh if mesh_compatible(mesh) else None
 
     # -- endpoints ----------------------------------------------------------
 
@@ -629,8 +663,11 @@ class FitService:
         from .model import Model
 
         opts = self._parse_options(
-            options_header, _FIT_OPTION_KEYS | {"method", "demix", "sharded"},
+            options_header,
+            _FIT_OPTION_KEYS | {"method", "demix", "sharded",
+                                "return_fields"},
             "fit")
+        return_fields = opts.pop("return_fields", None)
         arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T|1] and "
@@ -676,6 +713,7 @@ class FitService:
         if model.history:
             out.update({f"history_{k}": v for k, v in model.history.items()
                         if isinstance(v, np.ndarray)})
+        out = _filter_fields(out, return_fields)
         return "application/npz", _npz_bytes(**out)
 
     def _maybe_demix_many(self, pscs, opts):
@@ -754,7 +792,8 @@ class FitService:
         self.n_fits += len(results)
         return results
 
-    def _fit_many_ragged(self, arrays, opts, method="caviar"):
+    def _fit_many_ragged(self, arrays, opts, method="caviar",
+                         return_fields=None, wire_meta=False):
         """Ragged /fit_many: ``k_trues`` splits a concatenated
         single-experiment-wire body ('psc' [sum_K, T] — dense or any
         quantised psc_* wire — + 'stim' [N, sum_K]) into B experiments
@@ -836,8 +875,10 @@ class FitService:
                        for b in range(B)]
             results = self._run_many(ys_list, st_list, opts,
                                      method=method)
+            results = [_filter_fields(r, return_fields, "fit_many")
+                       for r in results]
             return self._pack_ragged_results(results, np.asarray(ks),
-                                             k_pad)
+                                             k_pad, wire_meta)
         if isinstance(psc, PackedInt4Traces):
             # pad at the wire level (16x smaller than dense): zero
             # packed rows at scale 1 decode to exact zeros
@@ -864,24 +905,36 @@ class FitService:
         obs = self._maybe_demix_many(pscs, opts)
         results = self._run_many(obs, stims, opts, method=method,
                                  k_trues=ks)
-        return self._pack_ragged_results(results, ks, k_pad)
+        results = [_filter_fields(r, return_fields, "fit_many")
+                   for r in results]
+        return self._pack_ragged_results(results, ks, k_pad, wire_meta)
 
     @staticmethod
-    def _pack_ragged_results(results, ks, k_pad):
+    def _pack_ragged_results(results, ks, k_pad, wire_meta=False):
         """Stack true-width per-experiment result dicts into one npz.
 
         Trial-axis fields — any field whose LAST dim equals each
         experiment's true trial count in every experiment (lam
         [N, K_b], z [K_b], mbcs' per-trial shape/rate [K_b]) —
-        zero-pad that dim to the shared k_pad and are named in
-        ``_k_fields`` so the client can slice them back to true
-        widths. Other per-experiment shape mismatches (mbcs
-        receptive_fields [N, P_b] when experiments scan different
-        level tables) zero-pad each dim to the max — those are NOT
-        trial-indexed, so they are not listed."""
+        zero-pad that dim to the shared k_pad. Other per-experiment
+        shape mismatches (mbcs receptive_fields [N, P_b] when
+        experiments scan different level tables) zero-pad each dim to
+        the max.
+
+        With ``wire_meta`` (sent by metadata-aware FitClients) the
+        response also carries ``_k_fields`` (names of the trial-axis
+        padded fields), and — for the non-trial padded fields —
+        ``_shape_fields`` plus a ``_shapes_<key>`` [B, ndim] array of
+        true extents, so the client restores EVERY field to its true
+        shape (the library ragged *_many contract). Without it, the
+        wire matches the pre-metadata protocol (padded arrays only):
+        a pre-metadata client iterates every response key per
+        experiment, so an unrequested metadata array would crash it."""
         B = len(results)
         out = {}
+        meta = {}
         k_fields = []
+        shape_fields = []
         for key in results[0]:
             vals = [np.asarray(r[key]) for r in results]
             trialish = all(
@@ -894,6 +947,9 @@ class FitService:
                 for b, v in enumerate(vals):
                     stack[(b, *map(slice, v.shape))] = v
             elif len({v.shape for v in vals}) > 1:
+                shape_fields.append(key)
+                meta[f"_shapes_{key}"] = np.asarray(
+                    [v.shape for v in vals], np.int32)
                 dims = [max(v.shape[d] for v in vals)
                         for d in range(vals[0].ndim)]
                 stack = np.zeros((B, *dims), vals[0].dtype)
@@ -903,7 +959,10 @@ class FitService:
                 stack = np.stack(vals)
             out[key] = stack
         out["k_trues"] = ks.astype(np.int32)
-        out["_k_fields"] = np.asarray(k_fields)
+        if wire_meta:
+            out["_k_fields"] = np.asarray(k_fields)
+            out["_shape_fields"] = np.asarray(shape_fields)
+            out.update(meta)
         return "application/npz", _npz_bytes(**out)
 
     def do_fit_many(self, body, options_header):
@@ -917,6 +976,15 @@ class FitService:
         opts = self._parse_options(options_header, _FIT_MANY_OPTION_KEYS,
                                    "fit_many")
         method = str(opts.pop("method", "caviar"))
+        return_fields = opts.pop("return_fields", None)
+        # response-metadata capability signal: only clients that SAY
+        # they understand the `_k_fields`/`_shape_fields` metadata
+        # arrays get them — a pre-metadata FitClient iterates every
+        # response key per experiment, so unconditional emission broke
+        # old clients against a new server (IndexError at B >= 3).
+        # Client/server version skew is a designed-for scenario (the
+        # client deploys jax-free on acquisition machines)
+        wire_meta = bool(opts.pop("wire_meta", False))
         arrays = _decode_arrays(_load_npz(body))
         if "k_trues" in arrays:
             # ragged batch: one concatenated [sum_K, T] trace block +
@@ -924,7 +992,9 @@ class FitService:
             # reused verbatim) + per-experiment trial counts. caviar
             # runs the traced-k_true padded program; sns/mbcs run
             # per-experiment true-shape sequential fits
-            return self._fit_many_ragged(arrays, opts, method)
+            return self._fit_many_ragged(arrays, opts, method,
+                                         return_fields=return_fields,
+                                         wire_meta=wire_meta)
         if "pscs" not in arrays or "stims" not in arrays:
             raise _BadRequest("npz must carry 'pscs' [B, K, T|1] and "
                               "'stims' [B, N, K]")
@@ -944,6 +1014,8 @@ class FitService:
         self._resolve_many_mesh(opts)
         obs = self._maybe_demix_many(pscs, opts)
         results = self._run_many(obs, stims, opts, method=method)
+        results = [_filter_fields(r, return_fields, "fit_many")
+                   for r in results]
         out = {key: np.stack([np.asarray(r[key]) for r in results])
                for key in results[0]}
         return "application/npz", _npz_bytes(**out)
@@ -1863,8 +1935,17 @@ class FitClient:
         return _npz_bytes(**arrays)
 
     def fit(self, psc, stim, method="caviar", demix=None,
-            sparse_stim=True, psc_wire=None, **fit_options):
+            sparse_stim=True, psc_wire=None, return_fields=None,
+            **fit_options):
         """Run a batch fit; returns the model state dict (numpy).
+
+        ``return_fields`` trims the RESPONSE wire to the named state
+        fields (plus ``fit_time_s``): the full posterior is dominated
+        by [N, K]-sized arrays (``lam`` is 80 MB at the flagship
+        shape), so callers that only need the [N]-sized summaries pass
+        e.g. ``return_fields=("mu", "beta", "alpha")`` and cut the
+        response ~2000×. A name the fit did not produce is a 400
+        listing what is available.
 
         ``psc``: [K, T] traces (raw if the server demixes, demixed
         otherwise); ``stim``: [N, K] design; ``fit_options`` as in
@@ -1884,13 +1965,17 @@ class FitClient:
         opts = {"method": method, **fit_options}
         if demix is not None:
             opts["demix"] = bool(demix)
+        if return_fields is not None:
+            opts["return_fields"] = [str(f) for f in (
+                [return_fields] if isinstance(return_fields, str)
+                else return_fields)]
         return self._request("POST", "/fit",
                              body=self._body(psc, stim, sparse_stim,
                                              psc_wire),
                              options=opts)
 
     def fit_many(self, pscs, stims, demix=None, sparse_stim=True,
-                 psc_wire=None, **fit_options):
+                 psc_wire=None, return_fields=None, **fit_options):
         """Fit B same-shape experiments in one request
         (``solvers.caviar_many`` on the server — the job-array
         workload through one warm executable). ``pscs``: [B, K, T];
@@ -1914,10 +1999,17 @@ class FitClient:
         per-experiment true-shape sequential fits ('cavi_sns'/'mbcs').
         The return is then a LIST of per-experiment dicts at each
         experiment's true width (mirroring the library's ragged
-        ``*_many`` contract)."""
+        ``*_many`` contract) — this client advertises the response-
+        metadata capability (``wire_meta``), so the server names every
+        padded field and ALL of them come back at true shape.
+        ``return_fields`` trims the response as in ``fit``."""
         opts = dict(fit_options)
         if demix is not None:
             opts["demix"] = bool(demix)
+        if return_fields is not None:
+            opts["return_fields"] = [str(f) for f in (
+                [return_fields] if isinstance(return_fields, str)
+                else return_fields)]
         # a LIST input always returns a list of per-experiment dicts
         # (never silently flips to the stacked dict the day two folds
         # happen to record the same trial count); an array input
@@ -1966,6 +2058,10 @@ class FitClient:
         sparse = encode_stim_sparse(flat) if sparse_stim else None
         arrays.update(sparse if sparse is not None else {"stim": flat})
         arrays["k_trues"] = np.asarray(ks, np.int32)
+        # capability signal: this client understands the response
+        # metadata arrays — servers only emit them when asked, so a
+        # pre-metadata client's every-key iteration keeps working
+        opts = {**opts, "wire_meta": 1}
         out = self._request("POST", "/fit_many",
                             body=_npz_bytes(**arrays), options=opts)
         out.pop("k_trues", None)  # we know the true widths we sent
@@ -1975,6 +2071,15 @@ class FitClient:
         kf = out.pop("_k_fields", None)
         k_fields = ({str(k) for k in kf} if kf is not None
                     else {"lam", "z"})  # pre-_k_fields servers
+        # ... and every non-trial field it max-padded (e.g. mbcs
+        # receptive_fields [N, P_b] over different level tables),
+        # echoed with per-experiment true extents — slice those back
+        # to true shape on every axis
+        sf = out.pop("_shape_fields", None)
+        shapes = {}
+        for key in ([] if sf is None else sf):
+            key = str(key)
+            shapes[key] = np.asarray(out.pop(f"_shapes_{key}"))
         results = []
         for b, kb in enumerate(ks):
             d = {}
@@ -1982,6 +2087,8 @@ class FitClient:
                 v = val[b]
                 if key in k_fields:
                     v = v[..., :kb]
+                elif key in shapes:
+                    v = v[tuple(map(slice, shapes[key][b]))]
                 d[key] = v
             results.append(d)
         return results

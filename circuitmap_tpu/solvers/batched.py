@@ -947,8 +947,13 @@ def _ragged_sequential_guard(name, mesh, compile_mode, powers):
 
 
 def _same_shape_stack(y_pscs, stims, trace_wire, name, dtype=jnp.float32):
-    """Normalise same-shape *_many inputs (lists stack; ragged lists
-    are rejected with a pointer at caviar_many).
+    """Normalise same-shape *_many inputs (lists stack).
+
+    All three ``*_many`` entries accept ragged host lists, but they
+    route those through ``_ragged_lists`` BEFORE calling here — so a
+    ragged list reaching this function is an internal-caller bug, and
+    the guard below exists to fail loudly rather than silently stack
+    mismatched shapes into a numpy object array.
 
     Device-resident stacks (e.g. a batched demixer output) and
     PackedInt4Traces wire bodies pass through untouched; host arrays
@@ -962,8 +967,9 @@ def _same_shape_stack(y_pscs, stims, trace_wire, name, dtype=jnp.float32):
     if isinstance(y_pscs, (list, tuple)) and len(y_pscs) > 0:
         if len({int(np.shape(a)[0]) for a in y_pscs}) > 1:
             raise ValueError(
-                f"{name} takes same-shape experiments; ragged trial "
-                "counts are only supported by caviar_many")
+                f"internal: ragged trial counts reached {name}'s "
+                "same-shape stacker — ragged lists must be routed "
+                "through the _ragged_lists path by the *_many entry")
     if isinstance(y_pscs, (jax.Array, PackedInt4Traces)):
         pass
     elif trace_wire is None and jnp.dtype(dtype).itemsize <= 4:

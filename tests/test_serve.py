@@ -1239,6 +1239,120 @@ class TestServiceUnit:
             httpd.shutdown()
             httpd.server_close()
 
+    def test_fit_return_fields_trims_response(self, sim):
+        """return_fields keeps only the named state fields (plus
+        fit_time_s) — the response-wire lever for [N]-sized summary
+        callers — with values equal to the unfiltered fit's."""
+        from circuitmap_tpu.serve import FitService, _load_npz, _npz_bytes
+
+        svc = FitService()
+        body = _npz_bytes(psc=sim["psc"][:128],
+                          stim=sim["stim_matrix"][:, :128])
+        full_opts = dict(FIT_OPTS, iters=3)
+        _, full = svc.do_fit(body, json.dumps(full_opts))
+        _, trimmed = svc.do_fit(body, json.dumps(
+            {**full_opts, "return_fields": ["mu", "beta"]}))
+        full, trimmed = _load_npz(full), _load_npz(trimmed)
+        assert set(trimmed) == {"mu", "beta", "fit_time_s"}
+        np.testing.assert_array_equal(trimmed["mu"], full["mu"])
+        np.testing.assert_array_equal(trimmed["beta"], full["beta"])
+        assert len(_npz_bytes(**trimmed)) < len(_npz_bytes(**full)) / 10
+
+    def test_fit_return_fields_unknown_is_400(self, sim):
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        body = _npz_bytes(psc=sim["psc"][:64],
+                          stim=sim["stim_matrix"][:, :64])
+        with pytest.raises(_BadRequest, match="available"):
+            svc.do_fit(body, json.dumps(
+                {**FIT_OPTS, "iters": 2, "return_fields": ["muu"]}))
+        with pytest.raises(_BadRequest, match="list of field names"):
+            svc.do_fit(body, json.dumps(
+                {**FIT_OPTS, "iters": 2, "return_fields": 7}))
+
+    def test_fit_many_return_fields(self, sim):
+        from circuitmap_tpu.serve import FitService, _load_npz, _npz_bytes
+
+        svc = FitService()
+        pscs = np.stack([sim["psc"][:64]] * 2)
+        stims = np.stack([sim["stim_matrix"][:, :64]] * 2)
+        _, out = svc.do_fit_many(
+            _npz_bytes(pscs=pscs, stims=stims),
+            json.dumps({"iters": 2, "seeds": [1, 2],
+                        "num_mc_samples": 10,
+                        "return_fields": ["mu"]}))
+        got = _load_npz(out)
+        assert set(got) == {"mu"}
+        assert got["mu"].shape == (2, N)
+
+    def test_ragged_metadata_gated_on_wire_meta(self, sim):
+        """A ragged response carries the _k_fields/_shape_fields
+        metadata arrays ONLY when the client advertises the capability
+        (wire_meta) — a pre-metadata FitClient iterates every response
+        key per experiment, so unconditional emission crashed it
+        (IndexError at B >= 3)."""
+        from circuitmap_tpu.serve import FitService, _load_npz, _npz_bytes
+
+        svc = FitService()
+        ks = np.asarray([64, 96], np.int32)
+        body = _npz_bytes(
+            psc=np.concatenate([sim["psc"][:64], sim["psc"][64:160]], 0),
+            stim=sim["stim_matrix"][:, :160], k_trues=ks)
+        opts = dict(iters=2, seeds=[1, 2], num_mc_samples=10)
+        _, legacy = svc.do_fit_many(body, json.dumps(opts))
+        legacy = _load_npz(legacy)
+        assert not any(k.startswith("_") for k in legacy)
+        # the legacy-protocol keys all stack [B, ...]: the old client's
+        # val[b] iteration works for every one of them
+        assert all(v.shape[0] == 2 for k, v in legacy.items()
+                   if k != "k_trues")
+        _, meta = svc.do_fit_many(body, json.dumps(
+            {**opts, "wire_meta": 1}))
+        meta = _load_npz(meta)
+        assert "_k_fields" in meta and "_shape_fields" in meta
+        assert {"lam", "z"} <= {str(k) for k in meta["_k_fields"]}
+
+    def test_ragged_shape_fields_restore_true_shapes(self, sim):
+        """Non-trial padded fields (mbcs receptive_fields [N, P_b]
+        over different per-experiment level tables) come back at TRUE
+        shape through the metadata-aware client — the library ragged
+        *_many contract, closing the advisor's padded-response gap."""
+        import threading
+        from http.server import HTTPServer
+
+        from circuitmap_tpu.serve import (FitClient, FitService,
+                                          _make_handler)
+
+        svc = FitService()
+        box = [None]
+        httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc, box))
+        box[0] = httpd
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            cli = FitClient(
+                f"http://127.0.0.1:{httpd.server_address[1]}")
+            ks = [64, 96]
+            pscs = [sim["psc"][:64], sim["psc"][64:160]]
+            s0 = sim["stim_matrix"][:, :64]
+            # experiment 1 collapses one power level -> its level table
+            # (and receptive_fields last dim) is one entry shorter
+            s1 = sim["stim_matrix"][:, 64:160].copy()
+            s1[s1 == 65.0] = 55.0
+            p0 = len(np.unique(s0[s0 > 0]))
+            p1 = len(np.unique(s1[s1 > 0]))
+            assert p0 != p1
+            res = cli.fit_many(pscs, [s0, s1], method="mbcs", iters=2,
+                               num_mc_samples_noise_model=10)
+            assert res[0]["receptive_fields"].shape[-1] == p0 + 1
+            assert res[1]["receptive_fields"].shape[-1] == p1 + 1
+            for b in range(2):
+                assert res[b]["lam"].shape == (N, ks[b])
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
     def test_profile_endpoint_captures_a_trace(self, sim, tmp_path):
         """POST /profile start -> fit -> stop writes an xplane trace of
         the live request; double-start and stop-without-start are 400s."""
