@@ -96,6 +96,59 @@ def warn_single_chip_envelope(n_rows, k, what="this fit", dtype=None):
             MemoryEnvelopeWarning, stacklevel=3)
 
 
+class DataThinDesignWarning(UserWarning):
+    """Design-identifiability preflight (warn_data_thin_design)."""
+
+
+# measured identifiability floor, in mean stimulations per neuron:
+# SCALING.json rows at N=5000/K=20000 — H=10 (40 stims/neuron) recovers
+# R²=0.953 and H=20 (80) 0.974, while K=60000/H=10 (120) reaches 0.9875
+# and K=60000/H=20 (240) 0.9952. Below ~100 the weakest rows of the
+# design, not the solver, bound recovery. The floor is a LARGE-N
+# phenomenon (hologram collisions: each trial's charge divides over H
+# candidates drawn from N): small maps recover fine on thin designs
+# (N=50/H=5 at 40 stims/neuron measures R²≈0.99), so the check only
+# arms at N >= _DATA_THIN_MIN_N — where the scaling study actually
+# observed design-bound recovery (N=2000 at 100 stims/neuron: 0.988).
+_DATA_THIN_STIMS_PER_NEURON = 100.0
+_DATA_THIN_MIN_N = 2000
+
+
+def warn_data_thin_design(power_counts_np, k, what="this fit"):
+    """Flag designs too thin to identify their own circuit BEFORE the
+    fit spends minutes producing a mediocre map.
+
+    The N=5000 scaling rows showed sub-0.99 recovery that read like a
+    solver ceiling but was a design artifact (~40 stimulations per
+    neuron); the same N recovers R² 0.995 at 240 stims/neuron
+    (SCALING.md). Fires a DataThinDesignWarning when the MEAN
+    per-neuron stimulation count is below the measured ~100-stim
+    identifiability floor, naming the two design levers (trials K,
+    targets-per-trial H). Advisory: sparse circuits and strong weights
+    can still resolve below the floor. ``power_counts_np`` is the
+    [N, P] per-neuron trial count per power that the sparse stim
+    upload computes for free (prepare_stim_and_init); None (dense
+    upload paths) skips the check rather than paying an [N, K] pass.
+    """
+    if power_counts_np is None:
+        return
+    per_neuron = np.asarray(power_counts_np).sum(axis=1)
+    if per_neuron.size < _DATA_THIN_MIN_N:
+        return
+    mean_stims = float(per_neuron.mean())
+    if mean_stims < _DATA_THIN_STIMS_PER_NEURON:
+        warnings.warn(
+            f"{what}: the design stimulates each neuron "
+            f"~{mean_stims:.0f} times on average ({per_neuron.size} "
+            f"neurons over {int(k)} trials) — under the ~"
+            f"{int(_DATA_THIN_STIMS_PER_NEURON)}-stim identifiability "
+            "floor measured at N=5000 (R² 0.95 at 40 stims/neuron vs "
+            "0.995 at 240; SCALING.md). Recovery will be bounded by "
+            "the design, not the solver: raise the trial count K "
+            "and/or the targets-per-trial H.",
+            DataThinDesignWarning, stacklevel=3)
+
+
 def prepare_traces(y_psc, dtype, trace_wire=None):
     """Cast traces host-side (half the transfer) unless already on device.
 

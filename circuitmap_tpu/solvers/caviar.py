@@ -57,7 +57,7 @@ from ..ops.spike_rates import spike_rates_by_power
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ..ops.sweep_pallas import sweep_spikes_pallas
 from ._common import (prepare_stim_and_init, prepare_traces,
-                      warn_single_chip_envelope)
+                      warn_data_thin_design, warn_single_chip_envelope)
 from ._laplace import (_resolve_laplace_impl, laplace_phi_update,
                        laplace_phi_update_jit)
 
@@ -908,15 +908,24 @@ def _resolve_sweep_block_size(block_size):
     return int(block_size)
 
 
-# VMEM bytes the sweep kernels' rings may claim of the ~16 MB scoped
-# budget (headroom left for semaphores/layout padding). The blocked
-# kernel streams 3 ring buffers x depth (floored at 2) x block rows of
-# [K128] f32, plus 4 more [K128] vectors (r scratch + y/mask/r_init
-# blocks); past this the Mosaic lowering fails with a scoped-vmem OOM
-# at compile time (observed at N=1000/K=100096: 18.75M vs the 16M
-# limit), so the auto routing below falls back to the XLA sweep —
-# identical blocked semantics, any K.
+# VMEM bytes the ROW kernel's ring may claim of the ~16 MB scoped
+# budget (headroom left for semaphores/layout padding): 3 ring buffers
+# x depth x one [K128] f32 row + 4 more [K128] vectors. Lowering
+# verified on hardware up to K128=200064 (round-5 probes); past the
+# budget the auto routing falls back to the XLA sweep.
 _VMEM_SWEEP_BUDGET = 14e6
+
+# Hardware-probed lowering cliff for the BLOCKED kernel, in
+# K128 x block_rows units. Round 4's analytic ring model
+# ((2*3*B*4 + 16) bytes/column, depth floored at 2) underestimates the
+# real scoped-VMEM allocation by ~1.5x — Mosaic's actual usage at
+# N=1000..5000, B=8 (this chip's compiler, round-5 bisect): lowers at
+# K128 <= 51200, scoped-vmem OOM (18.5M vs the 16M limit) from
+# K128 >= 52224, independent of N and of the kernel's self-limited
+# ring depth. Don't trust the analytic model again: compile-probe
+# (/tmp-style direct kernel lower+compile in a subprocess) when this
+# constant needs revisiting on a new compiler.
+_BLOCKED_SWEEP_MAX_KB = 51200 * 8
 
 
 def _k128(k):
@@ -924,7 +933,7 @@ def _k128(k):
 
 
 def _blocked_sweep_fits(k, block_size):
-    return (2 * 3 * block_size * 4 + 16) * _k128(k) <= _VMEM_SWEEP_BUDGET
+    return _k128(k) * block_size <= _BLOCKED_SWEEP_MAX_KB
 
 
 def _row_sweep_fits(k):
@@ -938,7 +947,7 @@ def _resolve_sweep_impl(sweep_impl, block_size, k=None):
     blocked manual-DMA kernel — block DMAs of the native 2-D layout,
     no per-iteration [N,1,K] relayout, N/B sequential steps. When the
     trial count ``k`` is given and the kernel's VMEM ring would exceed
-    the chip's scoped budget (K128 ≳ 67k at block 8), auto falls back
+    the chip's scoped budget (hardware-probed: K128 > 51200 at block 8; _BLOCKED_SWEEP_MAX_KB), auto falls back
     to the XLA sweep with the SAME block schedule — bit-compatible
     semantics at any K.
 
@@ -966,7 +975,7 @@ def _resolve_sweep(sweep_impl, sweep_block_size, k=None):
     """Jointly resolve ``(block_size, impl)`` for a trial count ``k``.
 
     The auto schedule degrades gracefully with K: blocked-8 manual-DMA
-    kernel while its VMEM ring fits (K128 ≲ 67k), then the row-DMA
+    kernel while its VMEM ring fits (hardware-probed K128 <= 51200), then the row-DMA
     kernel at block 1 (strictly sequential — the reference's exact
     schedule; measured 0.82 s vs the XLA fallback's 12.7 s for a
     50-iteration N=1000/K=100000 fit), then the XLA sweep. An
@@ -1075,6 +1084,7 @@ def caviar(
     stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (
         prepare_stim_and_init(stim, active, dtype, powers=powers)
     )
+    warn_data_thin_design(power_counts_np, stim.shape[1], what="caviar()")
     # device powers come from the same table the uploaded stim was
     # reconstructed from; powers_np (original precision) serves the host
     # reconnect scan only (_common module docstring, f64 contract)

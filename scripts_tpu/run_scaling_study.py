@@ -31,9 +31,10 @@ def main():
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--only", action="append", default=None,
-                    metavar="N,K",
-                    help="run only these N,K rows (repeatable); merged "
-                         "into an existing --out file by (N, K)")
+                    metavar="N,K[,H]",
+                    help="run only these N,K[,H] rows (repeatable; H "
+                         "defaults to 10 targets/trial); merged into "
+                         "an existing --out file by (N, K, H)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +54,7 @@ def main():
     )
     if args.only:
         grid = [tuple(int(v) for v in spec.split(",")) for spec in args.only]
+    grid = [g if len(g) == 3 else (*g, 10) for g in grid]
 
     # the bench-default wire: int4 + the QAT checkpoint (WIRE_STUDY)
     import os
@@ -78,10 +80,10 @@ def main():
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
 
-    for N, K in grid:
+    for N, K, H in grid:
         np.random.seed(0)
         t0 = time.time()
-        sim = simulate(N=N, trials=K, H=10, connection_prob=0.05,
+        sim = simulate(N=N, trials=K, H=H, connection_prob=0.05,
                        verbose=False, batch_size=1000)
         t_sim = time.time() - t0
         priors = default_priors(N)
@@ -109,13 +111,13 @@ def main():
             best = min(best, time.time() - t0)
 
         r2 = float(r2_score(sim["weights"], np.asarray(out[0])))
-        row = dict(N=N, K=K, seconds=round(best, 3),
+        row = dict(N=N, K=K, H=H, seconds=round(best, 3),
                    cold_seconds=round(t_cold, 1), r2=round(r2, 4),
                    sim_gen_seconds=round(t_sim, 1),
                    # per-row: --only merges can mix wire protocols
                    wire="int4" if use_qat else "int8")
         results = [r for r in results
-                   if (r["N"], r["K"]) != (N, K)] + [row]
+                   if (r["N"], r["K"], r.get("H", 10)) != (N, K, H)] + [row]
         _write()
         print(json.dumps(row), flush=True)
 

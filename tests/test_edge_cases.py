@@ -125,6 +125,63 @@ class TestSingleChipEnvelopeWarning:
                                               dtype=np.float64)
 
 
+class TestDataThinDesignWarning:
+    """warn_data_thin_design flags large-N designs whose per-neuron
+    stimulation count is under the measured identifiability floor
+    (SCALING.json: N=5000 at 40 stims/neuron recovers 0.95, at 240 it
+    recovers 0.995) — recovery bounded by the design, not the solver."""
+
+    @staticmethod
+    def _counts(n, stims_per_neuron, p=3):
+        import numpy as np
+
+        return np.full((n, p), stims_per_neuron / p, dtype=np.float64)
+
+    def test_warns_on_thin_large_n_design(self):
+        from circuitmap_tpu.solvers import _common
+
+        with pytest.warns(_common.DataThinDesignWarning,
+                          match="raise the trial count"):
+            _common.warn_data_thin_design(self._counts(5000, 40), 20000,
+                                          what="caviar()")
+
+    def test_silent_on_adequate_small_or_unknown(self):
+        import warnings
+
+        from circuitmap_tpu.solvers import _common
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            # adequate large-N design (the 0.995 row)
+            _common.warn_data_thin_design(self._counts(5000, 240), 60000)
+            # small maps recover fine on thin designs — never nag a
+            # pilot experiment (N=50/H=5 at 40 stims/neuron: R2 0.99)
+            _common.warn_data_thin_design(self._counts(50, 40), 400)
+            # dense upload paths have no free counts: skip, don't scan
+            _common.warn_data_thin_design(None, 20000)
+
+    def test_caviar_entry_fires_it(self):
+        """The flagship entry preflights the design (thin large-N sim
+        -> one DataThinDesignWarning before the fit)."""
+        import numpy as np
+
+        from circuitmap_tpu.model import default_priors
+        from circuitmap_tpu.solvers import _common, caviar
+
+        n, k = 2500, 512
+        rng = np.random.default_rng(0)
+        stim = np.zeros((n, k))
+        tgt = rng.integers(0, n, size=(5, k))
+        for h in range(5):
+            stim[tgt[h], np.arange(k)] = 45.0
+        psc = 0.01 * rng.standard_normal((k, 900)).astype(np.float32)
+        pri = default_priors(n)
+        with pytest.warns(_common.DataThinDesignWarning):
+            caviar(psc, stim, pri["mu"], pri["beta"], pri["shape"],
+                   pri["rate"], pri["phi"], pri["phi_cov"], iters=1,
+                   verbose=False)
+
+
 class TestResumableDistributedValidation:
     def test_checkpoint_every_validated_before_cluster_setup(self):
         """checkpoint_every < 1 must raise up front — a zero segment

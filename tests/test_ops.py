@@ -345,7 +345,14 @@ class TestSweepVmemRouting:
         assert _blocked_sweep_fits(20000, 8)       # the bench shape
         assert _blocked_sweep_fits(50000, 8)       # measured ok (SCALING)
         assert not _blocked_sweep_fits(100000, 8)  # the observed OOM
+        # round-5 hardware bisect (direct kernel compiles on the chip):
+        # lowers at K128=51200, scoped-vmem OOM from K128=52224 — the
+        # round-4 analytic model wrongly admitted K in (52224, 67k)
+        assert _blocked_sweep_fits(51200, 8)
+        assert not _blocked_sweep_fits(52224, 8)
+        assert not _blocked_sweep_fits(60000, 8)   # the N=5000 row OOM
         assert _row_sweep_fits(100000)
+        assert _row_sweep_fits(200000)             # probed ok (round 5)
         assert not _row_sweep_fits(500000)
 
     def test_auto_routing_respects_budget(self, monkeypatch):
