@@ -41,6 +41,9 @@ _GROUPS = [
          "quantisation-aware training for the int4/int4d2 trace wires"),
         ("denoise-grids", "denoise_grids.py",
          "batch-denoise grid experiment files with a demixer"),
+        ("export-ckpt", "export_lightning.py",
+         "export a trained demixer as a reference-compatible "
+         "Lightning .ckpt (for torch rigs)"),
     ]),
     ("Simulation studies", [
         ("simulations", "run_simulations.py",
