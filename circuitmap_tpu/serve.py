@@ -460,6 +460,23 @@ def _decode_arrays(arrays):
     return arrays
 
 
+def _require_finite(name, arr):
+    """Reject NaN/inf in decoded dense wire bodies with a 400.
+
+    Real rig exports carry NaN channels and saturated-inf samples
+    (utils/io handles the file-loading side); a wire body that smuggles
+    them past the client would otherwise fit to silently-NaN posteriors
+    on the daemon. Quantised wire containers (PackedInt4Traces) skip
+    the scan — their codes are finite by construction and their scales
+    are validated at decode."""
+    if isinstance(arr, np.ndarray) and not np.isfinite(arr).all():
+        bad = int((~np.isfinite(arr)).sum())
+        raise _BadRequest(
+            f"{name} contains {bad} non-finite (NaN/inf) values — "
+            "clean the recording first (utils/io.load_experiment's "
+            "on_nonfinite='drop'/'zero' names the repair options)")
+
+
 class _BadRequest(ValueError):
     """Client error → HTTP 400 with the message."""
 
@@ -677,6 +694,8 @@ class FitService:
             raise _BadRequest(
                 f"psc carries {psc.shape[0]} trials but stim "
                 f"{stim.shape[1]} — psc is [K, T], stim [N, K]")
+        _require_finite("psc", psc)
+        _require_finite("stim", stim)
         method = opts.pop("method", "caviar")
         if method not in ("caviar", "cavi_sns", "mbcs", "cosamp"):
             raise _BadRequest(
@@ -827,6 +846,8 @@ class FitService:
             raise _BadRequest(
                 f"stim must be [N, sum(k_trues)={sum_k}]; got "
                 f"{tuple(stim.shape)}")
+        _require_finite("psc", psc)
+        _require_finite("stim", stim)
         k_pad = -(-int(ks.max()) // 128) * 128
         offs = np.concatenate([[0], np.cumsum(ks)])
         # the server pads EVERY experiment to the longest one's width,
@@ -1011,6 +1032,8 @@ class FitService:
             raise _BadRequest(
                 f"pscs carries {pscs.shape[1]} trials but stims "
                 f"{stims.shape[2]} — pscs is [B, K, T], stims [B, N, K]")
+        _require_finite("pscs", pscs)
+        _require_finite("stims", stims)
         self._resolve_many_mesh(opts)
         obs = self._maybe_demix_many(pscs, opts)
         results = self._run_many(obs, stims, opts, method=method)

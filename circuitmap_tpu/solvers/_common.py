@@ -298,6 +298,20 @@ def _levels(stim_np, powers=None):
     else:
         cand = np.unique(np.asarray(powers))
     cand = cand[cand != 0.0]
+    if powers is None and cand.size > 1024:
+        # a non-uniform (per-trial analog) power set: nearly every
+        # level is observed once, so the per-power spike-rate stats
+        # behind the isotonic connection gate are all single-trial
+        # estimates — statistically meaningless — and the [N, P] level
+        # machinery would scale with it. Real rigs stimulate at a few
+        # discrete levels; a raw analog power column needs rounding
+        raise ValueError(
+            f"stim matrix contains {cand.size} distinct nonzero "
+            "stimulation levels — the power-curve gate needs repeated "
+            "trials per level. Pass powers=[...] with the rig's "
+            "discrete command levels (values not in the set will be "
+            "rejected), or round the stim matrix to its true levels "
+            "before fitting")
     # bucketing happens in f32: dedupe there, keeping the first
     # original-precision representative of each f32 level
     lv32, first = np.unique(cand.astype(np.float32), return_index=True)

@@ -182,6 +182,33 @@ class TestDataThinDesignWarning:
                    verbose=False)
 
 
+class TestNonUniformPowerSets:
+    """A per-trial ANALOG power column (thousands of distinct levels)
+    makes every per-power spike-rate estimate single-trial — the
+    isotonic gate's statistics are meaningless and the [N, P] level
+    machinery scales with it. The level scan rejects it actionably
+    (round-5 adversarial-fixture item); a supplied powers= table or a
+    realistically discrete set is untouched."""
+
+    def test_analog_power_column_rejected(self):
+        import numpy as np
+
+        from circuitmap_tpu.solvers import _common
+
+        rng = np.random.default_rng(0)
+        stim = np.zeros((20, 3000))
+        stim[0] = 40.0 + 30.0 * rng.random(3000)  # analog commands
+        with pytest.raises(ValueError, match="powers="):
+            _common._levels(stim)
+        # the named fix works: an explicit discrete table is accepted
+        ph, lv = _common._levels(stim, powers=[45.0, 55.0, 65.0])
+        assert lv.size == 4
+        # and a discrete derived set of any realistic size is fine
+        stim_q = np.round(stim / 5.0) * 5.0
+        ph, lv = _common._levels(stim_q)
+        assert lv.size <= 16
+
+
 class TestResumableDistributedValidation:
     def test_checkpoint_every_validated_before_cluster_setup(self):
         """checkpoint_every < 1 must raise up front — a zero segment

@@ -1239,6 +1239,37 @@ class TestServiceUnit:
             httpd.shutdown()
             httpd.server_close()
 
+    def test_nonfinite_wire_bodies_are_400(self, sim):
+        """NaN/inf smuggled in a dense wire body must 400 with the
+        repair options named, not fit to silently-NaN posteriors on
+        the daemon (round-5 adversarial-fixture item)."""
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        psc = np.array(sim["psc"][:64])
+        psc[3, 10] = np.nan
+        stim = np.array(sim["stim_matrix"][:, :64])
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_fit(_npz_bytes(psc=psc, stim=stim),
+                       json.dumps({"iters": 2}))
+        bad_stim = np.array(sim["stim_matrix"][:, :64])
+        bad_stim[0, 0] = np.inf
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_fit(_npz_bytes(psc=np.array(sim["psc"][:64]),
+                                  stim=bad_stim),
+                       json.dumps({"iters": 2}))
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_fit_many(
+                _npz_bytes(pscs=np.stack([psc] * 2),
+                           stims=np.stack([stim] * 2)),
+                json.dumps({"iters": 2}))
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_fit_many(
+                _npz_bytes(psc=psc, stim=stim,
+                           k_trues=np.asarray([32, 32], np.int32)),
+                json.dumps({"iters": 2}))
+
     def test_fit_return_fields_trims_response(self, sim):
         """return_fields keeps only the named state fields (plus
         fit_time_s) — the response-wire lever for [N]-sized summary

@@ -135,6 +135,100 @@ class TestIO:
         with pytest.raises(ValueError, match="trial"):
             load_experiment(path2)
 
+    def test_genuine_matlab_v73_userblock_layout(self, tmp_path, rng):
+        """A file MATLAB ITSELF writes is not bare HDF5: -v7.3 puts a
+        512-byte text userblock first and the HDF5 superblock at
+        offset 512. The magic-byte probe must scan the spec's legal
+        offsets — probing only offset 0 routed genuine MATLAB exports
+        to scipy.loadmat, which raises NotImplementedError on them
+        (round-5 adversarial-fixture finding)."""
+        import h5py
+
+        psc = rng.normal(size=(40, 900))
+        stim = rng.normal(size=(7, 40))
+        path = str(tmp_path / "genuine_v73.mat")
+        with h5py.File(path, "w", userblock_size=512) as f:
+            d1 = f.create_dataset("psc", data=psc.T)  # column-major
+            d2 = f.create_dataset("stimulus_matrix", data=stim.T)
+            for d in (d1, d2):  # the attrs MATLAB stamps
+                d.attrs["MATLAB_class"] = np.bytes_(b"double")
+        header = (b"MATLAB 7.3 MAT-file, Platform: GLNXA64, Created "
+                  b"on: Thu Aug 20 12:00:00 2026 HDF5 schema 1.00 .")
+        with open(path, "r+b") as fh:  # the textual userblock
+            fh.write(header.ljust(116, b" ")
+                     + b"\x00" * 9 + b"IM" + b"\x00" * (512 - 127))
+        with open(path, "rb") as fh:  # layout sanity: magic NOT at 0
+            assert fh.read(8) != b"\x89HDF\r\n\x1a\n"
+        p2, s2 = load_experiment(path)
+        np.testing.assert_allclose(p2, psc)
+        np.testing.assert_allclose(s2, stim)
+
+    def test_integer_adc_traces_cast(self, tmp_path, rng):
+        """int16/uint16 raw rig traces (ADC counts) load and cast to
+        float — pinned so a future dtype-strict refactor can't break
+        real acquisition exports."""
+        psc = (rng.normal(size=(20, 900)) * 1000).astype(np.int16)
+        stim = np.zeros((5, 20), dtype=np.uint16)
+        stim[0, :] = 45
+        path = tmp_path / "adc.npz"
+        np.savez(path, psc=psc, stimulus_matrix=stim)
+        p2, s2 = load_experiment(path)
+        assert p2.dtype == np.float64 and s2.dtype == np.float64
+        np.testing.assert_allclose(p2, psc.astype(float))
+        np.testing.assert_allclose(s2, stim.astype(float))
+
+    def test_nonfinite_psc_raise_drop_zero(self, tmp_path, rng):
+        psc = rng.normal(size=(20, 50))
+        psc[3, 10] = np.nan
+        psc[7, :] = np.inf
+        stim = rng.random((5, 20))
+        path = tmp_path / "nan.npz"
+        np.savez(path, psc=psc, stimulus_matrix=stim)
+        with pytest.raises(ValueError, match="on_nonfinite"):
+            load_experiment(path)
+        with pytest.warns(UserWarning, match="dropping 2 trials"):
+            p2, s2 = load_experiment(path, on_nonfinite="drop")
+        assert p2.shape == (18, 50) and s2.shape == (5, 18)
+        assert np.isfinite(p2).all()
+        with pytest.warns(UserWarning, match="zeroing"):
+            p3, s3 = load_experiment(path, on_nonfinite="zero")
+        assert p3.shape == (20, 50)
+        assert p3[3, 10] == 0.0 and (p3[7] == 0.0).all()
+        assert np.isfinite(p3).all()
+
+    def test_nonfinite_stim_always_raises(self, tmp_path, rng):
+        """A NaN power level is file corruption, not recording noise —
+        no repair mode applies."""
+        psc = rng.normal(size=(20, 50))
+        stim = rng.random((5, 20))
+        stim[2, 4] = np.nan
+        path = tmp_path / "nanstim.npz"
+        np.savez(path, psc=psc, stimulus_matrix=stim)
+        for mode in ("raise", "drop", "zero"):
+            with pytest.raises(ValueError, match="corrupt"):
+                load_experiment(path, on_nonfinite=mode)
+
+    def test_trailing_partial_trials(self, tmp_path, rng):
+        """An interrupted acquisition records the design for the full
+        protocol but traces only up to the stop: small trial-count
+        mismatches raise naming trim_trailing=True, which keeps the
+        common prefix (with a warning)."""
+        psc = rng.normal(size=(197, 60))  # stopped 3 trials short
+        stim = rng.random((5, 200))
+        path = tmp_path / "partial.npz"
+        np.savez(path, psc=psc, stimulus_matrix=stim)
+        with pytest.raises(ValueError, match="trim_trailing"):
+            load_experiment(path)
+        with pytest.warns(UserWarning, match="common first 197"):
+            p2, s2 = load_experiment(path, trim_trailing=True)
+        assert p2.shape == (197, 60) and s2.shape == (5, 197)
+        np.testing.assert_allclose(s2, stim[:, :197])
+        # a LARGE mismatch is a wrong file pairing, never a trim
+        np.savez(tmp_path / "wrong.npz", psc=psc[:100],
+                 stimulus_matrix=stim)
+        with pytest.raises(ValueError, match="no common trial count"):
+            load_experiment(tmp_path / "wrong.npz", trim_trailing=True)
+
     def test_export_state(self, tmp_path, rng):
         state = {
             "mu": rng.normal(size=8),
