@@ -366,15 +366,22 @@ def _sns_iteration(state, data, hyper, static):
     N = stim.shape[0]
     sig0 = state.shape / state.rate
 
+    # replicated orders (same key on every device); identity for
+    # deterministic parity, mirroring solvers.cavi_sns._iteration
+    if static.get("update_order", "random") == "identity":
+        _order = lambda _k: jnp.arange(N)  # noqa: E731
+    else:
+        _order = lambda _k: jax.random.permutation(_k, N)  # noqa: E731
+
     beta = _sns_update_slab_scale(state.alpha, state.lam, state.shape,
                                   state.rate, beta_prior)
     mu = _sns_sweep_means(
         y, state.mu, beta, state.alpha, state.lam, sig0, mu_prior, beta_prior,
-        jax.random.permutation(k1, N),
+        _order(k1),
     )
     alpha = _sns_sweep_connection_probs(
         y, mu, beta, state.alpha, state.lam, sig0, alpha_prior,
-        jax.random.permutation(k2, N),
+        _order(k2),
     )
 
     scale = jnp.diagonal(state.phi_cov, axis1=-2, axis2=-1)
@@ -388,7 +395,7 @@ def _sns_iteration(state, data, hyper, static):
         )
     lam = _sns_sweep_spikes(
         y, stim, mu, beta, alpha, state.lam, sig0, m[:, 0], m[:, 1], lam_mask,
-        jax.random.permutation(k3, N), static["minimum_spike_count"],
+        _order(k3), static["minimum_spike_count"],
     )
 
     shape, rate = _sns_update_noise(y, mu, beta, alpha, lam, shape_prior,
@@ -405,7 +412,7 @@ def _sns_iteration(state, data, hyper, static):
     jax.jit,
     static_argnames=(
         "mesh", "iters", "num_mc_samples", "minimum_spike_count",
-        "analytic_mc", "save_histories", "laplace_impl",
+        "analytic_mc", "save_histories", "laplace_impl", "update_order",
     ),
 )
 def _run_sns_sharded(
@@ -413,7 +420,7 @@ def _run_sns_sharded(
     mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
     phi_prior, phi_cov_prior, key, *, mesh, iters, num_mc_samples,
     minimum_spike_count, analytic_mc, save_histories,
-    laplace_impl="xla",
+    laplace_impl="xla", update_order="random",
 ):
     from ..solvers.cavi_sns import SnsState
 
@@ -422,6 +429,7 @@ def _run_sns_sharded(
         minimum_spike_count=minimum_spike_count,
         analytic_mc=analytic_mc,
         laplace_impl=laplace_impl,
+        update_order=update_order,
     )
 
     def body(y, stim, lam0, lam_mask, valid, levels, k_global,
@@ -500,6 +508,7 @@ def cavi_sns_sharded(
     analytic_mc=False,
     y_xcorr_thresh=1e-2,
     laplace_impl="auto",
+    update_order="random",
     verbose=True,
 ):
     """Fit CAVI-SnS with the trial axis sharded over ``mesh``.
@@ -563,6 +572,7 @@ def cavi_sns_sharded(
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
+        update_order=_validate_update_order(str(update_order)),
     )
 
     if save_histories:

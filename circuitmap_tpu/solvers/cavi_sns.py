@@ -29,6 +29,7 @@ from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ._common import (prepare_stim, prepare_traces,
                       warn_single_chip_envelope)
 from ._laplace import _resolve_laplace_impl, laplace_phi_update
+from .caviar import _validate_update_order
 
 EPS = 1e-10
 
@@ -153,14 +154,22 @@ def _iteration(state: SnsState, data, hyper, static):
     N = stim.shape[0]
     sig0 = state.shape / state.rate
 
+    # the reference randomizes each sweep's coordinate order
+    # (cavi_sns.py:77/115/134); identity order exists for deterministic
+    # parity runs (TestDeterministicSnsParity), like caviar's
+    if static.get("update_order", "random") == "identity":
+        _order = lambda _k: jnp.arange(N)  # noqa: E731
+    else:
+        _order = lambda _k: jax.random.permutation(_k, N)  # noqa: E731
+
     beta = update_slab_scale(state.alpha, state.lam, state.shape, state.rate, beta_prior)
     mu = sweep_means(
         y, state.mu, beta, state.alpha, state.lam, sig0, mu_prior, beta_prior,
-        jax.random.permutation(k1, N),
+        _order(k1),
     )
     alpha = sweep_connection_probs(
         y, mu, beta, state.alpha, state.lam, sig0, alpha_prior,
-        jax.random.permutation(k2, N),
+        _order(k2),
     )
 
     scale = jnp.diagonal(state.phi_cov, axis1=-2, axis2=-1)
@@ -173,7 +182,7 @@ def _iteration(state: SnsState, data, hyper, static):
         )
     lam = sweep_spikes_sns(
         y, stim, mu, beta, alpha, state.lam, sig0, m[:, 0], m[:, 1], lam_mask,
-        jax.random.permutation(k3, N), static["minimum_spike_count"],
+        _order(k3), static["minimum_spike_count"],
     )
 
     shape, rate = update_noise_sns(y, mu, beta, alpha, lam, shape_prior, rate_prior)
@@ -188,7 +197,7 @@ def _iteration(state: SnsState, data, hyper, static):
     jax.jit,
     static_argnames=(
         "iters", "num_mc_samples", "minimum_spike_count", "analytic_mc",
-        "save_histories", "laplace_impl",
+        "save_histories", "laplace_impl", "update_order",
     ),
 )
 def _run_sns(
@@ -196,7 +205,7 @@ def _run_sns(
     mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
     phi_prior, phi_cov_prior, key,
     *, iters, num_mc_samples, minimum_spike_count, analytic_mc, save_histories,
-    laplace_impl="xla",
+    laplace_impl="xla", update_order="random",
 ):
     data = (y, stim, lam_mask, powers)
     hyper = (mu_prior, beta_prior, alpha_prior, shape_prior, rate_prior,
@@ -206,6 +215,7 @@ def _run_sns(
         minimum_spike_count=minimum_spike_count,
         analytic_mc=analytic_mc,
         laplace_impl=laplace_impl,
+        update_order=update_order,
     )
 
     init = SnsState(
@@ -260,6 +270,7 @@ def cavi_sns(
     analytic_mc=False,
     laplace_impl="auto",
     trace_wire=None,
+    update_order="random",
     verbose=True,
 ):
     """Fit CAVI-SnS. Signature/return layout mirror reference cavi_sns.py:17-85.
@@ -298,6 +309,7 @@ def cavi_sns(
         analytic_mc=bool(analytic_mc),
         save_histories=bool(save_histories),
         laplace_impl=_resolve_laplace_impl(laplace_impl, dtype),
+        update_order=_validate_update_order(str(update_order)),
     )
 
     if save_histories:

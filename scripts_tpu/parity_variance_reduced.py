@@ -79,6 +79,43 @@ _ANALYTIC_BLOCK = """\
 _ORDER_LINE = "\tupdate_order = jax.random.choice(key, N, [N], replace=False)\n"
 _ORDER_FIXED = "\tupdate_order = jnp.arange(N)\n"
 
+# CAVI-SnS variance-reduction patch (reference cavi_sns.py): its
+# update_lam MC estimator block is TEXTUALLY IDENTICAL to caviar's
+# (the reference repeats the code), so _MC_BLOCK/_ANALYTIC_BLOCK are
+# reused; its three randomized sweep orders (update_mu/update_alpha/
+# update_lam, cavi_sns.py:77/115/134) carry a trailing comment; and the
+# shipped file is unrunnable as-is (update_lam's loop body unpacks the
+# key as ``current_key`` but reads ``key`` — the same evident one-line
+# fix the parity suite's oracle applies).
+_SNS_ORDER_LINE = ("\tupdate_order = jax.random.choice(key, N, [N], "
+                   "replace=False) # randomize update order\n")
+_SNS_KEY_BUG = "\t\tlam_vector, current_key = carry\n"
+_SNS_KEY_FIX = "\t\tlam_vector, key = carry\n"
+
+
+def load_patched_reference_sns():
+    """Import the reference cavi_sns with MC → exact mean, identity
+    orders, and the key-unpacking fix applied — fully deterministic."""
+    root = tempfile.mkdtemp(prefix="refshim_vr_sns_")
+    pkg = os.path.join(root, "ref_optimise_vr_sns")
+    os.makedirs(pkg)
+    open(os.path.join(pkg, "__init__.py"), "w").write("")
+    shutil.copy(os.path.join(REF, "cavi_sns.py"),
+                os.path.join(pkg, "cavi_sns.py"))
+    path = os.path.join(pkg, "cavi_sns.py")
+    src = open(path).read()
+    assert _MC_BLOCK in src, "reference SnS MC block not found — stale"
+    assert src.count(_SNS_ORDER_LINE) == 3, \
+        "reference SnS order lines moved — patch stale"
+    assert _SNS_KEY_BUG in src, "reference SnS key bug line moved"
+    src = src.replace(_SNS_KEY_BUG, _SNS_KEY_FIX)
+    src = src.replace(_MC_BLOCK, _ANALYTIC_BLOCK)
+    src = src.replace(_SNS_ORDER_LINE, _ORDER_FIXED)
+    open(path, "w").write(src)
+    sys.path.insert(0, root)
+    import ref_optimise_vr_sns.cavi_sns as ref_sns
+    return ref_sns
+
 
 def load_patched_reference():
     root = tempfile.mkdtemp(prefix="refshim_vr_")

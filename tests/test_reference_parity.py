@@ -268,6 +268,75 @@ class TestDeterministicParity:
                                    rtol=1e-6)
 
 
+class TestDeterministicSnsParity:
+    """Variance-reduced near-exact CAVI-SnS parity (VERDICT r4 weak #4):
+    the same protocol as TestDeterministicParity applied to the SnS
+    oracle — exact truncated-normal mean (the reference's update_lam MC
+    block is textually caviar's: logit∘sigmoid integrand ≡ identity),
+    identity order in all THREE randomized sweeps, f64 — so any
+    disagreement is genuine update-math drift in mu/alpha/lam."""
+
+    @pytest.fixture(scope="class")
+    def ref_sns_vr(self, tmp_path_factory):
+        import importlib
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "parity_vr_script_sns",
+            "/root/repo/scripts_tpu/parity_variance_reduced.py")
+        script = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(script)
+
+        root = tmp_path_factory.mktemp("refshim_vr_sns_ci")
+        pkg = root / "ref_sns_vr_ci"
+        pkg.mkdir()
+        (pkg / "__init__.py").write_text("")
+        shutil.copy(os.path.join(REF, "cavi_sns.py"), pkg / "cavi_sns.py")
+        src = (pkg / "cavi_sns.py").read_text()
+        assert script._MC_BLOCK in src, "reference SnS MC block moved"
+        assert src.count(script._SNS_ORDER_LINE) == 3, \
+            "reference SnS order lines moved"
+        assert script._SNS_KEY_BUG in src, "reference SnS key line moved"
+        src = src.replace(script._SNS_KEY_BUG, script._SNS_KEY_FIX)
+        src = src.replace(script._MC_BLOCK, script._ANALYTIC_BLOCK)
+        src = src.replace(script._SNS_ORDER_LINE, script._ORDER_FIXED)
+        (pkg / "cavi_sns.py").write_text(src)
+        sys.path.insert(0, str(root))
+        import jax
+
+        x64_before = jax.config.jax_enable_x64
+        yield importlib.import_module("ref_sns_vr_ci.cavi_sns")
+        sys.path.remove(str(root))
+        jax.config.update("jax_enable_x64", x64_before)
+
+    def test_posteriors_near_exact(self, ref_sns_vr):
+        import jax.numpy as jnp
+        from circuitmap_tpu.solvers import cavi_sns
+
+        np.random.seed(5)
+        vr_sim = simulate(N=100, trials=2000, H=10, connection_prob=0.05,
+                          spont_prob=0.01, gp_scale=1e-3, verbose=False)
+        p = default_priors(100)
+        args = (vr_sim["psc"], vr_sim["stim_matrix"], p["mu"], p["beta"],
+                p["alpha"], p["shape"], p["rate"], p["phi"], p["phi_cov"])
+        ref_out = ref_sns_vr.cavi_sns(*args, iters=15, seed=0,
+                                      save_histories=False)
+        our_out = cavi_sns(*args, iters=15, seed=0, save_histories=False,
+                           verbose=False, analytic_mc=True,
+                           update_order="identity", dtype=jnp.float64)
+        mu_ref, mu_ours = np.asarray(ref_out[0]), np.asarray(our_out[0])
+        a_ref, a_ours = np.asarray(ref_out[2]), np.asarray(our_out[2])
+        lam_ref, lam_ours = np.asarray(ref_out[3]), np.asarray(our_out[3])
+
+        np.testing.assert_allclose(mu_ours, mu_ref, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(a_ours, a_ref, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(lam_ours, lam_ref, rtol=0, atol=1e-6)
+        # noise posterior: shape deterministic, rate near-exact
+        assert float(ref_out[4]) == pytest.approx(float(our_out[4]))
+        np.testing.assert_allclose(float(our_out[5]), float(ref_out[5]),
+                                   rtol=1e-6)
+
+
 class TestSnsParity:
     def test_posterior_agreement(self, ref_pkg, sim):
         import importlib
