@@ -549,3 +549,41 @@ class TestReviewRegressions:
         # the two trajectories agree to far better than the tolerance,
         # so the stopping iterations can differ by at most one boundary
         assert abs(sharded.elbo_converged_at - single.elbo_converged_at) <= 1
+
+
+@pytest.mark.slow
+class TestOverEnvelopeShape:
+    """The sharded path is the documented route past the single-chip
+    memory cliff (DEPLOY.md; OVER_CLIFF.json measures the real
+    N=10000/K=100000 OOM shape end-to-end on this mesh). This scaled
+    regression pins the two behaviours that demo relies on: the
+    single-chip entry WARNS at an over-envelope shape, and the sharded
+    solver runs the same shape to a recovered circuit."""
+
+    def test_sharded_runs_where_single_chip_warns(self, mesh8,
+                                                  monkeypatch):
+        import warnings
+
+        from circuitmap_tpu.solvers import _common
+        from scripts_tpu.over_cliff_sharded import synth_charge_experiment
+
+        N, K = 64, 2560
+        # scale the measured cliff down so this shape counts as
+        # over-envelope without over-envelope compute
+        monkeypatch.setattr(_common, "_SINGLE_CHIP_ELEM_CLIFF",
+                            float(N * K) / 2)
+        monkeypatch.setattr(_common.jax, "default_backend", lambda: "tpu")
+        with pytest.warns(_common.MemoryEnvelopeWarning,
+                          match="caviar_sharded"):
+            _common.warn_single_chip_envelope(N, K, what="caviar()")
+
+        psc2, stim, w = synth_charge_experiment(N, K, H=6, seed=3,
+                                                connection_prob=0.08)
+        p = default_priors(N)
+        out = caviar_sharded(
+            psc2, stim, p["mu"], p["beta"], p["shape"], p["rate"],
+            p["phi"], p["phi_cov"], mesh8, iters=10, verbose=False,
+            powers=[45.0, 55.0, 65.0], msrmp=0.3)
+        mu = np.asarray(out[0])
+        assert np.isfinite(mu).all()
+        assert r2_score(w, mu) > 0.9
