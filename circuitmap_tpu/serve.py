@@ -663,18 +663,32 @@ class FitService:
         return payload
 
     def do_demix(self, body, options_header):
-        opts = self._parse_options(options_header,
-                                   frozenset(("trace_wire",)), "demix")
+        opts = self._parse_options(
+            options_header, frozenset(("trace_wire", "response_wire")),
+            "demix")
         arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T]")
         if self.demixer is None:
             raise _BadRequest("server started without a demixer")
+        # RESPONSE wire: the demixed [K, T] block is 72 MB f32 at the
+        # flagship shape — the same quantised vocabulary the request
+        # body uses works on the way back (per-trace peak scales;
+        # demixed traces are exactly what WIRE_STUDY measured the
+        # codecs on). The metadata-aware FitClient decodes it
+        response_wire = opts.pop("response_wire", None)
         wire = self._wire_token(opts)
         self.n_demixes += 1
         out = self.demixer(arrays["psc"], verbose=False,
                            transfer_dtype=wire)
-        return "application/npz", _npz_bytes(demixed=out)
+        if response_wire is None:
+            return "application/npz", _npz_bytes(demixed=out)
+        try:
+            enc = _encode_psc(np.asarray(out), str(response_wire))
+        except ValueError as exc:
+            raise _BadRequest(str(exc)) from None
+        return "application/npz", _npz_bytes(
+            **{"demixed" + k[len("psc"):]: v for k, v in enc.items()})
 
     def do_fit(self, body, options_header):
         from .model import Model
@@ -682,9 +696,15 @@ class FitService:
         opts = self._parse_options(
             options_header,
             _FIT_OPTION_KEYS | {"method", "demix", "sharded",
-                                "return_fields"},
+                                "return_fields", "response_wire"},
             "fit")
         return_fields = opts.pop("return_fields", None)
+        response_wire = opts.pop("response_wire", None)
+        if response_wire not in (None, "int8"):
+            raise _BadRequest(
+                f"unknown fit response_wire {response_wire!r}; only "
+                "'int8' is supported (per-row peak codes on the [N, K] "
+                "lam posterior — use return_fields to drop it instead)")
         arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T|1] and "
@@ -733,6 +753,15 @@ class FitService:
             out.update({f"history_{k}": v for k, v in model.history.items()
                         if isinstance(v, np.ndarray)})
         out = _filter_fields(out, return_fields)
+        if response_wire == "int8":
+            # lam is the response-size driver (80 MB f32 at the
+            # flagship shape; spike posteriors in [0, 1]) — per-row
+            # peak int8 codes quarter it at <=0.4%-of-peak step error.
+            # History arrays keep full precision (opt-in and rare)
+            if "lam" in out:
+                enc = encode_psc_int8(np.asarray(out.pop("lam")))
+                out["lam_q8"] = enc["psc_q8"]
+                out["lam_q8_scale"] = enc["psc_q8_scale"]
         return "application/npz", _npz_bytes(**out)
 
     def _maybe_demix_many(self, pscs, opts):
@@ -1941,12 +1970,26 @@ class FitClient:
                         f"{timeout_s:.0f}s")
                 time.sleep(poll_s)
 
-    def demix(self, psc, trace_wire=None, psc_wire=None):
-        opts = {"trace_wire": trace_wire} if trace_wire else None
+    def demix(self, psc, trace_wire=None, psc_wire=None,
+              response_wire=None):
+        """Demix on the server. ``psc_wire`` types the REQUEST body
+        and ``response_wire`` ('f16'/'int8'/'int4'/'int4d2') the
+        response — the demixed [K, T] block is 72 MB f32 at the
+        flagship shape; int4 returns it at 1/16th (decoded to f32
+        here, numpy-only)."""
+        opts = {}
+        if trace_wire:
+            opts["trace_wire"] = trace_wire
+        if response_wire:
+            opts["response_wire"] = str(response_wire)
         out = self._request("POST", "/demix",
                             body=self._body(psc, None, False, psc_wire),
-                            options=opts)
-        return out["demixed"]
+                            options=opts or None)
+        if "demixed" in out:
+            return out["demixed"]
+        dec = _decode_arrays({"psc" + k[len("demixed"):]: v
+                              for k, v in out.items()})
+        return np.asarray(dec["psc"])
 
     @staticmethod
     def _body(psc, stim, sparse_stim, psc_wire):
@@ -1959,7 +2002,7 @@ class FitClient:
 
     def fit(self, psc, stim, method="caviar", demix=None,
             sparse_stim=True, psc_wire=None, return_fields=None,
-            **fit_options):
+            response_wire=None, **fit_options):
         """Run a batch fit; returns the model state dict (numpy).
 
         ``return_fields`` trims the RESPONSE wire to the named state
@@ -1968,7 +2011,10 @@ class FitClient:
         shape), so callers that only need the [N]-sized summaries pass
         e.g. ``return_fields=("mu", "beta", "alpha")`` and cut the
         response ~2000×. A name the fit did not produce is a 400
-        listing what is available.
+        listing what is available. For full-posterior pulls,
+        ``response_wire='int8'`` instead quarters ``lam`` on the wire
+        (per-row peak codes, <=0.4%-of-peak step error on the [0, 1]
+        spike posteriors; decoded back to f32 here).
 
         ``psc``: [K, T] traces (raw if the server demixes, demixed
         otherwise); ``stim``: [N, K] design; ``fit_options`` as in
@@ -1992,10 +2038,16 @@ class FitClient:
             opts["return_fields"] = [str(f) for f in (
                 [return_fields] if isinstance(return_fields, str)
                 else return_fields)]
-        return self._request("POST", "/fit",
-                             body=self._body(psc, stim, sparse_stim,
-                                             psc_wire),
-                             options=opts)
+        if response_wire is not None:
+            opts["response_wire"] = str(response_wire)
+        out = self._request("POST", "/fit",
+                            body=self._body(psc, stim, sparse_stim,
+                                            psc_wire),
+                            options=opts)
+        if "lam_q8" in out:
+            out["lam"] = (out.pop("lam_q8").astype(np.float32)
+                          * out.pop("lam_q8_scale")[..., None])
+        return out
 
     def fit_many(self, pscs, stims, demix=None, sparse_stim=True,
                  psc_wire=None, return_fields=None, **fit_options):

@@ -1270,6 +1270,52 @@ class TestServiceUnit:
                            k_trues=np.asarray([32, 32], np.int32)),
                 json.dumps({"iters": 2}))
 
+    def test_response_wire_demix_and_fit(self, sim):
+        """response_wire quantises the RESPONSE: /demix returns the
+        demixed block in the request wire vocabulary (int4 = 1/16th
+        the bytes) and /fit returns lam as per-row int8 peak codes —
+        both decoded transparently by the client."""
+        import threading
+        from http.server import HTTPServer
+
+        from circuitmap_tpu.serve import (FitClient, FitService,
+                                          _make_handler)
+
+        svc = FitService(demixer_path="default")
+        box = [None]
+        httpd = HTTPServer(("127.0.0.1", 0), _make_handler(svc, box))
+        box[0] = httpd
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            cli = FitClient(
+                f"http://127.0.0.1:{httpd.server_address[1]}")
+            psc = np.asarray(sim["psc"][:64])
+            plain = cli.demix(psc)
+            q8 = cli.demix(psc, response_wire="int8")
+            q4 = cli.demix(psc, response_wire="int4")
+            assert q8.shape == plain.shape == q4.shape
+            peak = np.abs(plain).max(axis=1, keepdims=True)
+            assert np.abs(q8 - plain).max() <= (peak / 127).max() * 0.51
+            assert np.abs(q4 - plain).max() <= (peak / 7).max() * 0.51
+
+            stim = np.asarray(sim["stim_matrix"][:, :64])
+            full = cli.fit(psc, stim, iters=3, verbose=False,
+                           num_mc_samples=20, seed=2, demix=False)
+            coded = cli.fit(psc, stim, iters=3, verbose=False,
+                            num_mc_samples=20, seed=2, demix=False,
+                            response_wire="int8")
+            assert set(coded) == set(full)  # q8 keys decoded away
+            row_peak = np.abs(full["lam"]).max(axis=1, keepdims=True)
+            tol = np.maximum(row_peak, 1.0) / 127 * 0.51
+            assert (np.abs(coded["lam"] - full["lam"]) <= tol).all()
+            np.testing.assert_array_equal(coded["mu"], full["mu"])
+            with pytest.raises(RuntimeError, match="response_wire"):
+                cli.fit(psc, stim, iters=2, response_wire="int4",
+                        demix=False)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
     def test_fit_return_fields_trims_response(self, sim):
         """return_fields keeps only the named state fields (plus
         fit_time_s) — the response-wire lever for [N]-sized summary
