@@ -27,15 +27,22 @@ import pytest
 # Test tiers. The FULL suite is the merge gate (green mandatory per
 # session — CLAUDE.md); the fast tier is the iteration gate:
 #
-#     python -m pytest tests/ -q -m "not slow"      (~4 min)
-#     python -m pytest tests/ -q                    (~36 min)
+#     python -m pytest tests/ -q -m "not slow"      (4m48s, 296 tests)
+#     python -m pytest tests/ -q                    (~34 min, 492 tests)
 #
-# 'slow' marks the expensive end: reference-parity shims (x64 oracle
-# fits), subprocess/gloo bootstraps, subprocess fit-server rounds,
-# executed notebooks, demixer training, and the individually-marked
-# long fits below. Every solver/kernel/wire unit path stays in the
-# fast tier. Marking is centralised here (module + class lists) so the
-# tier boundary is one diff, not thirty.
+# 'slow' is the union of two rules:
+#   * categorical (module/class lists below): reference-parity shims
+#     (x64 oracle fits), subprocess/gloo bootstraps, subprocess
+#     fit-server rounds, executed notebooks, demixer training — slow
+#     by construction, so FUTURE tests in those files/classes are
+#     caught automatically;
+#   * measured (tests/slow_tests.txt): every test that cost >= 4 s on
+#     the single-core CI host in the full-suite duration run — the
+#     long tail of cross-impl equality fits. The file's header says
+#     how to regenerate it; at the 4 s threshold every solver, kernel,
+#     wire, and subsystem keeps at least one fast representative
+#     (verified per-module when the list was cut; one ELBO test is
+#     hand-kept fast since all its siblings crossed the threshold).
 # ---------------------------------------------------------------------------
 
 _SLOW_MODULES = {
@@ -65,11 +72,28 @@ def pytest_configure(config):
         " training) — excluded from the fast gate -m 'not slow'")
 
 
+def _measured_slow_ids():
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "slow_tests.txt"
+    ids = set()
+    try:
+        for ln in path.read_text().splitlines():
+            ln = ln.split("#", 1)[0].strip()
+            if ln:
+                ids.add(ln)
+    except OSError:
+        pass
+    return ids
+
+
 def pytest_collection_modifyitems(config, items):
+    measured = _measured_slow_ids()
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
         cls = item.cls.__name__ if item.cls is not None else ""
-        if mod in _SLOW_MODULES or (mod, cls) in _SLOW_CLASSES:
+        if (mod in _SLOW_MODULES or (mod, cls) in _SLOW_CLASSES
+                or item.nodeid in measured):
             item.add_marker(pytest.mark.slow)
 
 
