@@ -42,10 +42,22 @@ class Model:
         self.history = {}
         self.time = None
         self.trial_count = None
+        self._materialize = None  # see fit(_materialize=)
 
     # -- dispatch ----------------------------------------------------------
 
-    def fit(self, obs, stimuli, method="caviar", fit_options=None):
+    def fit(self, obs, stimuli, method="caviar", fit_options=None,
+            _materialize=None):
+        """Run a fit. ``_materialize`` is a facade-internal serving
+        knob (the fit server's ``return_fields``): ``None`` keeps the
+        public contract — every state/history field lands as a host
+        numpy array — while a collection of field names pulls ONLY
+        those, leaving the rest device-resident jax arrays. On a
+        tunneled accelerator the device→host pull of ``lam`` [N, K]
+        (80 MB at the flagship shape) is seconds of wire; a
+        summary-only response should never pay it. Unpulled fields
+        still work through ``np.asarray`` on access; history names
+        match the serve response keys (``history_<field>``)."""
         fit_options = dict(fit_options or {})
         runner = {
             "caviar": self._fit_caviar,
@@ -62,10 +74,23 @@ class Model:
 
         _ensure_compile_cache()
         self.fit_method = method  # summarize() keys its calls off this
+        self._materialize = (None if _materialize is None
+                             else {str(f) for f in _materialize})
         t0 = time.time()
-        runner(obs, stimuli, fit_options)
+        try:
+            runner(obs, stimuli, fit_options)
+        finally:
+            self._materialize = None
         self.time = time.time() - t0
         return self
+
+    def _pull(self, name, value):
+        """np.asarray under the ``_materialize`` policy (see fit)."""
+        if value is None:
+            return None
+        if self._materialize is None or name in self._materialize:
+            return np.asarray(value)
+        return value
 
     def summary(self, stim=None, verbose=True):
         """Per-neuron posterior summary (``circuitmap_tpu.summarize``);
@@ -102,21 +127,20 @@ class Model:
          *hists) = result
 
         self.state.update(
-            mu=np.asarray(mu),
-            beta=np.asarray(beta),
-            lam=np.asarray(lam),
-            shape=np.asarray(shape),
-            rate=np.asarray(rate),
-            phi=np.asarray(phi),
-            phi_cov=np.asarray(phi_cov),
-            z=np.asarray(z),
+            mu=self._pull("mu", mu),
+            beta=self._pull("beta", beta),
+            lam=self._pull("lam", lam),
+            shape=self._pull("shape", shape),
+            rate=self._pull("rate", rate),
+            phi=self._pull("phi", phi),
+            phi_cov=self._pull("phi_cov", phi_cov),
+            z=self._pull("z", z),
             receptive_fields=receptive_fields,
         )
         self.trial_count = self.state["lam"].shape[1]
         names = ["mu", "beta", "lam", "shape", "rate", "phi", "phi_cov", "z"]
         self.history = {
-            n: (np.asarray(h) if h is not None else None)
-            for n, h in zip(names, hists)
+            n: self._pull(f"history_{n}", h) for n, h in zip(names, hists)
         }
         if track_elbo:
             self.history["elbo"] = self.elbo
@@ -161,20 +185,19 @@ class Model:
         mu, beta, alpha, lam, shape, rate, phi, phi_cov, *hists = result
 
         self.state.update(
-            mu=np.asarray(mu),
-            beta=np.asarray(beta),
-            alpha=np.asarray(alpha),
-            lam=np.asarray(lam),
-            shape=np.asarray(shape),
-            rate=np.asarray(rate),
-            phi=np.asarray(phi),
-            phi_cov=np.asarray(phi_cov),
+            mu=self._pull("mu", mu),
+            beta=self._pull("beta", beta),
+            alpha=self._pull("alpha", alpha),
+            lam=self._pull("lam", lam),
+            shape=self._pull("shape", shape),
+            rate=self._pull("rate", rate),
+            phi=self._pull("phi", phi),
+            phi_cov=self._pull("phi_cov", phi_cov),
         )
         self.trial_count = self.state["lam"].shape[1]
         names = ["mu", "beta", "alpha", "lam", "shape", "rate", "phi", "phi_cov"]
         self.history = {
-            n: (np.asarray(h) if h is not None else None)
-            for n, h in zip(names, hists)
+            n: self._pull(f"history_{n}", h) for n, h in zip(names, hists)
         }
 
     def _fit_cosamp(self, obs, stimuli, fit_options):
@@ -227,19 +250,17 @@ class Model:
         mu, beta, lam, shape, rate, z, receptive_fields, *hists = result
 
         self.state.update(
-            mu=np.asarray(mu),
-            beta=np.asarray(beta),
-            lam=np.asarray(lam),
-            shape=np.asarray(shape),
-            rate=np.asarray(rate),
-            z=np.asarray(z),
-            receptive_fields=(
-                np.asarray(receptive_fields) if receptive_fields is not None else None
-            ),
+            mu=self._pull("mu", mu),
+            beta=self._pull("beta", beta),
+            lam=self._pull("lam", lam),
+            shape=self._pull("shape", shape),
+            rate=self._pull("rate", rate),
+            z=self._pull("z", z),
+            receptive_fields=self._pull("receptive_fields",
+                                        receptive_fields),
         )
         self.trial_count = self.state["lam"].shape[1]
         names = ["mu", "beta", "lam", "shape", "rate", "z"]
         self.history = {
-            n: (np.asarray(h) if h is not None else None)
-            for n, h in zip(names, hists)
+            n: self._pull(f"history_{n}", h) for n, h in zip(names, hists)
         }

@@ -699,6 +699,16 @@ class FitService:
                                 "return_fields", "response_wire"},
             "fit")
         return_fields = opts.pop("return_fields", None)
+        if return_fields is not None:
+            # validate BEFORE the fit: the list also gates Model's
+            # device→host pulls (_materialize), so a malformed value
+            # must 400 here, not surface as a solver-rejection message
+            if isinstance(return_fields, str):
+                return_fields = [return_fields]
+            if (not isinstance(return_fields, list)
+                    or not all(isinstance(f, str) for f in return_fields)):
+                raise _BadRequest(
+                    "return_fields must be a list of field names")
         response_wire = opts.pop("response_wire", None)
         if response_wire not in (None, "int8"):
             raise _BadRequest(
@@ -739,20 +749,28 @@ class FitService:
         opts.setdefault("verbose", False)
         model = Model(stim.shape[0], priors=self.priors)
         try:
-            model.fit(obs, stim, method=method, fit_options=opts)
+            # return_fields also gates the device→host pull: on a
+            # tunneled chip materialising lam [N, K] costs seconds of
+            # wire a summary-only response never uses (Model._pull)
+            model.fit(obs, stim, method=method, fit_options=opts,
+                      _materialize=return_fields)
         except (ValueError, TypeError) as exc:
             # solver-side validation (bad powers, an option the chosen
             # method doesn't take, shape mismatches) is a client error,
             # not a server fault — the request, not the daemon, is wrong
             raise _BadRequest(f"{method} rejected the request: {exc}")
         self.n_fits += 1
+        # include device-resident (un-materialised) fields so a typo'd
+        # return_fields 400 names the FULL available set; the filter
+        # then keeps only requested fields, which Model already pulled
         out = {k: v for k, v in model.state.items()
-               if isinstance(v, np.ndarray)}
+               if isinstance(v, np.ndarray) or hasattr(v, "devices")}
         out["fit_time_s"] = np.float64(model.time)
         if model.history:
             out.update({f"history_{k}": v for k, v in model.history.items()
-                        if isinstance(v, np.ndarray)})
+                        if v is not None})
         out = _filter_fields(out, return_fields)
+        out = {k: np.asarray(v) for k, v in out.items()}
         if response_wire == "int8":
             # lam is the response-size driver (80 MB f32 at the
             # flagship shape; spike posteriors in [0, 1]) — per-row

@@ -111,6 +111,28 @@ def main():
         out["weight_recovery_r2"] = round(r2, 4)
         print(f"  recovery R2 {r2:.4f}", flush=True)
 
+        # response-wire levers (round 5): the full-posterior response
+        # is dominated by lam [N, K] f32 (80 MB npz over loopback on a
+        # shared single core — the bulk of the warm serving tax)
+        t_rf, t_q8 = [], []
+        for _ in range(3):
+            t0 = time.time()
+            slim = client.fit(psc, stim, demix=True, psc_wire="int4d2",
+                              return_fields=("mu", "beta", "alpha"),
+                              **fit_opts)
+            t_rf.append(time.time() - t0)
+            t0 = time.time()
+            coded = client.fit(psc, stim, demix=True, psc_wire="int4d2",
+                               response_wire="int8", **fit_opts)
+            t_q8.append(time.time() - t0)
+        out["fit_warm_return_fields_s"] = round(min(t_rf), 3)
+        out["fit_warm_response_int8_s"] = round(min(t_q8), 3)
+        out["return_fields_r2"] = round(
+            float(r2_score(w_true, slim["mu"])), 4)
+        np.testing.assert_array_equal(slim["mu"], coded["mu"])
+        print(f"  warm fit: summaries {min(t_rf):.3f}s / int8 "
+              f"posterior {min(t_q8):.3f}s", flush=True)
+
         # warm job-array path: B=8 × (N=300, K=2000)
         np.random.seed(1)
         bsim = simulate(N=300, trials=2000, H=10, connection_prob=0.05,

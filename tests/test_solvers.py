@@ -37,6 +37,32 @@ class TestCaviar:
     def test_weight_recovery(self, sim, fitted):
         assert r2_score(sim["weights"], fitted.state["mu"]) > 0.8
 
+    def test_materialize_gates_host_pull(self, sim, fitted):
+        """fit(_materialize={...}) (the serve return_fields hook)
+        pulls ONLY the named fields to host numpy; the rest stay
+        device arrays with identical values (np.asarray on access).
+        On a tunneled chip the un-pulled lam [N, K] is seconds of
+        avoided wire per summary-only request."""
+        import jax
+
+        model = Model(60)
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"iters": 25, "verbose": False, "seed": 0},
+                  _materialize={"mu", "beta"})
+        assert isinstance(model.state["mu"], np.ndarray)
+        assert isinstance(model.state["beta"], np.ndarray)
+        # lam stays device-resident (z may come back host-side from
+        # the CPU reconnect path regardless — only assert the big one)
+        assert isinstance(model.state["lam"], jax.Array)
+        np.testing.assert_array_equal(model.state["mu"],
+                                      fitted.state["mu"])
+        np.testing.assert_array_equal(np.asarray(model.state["lam"]),
+                                      fitted.state["lam"])
+        # the knob is per-call: a later default fit pulls everything
+        model.fit(sim["psc"], sim["stim_matrix"], method="caviar",
+                  fit_options={"iters": 2, "verbose": False, "seed": 0})
+        assert isinstance(model.state["lam"], np.ndarray)
+
     def test_connection_detection(self, sim, fitted):
         true_conn = set(np.flatnonzero(sim["weights"]))
         est_conn = set(np.flatnonzero(fitted.state["mu"]))
