@@ -39,7 +39,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.charge import prepare_observations
 from ..ops.pava import isotonic_fit_at_max
-from ..solvers._common import prepare_stim
+from ..solvers._common import (prepare_stim,
+                               warn_data_thin_design_dense)
 from ..solvers._laplace import _resolve_laplace_impl, laplace_from_stats_impl
 from ..solvers.caviar import (
     CaviarState,
@@ -539,6 +540,8 @@ def cavi_sns_sharded(
 
     y_psc = jnp.asarray(y_psc, dtype=dtype)
     stim_j, stim_np, powers_np, powers_dev = prepare_stim(stim_np, dtype)
+    warn_data_thin_design_dense(stim_np, k_true=K,
+                                what="cavi_sns_sharded()")
     y = integrated_charge(y_psc)
     lam_mask = jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask
@@ -957,6 +960,7 @@ def mbcs_sharded(
     y = integrated_charge(jnp.asarray(y_psc_np, dtype=dtype))
     # compressed stim upload + deduplicated levels, as every other solver
     stim_j, stim_np, powers_mb, powers_mb_dev = prepare_stim(stim_np, dtype)
+    warn_data_thin_design_dense(stim_np, k_true=K, what="mbcs_sharded()")
     lam_mask = jnp.asarray(lam_mask_np, dtype=dtype)
     # device table from the uploaded stim (f64 contract, _common)
     pw = np.concatenate([[0.0], powers_mb_dev])
@@ -1313,6 +1317,8 @@ def _prep_sharded(y_psc, stim, mesh, dtype, y_xcorr_thresh, powers=None,
     # exact matches; see solvers/_common._levels)
     stim_j, stim_np, powers, powers_dev = prepare_stim(
         stim_np, dtype, powers=powers)
+    warn_data_thin_design_dense(stim_np, k_true=K,
+                                what="caviar_sharded()")
     y, active = prepare_observations(y_psc, y_xcorr_thresh)
     lam_mask = active.astype(dtype) * jnp.asarray(valid, dtype)
     lam0 = jnp.where(stim_j > 0, jnp.asarray(0.95, dtype), 0.0) * lam_mask

@@ -242,6 +242,12 @@ def _decode_stim_sparse(targets, codes, levels, n_neurons):
         raise _BadRequest(
             "malformed sparse stim: targets/codes must be matching "
             "[H, K] arrays and levels 1-D")
+    # the level table is the ONLY value source of the reconstruction:
+    # validating it finite here (a few entries) is what lets the fit
+    # endpoints skip the dense [N, K] isfinite pass for sparse bodies
+    if (not np.issubdtype(levels.dtype, np.number)
+            or not np.isfinite(levels).all()):
+        raise _BadRequest("sparse stim levels must be finite numbers")
     try:
         n = int(np.asarray(n_neurons).reshape(()))
     except (TypeError, ValueError):
@@ -468,13 +474,36 @@ def _require_finite(name, arr):
     them past the client would otherwise fit to silently-NaN posteriors
     on the daemon. Quantised wire containers (PackedInt4Traces) skip
     the scan — their codes are finite by construction and their scales
-    are validated at decode."""
-    if isinstance(arr, np.ndarray) and not np.isfinite(arr).all():
+    are validated at decode. A non-numeric dtype (np.savez round-trips
+    string arrays without pickle!) is equally a client error — it must
+    400 here, not TypeError into a 500."""
+    if not isinstance(arr, np.ndarray):
+        return
+    if not np.issubdtype(arr.dtype, np.number):
+        raise _BadRequest(
+            f"{name} must be a numeric array, got dtype {arr.dtype}")
+    if not np.isfinite(arr).all():
         bad = int((~np.isfinite(arr)).sum())
         raise _BadRequest(
             f"{name} contains {bad} non-finite (NaN/inf) values — "
             "clean the recording first (utils/io.load_experiment's "
             "on_nonfinite='drop'/'zero' names the repair options)")
+
+
+def _normalize_return_fields(value):
+    """Validate/normalise a return_fields option BEFORE any fit runs:
+    it also gates Model's device→host pulls (fit(_materialize=)), and
+    a malformed value must 400 up front — not after a B-experiment
+    batch has already burned its minutes, and not surfaced as a
+    solver-rejection message."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        value = [value]
+    if (not isinstance(value, list)
+            or not all(isinstance(f, str) for f in value)):
+        raise _BadRequest("return_fields must be a list of field names")
+    return value
 
 
 class _BadRequest(ValueError):
@@ -669,6 +698,7 @@ class FitService:
         arrays = _decode_arrays(_load_npz(body))
         if "psc" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T]")
+        _require_finite("psc", arrays["psc"])
         if self.demixer is None:
             raise _BadRequest("server started without a demixer")
         # RESPONSE wire: the demixed [K, T] block is 72 MB f32 at the
@@ -698,24 +728,20 @@ class FitService:
             _FIT_OPTION_KEYS | {"method", "demix", "sharded",
                                 "return_fields", "response_wire"},
             "fit")
-        return_fields = opts.pop("return_fields", None)
-        if return_fields is not None:
-            # validate BEFORE the fit: the list also gates Model's
-            # device→host pulls (_materialize), so a malformed value
-            # must 400 here, not surface as a solver-rejection message
-            if isinstance(return_fields, str):
-                return_fields = [return_fields]
-            if (not isinstance(return_fields, list)
-                    or not all(isinstance(f, str) for f in return_fields)):
-                raise _BadRequest(
-                    "return_fields must be a list of field names")
+        return_fields = _normalize_return_fields(
+            opts.pop("return_fields", None))
         response_wire = opts.pop("response_wire", None)
         if response_wire not in (None, "int8"):
             raise _BadRequest(
                 f"unknown fit response_wire {response_wire!r}; only "
                 "'int8' is supported (per-row peak codes on the [N, K] "
                 "lam posterior — use return_fields to drop it instead)")
-        arrays = _decode_arrays(_load_npz(body))
+        raw = _load_npz(body)
+        # a sparse-shipped design reconstructs from its (validated,
+        # tiny) level table — finite by construction, so the dense
+        # [N, K] isfinite pass is only paid for dense-shipped bodies
+        stim_trusted = "stim_sparse_targets" in raw
+        arrays = _decode_arrays(raw)
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [K, T|1] and "
                               "'stim' [N, K]")
@@ -725,7 +751,8 @@ class FitService:
                 f"psc carries {psc.shape[0]} trials but stim "
                 f"{stim.shape[1]} — psc is [K, T], stim [N, K]")
         _require_finite("psc", psc)
-        _require_finite("stim", stim)
+        if not stim_trusted:
+            _require_finite("stim", stim)
         method = opts.pop("method", "caviar")
         if method not in ("caviar", "cavi_sns", "mbcs", "cosamp"):
             raise _BadRequest(
@@ -859,7 +886,8 @@ class FitService:
         return results
 
     def _fit_many_ragged(self, arrays, opts, method="caviar",
-                         return_fields=None, wire_meta=False):
+                         return_fields=None, wire_meta=False,
+                         stim_trusted=False):
         """Ragged /fit_many: ``k_trues`` splits a concatenated
         single-experiment-wire body ('psc' [sum_K, T] — dense or any
         quantised psc_* wire — + 'stim' [N, sum_K]) into B experiments
@@ -894,7 +922,8 @@ class FitService:
                 f"stim must be [N, sum(k_trues)={sum_k}]; got "
                 f"{tuple(stim.shape)}")
         _require_finite("psc", psc)
-        _require_finite("stim", stim)
+        if not stim_trusted:
+            _require_finite("stim", stim)
         k_pad = -(-int(ks.max()) // 128) * 128
         offs = np.concatenate([[0], np.cumsum(ks)])
         # the server pads EVERY experiment to the longest one's width,
@@ -1044,7 +1073,8 @@ class FitService:
         opts = self._parse_options(options_header, _FIT_MANY_OPTION_KEYS,
                                    "fit_many")
         method = str(opts.pop("method", "caviar"))
-        return_fields = opts.pop("return_fields", None)
+        return_fields = _normalize_return_fields(
+            opts.pop("return_fields", None))
         # response-metadata capability signal: only clients that SAY
         # they understand the `_k_fields`/`_shape_fields` metadata
         # arrays get them — a pre-metadata FitClient iterates every
@@ -1053,7 +1083,12 @@ class FitService:
         # Client/server version skew is a designed-for scenario (the
         # client deploys jax-free on acquisition machines)
         wire_meta = bool(opts.pop("wire_meta", False))
-        arrays = _decode_arrays(_load_npz(body))
+        raw = _load_npz(body)
+        # sparse-shipped designs reconstruct from validated level
+        # tables — skip the dense isfinite pass for those (see do_fit)
+        stim_trusted = ("stim_sparse_targets" in raw
+                        or "stims_sparse_targets" in raw)
+        arrays = _decode_arrays(raw)
         if "k_trues" in arrays:
             # ragged batch: one concatenated [sum_K, T] trace block +
             # one flat [N, sum_K] stim (the SINGLE-experiment wire,
@@ -1062,7 +1097,8 @@ class FitService:
             # per-experiment true-shape sequential fits
             return self._fit_many_ragged(arrays, opts, method,
                                          return_fields=return_fields,
-                                         wire_meta=wire_meta)
+                                         wire_meta=wire_meta,
+                                         stim_trusted=stim_trusted)
         if "pscs" not in arrays or "stims" not in arrays:
             raise _BadRequest("npz must carry 'pscs' [B, K, T|1] and "
                               "'stims' [B, N, K]")
@@ -1080,7 +1116,8 @@ class FitService:
                 f"pscs carries {pscs.shape[1]} trials but stims "
                 f"{stims.shape[2]} — pscs is [B, K, T], stims [B, N, K]")
         _require_finite("pscs", pscs)
-        _require_finite("stims", stims)
+        if not stim_trusted:
+            _require_finite("stims", stims)
         self._resolve_many_mesh(opts)
         obs = self._maybe_demix_many(pscs, opts)
         results = self._run_many(obs, stims, opts, method=method)
@@ -1142,10 +1179,17 @@ class FitService:
             options_header,
             frozenset(("iters", "fn_scan", "trace_wire", "demix", "create")),
             "stream-update")
-        arrays = _decode_arrays(_load_npz(body))
+        raw = _load_npz(body)
+        stim_trusted = "stim_sparse_targets" in raw
+        arrays = _decode_arrays(raw)
         if "psc" not in arrays or "stim" not in arrays:
             raise _BadRequest("npz must carry 'psc' [k, T] and 'stim' [N, k]")
         psc, stim = arrays["psc"], arrays["stim"]
+        # a non-finite block would poison the stream's posterior AND
+        # get persisted by --state-dir auto-save — reject like /fit
+        _require_finite("psc", psc)
+        if not stim_trusted:
+            _require_finite("stim", stim)
         create = opts.pop("create", {}) or {}
         if not isinstance(create, dict):
             raise _BadRequest("'create' must be a JSON object of "
@@ -2004,7 +2048,10 @@ class FitClient:
                             body=self._body(psc, None, False, psc_wire),
                             options=opts or None)
         if "demixed" in out:
-            return out["demixed"]
+            # 'f16'/'f32' response wires arrive as plain arrays on this
+            # key — decode to f32 like the quantised wires (docstring
+            # contract), so the return dtype never depends on the wire
+            return np.asarray(out["demixed"], dtype=np.float32)
         dec = _decode_arrays({"psc" + k[len("demixed"):]: v
                               for k, v in out.items()})
         return np.asarray(dec["psc"])
@@ -2154,9 +2201,19 @@ class FitClient:
         # capability signal: this client understands the response
         # metadata arrays — servers only emit them when asked, so a
         # pre-metadata client's every-key iteration keeps working
-        opts = {**opts, "wire_meta": 1}
-        out = self._request("POST", "/fit_many",
-                            body=_npz_bytes(**arrays), options=opts)
+        body = _npz_bytes(**arrays)
+        try:
+            out = self._request("POST", "/fit_many", body=body,
+                                options={**opts, "wire_meta": 1})
+        except RuntimeError as exc:
+            # the REVERSE skew: a pre-capability server rejects the
+            # signal itself as an unknown option (the fit never ran —
+            # a replay is safe). Resend without it and fall back to
+            # the legacy lam/z slicing below
+            if "wire_meta" not in str(exc):
+                raise
+            out = self._request("POST", "/fit_many", body=body,
+                                options=opts)
         out.pop("k_trues", None)  # we know the true widths we sent
         # the server names every trial-axis field it padded (lam, z,
         # and e.g. mbcs' per-trial shape/rate) — slice those back to

@@ -135,18 +135,35 @@ def warn_data_thin_design(power_counts_np, k, what="this fit"):
     per_neuron = np.asarray(power_counts_np).sum(axis=1)
     if per_neuron.size < _DATA_THIN_MIN_N:
         return
-    mean_stims = float(per_neuron.mean())
+    _warn_data_thin(float(per_neuron.mean()), per_neuron.size, k, what)
+
+
+def warn_data_thin_design_dense(stim_np, k_true=None, what="this fit"):
+    """Data-thin preflight for entries WITHOUT free per-neuron counts
+    (the sharded/SnS/MBCS prep paths keep the dense design): one
+    host `count_nonzero` pass, paid only at N >= the floor's arming
+    threshold — small maps skip the scan entirely."""
+    stim_np = np.asarray(stim_np)
+    n = stim_np.shape[0]
+    if n < _DATA_THIN_MIN_N:
+        return
+    k = int(stim_np.shape[1] if k_true is None else k_true)
+    mean_stims = float(np.count_nonzero(stim_np)) / n
+    _warn_data_thin(mean_stims, n, k, what)
+
+
+def _warn_data_thin(mean_stims, n, k, what):
     if mean_stims < _DATA_THIN_STIMS_PER_NEURON:
         warnings.warn(
             f"{what}: the design stimulates each neuron "
-            f"~{mean_stims:.0f} times on average ({per_neuron.size} "
+            f"~{mean_stims:.0f} times on average ({n} "
             f"neurons over {int(k)} trials) — under the ~"
             f"{int(_DATA_THIN_STIMS_PER_NEURON)}-stim identifiability "
             "floor measured at N=5000 (R² 0.95 at 40 stims/neuron vs "
             "0.995 at 240; SCALING.md). Recovery will be bounded by "
             "the design, not the solver: raise the trial count K "
             "and/or the targets-per-trial H.",
-            DataThinDesignWarning, stacklevel=3)
+            DataThinDesignWarning, stacklevel=4)
 
 
 def prepare_traces(y_psc, dtype, trace_wire=None):

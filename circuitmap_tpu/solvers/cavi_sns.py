@@ -27,6 +27,7 @@ from jax.nn import sigmoid
 from ..ops.charge import integrated_charge
 from ..ops.truncnorm import sample_truncated_normal, truncated_normal_mean
 from ._common import (prepare_stim, prepare_traces,
+                      warn_data_thin_design_dense,
                       warn_single_chip_envelope)
 from ._laplace import _resolve_laplace_impl, laplace_phi_update
 from .caviar import _validate_update_order
@@ -286,6 +287,7 @@ def cavi_sns(
                               dtype=dtype)
     y_psc = prepare_traces(y_psc, dtype, trace_wire=trace_wire)
     stim, stim_np, powers_np, powers_dev_np = prepare_stim(stim, dtype)
+    warn_data_thin_design_dense(stim_np, what="cavi_sns()")
     y = integrated_charge(y_psc)
     # one fused program for mask + lam init (eager jnp ops cost a
     # tunnel dispatch each; cf. _common.prepare_stim_and_init)

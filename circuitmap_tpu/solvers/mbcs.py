@@ -24,7 +24,8 @@ from jax.nn import sigmoid
 
 from ..ops.charge import integrated_charge
 from ..ops.pava import isotonic_regression_batched
-from ._common import prepare_stim, warn_single_chip_envelope
+from ._common import (prepare_stim, warn_data_thin_design_dense,
+                      warn_single_chip_envelope)
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +456,7 @@ def mbcs(
     # compressed stim upload (sparse hologram / int8 buckets), as caviar
     warn_single_chip_envelope(*np.shape(stim), what="mbcs()", dtype=dtype)
     stim, stim_np, _powers_np, _powers_dev = prepare_stim(stim, dtype)
+    warn_data_thin_design_dense(stim_np, what="mbcs()")
     # built from the uploaded-stim level table, not the original-precision
     # host powers — the two differ for f64 fits (_common f64 contract)
     powers_with_zero = np.concatenate([[0.0], _powers_dev])

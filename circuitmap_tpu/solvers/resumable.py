@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..ops.charge import prepare_observations
 from ..utils.checkpoint import load_state, save_state
 from ._common import (prepare_stim_and_init, prepare_traces,
+                      warn_data_thin_design,
                       warn_single_chip_envelope)
 from ._laplace import laplace_phi_update_jit
 from .caviar import (CaviarState, _run_caviar, _resolve_laplace_impl,
@@ -125,6 +126,8 @@ def caviar_resumable(
     stim, lam_mask, lam0, stim_np, powers_np, powers_dev_np, power_counts_np = (
         prepare_stim_and_init(stim, active, dtype, powers=powers)
     )
+    warn_data_thin_design(power_counts_np, stim.shape[1],
+                          what="caviar_resumable()")
     # device powers from the uploaded-stim level table; powers_np keeps
     # original precision for the host reconnect scan (f64 contract)
     powers = jnp.asarray(powers_dev_np, dtype=dtype)

@@ -93,6 +93,16 @@ def _reconcile_orientation(psc, stim, trim_trailing=False):
          _slack(psc.shape[1], stim.shape[0]), lambda: (psc.T, stim.T)),
     ]
     near_matches = [(name, fix) for name, ok, fix in near if ok]
+    if len(near_matches) > 1:
+        # same refusal discipline as the exact path: two near-common
+        # trial counts make the orientation undecidable from shapes —
+        # never guess which axis is time
+        raise ValueError(
+            f"ambiguous orientation: psc {psc.shape} / stim "
+            f"{stim.shape} admit multiple near-matching trial-axis "
+            f"readings ({', '.join(m[0] for m in near_matches)}); "
+            "transpose the arrays to psc [K, T] / stim [N, K] before "
+            "saving")
     if len(near_matches) == 1:
         name, fix = near_matches[0]
         p, s = fix()

@@ -160,6 +160,35 @@ class TestDataThinDesignWarning:
             # dense upload paths have no free counts: skip, don't scan
             _common.warn_data_thin_design(None, 20000)
 
+    def test_dense_variant_covers_prep_paths_without_counts(self,
+                                                            monkeypatch):
+        """warn_data_thin_design_dense serves the entries whose prep
+        keeps the dense design (sharded/SnS/MBCS — review finding:
+        the floor is a large-N phenomenon and large N is exactly what
+        routes to the sharded path). Scaled down via the arming
+        threshold so the test needs no big matrix."""
+        import numpy as np
+
+        from circuitmap_tpu.solvers import _common
+
+        monkeypatch.setattr(_common, "_DATA_THIN_MIN_N", 20)
+        stim = np.zeros((30, 600))
+        stim[0, :50] = 45.0  # ~1.7 stims/neuron on average
+        with pytest.warns(_common.DataThinDesignWarning):
+            _common.warn_data_thin_design_dense(stim, what="caviar_sharded()")
+        # k_true excludes padding columns from the report, not the mean
+        with pytest.warns(_common.DataThinDesignWarning, match="512 trials"):
+            _common.warn_data_thin_design_dense(stim, k_true=512,
+                                                what="mbcs_sharded()")
+        # adequate designs stay silent
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            dense = np.full((30, 600), 45.0)
+            _common.warn_data_thin_design_dense(dense)
+            _common.warn_data_thin_design_dense(stim[:10])  # small N
+
     def test_caviar_entry_fires_it(self):
         """The flagship entry preflights the design (thin large-N sim
         -> one DataThinDesignWarning before the fit)."""

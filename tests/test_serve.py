@@ -1270,6 +1270,92 @@ class TestServiceUnit:
                            k_trues=np.asarray([32, 32], np.int32)),
                 json.dumps({"iters": 2}))
 
+    def test_ragged_wire_meta_retry_on_old_server(self, sim, monkeypatch):
+        """New-client→OLD-server skew: a pre-capability server rejects
+        'wire_meta' as an unknown option; the client must resend
+        without it (the 400 means the fit never ran, so the replay is
+        safe) and fall back to legacy lam/z slicing — not hard-fail
+        every ragged batch (review finding)."""
+        import threading
+        from http.server import HTTPServer
+
+        import circuitmap_tpu.serve as srv
+
+        monkeypatch.setattr(
+            srv, "_FIT_MANY_OPTION_KEYS",
+            frozenset(srv._FIT_MANY_OPTION_KEYS - {"wire_meta"}))
+        svc = srv.FitService()
+        box = [None]
+        httpd = HTTPServer(("127.0.0.1", 0), srv._make_handler(svc, box))
+        box[0] = httpd
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            cli = srv.FitClient(
+                f"http://127.0.0.1:{httpd.server_address[1]}")
+            ks = [64, 96]
+            res = cli.fit_many(
+                [sim["psc"][:64], sim["psc"][64:160]],
+                [sim["stim_matrix"][:, :64], sim["stim_matrix"][:, 64:160]],
+                iters=2, seeds=[1, 2], num_mc_samples=10)
+            assert isinstance(res, list) and len(res) == 2
+            for b in range(2):
+                assert res[b]["lam"].shape == (N, ks[b])
+                assert not any(k.startswith("_") for k in res[b])
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def test_nonfinite_stream_and_demix_bodies_400(self, sim):
+        """The NaN-body guard covers the STREAMING path (a poisoned
+        posterior would be persisted by --state-dir auto-save) and
+        /demix, not just the batch fits (review finding)."""
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService(demixer_path="default")
+        psc = np.array(sim["psc"][:32])
+        psc[1, 3] = np.inf
+        stim = np.array(sim["stim_matrix"][:, :32])
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_stream_update("s1", _npz_bytes(psc=psc, stim=stim),
+                                 json.dumps({"iters": 2}))
+        assert "s1" not in svc.streams  # nothing half-created
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_demix(_npz_bytes(psc=psc), None)
+        bad_stim = stim.copy()
+        bad_stim[0, 0] = np.nan
+        with pytest.raises(_BadRequest, match="non-finite"):
+            svc.do_stream_update(
+                "s2", _npz_bytes(psc=np.array(sim["psc"][:32]),
+                                 stim=bad_stim),
+                json.dumps({"iters": 2}))
+
+    def test_non_numeric_body_is_400_not_500(self, sim):
+        """np.savez round-trips STRING arrays without pickle, and
+        np.isfinite on them raises TypeError — which must surface as
+        a 400, not escape as a daemon 500 (review finding)."""
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes)
+
+        svc = FitService()
+        stim = np.zeros((2, 2))
+        with pytest.raises(_BadRequest, match="numeric"):
+            svc.do_fit(_npz_bytes(psc=np.array([["a", "b"], ["c", "d"]]),
+                                  stim=stim),
+                       json.dumps({"iters": 2}))
+
+    def test_sparse_levels_must_be_finite(self, sim):
+        from circuitmap_tpu.serve import (FitService, _BadRequest,
+                                          _npz_bytes, encode_stim_sparse)
+
+        svc = FitService()
+        enc = encode_stim_sparse(np.asarray(sim["stim_matrix"][:, :64]))
+        enc["stim_sparse_levels"] = np.array(
+            [np.nan] * len(enc["stim_sparse_levels"]))
+        with pytest.raises(_BadRequest, match="finite"):
+            svc.do_fit(_npz_bytes(psc=np.asarray(sim["psc"][:64]), **enc),
+                       json.dumps({"iters": 2}))
+
     def test_response_wire_demix_and_fit(self, sim):
         """response_wire quantises the RESPONSE: /demix returns the
         demixed block in the request wire vocabulary (int4 = 1/16th
@@ -1293,6 +1379,10 @@ class TestServiceUnit:
             plain = cli.demix(psc)
             q8 = cli.demix(psc, response_wire="int8")
             q4 = cli.demix(psc, response_wire="int4")
+            f16 = cli.demix(psc, response_wire="f16")
+            # dtype contract: every response wire decodes to f32
+            assert f16.dtype == q8.dtype == q4.dtype == np.float32
+            assert np.abs(f16 - plain).max() <= 2e-3 * np.abs(plain).max()
             assert q8.shape == plain.shape == q4.shape
             peak = np.abs(plain).max(axis=1, keepdims=True)
             assert np.abs(q8 - plain).max() <= (peak / 127).max() * 0.51

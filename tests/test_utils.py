@@ -228,6 +228,14 @@ class TestIO:
                  stimulus_matrix=stim)
         with pytest.raises(ValueError, match="no common trial count"):
             load_experiment(tmp_path / "wrong.npz", trim_trailing=True)
+        # AMBIGUOUS near-matches refuse like the exact path (review
+        # finding): psc [100, 10] / stim [5, 104] nearly matches both
+        # as-stored (100~104) and transposed (10~5) — never guess
+        np.savez(tmp_path / "ambig.npz",
+                 psc=rng.normal(size=(100, 10)),
+                 stimulus_matrix=rng.random((5, 104)))
+        with pytest.raises(ValueError, match="ambiguous orientation"):
+            load_experiment(tmp_path / "ambig.npz", trim_trailing=True)
 
     def test_export_state(self, tmp_path, rng):
         state = {
